@@ -1,0 +1,603 @@
+"""The crawl engine: URL frontier + politeness + fetch + extract + discover.
+
+Ray-Data-native redesign of the reference's per-exchange sequential
+loops (reference ``main.py:148-186`` fans out 14 OS processes, each
+running one announcement at a time with random sleeps).  Here a crawl is
+a sequence of *rounds*; each round is a streaming Dataset pipeline:
+
+    frontier ──robots──schedule(groupby host)──fetch(bucket join)──┐
+        ▲                                                          │
+        └── deferred ∪ (discover links → canonicalize → seen) ◄────┘
+                                            │
+                                    extract (map_batches)
+
+* the frontier is a Dataset of ~100-byte rows (never HTML),
+* the URL-seen filter is the sharded actor pool (state/seen_filter.py),
+  probed *inside* ``map_batches`` tasks — admission is atomic and
+  idempotent, so Ray task re-execution cannot double-fetch,
+* politeness is a deterministic per-host token budget per round
+  (state/politeness.py) applied by a ``groupby(host).map_groups``
+  schedule: rows sorted by ``(priority, discovered_ts, url_hash)`` get
+  slots; slots beyond the budget defer to the next round.  This makes
+  the crawl order a pure function of (seeds, pages, budget) — the
+  north_rule's reproducible-ordering requirement,
+* every round checkpoints fetched/extracted/frontier Parquet plus the
+  seen-filter snapshot and a manifest, so a killed crawl resumes at the
+  next round without re-fetching (reference analog: the
+  ``os.path.exists`` skip, ``exchange/binance.py:253-255``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..functions.canonical import canonicalize, host_of, url_hash64
+from ..schemas import FRONTIER
+from ..sources.page_store import PageStore
+from ..state.politeness import RobotsPolicy
+from ..state.seen_filter import SeenFilterPool
+from ..stages.extract import ExtractStage
+
+
+@dataclass
+class CrawlConfig:
+    max_rounds: int = 10
+    max_depth: int = 8
+    round_ms: int = 10_000  # politeness round length (token budget basis)
+    seen_shards: int = 4
+    seen_mode: str = "exact"
+    as_of_hk: str | None = None  # deterministic 'now' for the recency window
+    offset_days: int = 7
+    profiles: dict = field(default_factory=dict)
+    fetch_concurrency: int | None = None
+
+
+def _frontier_table(rows: list) -> pa.Table:
+    cols = {name: [r[name] for r in rows] for name in FRONTIER.names}
+    return pa.Table.from_pydict(cols, schema=FRONTIER)
+
+
+def canonicalize_batch(batch: pa.Table, depth: int = 0, round_no: int = 0) -> pa.Table:
+    """urls (+optional title/priority) -> FRONTIER-schema rows."""
+    urls = batch["url"].to_pylist()
+    titles = (
+        batch["title"].to_pylist()
+        if "title" in batch.column_names
+        else [""] * len(urls)
+    )
+    prios = (
+        batch["priority"].to_pylist()
+        if "priority" in batch.column_names
+        else [0] * len(urls)
+    )
+    depths = (
+        batch["depth"].to_pylist()
+        if "depth" in batch.column_names
+        else [depth] * len(urls)
+    )
+    rows = []
+    for u, t, p, d in zip(urls, titles, prios, depths):
+        cu = canonicalize(u)
+        rows.append(
+            {
+                "url": cu,
+                "host": host_of(cu),
+                "url_hash": url_hash64(cu),
+                "title": t or "",
+                "priority": int(p or 0),
+                "depth": int(d),
+                "discovered_ts": round_no,
+            }
+        )
+    return _frontier_table(rows)
+
+
+class SeenCheckStage:
+    """map_batches stage: keep only rows whose url_hash is newly admitted.
+
+    With ``only_kind`` set, rows of other kinds pass through untouched
+    (used in the fused round pipeline where page rows and link rows
+    share one stream)."""
+
+    def __init__(self, pool: SeenFilterPool, only_kind: str | None = None):
+        self.pool = pool
+        self.only_kind = only_kind
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        if self.only_kind is not None:
+            applies = pc.equal(batch["kind"], self.only_kind)
+            idx = np.nonzero(applies.to_numpy(zero_copy_only=False))[0]
+            if len(idx) == 0:
+                return batch
+            hashes = np.asarray(
+                batch["url_hash"].take(pa.array(idx)).to_pylist(),
+                dtype=np.uint64,
+            )
+            new = self.pool.check_and_add(hashes)
+            keep = np.ones(batch.num_rows, dtype=bool)
+            keep[idx] = new
+            return batch.filter(pa.array(keep))
+        hashes = np.asarray(batch["url_hash"].to_pylist(), dtype=np.uint64)
+        mask = self.pool.check_and_add(hashes)
+        return batch.filter(pa.array(mask))
+
+
+def _schedule_group(group: pa.Table, budgets: dict, default_tokens: int) -> pa.Table:
+    """One host's frontier slice -> deterministic slot order + budget cut."""
+    host = group["host"][0].as_py()
+    tokens = budgets.get(host, default_tokens)
+    order = pc.sort_indices(
+        group,
+        sort_keys=[
+            ("priority", "ascending"),
+            ("discovered_ts", "ascending"),
+            ("url_hash", "ascending"),
+        ],
+    )
+    group = group.take(order)
+    n = group.num_rows
+    slots = pa.array(np.arange(n, dtype=np.int32))
+    scheduled = pa.array(np.arange(n) < tokens)
+    return group.append_column("fetch_slot", slots).append_column(
+        "scheduled", scheduled
+    )
+
+
+# Above this many frontier rows the politeness schedule runs as a
+# distributed groupby(host) shuffle; below it, the same computation is a
+# single vectorized sort on the (already materialized) round frontier —
+# identical output, none of the shuffle fixed cost.
+DRIVER_SCHEDULE_MAX_ROWS = 200_000
+
+
+def _schedule_driver(tbl: pa.Table, budgets: dict, default_tokens: int) -> pa.Table:
+    order = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            ("host", "ascending"),
+            ("priority", "ascending"),
+            ("discovered_ts", "ascending"),
+            ("url_hash", "ascending"),
+        ],
+    )
+    tbl = tbl.take(order)
+    hosts = tbl["host"].to_pylist()
+    n = len(hosts)
+    slots = np.zeros(n, dtype=np.int32)
+    scheduled = np.zeros(n, dtype=bool)
+    i = 0
+    while i < n:
+        j = i
+        h = hosts[i]
+        while j < n and hosts[j] == h:
+            j += 1
+        tokens = budgets.get(h, default_tokens)
+        slots[i:j] = np.arange(j - i, dtype=np.int32)
+        scheduled[i : min(j, i + tokens)] = True
+        i = j
+    return tbl.append_column(
+        "fetch_slot", pa.array(slots, pa.int32())
+    ).append_column("scheduled", pa.array(scheduled))
+
+
+def _schedule(
+    frontier_tbl: pa.Table, budgets: dict, default_tokens: int
+) -> pa.Table:
+    if frontier_tbl.num_rows <= DRIVER_SCHEDULE_MAX_ROWS:
+        return _schedule_driver(frontier_tbl, budgets, default_tokens)
+    ds = ray.data.from_arrow(frontier_tbl)
+    return _to_table(
+        ds.groupby("host").map_groups(
+            lambda g: _schedule_group(g, budgets, default_tokens),
+            batch_format="pyarrow",
+        )
+    )
+
+
+class DiscoverStage:
+    """fetched pages -> outgoing frontier candidates (link extraction,
+    reference hub-page scans ``exchange/weex.py:30-60``).  Children carry
+    ``depth = parent depth + 1``; pages at ``max_depth`` emit nothing."""
+
+    def __init__(self, max_depth: int = 8):
+        self.max_depth = max_depth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.html_text import extract_links
+
+        out_urls, out_titles, out_prio, out_depth = [], [], [], []
+        for url, html, status, prio, depth in zip(
+            batch["url"].to_pylist(),
+            batch["html"].to_pylist(),
+            batch["status"].to_pylist(),
+            batch["priority"].to_pylist(),
+            batch["depth"].to_pylist(),
+        ):
+            if status != 200 or html is None or depth >= self.max_depth:
+                continue
+            for href, text in extract_links(html.decode("utf-8", "replace")):
+                if not href or href.startswith(("javascript:", "mailto:", "#")):
+                    continue
+                out_urls.append(canonicalize(href, base=url))
+                out_titles.append(text)
+                out_prio.append(prio)
+                out_depth.append(depth + 1)
+        return pa.table(
+            {
+                "url": pa.array(out_urls, pa.string()),
+                "title": pa.array(out_titles, pa.string()),
+                "priority": pa.array(out_prio, pa.int32()),
+                "depth": pa.array(out_depth, pa.int32()),
+            }
+        )
+
+
+_UNION_EXTRA = [
+    ("fetch_slot", pa.int32()),
+    ("status", pa.int32()),
+    ("warc_ts", pa.timestamp("us", tz="UTC")),
+    ("exchange", pa.string()),
+    ("article_id", pa.string()),
+    ("release_time", pa.string()),
+    ("text", pa.string()),
+    ("xstatus", pa.string()),
+]
+UNION_SCHEMA = pa.schema(
+    [("kind", pa.string()), *FRONTIER, *_UNION_EXTRA]
+)
+
+
+class ProcessStage:
+    """Fused per-round stage: fetched batch -> page rows + link rows.
+
+    One ``map_batches`` pass does extraction (M1-M7 via ExtractStage)
+    AND link discovery, emitting a union-typed table
+    (``kind`` = 'page' | 'link') so a crawl round is a single streaming
+    pipeline execution: fetch -> process -> seen-check(links)."""
+
+    def __init__(self, extract: ExtractStage, round_no: int, max_depth: int):
+        self.extract = extract
+        self.discover = DiscoverStage(max_depth)
+        self.round_no = round_no
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ext = self.extract(batch)
+        page_part = pa.Table.from_arrays(
+            [
+                pa.array(["page"] * n, pa.string()),
+                *(batch[name].combine_chunks() for name in FRONTIER.names),
+                batch["fetch_slot"].combine_chunks(),
+                batch["status"].combine_chunks(),
+                batch["warc_ts"].combine_chunks(),
+                ext["exchange"].combine_chunks(),
+                ext["article_id"].combine_chunks(),
+                ext["release_time"].combine_chunks(),
+                ext["text"].combine_chunks(),
+                ext["status"].combine_chunks(),
+            ],
+            schema=UNION_SCHEMA,
+        )
+        links = self.discover(batch)
+        canon = canonicalize_batch(links, round_no=self.round_no)
+        ln = canon.num_rows
+        nulls = {
+            "fetch_slot": pa.nulls(ln, pa.int32()),
+            "status": pa.nulls(ln, pa.int32()),
+            "warc_ts": pa.nulls(ln, pa.timestamp("us", tz="UTC")),
+            "exchange": pa.nulls(ln, pa.string()),
+            "article_id": pa.nulls(ln, pa.string()),
+            "release_time": pa.nulls(ln, pa.string()),
+            "text": pa.nulls(ln, pa.string()),
+            "xstatus": pa.nulls(ln, pa.string()),
+        }
+        link_part = pa.Table.from_arrays(
+            [
+                pa.array(["link"] * ln, pa.string()),
+                *(canon[name].combine_chunks() for name in FRONTIER.names),
+                *nulls.values(),
+            ],
+            schema=UNION_SCHEMA,
+        )
+        return pa.concat_tables([page_part, link_part])
+
+
+@dataclass
+class RoundMetrics:
+    round_no: int
+    frontier_in: int = 0
+    robots_blocked: int = 0
+    scheduled: int = 0
+    deferred: int = 0
+    fetched_ok: int = 0
+    fetched_miss: int = 0
+    tombstones: int = 0
+    discovered_new: int = 0
+
+
+class CrawlRun:
+    """Holds the per-round outputs + state of one crawl execution."""
+
+    def __init__(self, cfg: CrawlConfig, checkpoint_dir: str | None = None):
+        self.cfg = cfg
+        self.checkpoint_dir = checkpoint_dir
+        self.seen = SeenFilterPool(cfg.seen_shards, mode=cfg.seen_mode)
+        self.metrics: list = []
+        self._fetched: list = []
+        self._extracted: list = []
+        self.rounds_done = 0
+
+    # --- checkpointing -------------------------------------------------
+    def _round_dir(self, k: int) -> str:
+        return os.path.join(self.checkpoint_dir, f"round={k}")
+
+    def _save_round(self, k: int, fetched, extracted, frontier_next) -> None:
+        if not self.checkpoint_dir:
+            return
+        rd = self._round_dir(k)
+        os.makedirs(rd, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(fetched, os.path.join(rd, "fetched.parquet"))
+        pq.write_table(extracted, os.path.join(rd, "extracted.parquet"))
+        pq.write_table(frontier_next, os.path.join(rd, "frontier_next.parquet"))
+        state_dir = os.path.join(self.checkpoint_dir, "state")
+        os.makedirs(state_dir, exist_ok=True)
+        for i, snap in enumerate(self.seen.snapshot()):
+            np.savez(
+                os.path.join(state_dir, f"seen_{i}.npz"),
+                bloom=snap["bloom"],
+                exact=snap.get("exact", np.zeros(0, dtype=np.uint64)),
+                count=np.array([snap["count"]]),
+                mode=np.array([snap["mode"]]),
+            )
+        manifest = {
+            "rounds_done": k + 1,
+            "seen_shards": self.cfg.seen_shards,
+            "metrics": [m.__dict__ for m in self.metrics],
+        }
+        tmp = os.path.join(self.checkpoint_dir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        # atomic commit: the manifest only ever names fully-written rounds
+        os.replace(tmp, os.path.join(self.checkpoint_dir, "manifest.json"))
+
+    def try_resume(self) -> pa.Table | None:
+        """Restore seen-filter + metrics; return the pending frontier, or
+        None when there is no usable checkpoint."""
+        if not self.checkpoint_dir:
+            return None
+        mpath = os.path.join(self.checkpoint_dir, "manifest.json")
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            manifest = json.load(f)
+        k = manifest["rounds_done"]
+        snaps = []
+        for i in range(self.cfg.seen_shards):
+            z = np.load(
+                os.path.join(self.checkpoint_dir, "state", f"seen_{i}.npz"),
+                allow_pickle=False,
+            )
+            snaps.append(
+                {
+                    "mode": str(z["mode"][0]),
+                    "count": int(z["count"][0]),
+                    "bloom": z["bloom"],
+                    "exact": z["exact"],
+                }
+            )
+        self.seen.restore(snaps)
+        self.metrics = [RoundMetrics(**m) for m in manifest["metrics"]]
+        self.rounds_done = k
+        import pyarrow.parquet as pq
+
+        for j in range(k):
+            rd = self._round_dir(j)
+            self._fetched.append(pq.read_table(os.path.join(rd, "fetched.parquet")))
+            self._extracted.append(
+                pq.read_table(os.path.join(rd, "extracted.parquet"))
+            )
+        return pq.read_table(
+            os.path.join(self._round_dir(k - 1), "frontier_next.parquet")
+        )
+
+    # --- results -------------------------------------------------------
+    def fetched_table(self) -> pa.Table:
+        return pa.concat_tables(self._fetched) if self._fetched else None
+
+    def extracted_table(self) -> pa.Table:
+        return pa.concat_tables(self._extracted) if self._extracted else None
+
+    def extracted_dataset(self) -> "ray.data.Dataset":
+        return ray.data.from_arrow(self._extracted)
+
+    def crawl_order(self) -> list:
+        """Deterministic serialization of the fetch order:
+        (round, host, slot)."""
+        t = self.fetched_table()
+        if t is None or t.num_rows == 0:
+            return []
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("fetch_round", "ascending"),
+                ("host", "ascending"),
+                ("fetch_slot", "ascending"),
+            ],
+        )
+        return pc.take(t["url"], order).to_pylist()
+
+    def seen_set_size(self) -> int:
+        return self.seen.total()
+
+
+def _to_table(ds: "ray.data.Dataset", schema: pa.Schema | None = None) -> pa.Table:
+    """Materialize a (small, metadata-sized) Dataset as one Arrow table.
+
+    Used only at round boundaries on frontier/extracted rows — never on
+    HTML-bearing data mid-pipeline."""
+    tables = [t for t in (ray.get(r) for r in ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.Table.from_pydict(
+            {n: [] for n in (schema.names if schema else [])},
+            schema=schema,
+        )
+    return pa.concat_tables(tables, promote_options="permissive").combine_chunks()
+
+
+def run_crawl(
+    store: PageStore,
+    seeds: "ray.data.Dataset",
+    robots: RobotsPolicy,
+    cfg: CrawlConfig,
+    checkpoint_dir: str | None = None,
+    stop_after_round: int | None = None,
+) -> CrawlRun:
+    """Execute (or resume) a crawl.  ``stop_after_round`` simulates a
+    crash after k rounds for resume tests."""
+    run = CrawlRun(cfg, checkpoint_dir)
+
+    frontier_tbl = run.try_resume()
+    if frontier_tbl is None:
+        # seed lists are tiny (one row per hub endpoint): canonicalize +
+        # admit driver-side instead of paying a pipeline execution
+        seed_tbl = _to_table(seeds)
+        cand = canonicalize_batch(seed_tbl, depth=0, round_no=0)
+        mask = run.seen.check_and_add(
+            np.asarray(cand["url_hash"].to_pylist(), dtype=np.uint64)
+        )
+        frontier_tbl = cand.filter(pa.array(mask))
+
+    budgets = {
+        h: robots.tokens_per_round(h, cfg.round_ms)
+        for h in set(robots.crawl_delay_ms)
+    }
+    default_tokens = max(1, cfg.round_ms // max(1, robots.default_delay_ms))
+
+    k = run.rounds_done
+    while k < cfg.max_rounds and frontier_tbl.num_rows > 0:
+        m = RoundMetrics(round_no=k, frontier_in=frontier_tbl.num_rows)
+
+        # 1. robots gate (pure, broadcast policy — never re-shipped)
+        allowed_mask = pa.array(
+            [robots.allowed(u) for u in frontier_tbl["url"].to_pylist()]
+        )
+        allowed_tbl = frontier_tbl.filter(allowed_mask)
+        m.robots_blocked = frontier_tbl.num_rows - allowed_tbl.num_rows
+
+        if allowed_tbl.num_rows == 0:
+            run.metrics.append(m)
+            break
+
+        # 2. politeness schedule on frontier metadata (driver-side below
+        # DRIVER_SCHEDULE_MAX_ROWS, groupby(host) shuffle above)
+        scheduled_tbl = _schedule(allowed_tbl, budgets, default_tokens)
+        sched_mask = scheduled_tbl["scheduled"]
+        to_fetch = scheduled_tbl.filter(sched_mask)
+        deferred = scheduled_tbl.filter(pc.invert(sched_mask)).drop_columns(
+            ["fetch_slot", "scheduled"]
+        )
+        m.scheduled, m.deferred = to_fetch.num_rows, deferred.num_rows
+
+        # 3-5. fused round pipeline, ONE streaming execution:
+        #      fetch (bucket-cache actor pool, no shuffle)
+        #      -> process (extract M1-M7 + discover links, html dropped)
+        #      -> seen-check on the link rows (admission actors)
+        to_fetch = to_fetch.drop_columns(["scheduled"])
+        border = pc.sort_indices(
+            pa.table({"b": store.bucket_keys(to_fetch["url"].to_pylist())}),
+            sort_keys=[("b", "ascending")],
+        )
+        extract = ExtractStage(
+            profiles=cfg.profiles,
+            as_of_hk=cfg.as_of_hk,
+            offset_days=cfg.offset_days,
+        )
+        round_ds = (
+            store.fetch(
+                ray.data.from_arrow(to_fetch.take(border)),
+                concurrency=cfg.fetch_concurrency,
+            )
+            .map_batches(
+                ProcessStage(extract, round_no=k + 1, max_depth=cfg.max_depth),
+                batch_format="pyarrow",
+            )
+            .map_batches(
+                SeenCheckStage(run.seen, only_kind="link"),
+                batch_format="pyarrow",
+            )
+        )
+        union_tbl = _to_table(round_ds, UNION_SCHEMA)
+
+        page_mask = pc.equal(union_tbl["kind"], "page")
+        pages_tbl = union_tbl.filter(page_mask)
+        discovered_tbl = union_tbl.filter(pc.invert(page_mask)).select(
+            FRONTIER.names
+        )
+        fetched_slim = pages_tbl.select(
+            [*FRONTIER.names, "fetch_slot", "status", "warc_ts"]
+        ).append_column(
+            "fetch_round", pa.array([k] * pages_tbl.num_rows, pa.int32())
+        )
+        extracted_tbl = pa.Table.from_arrays(
+            [
+                pages_tbl["url"].combine_chunks(),
+                pages_tbl["exchange"].combine_chunks(),
+                pages_tbl["article_id"].combine_chunks(),
+                pages_tbl["title"].combine_chunks(),
+                pages_tbl["release_time"].combine_chunks(),
+                pages_tbl["text"].combine_chunks(),
+                pages_tbl["xstatus"].combine_chunks(),
+            ],
+            names=[
+                "url",
+                "exchange",
+                "article_id",
+                "title",
+                "release_time",
+                "text",
+                "status",
+            ],
+        )
+        m.fetched_ok = (
+            pc.sum(pc.cast(pc.equal(pages_tbl["status"], 200), pa.int64())).as_py()
+            or 0
+        )
+        m.fetched_miss = pages_tbl.num_rows - m.fetched_ok
+        m.tombstones = (
+            pc.sum(
+                pc.cast(pc.equal(extracted_tbl["status"], "tombstone"), pa.int64())
+            ).as_py()
+            or 0
+        )
+        m.discovered_new = discovered_tbl.num_rows
+
+        run._fetched.append(fetched_slim)
+        run._extracted.append(extracted_tbl)
+        run.metrics.append(m)
+
+        if discovered_tbl.num_rows:
+            frontier_next = pa.concat_tables(
+                [deferred, discovered_tbl]
+            ).combine_chunks()
+        else:
+            frontier_next = deferred
+        run._save_round(k, fetched_slim, extracted_tbl, frontier_next)
+        frontier_tbl = frontier_next
+        run.rounds_done = k + 1
+        k += 1
+        if stop_after_round is not None and k >= stop_after_round:
+            break
+
+    return run

@@ -1,0 +1,73 @@
+"""Fixed Arrow schemas for every logical table.
+
+The reference's records are implicit Python dicts (SURVEY.md §1.1); here
+every dataset flowing through Ray Data has a pinned ``pyarrow.Schema`` so
+blocks stay zero-copy Arrow end to end.
+
+``PAGES`` is the authoritative input shape from BASELINE.json
+``input_hint``: Common-Crawl-style Parquet
+``(url, warc_ts, html, text, lang)``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+PAGES = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+FRONTIER = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("url_hash", pa.uint64()),
+        ("title", pa.string()),  # anchor text from discovery; '' for seeds
+        ("priority", pa.int32()),
+        ("depth", pa.int32()),
+        ("discovered_ts", pa.int64()),  # logical clock: the discovery round
+    ]
+)
+
+FETCHED = pa.schema(
+    [
+        *FRONTIER,
+        ("status", pa.int32()),  # 200 ok | 404 miss | 999 robots-disallowed
+        ("fetch_round", pa.int32()),
+        ("fetch_slot", pa.int32()),  # deterministic order within (round, host)
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+    ]
+)
+
+EXTRACTED = pa.schema(
+    [
+        ("url", pa.string()),
+        ("exchange", pa.string()),
+        ("article_id", pa.string()),
+        ("title", pa.string()),
+        ("release_time", pa.string()),  # HK-local '%Y-%m-%d %H:%M:%S'
+        ("text", pa.string()),
+        ("status", pa.string()),  # 'ok' | 'tombstone' (recency-skipped, M8/K3)
+    ]
+)
+
+RECORDS = pa.schema(
+    [
+        ("symbol", pa.string()),
+        ("action", pa.string()),
+        ("type", pa.string()),
+        ("time", pa.string()),
+        ("exchange", pa.string()),
+        ("title", pa.string()),
+        ("url", pa.string()),
+        ("release_time", pa.string()),
+        ("content", pa.string()),
+    ]
+)

@@ -1,0 +1,234 @@
+"""The simulated web: a deterministic `pages` table derived from the
+driver's ``documents`` parquet.
+
+BASELINE.json ``input_hint`` fixes the page-store shape:
+``(url: string, warc_ts: timestamp, html: binary, text: string,
+lang: string)``.  No external data: every page is a pure function of a
+``documents`` row (doc_id, text, lang, source), so the DuckDB oracle can
+recompute every expected value with SQL over the same table.
+
+Layout of the synthetic web (per host ``{source}.test``):
+
+* one hub page ``https://{host}/hub`` linking (relative hrefs) to all of
+  the host's articles — frontier-discovery input, mirroring the
+  reference's announcement list pages
+  (reference ``exchange/weex.py:30-60``),
+* one article page per document at ``/articles/{doc_id}`` whose HTML
+  profile rotates by source index: profile 0 = whole-page variant A
+  extraction, profile 1 = ``div.article-body`` root + variant B
+  (reference ``exchange/bingx.py:243-252``), profile 2 =
+  ``div.article-content`` root + variant B
+  (reference ``exchange/bitunix.py:96-106``).
+
+The announcement body text is the document text plus a deterministic
+decoration (listing / delisting keywords, one trading-pair symbol, an
+optional date) chosen by ``doc_id`` so the fallback analyzer
+(functions/analyzer.py) produces SQL-predictable records.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pyarrow as pa
+
+import ray
+
+from ..schemas import PAGES
+
+SYMBOLS = ["BTC/USDT", "ETH-USDT", "AAA/BBB", "XRP/USDT", "DOT-USDT"]
+DATE_STR = "2024-03-15"
+BASE_TS = _dt.datetime(2024, 3, 1, 0, 0, 0, tzinfo=_dt.timezone.utc)
+
+
+def src_num(source: str) -> int:
+    return int(source[3:])  # 'src12' -> 12
+
+
+def host_for(source: str) -> str:
+    return f"{source}.test"
+
+
+def article_url(source: str, doc_id: int) -> str:
+    return f"https://{host_for(source)}/articles/{doc_id}"
+
+
+def hub_url(source: str) -> str:
+    return f"https://{host_for(source)}/hub"
+
+
+def title_for(doc_id: int, lang: str) -> str:
+    return f"Doc {doc_id} {lang}"
+
+
+def warc_ts_for(doc_id: int) -> _dt.datetime:
+    return BASE_TS + _dt.timedelta(minutes=int(doc_id))
+
+
+def ann_text(doc_id: int, text: str) -> str:
+    """Deterministic announcement decoration (analyzer conformance input)."""
+    sym = SYMBOLS[doc_id % 5]
+    date = f" on {DATE_STR}" if doc_id % 2 == 0 else ""
+    m = doc_id % 4
+    if m == 0:
+        return f"{text} 上架 {sym}{date}"
+    if m == 1:
+        return f"{text} delisting {sym}{date}"
+    if m == 2:
+        return f"{text} listing {sym} 合约{date}"
+    return text
+
+
+def expected_extracted_text(doc_id: int, lang: str, source: str, text: str) -> str:
+    """Oracle text for the `text` column: what extraction must reproduce
+    byte-identically (profile 0 -> variant A newline join, else variant B
+    space join)."""
+    title = title_for(doc_id, lang)
+    body = ann_text(doc_id, text)
+    if src_num(source) % 3 == 0:
+        return f"{title}\n{body}"
+    return f"{title} {body}"
+
+
+def article_html(doc_id: int, lang: str, source: str, text: str) -> str:
+    title = title_for(doc_id, lang)
+    body = ann_text(doc_id, text)
+    profile = src_num(source) % 3
+    if profile == 0:
+        # whole-page extraction, variant A; script/style are decomposed.
+        return (
+            "<html><head><script>var page={};</script>"
+            "<style>.x{color:red}</style></head><body>\n"
+            f"<h1>{title}</h1>\n<p>{body}</p>\n"
+            "</body></html>"
+        )
+    root_class = "article-body" if profile == 1 else "article-content"
+    # nav/header/footer noise is decomposed by variant B; the content
+    # root confines extraction to the article subtree.
+    return (
+        "<html><head><script>var page={};</script></head><body>\n"
+        "<nav>site nav links</nav>\n<header>site header</header>\n"
+        f'<div class="{root_class}">\n<h1>{title}</h1>\n<p>{body}</p>\n</div>\n'
+        "<footer>site footer</footer>\n</body></html>"
+    )
+
+
+def hub_html(source: str, doc_ids, langs) -> str:
+    items = "\n".join(
+        f'<li><a href="/articles/{d}">{title_for(d, l)}</a></li>'
+        for d, l in zip(doc_ids, langs)
+    )
+    return (
+        "<html><body>\n<h2>Announcements</h2>\n<ul>\n" + items + "\n</ul>\n"
+        "</body></html>"
+    )
+
+
+def robots_rules(sources) -> dict:
+    """host -> list of disallowed path prefixes.  Deterministic and
+    SQL-replicable: every host with source index % 5 == 4 disallows
+    article paths whose doc_id starts with '1'.  (The reference obeys no
+    robots at all — this is the north_rule's added capability.)"""
+    rules = {}
+    for s in sources:
+        if src_num(s) % 5 == 4:
+            rules[host_for(s)] = ["/articles/1"]
+        else:
+            rules[host_for(s)] = []
+    return rules
+
+
+def _article_batch(batch: pa.Table) -> pa.Table:
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for doc_id, text, lang, source in zip(
+        batch["doc_id"].to_pylist(),
+        batch["text"].to_pylist(),
+        batch["lang"].to_pylist(),
+        batch["source"].to_pylist(),
+    ):
+        urls.append(article_url(source, doc_id))
+        tss.append(warc_ts_for(doc_id))
+        htmls.append(article_html(doc_id, lang, source, text).encode("utf-8"))
+        texts.append(expected_extracted_text(doc_id, lang, source, text))
+        langs.append(lang)
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us", tz="UTC")),
+            pa.array(htmls, pa.binary()),
+            pa.array(texts, pa.string()),
+            pa.array(langs, pa.string()),
+        ],
+        schema=PAGES,
+    )
+
+
+def _hub_group(batch: pa.Table) -> pa.Table:
+    import pandas as pd  # noqa: F401
+
+    source = batch["source"][0].as_py()
+    order = pa.compute.sort_indices(batch["doc_id"])
+    doc_ids = pa.compute.take(batch["doc_id"], order).to_pylist()
+    langs = pa.compute.take(batch["lang"], order).to_pylist()
+    html = hub_html(source, doc_ids, langs).encode("utf-8")
+    return pa.Table.from_arrays(
+        [
+            pa.array([hub_url(source)], pa.string()),
+            pa.array([BASE_TS], pa.timestamp("us", tz="UTC")),
+            pa.array([html], pa.binary()),
+            pa.array([""], pa.string()),
+            pa.array(["en"], pa.string()),
+        ],
+        schema=PAGES,
+    )
+
+
+def pages_from_documents(
+    sf_dir: str, include_hubs: bool = True, replicate: int = 1
+) -> "ray.data.Dataset":
+    """Synthesize the `pages` Dataset from ``{sf_dir}/documents.parquet``.
+
+    ``replicate > 1`` tiles the articles with distinct urls
+    (``/articles/{doc_id}?copy={i}``) for bench-scale inputs; copies keep
+    identical html/text so extraction cost scales linearly.
+    """
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    articles = docs.map_batches(_article_batch, batch_format="pyarrow")
+    if replicate > 1:
+
+        def _tile(batch: pa.Table) -> pa.Table:
+            tables = [batch]
+            for i in range(1, replicate):
+                suffix = pa.array(
+                    [f"?copy={i}"] * batch.num_rows, pa.string()
+                )
+                urls = pa.compute.binary_join_element_wise(
+                    batch["url"].combine_chunks(), suffix, ""
+                )
+                tables.append(batch.set_column(0, "url", urls))
+            return pa.concat_tables(tables)
+
+        articles = articles.map_batches(_tile, batch_format="pyarrow")
+    if not include_hubs:
+        return articles
+    hubs = docs.groupby("source").map_groups(_hub_group, batch_format="pyarrow")
+    return articles.union(hubs)
+
+
+def seeds_for_sources(sources, priority: int = 0) -> "ray.data.Dataset":
+    """Seed frontier: one hub url per host (the reference's per-exchange
+    list endpoints, reference ``main.py:159-174``)."""
+    rows = [
+        {"url": hub_url(s), "priority": priority} for s in sorted(set(sources))
+    ]
+    return ray.data.from_items(rows)
+
+
+def sources_in(sf_dir: str) -> list:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+    return sorted(set(t["source"].to_pylist()), key=src_num)

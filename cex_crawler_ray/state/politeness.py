@@ -1,0 +1,46 @@
+"""Per-host politeness + robots.txt: deterministic token buckets.
+
+The reference throttles with ``random.uniform`` sleeps inside one
+sequential loop per site (reference ``exchange/base_scraper.py:160-181``,
+call sites e.g. ``exchange/binance.py:284``) and obeys no robots.txt at
+all.  At cluster scale, politeness must be decoupled from parallelism:
+here each host gets a *deterministic* token budget per crawl round
+(tokens ≈ round_seconds / crawl_delay), so the fetch order is
+reproducible (north_rule: matching crawl ordering under the same
+politeness budget) while unrelated hosts proceed in parallel.
+
+``RobotsPolicy`` is a small immutable rule table (host -> disallowed
+path prefixes + crawl delay) broadcast once via ``ray.put`` and read
+inside fetch tasks — never re-shipped per batch.  In a live crawl the
+fetch actors would lazily fill a per-actor robots cache keyed by host
+(the reference's buildId-cache pattern, ``exchange/gate.py:52``).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+
+class RobotsPolicy:
+    def __init__(
+        self,
+        disallow: dict | None = None,
+        crawl_delay_ms: dict | None = None,
+        default_delay_ms: int = 1000,
+    ):
+        self.disallow = {h: tuple(p) for h, p in (disallow or {}).items()}
+        self.crawl_delay_ms = dict(crawl_delay_ms or {})
+        self.default_delay_ms = default_delay_ms
+
+    def allowed(self, url: str) -> bool:
+        parts = urlsplit(url)
+        host = parts.netloc.lower().partition(":")[0]
+        path = parts.path or "/"
+        return not any(
+            path.startswith(p) for p in self.disallow.get(host, ())
+        )
+
+    def tokens_per_round(self, host: str, round_ms: int = 10_000) -> int:
+        """Deterministic per-round fetch budget for a host."""
+        delay = self.crawl_delay_ms.get(host, self.default_delay_ms)
+        return max(1, round_ms // max(1, delay))

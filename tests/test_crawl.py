@@ -1,0 +1,210 @@
+"""End-to-end crawl over the synthetic web (SURVEY.md §7.1 steps 2-5).
+
+Covers: page-store bucket join fetch, seen-filter admission, politeness
+scheduling determinism, link discovery, extraction byte-identity vs the
+pages.text oracle column, tombstones, and resume-without-refetch.
+"""
+
+import pyarrow.compute as pc
+import pytest
+
+import ray
+
+from cex_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+from cex_crawler_ray.sources.page_store import PageStore
+from cex_crawler_ray.sources.pages import (
+    pages_from_documents,
+    robots_rules,
+    seeds_for_sources,
+    sources_in,
+)
+from cex_crawler_ray.stages.extract import profiles_for_sources
+from cex_crawler_ray.state.politeness import RobotsPolicy
+
+
+@pytest.fixture(scope="module")
+def store(ray_session, sf_tiny, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pagestore"))
+    ps = PageStore(path, num_buckets=8)
+    ps.write(pages_from_documents(sf_tiny))
+    return ps
+
+
+@pytest.fixture(scope="module")
+def crawl_inputs(sf_tiny):
+    sources = sources_in(sf_tiny)
+    robots = RobotsPolicy(
+        disallow=robots_rules(sources),
+        default_delay_ms=500,  # 20 tokens / 10s round
+    )
+    cfg = CrawlConfig(
+        max_rounds=6,
+        seen_shards=4,
+        profiles=profiles_for_sources(sources),
+        as_of_hk="2024-03-08 09:00:00",
+        offset_days=7,  # cutoff 2024-03-01 09:00:00 HK -> doc_id < 60 tombstone
+    )
+    return sources, robots, cfg
+
+
+def _expected_seen(sf_tiny, sources):
+    import pyarrow.parquet as pq
+
+    from cex_crawler_ray.sources.pages import (
+        article_url,
+        hub_url,
+        src_num,
+    )
+
+    docs = pq.read_table(
+        f"{sf_tiny}/documents.parquet", columns=["doc_id", "source"]
+    )
+    seen = {hub_url(s) for s in sources}
+    for doc_id, source in zip(
+        docs["doc_id"].to_pylist(), docs["source"].to_pylist()
+    ):
+        seen.add(article_url(source, doc_id))
+    return seen
+
+
+def _allowed_articles(sf_tiny, sources):
+    import pyarrow.parquet as pq
+
+    from cex_crawler_ray.sources.pages import article_url, src_num
+
+    docs = pq.read_table(
+        f"{sf_tiny}/documents.parquet", columns=["doc_id", "source"]
+    )
+    urls = set()
+    for doc_id, source in zip(
+        docs["doc_id"].to_pylist(), docs["source"].to_pylist()
+    ):
+        if src_num(source) % 5 == 4 and str(doc_id).startswith("1"):
+            continue  # robots-disallowed
+        urls.add(article_url(source, doc_id))
+    return urls
+
+
+def test_crawl_end_to_end(store, crawl_inputs, sf_tiny):
+    sources, robots, cfg = crawl_inputs
+    run = run_crawl(store, seeds_for_sources(sources), robots, cfg)
+
+    fetched = run.fetched_table()
+    extracted = run.extracted_table()
+
+    # every fetch hit the store (simulated web has no dead links)
+    assert pc.all(pc.equal(fetched["status"], 200)).as_py()
+
+    # URL-seen set == hubs + all discovered articles (robots blocks
+    # fetches, not admission — blocked urls are still "seen")
+    expected_seen = _expected_seen(sf_tiny, sources)
+    assert run.seen_set_size() == len(expected_seen)
+
+    # fetched set == hubs + robots-allowed articles, each exactly once
+    allowed = _allowed_articles(sf_tiny, sources)
+    fetched_urls = fetched["url"].to_pylist()
+    assert len(fetched_urls) == len(set(fetched_urls)), "a url fetched twice"
+    art = [u for u in fetched_urls if "/articles/" in u]
+    assert set(art) == allowed
+
+    # extraction is byte-identical to the pages.text oracle column
+    import pyarrow.parquet as pq
+
+    oracle = {}
+    import glob as _glob
+
+    for f in _glob.glob(f"{store.path}/bucket=*/*.parquet"):
+        t = pq.read_table(f, columns=["url", "text"])
+        oracle.update(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+    ok = extracted.filter(pc.equal(extracted["status"], "ok"))
+    mismatches = [
+        (u, txt, oracle[u])
+        for u, txt in zip(ok["url"].to_pylist(), ok["text"].to_pylist())
+        if u in oracle and "/articles/" in u and oracle[u] != txt
+    ]
+    assert mismatches == [], mismatches[:3]
+
+    # tombstones: articles with HK release_time < cutoff (doc_id < 60)
+    tombs = extracted.filter(pc.equal(extracted["status"], "tombstone"))
+    tomb_ids = {
+        int(u.rsplit("/", 1)[-1])
+        for u in tombs["url"].to_pylist()
+        if "/articles/" in u
+    }
+    exp_tombs = {
+        int(u.rsplit("/", 1)[-1]) for u in allowed
+    } & set(range(60))
+    assert tomb_ids == exp_tombs
+
+
+def test_crawl_order_deterministic(store, crawl_inputs):
+    sources, robots, cfg = crawl_inputs
+    run1 = run_crawl(store, seeds_for_sources(sources), robots, cfg)
+    run2 = run_crawl(store, seeds_for_sources(sources), robots, cfg)
+    o1, o2 = run1.crawl_order(), run2.crawl_order()
+    assert o1 == o2
+    assert len(o1) > 0
+
+
+def test_politeness_budget_defers(store, crawl_inputs):
+    sources, robots, cfg = crawl_inputs
+    # tight budget: 2 fetches per host per round
+    tight = RobotsPolicy(
+        disallow=robots_rules(sources), default_delay_ms=5000
+    )
+    cfg_tight = CrawlConfig(
+        max_rounds=30,
+        seen_shards=4,
+        profiles=cfg.profiles,
+        as_of_hk=cfg.as_of_hk,
+        offset_days=cfg.offset_days,
+    )
+    run = run_crawl(store, seeds_for_sources(sources), tight, cfg_tight)
+    fetched = run.fetched_table()
+    # no (host, round) exceeds the 2-token budget
+    import collections
+
+    counts = collections.Counter(
+        zip(fetched["host"].to_pylist(), fetched["fetch_round"].to_pylist())
+    )
+    assert max(counts.values()) <= 2
+    # the tight crawl still converges to the same fetched set
+    loose = run_crawl(store, seeds_for_sources(sources), robots, cfg)
+    assert set(fetched["url"].to_pylist()) == set(
+        loose.fetched_table()["url"].to_pylist()
+    )
+
+
+def test_resume_no_refetch(store, crawl_inputs, tmp_path):
+    sources, robots, cfg = crawl_inputs
+    ckpt = str(tmp_path / "ckpt")
+
+    # full uninterrupted run (no checkpoint) as the oracle
+    full = run_crawl(store, seeds_for_sources(sources), robots, cfg)
+
+    # crash after round 1, then resume
+    part = run_crawl(
+        store,
+        seeds_for_sources(sources),
+        robots,
+        cfg,
+        checkpoint_dir=ckpt,
+        stop_after_round=1,
+    )
+    fetched_before = part.fetched_table().num_rows
+    resumed = run_crawl(
+        store, seeds_for_sources(sources), robots, cfg, checkpoint_dir=ckpt
+    )
+    # the resumed run re-fetches nothing from round 0
+    urls_full = sorted(full.fetched_table()["url"].to_pylist())
+    urls_resumed = sorted(resumed.fetched_table()["url"].to_pylist())
+    assert urls_resumed == urls_full
+    assert resumed.metrics[0].scheduled == full.metrics[0].scheduled
+    # second process only fetched the remainder
+    remainder = len(urls_full) - fetched_before
+    refetched = sum(
+        t.num_rows for t in resumed._fetched[part.rounds_done:]
+    )
+    assert refetched == remainder
+    # crawl order identical to the uninterrupted run
+    assert resumed.crawl_order() == full.crawl_order()

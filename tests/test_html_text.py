@@ -1,0 +1,124 @@
+"""Byte-identical extraction semantics (SURVEY.md §2.3 M1-M6).
+
+Expected strings are hand-derived from the reference semantics
+(``base_scraper.py:271-285`` variant A, ``bingx.py:190-224`` variant B),
+NOT produced by the code under test — the fixtures are independent.
+"""
+
+from cex_crawler_ray.functions import html_text as ht
+from cex_crawler_ray.stages.extract import (
+    ExtractProfile,
+    extract_with_profile,
+)
+
+NASTY = (
+    "<html><head><title>T</title>"
+    "<script>var x = '<p>not text</p>';</script>"
+    "<style>.a { color: red }</style></head>"
+    "<body>\n<nav>Home | About</nav>\n<header>Site Header</header>\n"
+    "<h1>公告  标题</h1>\n"
+    "<p>First   line with  двойной spaces</p>\n"
+    "<p>A&amp;B &lt;tag&gt; &#20013;文</p>\n"
+    "<div>  leading and trailing  </div>\n"
+    "<!-- a comment -->\n"
+    "<footer>Footer text</footer>\n</body></html>"
+)
+
+
+def test_get_text_skips_script_style_comments():
+    t = ht.get_text(NASTY, exclude=("script", "style"))
+    assert "not text" not in t
+    assert "color" not in t
+    assert "a comment" not in t
+    assert "T" in t  # <title> content IS text in get_text
+    assert "A&B <tag> 中文" in t  # entities unescaped
+
+
+def test_variant_a_semantics():
+    # variant A keeps nav/header/footer, splits on two spaces, joins '\n'
+    out = ht.extract_text_a(NASTY)
+    expected = (
+        "T\nHome | About\nSite Header\n公告\n标题\nFirst\nline with\n"
+        "двойной spaces\nA&B <tag> 中文\nleading and trailing\nFooter text"
+    )
+    assert out == expected
+
+
+def test_variant_b_semantics():
+    # variant B drops nav/header/footer, joins with spaces, collapses \s+
+    out = ht.extract_text_b(NASTY)
+    expected = (
+        "T 公告 标题 First line with двойной spaces "
+        "A&B <tag> 中文 leading and trailing"
+    )
+    assert out == expected
+
+
+def test_root_selection_article_body():
+    html = (
+        '<html><body><div class="other">no</div>'
+        '<div class="article-body extra">\n<h2>Head</h2>\n<p>Body  text</p>\n'
+        "<div><span>nested</span></div>\n</div>"
+        "<p>after root</p></body></html>"
+    )
+    prof = ExtractProfile(variant="b", root_tag="div", root_class="article-body")
+    out = extract_with_profile(html, prof)
+    assert out == "Head Body text nested"
+
+
+def test_root_missing_falls_back_to_whole_page():
+    html = "<html><body><p>only  this</p></body></html>"
+    prof = ExtractProfile(variant="b", root_tag="div", root_class="article-body")
+    assert extract_with_profile(html, prof) == "only this"
+
+
+def test_root_variant_a():
+    html = '<div class="article-content"><p>x  y</p>\n<p>z</p></div>'
+    prof = ExtractProfile(
+        variant="a", root_tag="div", root_class="article-content"
+    )
+    assert extract_with_profile(html, prof) == "x\ny\nz"
+
+
+def test_nested_excluded_tags():
+    html = "<body><nav>a<nav>b</nav>c</nav>visible</body>"
+    assert ht.get_text(html, exclude=("nav",)) == "visible"
+
+
+def test_void_elements_do_not_leak_depth():
+    html = '<div class="article-body">a<br>b<img src="x">c</div><p>outside</p>'
+    out = ht.get_text_in_root(html, "div", "article-body")
+    assert out == "abc"
+
+
+def test_extract_links():
+    html = (
+        '<ul><li><a href="/a/1">One</a></li>'
+        '<li><a href="https://x.test/b">Two  B</a></li>'
+        '<li><a href="#frag">skip-me</a></li></ul>'
+    )
+    links = ht.extract_links(html)
+    assert links == [("/a/1", "One"), ("https://x.test/b", "Two  B"), ("#frag", "skip-me")]
+
+
+def test_pre_json():
+    html = "<html><body><pre>{\"a\": [1, 2]}</pre></body></html>"
+    assert ht.get_json_from_pre(html) == {"a": [1, 2]}
+    # unparseable -> raw html back (reference behaviour)
+    bad = "<html><body><pre>{nope</pre></body></html>"
+    assert ht.get_json_from_pre(bad) == bad
+
+
+def test_next_data():
+    html = (
+        "<html><head><script id=\"__NEXT_DATA__\" type=\"application/json\">"
+        "{\"props\": {\"x\": 1}}</script></head></html>"
+    )
+    assert ht.get_next_data(html) == {"props": {"x": 1}}
+    assert ht.get_next_data("<html></html>") is None
+
+
+def test_windows_newlines_and_two_space_runs():
+    html = "<p>a\r\nb</p><p>c    d</p>"
+    # splitlines handles \r\n; 4 spaces = two 2-space separators
+    assert ht.extract_text_a(html) == "a\nbc\nd"
