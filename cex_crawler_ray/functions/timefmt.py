@@ -32,7 +32,10 @@ def to_hk_string_array(ts: pa.Array) -> pa.Array:
     shifted = pc.add(
         pc.cast(ts_us, pa.int64()), pa.scalar(HK_OFFSET_US, pa.int64())
     )
-    return pc.strftime(pc.cast(shifted, pa.timestamp("us")), format=FMT)
+    # truncate to second precision: Arrow's %S on sub-second timestamps
+    # emits fractional digits, the reference's pandas strftime does not
+    secs = pc.divide(shifted, pa.scalar(1_000_000, pa.int64()))
+    return pc.strftime(pc.cast(secs, pa.timestamp("s")), format=FMT)
 
 
 def hk_string(ts_utc: _dt.datetime) -> str:

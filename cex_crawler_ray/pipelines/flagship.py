@@ -1,0 +1,107 @@
+"""Flagship pipeline: synthetic web -> crawl -> extract -> analyze ->
+records -> report.  The end-to-end equivalent of the reference's
+``python main.py`` run (``main.py:148-194``), with deterministic
+conformance constants so every output is reproducible and
+SQL-recomputable by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import ray
+
+from ..sources.page_store import PageStore
+from ..sources.pages import (
+    pages_from_documents,
+    robots_rules,
+    seeds_for_sources,
+    sources_in,
+    src_num,
+)
+from ..stages.analyze import records_from_extracted
+from ..stages.extract import profiles_for_sources
+from ..pipelines.crawl import CrawlConfig, CrawlRun, run_crawl
+from ..state.politeness import RobotsPolicy
+
+# Conformance constants (replace the reference's now()/random delays)
+AS_OF_HK = "2024-03-08 09:00:00"  # 'now' for the recency window (M8)
+AS_OF_DATE = "2024-03-08"  # 'today' for the report layer (main.py:54)
+OFFSET_DAYS = 7
+DEFAULT_DELAY_MS = 500  # politeness: 20 fetch tokens / host / round
+MAX_ROUNDS = 12
+
+_STORE_ROOT = "/tmp/cex_crawler_ray_stores"
+
+
+def page_store_for(sf_dir: str, replicate: int = 1, num_buckets: int = 16) -> PageStore:
+    """Build (once, cached on disk) the bucketed page store for a
+    testdata dir.  Generation is deterministic, so reuse is safe."""
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{replicate}:{num_buckets}:v1".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_STORE_ROOT, key)
+    marker = os.path.join(path, "_SUCCESS")
+    store = PageStore(path, num_buckets=num_buckets)
+    if not os.path.exists(marker):
+        store.write(pages_from_documents(sf_dir, replicate=replicate))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return store
+
+
+def crawl_config_for(sf_dir: str, **overrides) -> CrawlConfig:
+    sources = sources_in(sf_dir)
+    kwargs = dict(
+        max_rounds=MAX_ROUNDS,
+        seen_shards=4,
+        profiles=profiles_for_sources(sources),
+        as_of_hk=AS_OF_HK,
+        offset_days=OFFSET_DAYS,
+    )
+    kwargs.update(overrides)
+    return CrawlConfig(**kwargs)
+
+
+def run_flagship_crawl(
+    sf_dir: str,
+    replicate: int = 1,
+    checkpoint_dir: str | None = None,
+    **cfg_overrides,
+) -> CrawlRun:
+    sources = sources_in(sf_dir)
+    store = page_store_for(sf_dir, replicate=replicate)
+    robots = RobotsPolicy(
+        disallow=robots_rules(sources), default_delay_ms=DEFAULT_DELAY_MS
+    )
+    return run_crawl(
+        store,
+        seeds_for_sources(sources),
+        robots,
+        crawl_config_for(sf_dir, **cfg_overrides),
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
+def article_rows(extracted_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Detail pages only — the reference analyzes announcement detail
+    pages, never hub/list pages."""
+    return extracted_ds.filter(lambda r: "/articles/" in r["url"])
+
+
+def records_for(sf_dir: str, run: CrawlRun | None = None) -> "ray.data.Dataset":
+    if run is None:
+        run = run_flagship_crawl(sf_dir)
+    return records_from_extracted(article_rows(run.extracted_dataset()))
+
+
+def spot_cex_for(sf_dir: str) -> list:
+    """Report market membership (deterministic analog of the reference's
+    hand-maintained SPOT_CEX list, ``main.py:39``): even source index."""
+    return [s for s in sources_in(sf_dir) if src_num(s) % 2 == 0]
+
+
+def futures_cex_for(sf_dir: str) -> list:
+    """FUTURES_CEX analog (``main.py:40``): source index % 3 != 1."""
+    return [s for s in sources_in(sf_dir) if src_num(s) % 3 != 1]

@@ -1,0 +1,73 @@
+"""Analyzer stage: extracted announcements -> flat `records` rows.
+
+Reference flow: per announcement, ``DeepSeekAnalyzer.analyze_announcement``
+(LLM, ``deepseek_analyzer.py:64-102``) falling back to keyword analysis,
+then ``save_analysis_result`` flattens listings+delistings and merges
+crawl metadata into one JSON per announcement
+(``deepseek_analyzer.py:225-242``).
+
+Here: one stateless vectorized ``map_batches`` running the deterministic
+fallback analyzer (functions/analyzer.py) and exploding one announcement
+row into N record rows (the reference's list-of-dicts becomes a flat
+Arrow table — SURVEY.md §2.5 M19-M21).  Tombstone announcements (recency
+-skipped) become records rows with null symbol/action, mirroring the
+reference's skip-JSONs which the report layer later drops via the
+``symbol notna`` filter (``main.py:66``).
+
+An LLM-backed analyzer would slot in as a callable-class actor pool
+(``map_batches(LLMAnalyzer, concurrency=N)``, client built in
+``__init__``) — pluggable, out of the deterministic conformance path.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.analyzer import (
+    fallback_analysis,
+    flatten_result,
+    validate_and_clean,
+)
+from ..schemas import RECORDS
+
+
+def analyze_batch(batch: pa.Table) -> pa.Table:
+    out = {name: [] for name in RECORDS.names}
+
+    def emit(entry: dict):
+        for name in RECORDS.names:
+            out[name].append(entry.get(name))
+
+    for url, exchange, title, release_time, text, status in zip(
+        batch["url"].to_pylist(),
+        batch["exchange"].to_pylist(),
+        batch["title"].to_pylist(),
+        batch["release_time"].to_pylist(),
+        batch["text"].to_pylist(),
+        batch["status"].to_pylist(),
+    ):
+        meta = {
+            "exchange": exchange,
+            "title": title,
+            "url": url,
+            "release_time": release_time,
+            "content": text,
+        }
+        if status == "tombstone":
+            # reference tombstone record: {release_time, text:'', url,
+            # title, exchange} (exchange/binance.py:242-243)
+            emit(meta)
+            continue
+        if status != "ok":
+            continue
+        result = validate_and_clean(fallback_analysis(text))
+        for item in flatten_result(result, meta):
+            emit(item)
+    return pa.Table.from_pydict(out, schema=RECORDS)
+
+
+def records_from_extracted(extracted_ds):
+    """extracted Dataset -> records Dataset (hub/list pages excluded:
+    they carry no announcement id — the reference only analyzes detail
+    pages)."""
+    return extracted_ds.map_batches(analyze_batch, batch_format="pyarrow")

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+* ``knn_brute_force``: exact cosine top-k — per-batch numpy matmul of
+  the corpus against a ``ray.put``-broadcast query matrix, partial
+  top-k per batch, merged at the driver.  This is the scale-correct
+  brute-force shape: the corpus streams, only (k x queries) candidates
+  leave each task.
+* ``knn_lsh``: random-hyperplane LSH bucketing — candidate buckets only
+  (probe shared-bucket points), exact re-rank on candidates.  The scale
+  path when the corpus is too large to scan per query.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    return m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-300)
+
+
+def knn_brute_force(
+    ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Exact cosine top-k for each query row.
+
+    Returns a pyarrow Table (query_idx, rank, vec_id) with rank 1..k,
+    ties broken by ascending id (deterministic).
+    """
+    q = _norm_rows(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    q_ref = ray.put(q)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        m = _norm_rows(
+            np.stack(
+                [np.asarray(e, dtype=np.float64) for e in batch[emb_col].to_pylist()]
+            )
+        )
+        sims = qm @ m.T  # (nq, batch)
+        nq = sims.shape[0]
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(nq):
+            for j in part[qi]:
+                out_q.append(qi)
+                out_id.append(ids[j])
+                out_sim.append(sims[qi, j])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    # merge the per-batch partial top-k candidates on the driver
+    # (candidate volume is k x queries x blocks — tiny)
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    best: dict = {}
+    for r in cand:
+        best.setdefault(r["query_idx"], []).append((r["sim"], r["vec_id"]))
+    out_q, out_rank, out_id = [], [], []
+    for qi in sorted(best):
+        top = heapq.nsmallest(k, best[qi], key=lambda t: (-t[0], t[1]))
+        for rank, (s, vid) in enumerate(top, 1):
+            out_q.append(qi)
+            out_rank.append(rank)
+            out_id.append(vid)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_rank, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+        }
+    )
+
+
+class _LSHStage:
+    """Random-hyperplane signatures, planes built once per worker."""
+
+    def __init__(self, dim: int, num_planes: int = 12, seed: int = 7, emb_col="embedding", id_col="vec_id"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(num_planes, dim)
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in batch[self.emb_col].to_pylist()]
+        )
+        bits = (m @ self.planes.T) > 0
+        keys = np.zeros(len(m), dtype=np.int64)
+        for b in range(bits.shape[1]):
+            keys |= bits[:, b].astype(np.int64) << b
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "bucket": pa.array(keys, pa.int64()),
+                self.emb_col: batch[self.emb_col],
+            }
+        )
+
+
+def knn_lsh(
+    ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Approximate top-k: only corpus points sharing a query's LSH bucket
+    are scored.  Recall < 1 by construction; pytest checks recall vs the
+    brute-force oracle."""
+    q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    dim = q.shape[1]
+    stage = _LSHStage(dim, num_planes)
+    qbits = (q @ stage.planes.T) > 0
+    qkeys = np.zeros(len(q), dtype=np.int64)
+    for b in range(qbits.shape[1]):
+        qkeys |= qbits[:, b].astype(np.int64) << b
+    wanted = set(qkeys.tolist())
+
+    bucketed = ds.map_batches(
+        _LSHStage,
+        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes,
+                               "emb_col": emb_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).filter(lambda r, _w=wanted: r["bucket"] in _w)
+    rows = bucketed.take_all()
+    if not rows:
+        return pa.table(
+            {
+                "query_idx": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+            }
+        )
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = _norm_rows(
+        np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
+    )
+    keys = np.array([r["bucket"] for r in rows], dtype=np.int64)
+    qn = _norm_rows(q)
+    out_q, out_rank, out_id = [], [], []
+    for qi in range(len(q)):
+        mask = keys == qkeys[qi]
+        if not mask.any():
+            continue
+        sims = qn[qi] @ mat[mask].T
+        cand_ids = ids[mask]
+        order = sorted(
+            range(len(sims)), key=lambda j: (-sims[j], cand_ids[j])
+        )[:k]
+        for rank, j in enumerate(order, 1):
+            out_q.append(qi)
+            out_rank.append(rank)
+            out_id.append(cand_ids[j])
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_rank, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+        }
+    )

@@ -1,0 +1,164 @@
+r"""Text-analysis stages for large-scale corpus curation.
+
+Beyond-reference operators (the reference crawls announcements; a 100 TB
+training-data pipeline additionally needs per-document text metrics).
+All stages are stateless vectorized ``map_batches`` over Arrow batches.
+
+Every metric here is deliberately SQL-expressible so the DuckDB oracle
+can recompute it exactly (driver correctness gate).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish token split: word runs | single non-word-non-space chars
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
+_WS_RE = re.compile(r"\s+")
+_CJK_RE = re.compile(r"[一-鿿]")
+_HANGUL_RE = re.compile(r"[가-힯]")
+_CYRILLIC_RE = re.compile(r"[Ѐ-ӿ]")
+_EN_THE_RE = re.compile(r"(^|[^A-Za-z])the([^A-Za-z]|$)")
+
+STOPWORDS_EN = frozenset(
+    "the a an and or of to in is are was for on with as at by".split()
+)
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(id cols) + n_chars, n_ws_tokens (whitespace split), n_tokens
+    (BPE-ish regex)."""
+    texts = batch[text_col].to_pylist()
+    n_chars = pa.array([len(t) for t in texts], pa.int64())
+    n_ws = pa.array(
+        [len([w for w in _WS_RE.split(t) if w]) for t in texts], pa.int64()
+    )
+    n_tok = pa.array([len(_TOKEN_RE.findall(t)) for t in texts], pa.int64())
+    out = batch.drop_columns([text_col])
+    out = out.append_column("n_chars", n_chars)
+    out = out.append_column("n_ws_tokens", n_ws)
+    return out.append_column("n_tokens", n_tok)
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality features: char/word counts, mean word length,
+    stopword ratio, alpha ratio, and a keep/drop flag."""
+    texts = batch[text_col].to_pylist()
+    rows = {
+        "n_chars": [],
+        "n_words": [],
+        "mean_word_len": [],
+        "stopword_ratio": [],
+        "alpha_ratio": [],
+        "quality_keep": [],
+    }
+    for t in texts:
+        words = [w for w in t.split(" ") if w]
+        n_words = len(words)
+        n_chars = len(t)
+        mean_wl = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+        sw = (
+            sum(1 for w in words if w.lower() in STOPWORDS_EN) / n_words
+            if n_words
+            else 0.0
+        )
+        alpha = (
+            sum(1 for c in t if c.isalpha()) / n_chars if n_chars else 0.0
+        )
+        keep = n_words >= 10 and 2.0 <= mean_wl <= 12.0
+        # no rounding: int/int division is one IEEE op, so the DuckDB
+        # oracle reproduces these doubles bit-for-bit
+        rows["n_chars"].append(n_chars)
+        rows["n_words"].append(n_words)
+        rows["mean_word_len"].append(mean_wl)
+        rows["stopword_ratio"].append(sw)
+        rows["alpha_ratio"].append(alpha)
+        rows["quality_keep"].append(keep)
+    out = batch.drop_columns([text_col])
+    for k, v in rows.items():
+        typ = (
+            pa.int64()
+            if k in ("n_chars", "n_words")
+            else pa.bool_()
+            if k == "quality_keep"
+            else pa.float64()
+        )
+        out = out.append_column(k, pa.array(v, typ))
+    return out
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Character-class + marker-word language heuristic: CJK -> zh,
+    Hangul -> ko, Cyrillic -> ru, 'the' as a standalone word -> en,
+    else 'unknown'."""
+    texts = batch[text_col].to_pylist()
+    preds = []
+    for t in texts:
+        if _CJK_RE.search(t):
+            preds.append("zh")
+        elif _HANGUL_RE.search(t):
+            preds.append("ko")
+        elif _CYRILLIC_RE.search(t):
+            preds.append("ru")
+        elif _EN_THE_RE.search(t):
+            preds.append("en")
+        else:
+            preds.append("unknown")
+    out = batch.drop_columns([text_col])
+    return out.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+def content_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whole-document fingerprints: md5 + sha256 hex of utf-8 bytes."""
+    texts = batch[text_col].to_pylist()
+    md5s, shas = [], []
+    for t in texts:
+        b = t.encode("utf-8")
+        md5s.append(hashlib.md5(b).hexdigest())
+        shas.append(hashlib.sha256(b).hexdigest())
+    out = batch.drop_columns([text_col])
+    out = out.append_column("md5", pa.array(md5s, pa.string()))
+    return out.append_column("sha256", pa.array(shas, pa.string()))
+
+
+def winnow_fingerprints(
+    text: str, k: int = 8, window: int = 4
+) -> list:
+    """Winnowing (Schleimer et al., SIGMOD'03): rolling k-gram hashes,
+    per-window minima — a robust document fingerprint for near-dup
+    detection.  Pure function; the stage maps it per row."""
+    if len(text) < k:
+        return []
+    hashes = [
+        int.from_bytes(
+            hashlib.blake2b(
+                text[i : i + k].encode("utf-8"), digest_size=8
+            ).digest(),
+            "big",
+        )
+        for i in range(len(text) - k + 1)
+    ]
+    out = []
+    prev = -1
+    for w in range(max(1, len(hashes) - window + 1)):
+        win = hashes[w : w + window]
+        m = min(win)
+        idx = w + win.index(m)
+        if idx != prev:
+            out.append(m)
+            prev = idx
+    return out
+
+
+def winnow_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    fps = [winnow_fingerprints(t) for t in texts]
+    out = batch.drop_columns([text_col])
+    return out.append_column(
+        "fingerprints", pa.array(fps, pa.list_(pa.uint64()))
+    )
