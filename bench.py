@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline fetch+extract throughput + query timings.
+
+Usage:
+    python bench.py                # one JSON line on stdout
+    python bench.py --scaling      # same job at 8 and 32 CPUs (fresh
+                                   # processes), prints both + efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+Headline metric (BASELINE.json): sustained fetch+extract pages/s and
+frontier URLs/s.  The bench seeds the frontier with EVERY page url of a
+replicated synthetic web so throughput is bounded by compute, not by
+politeness budgets (politeness is a semantic constraint benchmarked in
+the e2e crawl row instead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "40"))
+
+
+def _num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def bench_fetch_extract(sf_dir: str) -> dict:
+    """All store urls -> fetch (bucket join) -> extract -> count."""
+    import pyarrow as pa
+
+    import ray
+    from cex_crawler_ray.pipelines.crawl import canonicalize_batch
+    from cex_crawler_ray.pipelines.flagship import page_store_for
+    from cex_crawler_ray.sources.pages import sources_in
+    from cex_crawler_ray.stages.extract import ExtractStage, profiles_for_sources
+
+    store = page_store_for(sf_dir, replicate=REPLICATE)
+    profiles = profiles_for_sources(sources_in(sf_dir))
+
+    # dense frontier (covers the whole store) -> broadcast semi-join
+    # regime (see PageStore.fetch_broadcast); the sparse per-round
+    # bucket-join regime is exercised by bench_crawl_e2e below
+    frontier_urls = [
+        u
+        for ref in ray.data.read_parquet(
+            store.path, columns=["url"]
+        ).to_arrow_refs()
+        for u in ray.get(ref)["url"].to_pylist()
+    ]
+    t0 = time.perf_counter()
+    n = (
+        store.fetch_broadcast(frontier_urls)
+        .map_batches(
+            ExtractStage(profiles=profiles), batch_format="pyarrow"
+        )
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    return {"pages": n, "sec": dt, "pages_per_sec": n / dt}
+
+
+def bench_frontier(sf_dir: str) -> dict:
+    """Frontier path: canonicalize + hash + sharded seen-filter admit."""
+    import ray
+    from cex_crawler_ray.pipelines.crawl import SeenCheckStage, canonicalize_batch
+    from cex_crawler_ray.pipelines.flagship import page_store_for
+    from cex_crawler_ray.state.seen_filter import SeenFilterPool
+
+    store = page_store_for(sf_dir, replicate=REPLICATE)
+    pool = SeenFilterPool(num_shards=8, mode="exact")
+    urls = ray.data.read_parquet(
+        store.path, columns=["url"], override_num_blocks=128
+    )
+    t0 = time.perf_counter()
+    n = (
+        urls.map_batches(canonicalize_batch, batch_format="pyarrow")
+        .map_batches(SeenCheckStage(pool), batch_format="pyarrow")
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    return {"urls": n, "sec": dt, "urls_per_sec": n / dt}
+
+
+def bench_crawl_e2e(sf_dir: str) -> dict:
+    """Full BFS crawl (discovery + politeness + seen + extract) on the
+    unreplicated web, generous budget."""
+    import ray
+    from cex_crawler_ray.pipelines.flagship import run_flagship_crawl
+
+    t0 = time.perf_counter()
+    run = run_flagship_crawl(
+        sf_dir, max_rounds=50, fetch_concurrency=None
+    )
+    dt = time.perf_counter() - t0
+    n = run.fetched_table().num_rows
+    return {"pages": n, "sec": dt, "pages_per_sec": n / dt}
+
+
+def bench_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as entry_mod
+
+    names = [
+        "exact_dedup",
+        "minhash_dup_pairs",
+        "knn_topk",
+        "token_stats",
+        "quality_scores",
+        "lang_id",
+        "window_cumsum",
+        "broadcast_join_agg",
+        "groupby_lineitem",
+        "topk_orders",
+        "hk_timestamps",
+        "report_spot_grouped",
+    ]
+    qs = entry_mod.queries()
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # materialize datasets so timing covers execution
+        import ray
+
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = _num_cpus()
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False
+        )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    fe = bench_fetch_extract(sf_dir)
+    fr = bench_frontier(sf_dir)
+    crawl = bench_crawl_e2e(sf_dir)
+    queries = bench_queries(sf_dir)
+
+    result = {
+        "metric": "fetch_extract_wall_sec",
+        "value": round(fe["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "fetch_extract_pages": fe["pages"],
+        "fetch_extract_pages_per_sec": round(fe["pages_per_sec"], 1),
+        "frontier_urls_per_sec": round(fr["urls_per_sec"], 1),
+        "crawl_e2e_pages_per_sec": round(crawl["pages_per_sec"], 1),
+        "crawl_e2e_sec": round(crawl["sec"], 3),
+        "replicate": REPLICATE,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    """Same job at 8 and 32 CPUs in fresh processes (the sandbox stand-in
+    for the N vs 4N cluster-size criterion)."""
+    out = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        out[cpus] = json.loads(line)
+    t8 = out[8]["fetch_extract_pages_per_sec"]
+    t32 = out[32]["fetch_extract_pages_per_sec"]
+    eff = (t32 / t8) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "pages_per_sec_8cpu": t8,
+                "pages_per_sec_32cpu": t32,
+                "frontier_urls_per_sec_8cpu": out[8]["frontier_urls_per_sec"],
+                "frontier_urls_per_sec_32cpu": out[32]["frontier_urls_per_sec"],
+                "detail": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -511,24 +511,17 @@ def run_crawl(
         m.scheduled, m.deferred = to_fetch.num_rows, deferred.num_rows
 
         # 3-5. fused round pipeline, ONE streaming execution:
-        #      fetch (bucket-cache actor pool, no shuffle)
+        #      fetch (bucket-aligned tasks + worker-global bucket cache)
         #      -> process (extract M1-M7 + discover links, html dropped)
         #      -> seen-check on the link rows (admission actors)
         to_fetch = to_fetch.drop_columns(["scheduled"])
-        border = pc.sort_indices(
-            pa.table({"b": store.bucket_keys(to_fetch["url"].to_pylist())}),
-            sort_keys=[("b", "ascending")],
-        )
         extract = ExtractStage(
             profiles=cfg.profiles,
             as_of_hk=cfg.as_of_hk,
             offset_days=cfg.offset_days,
         )
         round_ds = (
-            store.fetch(
-                ray.data.from_arrow(to_fetch.take(border)),
-                concurrency=cfg.fetch_concurrency,
-            )
+            store.fetch_aligned(to_fetch)
             .map_batches(
                 ProcessStage(extract, round_no=k + 1, max_depth=cfg.max_depth),
                 batch_format="pyarrow",

@@ -35,9 +35,17 @@ MAX_ROUNDS = 12
 _STORE_ROOT = "/tmp/cex_crawler_ray_stores"
 
 
-def page_store_for(sf_dir: str, replicate: int = 1, num_buckets: int = 16) -> PageStore:
+def page_store_for(
+    sf_dir: str, replicate: int = 1, num_buckets: int | None = None
+) -> PageStore:
     """Build (once, cached on disk) the bucketed page store for a
-    testdata dir.  Generation is deterministic, so reuse is safe."""
+    testdata dir.  Generation is deterministic, so reuse is safe.
+
+    Bucket count defaults to ~4x the cores for bench-scale stores
+    (fetch parallelism = buckets, see PageStore.fetch_aligned) and 16
+    for the small conformance webs."""
+    if num_buckets is None:
+        num_buckets = 128 if replicate >= 10 else 16
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{replicate}:{num_buckets}:v1".encode()
     ).hexdigest()[:12]
@@ -86,8 +94,16 @@ def run_flagship_crawl(
 
 def article_rows(extracted_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Detail pages only — the reference analyzes announcement detail
-    pages, never hub/list pages."""
-    return extracted_ds.filter(lambda r: "/articles/" in r["url"])
+    pages, never hub/list pages.  Vectorized substring filter."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def keep_articles(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.match_substring(batch["url"].combine_chunks(), "/articles/")
+        )
+
+    return extracted_ds.map_batches(keep_articles, batch_format="pyarrow")
 
 
 def records_for(sf_dir: str, run: CrawlRun | None = None) -> "ray.data.Dataset":

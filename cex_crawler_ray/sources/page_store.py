@@ -96,69 +96,144 @@ class PageStore:
     def bucket_keys(self, urls) -> np.ndarray:
         return _bucket_of_urls(urls, self.num_buckets)
 
+    def fetch_broadcast(
+        self, frontier_urls, override_num_blocks: int | None = None
+    ) -> "ray.data.Dataset":
+        """Dense-frontier fetch: stream the STORE and semi-join the
+        frontier into it (url set broadcast once via ``ray.put``).
 
-# Worker-process-global bucket cache: (store_path, bucket) -> (url->row
-# index, table).  Ray worker processes are reused across tasks, so this
-# amortizes bucket loads exactly like per-actor state would, with no
-# actor-pool startup cost.  Bounded LRU so large stores can't blow the
-# worker heap (each entry is one bucket's pages).
-_BUCKET_CACHE: "OrderedDict" = None
-_BUCKET_CACHE_CAP = 64
+        The two fetch regimes:
+        * sparse frontier (normal crawl round): ``fetch_aligned`` —
+          read only touched buckets, one task per bucket;
+        * dense frontier (full-corpus reprocessing, benchmarks): this —
+          a straight scan of the page store with a broadcast membership
+          filter; scales like the parquet read because there is no join
+          key movement at all.
+        """
+        import ray as _ray
+
+        urls_ref = _ray.put(frozenset(frontier_urls))
+
+        def member_filter(batch: pa.Table) -> pa.Table:
+            _cap_arrow_threads()
+            wanted = _ray.get(urls_ref)
+            mask = pa.array([u in wanted for u in batch["url"].to_pylist()])
+            sub = batch.filter(mask)
+            status = pa.array([200] * sub.num_rows, pa.int32())
+            return sub.append_column("status", status)
+
+        kwargs = {}
+        if override_num_blocks:
+            kwargs["override_num_blocks"] = override_num_blocks
+        return ray.data.read_parquet(
+            self.path, columns=FETCH_COLS, **kwargs
+        ).map_batches(member_filter, batch_format="pyarrow")
+
+    def fetch_aligned(
+        self,
+        frontier_tbl: pa.Table,
+        chunk_rows: int | None = None,
+    ) -> "ray.data.Dataset":
+        """Bucket-aligned fetch of a MATERIALIZED frontier table.
+
+        Partitions the frontier into per-bucket blocks (one fetch task
+        per bucket), so every bucket file is read EXACTLY ONCE per
+        round.  This is the difference between scaling and anti-scaling:
+        unaligned fetch re-reads each bucket once per worker (measured:
+        3x throughput LOSS going 8 -> 32 CPUs); splitting buckets across
+        tasks re-reads once per chunk.  Parallelism therefore comes from
+        ``num_buckets`` (size it ~4x the cluster's cores at write time),
+        not from chunking.  Crawl rounds materialize the frontier anyway
+        (checkpoint boundary), so alignment is free.  ``chunk_rows``
+        optionally caps rows per task for memory (re-read amplification
+        = chunks per bucket; leave None unless a single bucket's
+        frontier slice can't fit a worker).
+        """
+        urls = frontier_tbl["url"].to_pylist()
+        buckets = _bucket_of_urls(urls, self.num_buckets)
+        order = np.argsort(buckets, kind="stable")
+        sorted_tbl = frontier_tbl.take(pa.array(order))
+        sorted_b = buckets[order]
+        cap = chunk_rows or (1 << 62)
+        blocks = []
+        start = 0
+        n = len(sorted_b)
+        while start < n:
+            end = start
+            b = sorted_b[start]
+            while end < n and sorted_b[end] == b and end - start < cap:
+                end += 1
+            blocks.append(sorted_tbl.slice(start, end - start))
+            start = end
+        path, nb = self.path, self.num_buckets
+
+        def fetch_fn(batch: pa.Table) -> pa.Table:
+            return _fetch_batch(batch, path, nb)
+
+        return ray.data.from_arrow(blocks).map_batches(
+            fetch_fn, batch_format="pyarrow", batch_size=None
+        )
 
 
-def _bucket_entry(path: str, b: int):
-    global _BUCKET_CACHE
-    from collections import OrderedDict
+_THREADS_CAPPED = False
 
+
+def _cap_arrow_threads():
+    """Cap Arrow's per-process thread pools once per worker: with 32
+    workers on one node, default pools (ncpu threads each) turn
+    concurrent parquet reads into a context-switch storm."""
+    global _THREADS_CAPPED
+    if not _THREADS_CAPPED:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        _THREADS_CAPPED = True
+
+
+def _read_bucket(path: str, b: int) -> pa.Table:
     import pyarrow.parquet as pq
 
-    if _BUCKET_CACHE is None:
-        _BUCKET_CACHE = OrderedDict()
-    key = (path, b)
-    hit = _BUCKET_CACHE.get(key)
-    if hit is not None:
-        _BUCKET_CACHE.move_to_end(key)
-        return hit
+    _cap_arrow_threads()
     try:
-        t = pq.read_table(f"{path}/bucket={b}", columns=FETCH_COLS)
+        return pq.read_table(f"{path}/bucket={b}", columns=FETCH_COLS)
     except FileNotFoundError:
-        t = pa.table(
+        return pa.table(
             {
                 "url": pa.array([], pa.string()),
                 "warc_ts": pa.array([], pa.timestamp("us", tz="UTC")),
                 "html": pa.array([], pa.binary()),
             }
         )
-    index = {u: i for i, u in enumerate(t["url"].to_pylist())}
-    entry = (index, t.combine_chunks())
-    _BUCKET_CACHE[key] = entry
-    while len(_BUCKET_CACHE) > _BUCKET_CACHE_CAP:
-        _BUCKET_CACHE.popitem(last=False)
-    return entry
 
 
 def _fetch_batch(batch: pa.Table, path: str, num_buckets: int) -> pa.Table:
+    """Resolve one frontier batch against its bucket files.
+
+    Vectorized Arrow hash join per bucket (C++ kernel), no in-process
+    caching: repeated reads hit the OS page cache, and worker heaps stay
+    flat no matter how many workers or rounds run (a worker-global table
+    cache measured ~10 GB across 32 workers and degraded repeat runs).
+    Callers keep per-task bucket fan-in low via ``fetch_aligned``.
+    """
     urls = batch["url"].to_pylist()
-    n = len(urls)
     buckets = _bucket_of_urls(urls, num_buckets)
-    ts_out = np.full(n, -1, dtype=np.int64)
-    html_out: list = [None] * n
-    found = np.zeros(n, dtype=bool)
+    parts = []
     for b in np.unique(buckets):
-        index, t = _bucket_entry(path, int(b))
-        ts_col = t["warc_ts"]
-        html_col = t["html"]
-        for i in np.nonzero(buckets == b)[0]:
-            j = index.get(urls[i])
-            if j is not None:
-                found[i] = True
-                ts_out[i] = ts_col[j].value
-                html_out[i] = html_col[j].as_py()
-    status = pa.array(np.where(found, 200, 404).astype(np.int32), pa.int32())
-    warc = pa.array(
-        [int(v) if f else None for v, f in zip(ts_out, found)],
-        pa.timestamp("us", tz="UTC"),
+        sub = batch.filter(pa.array(buckets == b))
+        store_t = _read_bucket(path, int(b)).rename_columns(
+            ["__page_url", "warc_ts", "html"]
+        )
+        parts.append(
+            sub.join(
+                store_t,
+                keys=["url"],
+                right_keys=["__page_url"],
+                join_type="left outer",
+            )
+        )
+    joined = pa.concat_tables(parts) if parts else batch
+    status = pc.if_else(
+        pc.is_valid(joined["html"]),
+        pa.scalar(200, pa.int32()),
+        pa.scalar(404, pa.int32()),
     )
-    out = batch.append_column("status", status)
-    out = out.append_column("warc_ts", warc)
-    return out.append_column("html", pa.array(html_out, pa.binary()))
+    return joined.append_column("status", status)

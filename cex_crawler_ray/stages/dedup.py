@@ -31,6 +31,32 @@ def _hash64(s: str) -> int:
     )
 
 
+# Coarse-partition pattern: Ray's groupby().map_groups() pays a Python
+# call per group, which collapses when groups are tiny and numerous
+# (e.g. 90k near-singleton LSH buckets).  Instead we shuffle on
+# ``key % num_parts`` and run a VECTORIZED per-partition function that
+# does the fine-grained grouping locally (pandas/arrow) — same result,
+# O(num_parts) group calls.  num_parts bounds per-task memory at scale.
+def _coarse_group_apply(ds, key_col: str, fn, num_parts: int = 64):
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(
+                batch[key_col].combine_chunks().cast(pa.uint64()),
+                pa.scalar(np.uint64(num_parts - 1), pa.uint64()),
+            ),
+            pa.int64(),
+        )
+        return batch.append_column("_part", part)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: fn(g.drop_columns(["_part"])), batch_format="pyarrow"
+        )
+    )
+
+
 # ---------------------------------------------------------------- exact
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per distinct text; adds ``n_copies``.
@@ -47,17 +73,19 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
         return batch.append_column("text_hash", h)
 
-    def first_per_group(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
-        first = group.take(order[:1])
-        return first.append_column(
-            "n_copies", pa.array([group.num_rows], pa.int64())
-        )
+    def dedup_part(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        g = df.sort_values(id_col).groupby("text_hash", sort=False)
+        firsts = g.head(1).copy()
+        firsts["n_copies"] = g.size().reindex(
+            firsts["text_hash"]
+        ).to_numpy()
+        return pa.Table.from_pandas(firsts, preserve_index=False)
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .map_groups(first_per_group, batch_format="pyarrow")
+    return _coarse_group_apply(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        "text_hash",
+        dedup_part,
     )
 
 
@@ -65,6 +93,27 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 _SHINGLE_RE = re.compile(r"\s+")
 
 _MERSENNE = (1 << 61) - 1
+
+# polynomial rolling-hash base (odd 64-bit constant); shingle hashes are
+# computed fully vectorized: sliding char-code windows @ powers, with
+# natural uint64 wraparound — deterministic across processes, no per-
+# shingle digest calls
+_POLY_BASE = np.uint64(1099511628211)
+
+
+def shingle_hashes_vec(text: str, k: int) -> np.ndarray:
+    """Unique k-gram hashes of ``text`` (whitespace collapsed), vectorized."""
+    t = _SHINGLE_RE.sub(" ", text)
+    if len(t) < k:
+        t = t + " " * (k - len(t))
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    powers = _POLY_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        windows = np.lib.stride_tricks.sliding_window_view(codes, k)
+        hashes = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(hashes)
 
 
 class MinHasher:
@@ -91,13 +140,7 @@ class MinHasher:
         self.id_col = id_col
 
     def shingle_hashes(self, text: str) -> np.ndarray:
-        t = _SHINGLE_RE.sub(" ", text)
-        if len(t) < self.k:
-            t = t + " " * (self.k - len(t))
-        sh = {t[i : i + self.k] for i in range(len(t) - self.k + 1)}
-        return np.fromiter(
-            (_hash64(s) for s in sh), dtype=np.uint64, count=len(sh)
-        )
+        return shingle_hashes_vec(text, self.k)
 
     def signature(self, text: str) -> np.ndarray:
         h = self.shingle_hashes(text)
@@ -156,13 +199,18 @@ def minhash_lsh_pairs(
             }
         )
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group[id_col].to_pylist()))
+    def pairs_in_part(part: pa.Table) -> pa.Table:
+        # vectorized: local group by band_key, emit all in-bucket pairs
+        df = part.to_pandas()
         a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+        for _, grp in df.groupby("band_key", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = sorted(set(grp[id_col]))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
         return pa.table(
             {
                 "id_a": pa.array(a_out, pa.int64()),
@@ -170,7 +218,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    pairs = (
+    pairs = _coarse_group_apply(
         ds.map_batches(
             MinHasher,
             fn_constructor_kwargs={
@@ -181,14 +229,34 @@ def minhash_lsh_pairs(
             },
             batch_format="pyarrow",
             concurrency=(1, 4),
-        )
-        .map_batches(explode_bands, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        ).map_batches(explode_bands, batch_format="pyarrow"),
+        "band_key",
+        pairs_in_part,
     )
-    # distinct pairs (same pair can fire in several bands)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    return _distinct_pairs(pairs)
+
+
+def _distinct_pairs(pairs):
+    """Distinct (id_a, id_b) rows: coarse-partition on a pair hash, then
+    a vectorized local drop_duplicates."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"].to_pylist(), dtype=np.uint64)
+        b = np.asarray(batch["id_b"].to_pylist(), dtype=np.uint64)
+        key = a * np.uint64(0x9E3779B97F4A7C15) + b
+        return batch.append_column("pair_key", pa.array(key, pa.uint64()))
+
+    def drop_dups(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+        return pa.Table.from_pandas(
+            df.drop(columns=["pair_key"]), preserve_index=False
+        )
+
+    def fn(part: pa.Table) -> pa.Table:
+        return drop_dups(part)
+
+    return _coarse_group_apply(
+        pairs.map_batches(add_key, batch_format="pyarrow"), "pair_key", fn
     )
 
 
@@ -213,15 +281,12 @@ class SimHasher:
         self.id_col = id_col
 
     def simhash(self, text: str) -> int:
-        t = _SHINGLE_RE.sub(" ", text)
-        if len(t) < self.k:
-            t = t + " " * (self.k - len(t))
-        acc = np.zeros(64, dtype=np.int64)
-        seen = {t[i : i + self.k] for i in range(len(t) - self.k + 1)}
-        for s in seen:
-            h = _hash64(s)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
+        h = shingle_hashes_vec(text, self.k)
+        # (n_shingles x 64) bit matrix, fully vectorized
+        bits = (
+            h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]
+        ) & np.uint64(1)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
         out = 0
         for bit in np.nonzero(acc > 0)[0]:
             out |= 1 << int(bit)
@@ -259,22 +324,20 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
             }
         )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            set(
-                zip(
-                    group[id_col].to_pylist(), group["simhash"].to_pylist()
-                )
-            )
-        )
+    def pairs_in_part(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
         a_out, b_out, d_out = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = int(rows[i][1] ^ rows[j][1]).bit_count()
-                if d <= max_hamming:
-                    a_out.append(rows[i][0])
-                    b_out.append(rows[j][0])
-                    d_out.append(d)
+        for _, grp in df.groupby("band_key", sort=False):
+            if len(grp) < 2:
+                continue
+            rows = sorted(set(zip(grp[id_col], grp["simhash"])))
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    d = int(int(rows[i][1]) ^ int(rows[j][1])).bit_count()
+                    if d <= max_hamming:
+                        a_out.append(rows[i][0])
+                        b_out.append(rows[j][0])
+                        d_out.append(d)
         return pa.table(
             {
                 "id_a": pa.array(a_out, pa.int64()),
@@ -283,20 +346,17 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
             }
         )
 
-    cand = (
+    cand = _coarse_group_apply(
         ds.map_batches(
             SimHasher,
             fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
             batch_format="pyarrow",
             concurrency=(1, 4),
-        )
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(pairs, batch_format="pyarrow")
+        ).map_batches(explode, batch_format="pyarrow"),
+        "band_key",
+        pairs_in_part,
     )
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _distinct_pairs(cand)
 
 
 # ------------------------------------------------------------ embedding

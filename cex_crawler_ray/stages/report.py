@@ -112,10 +112,12 @@ def build_report(
     win = cleaned.map_batches(windowed, batch_format="pandas")
 
     def grouped(ds, cexes, market):
-        sub = ds.filter(
-            lambda r, _c=frozenset(cexes), _m=market: r["type"] == _m
-            and r["exchange"] in _c
-        )
+        cexset = list(cexes)
+
+        def market_filter(df: pd.DataFrame) -> pd.DataFrame:
+            return df[(df["type"] == market) & df["exchange"].isin(cexset)]
+
+        sub = ds.map_batches(market_filter, batch_format="pandas")
 
         def concat_group(df: pd.DataFrame) -> pd.DataFrame:
             df = df.sort_values(

@@ -113,17 +113,32 @@ class _LSHStage:
         )
 
 
+def _within_hamming(key: int, num_planes: int, radius: int) -> set:
+    out = {key}
+    frontier = {key}
+    for _ in range(radius):
+        nxt = set()
+        for kk in frontier:
+            for b in range(num_planes):
+                nxt.add(kk ^ (1 << b))
+        frontier = nxt - out
+        out |= nxt
+    return out
+
+
 def knn_lsh(
     ds,
     query_vecs: np.ndarray,
     k: int = 10,
-    num_planes: int = 12,
+    num_planes: int = 8,
+    probe_radius: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ):
-    """Approximate top-k: only corpus points sharing a query's LSH bucket
-    are scored.  Recall < 1 by construction; pytest checks recall vs the
-    brute-force oracle."""
+    """Approximate top-k: only corpus points in LSH buckets within
+    ``probe_radius`` bit-flips of the query's bucket are scored
+    (multiprobe).  Recall < 1 by construction; pytest checks recall vs
+    the brute-force oracle."""
     q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
     dim = q.shape[1]
     stage = _LSHStage(dim, num_planes)
@@ -131,7 +146,10 @@ def knn_lsh(
     qkeys = np.zeros(len(q), dtype=np.int64)
     for b in range(qbits.shape[1]):
         qkeys |= qbits[:, b].astype(np.int64) << b
-    wanted = set(qkeys.tolist())
+    probe_sets = [
+        _within_hamming(int(kk), num_planes, probe_radius) for kk in qkeys
+    ]
+    wanted = set().union(*probe_sets)
 
     bucketed = ds.map_batches(
         _LSHStage,
@@ -157,7 +175,8 @@ def knn_lsh(
     qn = _norm_rows(q)
     out_q, out_rank, out_id = [], [], []
     for qi in range(len(q)):
-        mask = keys == qkeys[qi]
+        probes = np.array(sorted(probe_sets[qi]), dtype=np.int64)
+        mask = np.isin(keys, probes)
         if not mask.any():
             continue
         sims = qn[qi] @ mat[mask].T

@@ -1,0 +1,133 @@
+"""Dedup family + similarity search: recall/property tests that the SQL
+oracle can't express (near-dup recall, LSH approximation quality)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    """60 base docs + exact dups of every 5th + near-dups of every 7th."""
+    rng = np.random.RandomState(0)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(60):
+        words = [vocab[j] for j in rng.randint(0, len(vocab), size=40)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    n = len(rows)
+    for i in range(0, 60, 5):  # exact dups
+        rows.append({"doc_id": 1000 + i, "text": rows[i]["text"]})
+    for i in range(0, 60, 7):  # near dups: one word changed
+        words = rows[i]["text"].split()
+        words[3] = "omega"
+        rows.append({"doc_id": 2000 + i, "text": " ".join(words)})
+    return ray.data.from_items(rows)
+
+
+def test_exact_dedup(corpus):
+    from cex_crawler_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(corpus).to_pandas()
+    # 60 distinct base texts + 9 near-dups (distinct texts)
+    assert len(out) == 60 + 9
+    dup_groups = out[out["n_copies"] > 1]
+    assert set(dup_groups["doc_id"]) == set(range(0, 60, 5))
+    assert (dup_groups["n_copies"] == 2).all()
+
+
+def test_minhash_recall_exact_and_near(corpus):
+    from cex_crawler_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    pairs = minhash_lsh_pairs(corpus, num_perm=64, bands=16).to_pandas()
+    found = {tuple(p) for p in pairs[["id_a", "id_b"]].values}
+    # every exact dup must be a candidate (identical signatures)
+    for i in range(0, 60, 5):
+        assert (i, 1000 + i) in found
+    # near-dups (jaccard ~0.9) should mostly be candidates with 16 bands
+    near_found = sum((i, 2000 + i) in found for i in range(0, 60, 7))
+    assert near_found >= 7  # 9 near-dup pairs; allow <=2 LSH misses
+
+
+def test_ngram_jaccard_values():
+    from cex_crawler_ray.stages.dedup import ngram_jaccard
+
+    assert ngram_jaccard("abcdefghij", "abcdefghij") == 1.0
+    assert ngram_jaccard("abcdefghij", "zzzzzzzzzz") == 0.0
+    mid = ngram_jaccard("the quick brown fox jumps", "the quick brown fox leaps")
+    assert 0.3 < mid < 0.9
+
+
+def test_simhash_finds_dups(corpus):
+    from cex_crawler_ray.stages.dedup import simhash_pairs
+
+    pairs = simhash_pairs(corpus, max_hamming=3).to_pandas()
+    found = {tuple(p) for p in pairs[["id_a", "id_b"]].values}
+    for i in range(0, 60, 5):  # identical text -> hamming 0
+        assert (i, 1000 + i) in found
+    zero = pairs[pairs["hamming"] == 0]
+    assert len(zero) >= 12  # all exact-dup pairs at distance 0
+
+
+def test_embedding_dup_pairs(ray_session):
+    from cex_crawler_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.RandomState(1)
+    rows = [
+        {"vec_id": i, "embedding": rng.randn(16).astype("float32").tolist()}
+        for i in range(50)
+    ]
+    rows += [
+        {"vec_id": 100 + i, "embedding": rows[i]["embedding"]}
+        for i in range(0, 50, 10)
+    ]
+    ds = ray.data.from_items(rows)
+    pairs = ds and embedding_dup_pairs(ds, threshold=0.999).to_pandas()
+    got = {tuple(p) for p in pairs[["id_a", "id_b"]].values}
+    assert got == {(i, 100 + i) for i in range(0, 50, 10)}
+
+
+def test_knn_brute_force_matches_numpy(ray_session):
+    from cex_crawler_ray.stages.similarity import knn_brute_force
+
+    rng = np.random.RandomState(2)
+    mat = rng.randn(200, 32)
+    ds = ray.data.from_items(
+        [
+            {"vec_id": i, "embedding": mat[i].astype("float32").tolist()}
+            for i in range(200)
+        ]
+    )
+    q = mat[7]
+    # numpy oracle over the same float32-rounded data
+    m32 = mat.astype("float32").astype("float64")
+    q32 = m32[7]
+    sims = (m32 / np.linalg.norm(m32, axis=1, keepdims=True)) @ (
+        q32 / np.linalg.norm(q32)
+    )
+    expect = sorted(range(200), key=lambda i: (-sims[i], i))[:10]
+    out = knn_brute_force(ds, q32[None, :], k=10).to_pandas()
+    assert out["vec_id"].tolist() == expect
+
+
+def test_knn_lsh_recall(ray_session):
+    from cex_crawler_ray.stages.similarity import knn_brute_force, knn_lsh
+
+    rng = np.random.RandomState(3)
+    mat = rng.randn(500, 32).astype("float32").astype("float64")
+    ds = ray.data.from_items(
+        [
+            {"vec_id": i, "embedding": mat[i].tolist()}
+            for i in range(500)
+        ]
+    )
+    q = mat[11]
+    exact = set(
+        knn_brute_force(ds, q[None, :], k=10).to_pandas()["vec_id"]
+    )
+    approx = knn_lsh(ds, q[None, :], k=10).to_pandas()
+    assert len(approx) == 10
+    recall = len(set(approx["vec_id"]) & exact) / 10
+    assert recall >= 0.5  # multiprobe radius 2 over 8 planes

@@ -1,0 +1,91 @@
+"""Text-analysis + multimodal stage tests (non-SQL-expressible parts)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from cex_crawler_ray.stages import textstats
+
+
+def _t(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def test_token_stats_semantics():
+    out = textstats.token_stats(_t(["ab, cd ef", "", "one"]))
+    assert out["n_chars"].to_pylist() == [9, 0, 3]
+    assert out["n_ws_tokens"].to_pylist() == [3, 0, 1]
+    assert out["n_tokens"].to_pylist() == [4, 0, 1]  # ab , cd ef
+
+
+def test_lang_id_scripts():
+    out = textstats.lang_id(
+        _t(
+            [
+                "这是中文公告",
+                "한국어 공지입니다",
+                "Это русский текст",
+                "the quick brown fox",
+                "sans marqueurs ici",
+            ]
+        )
+    )
+    assert out["lang_pred"].to_pylist() == ["zh", "ko", "ru", "en", "unknown"]
+
+
+def test_quality_score_flags():
+    good = "the cat sat on the mat with a hat and a bat today fine"
+    bad = "x"
+    out = textstats.quality_score(_t([good, bad]))
+    assert out["quality_keep"].to_pylist() == [True, False]
+    assert out["n_words"].to_pylist()[0] == len(good.split())
+
+
+def test_winnow_fingerprints_properties():
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    fp_a = textstats.winnow_fingerprints(a)
+    assert fp_a == textstats.winnow_fingerprints(a)  # deterministic
+    # a small edit preserves most fingerprints (winnowing locality)
+    b = a.replace("lazy", "hazy")
+    fp_b = textstats.winnow_fingerprints(b)
+    overlap = len(set(fp_a) & set(fp_b)) / max(len(set(fp_a)), 1)
+    assert overlap > 0.5
+    assert textstats.winnow_fingerprints("ab") == []
+
+
+def test_blob_feature_stage(ray_session):
+    from cex_crawler_ray.stages.multimodal import BlobFeatureStage
+
+    rows = [
+        {"doc_id": i, "payload": bytes([i]) * (10 + i)} for i in range(20)
+    ]
+    ds = ray.data.from_items(rows)
+    out = ds.map_batches(
+        BlobFeatureStage,
+        fn_constructor_kwargs={},
+        batch_size=8,
+        concurrency=1,
+        batch_format="pyarrow",
+    ).to_pandas()
+    assert len(out) == 20
+    assert out["n_bytes"].tolist() == [10 + i for i in range(20)]
+    # deterministic fake decode: stable across runs
+    assert out["width"].between(64, 255).all()
+    import hashlib
+
+    expect = hashlib.sha256(bytes([3]) * 13).hexdigest()
+    assert out.loc[out["doc_id"] == 3, "sha256"].iloc[0] == expect
+
+
+def test_real_decode_is_stubbed():
+    from cex_crawler_ray.stages.multimodal import real_decode_image
+
+    with pytest.raises(NotImplementedError):
+        real_decode_image(b"\x89PNG")
