@@ -278,6 +278,46 @@ def find_tag_content(html: str, tag: str, **attr_filter):
     return "".join(p.parts)
 
 
+def _links_from_json(obj, depth: int = 0):
+    """Recursively collect ``{href, title}`` entries from a JSON list
+    payload — covers the reference's list-API responses where the
+    announcement list sits under varying paths
+    (``data.catalogs[0].articles``, ``props.pageProps...``, etc.)."""
+    out = []
+    if depth > 6:
+        return out
+    if isinstance(obj, dict):
+        if "href" in obj and isinstance(obj["href"], str):
+            out.append((obj["href"], str(obj.get("title", "")).strip()))
+        else:
+            for v in obj.values():
+                out.extend(_links_from_json(v, depth + 1))
+    elif isinstance(obj, list):
+        for v in obj:
+            out.extend(_links_from_json(v, depth + 1))
+    return out
+
+
+def links_from_page(html: str):
+    """Frontier-discovery entry point: anchors first (HTML hubs), then
+    ``__NEXT_DATA__`` JSON, then ``<pre>``-JSON API payloads."""
+    if "<a " in html or "<a\t" in html or "<a\n" in html:
+        links = extract_links(html)
+        if links:
+            return links
+    if "__NEXT_DATA__" in html:
+        data = get_next_data(html)
+        if data is not None:
+            links = _links_from_json(data)
+            if links:
+                return links
+    if "<pre" in html:
+        data = get_json_from_pre(html)
+        if isinstance(data, (dict, list)):
+            return _links_from_json(data)
+    return []
+
+
 def get_json_from_pre(html: str):
     """``<pre>``-wrapped JSON API response (reference
     ``exchange/base_scraper.py:287-299``): parse the first <pre>'s content

@@ -213,7 +213,7 @@ class DiscoverStage:
         self.max_depth = max_depth
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.html_text import extract_links
+        from ..functions.html_text import links_from_page
 
         out_urls, out_titles, out_prio, out_depth = [], [], [], []
         for url, html, status, prio, depth in zip(
@@ -225,7 +225,7 @@ class DiscoverStage:
         ):
             if status != 200 or html is None or depth >= self.max_depth:
                 continue
-            for href, text in extract_links(html.decode("utf-8", "replace")):
+            for href, text in links_from_page(html.decode("utf-8", "replace")):
                 if not href or href.startswith(("javascript:", "mailto:", "#")):
                     continue
                 out_urls.append(canonicalize(href, base=url))
@@ -333,6 +333,7 @@ class CrawlRun:
         self.checkpoint_dir = checkpoint_dir
         self.seen = SeenFilterPool(cfg.seen_shards, mode=cfg.seen_mode)
         self.metrics: list = []
+        self.lineage: list = []
         self._fetched: list = []
         self._extracted: list = []
         self.rounds_done = 0
@@ -365,6 +366,7 @@ class CrawlRun:
             "rounds_done": k + 1,
             "seen_shards": self.cfg.seen_shards,
             "metrics": [m.__dict__ for m in self.metrics],
+            "lineage": self.lineage,
         }
         tmp = os.path.join(self.checkpoint_dir, "manifest.json.tmp")
         with open(tmp, "w") as f:
@@ -399,6 +401,7 @@ class CrawlRun:
             )
         self.seen.restore(snaps)
         self.metrics = [RoundMetrics(**m) for m in manifest["metrics"]]
+        self.lineage = manifest.get("lineage", [])
         self.rounds_done = k
         import pyarrow.parquet as pq
 
@@ -580,12 +583,28 @@ def run_crawl(
         run._extracted.append(extracted_tbl)
         run.metrics.append(m)
 
+        # per-partition lineage: content hashes tying each round's
+        # outputs to its inputs (recorded in the checkpoint manifest; a
+        # resumed run verifies it is continuing the same crawl)
+        def _content_hash(t: pa.Table) -> str:
+            import hashlib as _hl
+
+            urls = sorted(t["url"].to_pylist()) if t.num_rows else []
+            return _hl.md5("\n".join(urls).encode()).hexdigest()[:16]
+
         if discovered_tbl.num_rows:
             frontier_next = pa.concat_tables(
                 [deferred, discovered_tbl]
             ).combine_chunks()
         else:
             frontier_next = deferred
+        run.lineage.append(
+            {
+                "round": k,
+                "fetched": _content_hash(fetched_slim),
+                "frontier_next": _content_hash(frontier_next),
+            }
+        )
         run._save_round(k, fetched_slim, extracted_tbl, frontier_next)
         frontier_tbl = frontier_next
         run.rounds_done = k + 1

@@ -46,8 +46,9 @@ def page_store_for(
     for the small conformance webs."""
     if num_buckets is None:
         num_buckets = 128 if replicate >= 10 else 16
+    # bump the version suffix whenever synthetic page generation changes
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{replicate}:{num_buckets}:v1".encode()
+        f"{os.path.abspath(sf_dir)}:{replicate}:{num_buckets}:v2".encode()
     ).hexdigest()[:12]
     path = os.path.join(_STORE_ROOT, key)
     marker = os.path.join(path, "_SUCCESS")

@@ -112,13 +112,31 @@ class PageStore:
         """
         import ray as _ray
 
-        urls_ref = _ray.put(frozenset(frontier_urls))
+        from ..functions.canonical import url_hash64
+
+        # broadcast SORTED url-hashes, not strings: ray.get of a numpy
+        # array is zero-copy from the object store (a pickled str-set
+        # would re-deserialize per batch — measured minutes of overhead)
+        wanted = np.sort(
+            np.fromiter(
+                (url_hash64(u) for u in frontier_urls),
+                dtype=np.uint64,
+            )
+        )
+        urls_ref = _ray.put(wanted)
 
         def member_filter(batch: pa.Table) -> pa.Table:
             _cap_arrow_threads()
-            wanted = _ray.get(urls_ref)
-            mask = pa.array([u in wanted for u in batch["url"].to_pylist()])
-            sub = batch.filter(mask)
+            sorted_hashes = _ray.get(urls_ref)
+            h = np.fromiter(
+                (url_hash64(u) for u in batch["url"].to_pylist()),
+                dtype=np.uint64,
+                count=batch.num_rows,
+            )
+            idx = np.searchsorted(sorted_hashes, h)
+            idx[idx >= len(sorted_hashes)] = 0
+            mask = sorted_hashes[idx] == h
+            sub = batch.filter(pa.array(mask))
             status = pa.array([200] * sub.num_rows, pa.int32())
             return sub.append_column("status", status)
 

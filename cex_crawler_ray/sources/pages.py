@@ -114,9 +114,40 @@ def article_html(doc_id: int, lang: str, source: str, text: str) -> str:
 
 
 def hub_html(source: str, doc_ids, langs) -> str:
-    items = "\n".join(
-        f'<li><a href="/articles/{d}">{title_for(d, l)}</a></li>'
+    """Hub (announcement-list) page.  Payload shape rotates by source so
+    the crawl exercises every reference list-API style (SURVEY §2.1):
+
+    * default: HTML ``<a>`` link list (zendesk-style hubs,
+      reference ``exchange/weex.py:30-60``),
+    * source index % 4 == 1: ``<pre>``-wrapped JSON API response
+      (reference ``exchange/mexc.py:29-42`` / ``coinex.py:30-43``),
+    * source index % 4 == 3: ``__NEXT_DATA__`` script JSON
+      (reference ``exchange/bybit.py:54-78`` / ``gate.py:19-43``).
+    """
+    import json as _json
+
+    m = src_num(source) % 4
+    entries = [
+        {"href": f"/articles/{d}", "title": title_for(d, l)}
         for d, l in zip(doc_ids, langs)
+    ]
+    if m == 1:
+        payload = _json.dumps({"data": entries}, ensure_ascii=False)
+        return (
+            "<html><body>\n<pre>" + payload + "</pre>\n</body></html>"
+        )
+    if m == 3:
+        payload = _json.dumps(
+            {"props": {"pageProps": {"articles": entries}}}, ensure_ascii=False
+        )
+        return (
+            "<html><head>"
+            '<script id="__NEXT_DATA__" type="application/json">'
+            + payload
+            + "</script></head><body>\n<h2>Announcements</h2>\n</body></html>"
+        )
+    items = "\n".join(
+        f'<li><a href="{e["href"]}">{e["title"]}</a></li>' for e in entries
     )
     return (
         "<html><body>\n<h2>Announcements</h2>\n<ul>\n" + items + "\n</ul>\n"

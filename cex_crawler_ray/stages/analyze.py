@@ -71,3 +71,75 @@ def records_from_extracted(extracted_ds):
     they carry no announcement id — the reference only analyzes detail
     pages)."""
     return extracted_ds.map_batches(analyze_batch, batch_format="pyarrow")
+
+
+class LLMAnalyzerStage:
+    """Actor-pool analyzer: the reference's LLM path
+    (``deepseek_analyzer.py:64-102``: chat completion, temperature 0.1,
+    max_tokens 1000, JSON reply -> repair -> validate) as a stateful
+    ``map_batches`` class.
+
+    The client is injected via ``client_factory`` (built ONCE per actor
+    in ``__init__``) so the stage is testable and the sandbox (no
+    network) runs the deterministic fallback.  Use::
+
+        extracted.map_batches(LLMAnalyzerStage,
+                              fn_constructor_kwargs={"client_factory": f},
+                              batch_size=32, concurrency=(2, 8),
+                              batch_format="pyarrow")
+
+    A client is any callable ``text -> str`` returning the model reply.
+    On any client error the stage falls back to keyword analysis, like
+    the reference (``deepseek_analyzer.py:96-102``).
+    """
+
+    def __init__(self, client_factory=None):
+        self.client = client_factory() if client_factory else None
+
+    def _analyze(self, text: str) -> dict:
+        import json
+
+        from ..functions.analyzer import fix_json_response
+
+        if self.client is None:
+            return fallback_analysis(text)
+        try:
+            reply = self.client(text)
+            try:
+                return json.loads(reply)
+            except Exception:
+                return fix_json_response(reply)
+        except Exception:
+            return fallback_analysis(text)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {name: [] for name in RECORDS.names}
+
+        def emit(entry: dict):
+            for name in RECORDS.names:
+                out[name].append(entry.get(name))
+
+        for url, exchange, title, release_time, text, status in zip(
+            batch["url"].to_pylist(),
+            batch["exchange"].to_pylist(),
+            batch["title"].to_pylist(),
+            batch["release_time"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["status"].to_pylist(),
+        ):
+            meta = {
+                "exchange": exchange,
+                "title": title,
+                "url": url,
+                "release_time": release_time,
+                "content": text,
+            }
+            if status == "tombstone":
+                emit(meta)
+                continue
+            if status != "ok":
+                continue
+            result = validate_and_clean(self._analyze(text))
+            for item in flatten_result(result, meta):
+                emit(item)
+        return pa.Table.from_pydict(out, schema=RECORDS)
