@@ -314,6 +314,28 @@ def q_minhash_dup_pairs(sf_dir: str):
     return pairs.map_batches(verify, batch_format="pyarrow")
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """n-gram Jaccard near-dup: LSH candidates verified by TRUE k-gram
+    Jaccard >= 0.8 (no SQL oracle: bespoke shingle hash; exact-dup
+    recall is implied by minhash_dup_pairs' oracle)."""
+    from cex_crawler_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    corpus = _dedup_corpus(sf_dir)
+    texts = {r["doc_id"]: r["text"] for r in corpus.take_all()}
+    pairs = minhash_lsh_pairs(corpus)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep = [
+            ngram_jaccard(texts[a], texts[b]) >= 0.8
+            for a, b in zip(
+                batch["id_a"].to_pylist(), batch["id_b"].to_pylist()
+            )
+        ]
+        return batch.filter(pa.array(keep))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
 def q_embedding_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup (threshold 0.999 -> exact copies)."""
     from cex_crawler_ray.stages.dedup import embedding_dup_pairs
@@ -588,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "knn_topk": q_knn_topk,
         "knn_lsh": q_knn_lsh,

@@ -83,21 +83,26 @@ def canonicalize_batch(batch: pa.Table, depth: int = 0, round_no: int = 0) -> pa
         if "depth" in batch.column_names
         else [depth] * len(urls)
     )
-    rows = []
-    for u, t, p, d in zip(urls, titles, prios, depths):
+    # columnar build (no per-row dicts) — this is the frontier hot path
+    n = len(urls)
+    c_url, c_host, c_hash = [], [], []
+    for u in urls:
         cu = canonicalize(u)
-        rows.append(
-            {
-                "url": cu,
-                "host": host_of(cu),
-                "url_hash": url_hash64(cu),
-                "title": t or "",
-                "priority": int(p or 0),
-                "depth": int(d),
-                "discovered_ts": round_no,
-            }
-        )
-    return _frontier_table(rows)
+        c_url.append(cu)
+        c_host.append(host_of(cu))
+        c_hash.append(url_hash64(cu))
+    return pa.Table.from_arrays(
+        [
+            pa.array(c_url, pa.string()),
+            pa.array(c_host, pa.string()),
+            pa.array(c_hash, pa.uint64()),
+            pa.array([t or "" for t in titles], pa.string()),
+            pa.array([int(p or 0) for p in prios], pa.int32()),
+            pa.array([int(d) for d in depths], pa.int32()),
+            pa.array([round_no] * n, pa.int64()),
+        ],
+        schema=FRONTIER,
+    )
 
 
 class SeenCheckStage:

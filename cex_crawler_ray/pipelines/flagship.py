@@ -48,7 +48,7 @@ def page_store_for(
         num_buckets = 128 if replicate >= 10 else 16
     # bump the version suffix whenever synthetic page generation changes
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{replicate}:{num_buckets}:v2".encode()
+        f"{os.path.abspath(sf_dir)}:{replicate}:{num_buckets}:v3".encode()
     ).hexdigest()[:12]
     path = os.path.join(_STORE_ROOT, key)
     marker = os.path.join(path, "_SUCCESS")
