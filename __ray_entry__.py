@@ -525,6 +525,55 @@ def q_groupby_lineitem(sf_dir: str):
     )
 
 
+def q_hash_join_agg(sf_dir: str):
+    """Shuffle hash join (co-partitioned, no broadcast): orders x
+    customer -> per-nation counts/sums.  Same semantics as
+    broadcast_join_agg through the other join regime."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = hash_join(orders, cust, "o_custkey", "c_custkey", num_parts=32)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        g = pd.DataFrame(
+            {"c_nationkey": df["c_nationkey"], "cents": cents}
+        ).groupby("c_nationkey", as_index=False)
+        return g.agg(n_orders=("cents", "size"), total_cents=("cents", "sum"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": [df["c_nationkey"].iloc[0]],
+                "n_orders": [int(df["n_orders"].sum())],
+                "total_cents": [int(df["total_cents"].sum())],
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_nationkey")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (gap > 30 min starts a new session per user)."""
+    from cex_crawler_ray.stages.join import sessionize
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return sessionize(events)
+
+
 def q_topk_orders(sf_dir: str):
     """A4+M13: global sort (totalprice desc, orderkey asc) + limit."""
     ds = ray.data.read_parquet(
@@ -622,6 +671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blob_meta": q_blob_meta,
         "window_cumsum": q_window_cumsum,
         "broadcast_join_agg": q_broadcast_join_agg,
+        "hash_join_agg": q_hash_join_agg,
+        "sessionize": q_sessionize,
         "groupby_lineitem": q_groupby_lineitem,
         "topk_orders": q_topk_orders,
     }
@@ -778,6 +829,26 @@ SELECT c.c_nationkey,
        SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_nationkey
+""",
+        "hash_join_agg": """
+SELECT c.c_nationkey,
+       count(*) AS n_orders,
+       SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+""",
+        "sessionize": """
+SELECT event_id,
+       CAST(SUM(new_s) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+) t
 """,
         "groupby_lineitem": """
 SELECT l_returnflag, l_linestatus,

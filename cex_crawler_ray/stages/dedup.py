@@ -218,22 +218,43 @@ def minhash_lsh_pairs(
             }
         )
 
+    # stateless tasks + a worker-process-global MinHasher (permutation
+    # params are pure functions of the config): same amortization as an
+    # actor pool without per-execution actor startup (~2-4 s each run)
+    mh_cfg = (num_perm, shingle_k, text_col, id_col)
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        return _global_minhasher(mh_cfg)(batch)
+
     pairs = _coarse_group_apply(
-        ds.map_batches(
-            MinHasher,
-            fn_constructor_kwargs={
-                "num_perm": num_perm,
-                "shingle_k": shingle_k,
-                "text_col": text_col,
-                "id_col": id_col,
-            },
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        ).map_batches(explode_bands, batch_format="pyarrow"),
+        ds.map_batches(signatures, batch_format="pyarrow").map_batches(
+            explode_bands, batch_format="pyarrow"
+        ),
         "band_key",
         pairs_in_part,
     )
     return _distinct_pairs(pairs)
+
+
+_STAGE_CACHE: dict = {}
+
+
+def _global_minhasher(cfg):
+    inst = _STAGE_CACHE.get(("minhash", cfg))
+    if inst is None:
+        inst = MinHasher(
+            num_perm=cfg[0], shingle_k=cfg[1], text_col=cfg[2], id_col=cfg[3]
+        )
+        _STAGE_CACHE[("minhash", cfg)] = inst
+    return inst
+
+
+def _global_simhasher(cfg):
+    inst = _STAGE_CACHE.get(("simhash", cfg))
+    if inst is None:
+        inst = SimHasher(shingle_k=cfg[0], text_col=cfg[1], id_col=cfg[2])
+        _STAGE_CACHE[("simhash", cfg)] = inst
+    return inst
 
 
 def _distinct_pairs(pairs):
@@ -346,13 +367,15 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
             }
         )
 
+    sh_cfg = (5, text_col, id_col)
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        return _global_simhasher(sh_cfg)(batch)
+
     cand = _coarse_group_apply(
-        ds.map_batches(
-            SimHasher,
-            fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        ).map_batches(explode, batch_format="pyarrow"),
+        ds.map_batches(signatures, batch_format="pyarrow").map_batches(
+            explode, batch_format="pyarrow"
+        ),
         "band_key",
         pairs_in_part,
     )
