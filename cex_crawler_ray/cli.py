@@ -81,7 +81,7 @@ def main(argv=None) -> int:
     c.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     c.add_argument("--replicate", type=int, default=1)
     c.add_argument("--checkpoint", default=None)
-    c.add_argument("--max-rounds", type=int, default=12)
+    c.add_argument("--max-rounds", type=int, default=60)
     c.set_defaults(fn=cmd_crawl)
 
     r = sub.add_parser("report", help="crawl + analyze + report CSVs/HTML")

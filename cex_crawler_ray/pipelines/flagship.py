@@ -30,7 +30,7 @@ AS_OF_HK = "2024-03-08 09:00:00"  # 'now' for the recency window (M8)
 AS_OF_DATE = "2024-03-08"  # 'today' for the report layer (main.py:54)
 OFFSET_DAYS = 7
 DEFAULT_DELAY_MS = 500  # politeness: 20 fetch tokens / host / round
-MAX_ROUNDS = 12
+MAX_ROUNDS = 60
 
 _STORE_ROOT = "/tmp/cex_crawler_ray_stores"
 
@@ -73,6 +73,18 @@ def crawl_config_for(sf_dir: str, **overrides) -> CrawlConfig:
     return CrawlConfig(**kwargs)
 
 
+def crawl_delays_for(sources) -> dict:
+    """Per-host crawl delays (deterministic): source index % 3 scales
+    the delay, so hosts get 20 / 10 / 6 fetch tokens per round — the
+    per-host token-bucket is exercised in the conformance path, not
+    just in tests."""
+    from ..sources.pages import host_for
+
+    return {
+        host_for(s): DEFAULT_DELAY_MS * (1 + src_num(s) % 3) for s in sources
+    }
+
+
 def run_flagship_crawl(
     sf_dir: str,
     replicate: int = 1,
@@ -82,7 +94,9 @@ def run_flagship_crawl(
     sources = sources_in(sf_dir)
     store = page_store_for(sf_dir, replicate=replicate)
     robots = RobotsPolicy(
-        disallow=robots_rules(sources), default_delay_ms=DEFAULT_DELAY_MS
+        disallow=robots_rules(sources),
+        crawl_delay_ms=crawl_delays_for(sources),
+        default_delay_ms=DEFAULT_DELAY_MS,
     )
     return run_crawl(
         store,

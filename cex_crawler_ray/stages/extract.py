@@ -124,10 +124,18 @@ class ExtractStage:
                 texts.append("")
                 statuses.append("miss")
                 continue
-            texts.append(
-                extract_with_profile(html.decode("utf-8", "replace"), prof)
-            )
-            statuses.append("ok")
+            try:
+                texts.append(
+                    extract_with_profile(html.decode("utf-8", "replace"), prof)
+                )
+                statuses.append("ok")
+            except Exception:
+                # dead-letter row, not a dropped record: the reference
+                # swallows per-announcement errors silently
+                # (exchange/binance.py:286-288); here failures stay
+                # visible and countable downstream
+                texts.append("")
+                statuses.append("error")
 
         return pa.table(
             {

@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the pure kernels."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cex_crawler_ray.functions import html_text as ht
+from cex_crawler_ray.functions.canonical import canonicalize, url_hash64
+from cex_crawler_ray.stages.dedup import ngram_jaccard, shingle_hashes_vec
+
+url_path = st.text(
+    alphabet=string.ascii_lowercase + string.digits + "/-_.", max_size=40
+)
+
+
+@given(url_path)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(path):
+    u = f"https://host.test/{path}"
+    c1 = canonicalize(u)
+    assert canonicalize(c1) == c1
+    assert url_hash64(c1) == url_hash64(c1)
+
+
+html_text_strategy = st.text(max_size=300)
+
+
+@given(html_text_strategy)
+@settings(max_examples=150, deadline=None)
+def test_extractors_never_throw(s):
+    # arbitrary (possibly malformed) markup must never crash either
+    # variant; outputs are strings with the variants' whitespace rules
+    a = ht.extract_text_a(s)
+    b = ht.extract_text_b(s)
+    assert isinstance(a, str) and isinstance(b, str)
+    assert "  " not in a.replace("\n", "x")  # two-space runs split away
+    assert "\n" not in b and "  " not in b  # variant B fully collapsed
+    for line in a.splitlines():
+        assert line == line.strip() and line != ""
+
+
+@given(st.text(min_size=0, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_shingle_hashes_deterministic(s):
+    h1 = shingle_hashes_vec(s, 5)
+    h2 = shingle_hashes_vec(s, 5)
+    assert (h1 == h2).all()
+    assert len(h1) == len(set(h1.tolist()))  # unique
+
+
+@given(st.text(min_size=5, max_size=100))
+@settings(max_examples=100, deadline=None)
+def test_jaccard_bounds(s):
+    assert ngram_jaccard(s, s) == 1.0
+    j = ngram_jaccard(s, s + " tail of extra text")
+    assert 0.0 <= j <= 1.0
+
+
+@given(st.lists(st.tuples(url_path, st.text(max_size=20)), max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_extract_links_roundtrip(links):
+    html = "".join(
+        f'<li><a href="/{href}">{text}</a></li>'
+        for href, text in links
+    )
+    out = ht.extract_links(html)
+    assert [h for h, _ in out] == [f"/{h}" for h, _ in links]
