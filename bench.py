@@ -153,12 +153,21 @@ def run_bench() -> dict:
     crawl = bench_crawl_e2e(sf_dir)
     queries = bench_queries(sf_dir)
 
+    sf_num = None
+    try:
+        import re as _re
+
+        m = _re.search(r"sf([0-9.]+)", sf_dir)
+        sf_num = float(m.group(1)) if m else None
+    except Exception:
+        pass
     result = {
         "metric": "fetch_extract_wall_sec",
         "value": round(fe["sec"], 3),
         "unit": "sec",
         "queries": queries,
-        "sf": sf_dir,
+        "sf": sf_num if sf_num is not None else sf_dir,
+        "sf_dir": sf_dir,
         "num_cpus": num_cpus,
         "fetch_extract_pages": fe["pages"],
         "fetch_extract_pages_per_sec": round(fe["pages_per_sec"], 1),
