@@ -35,14 +35,15 @@ FRONTIER = pa.schema(
     ]
 )
 
+# persisted fetched rows (html is projected away before any round
+# boundary — it exists only transiently inside the fused round pipeline)
 FETCHED = pa.schema(
     [
         *FRONTIER,
-        ("status", pa.int32()),  # 200 ok | 404 miss | 999 robots-disallowed
-        ("fetch_round", pa.int32()),
         ("fetch_slot", pa.int32()),  # deterministic order within (round, host)
+        ("status", pa.int32()),  # 200 ok | 404 miss
         ("warc_ts", pa.timestamp("us", tz="UTC")),
-        ("html", pa.binary()),
+        ("fetch_round", pa.int32()),
     ]
 )
 

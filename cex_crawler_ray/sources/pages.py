@@ -195,8 +195,6 @@ def _article_batch(batch: pa.Table) -> pa.Table:
 
 
 def _hub_group(batch: pa.Table) -> pa.Table:
-    import pandas as pd  # noqa: F401
-
     source = batch["source"][0].as_py()
     order = pa.compute.sort_indices(batch["doc_id"])
     doc_ids = pa.compute.take(batch["doc_id"], order).to_pylist()

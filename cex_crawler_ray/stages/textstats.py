@@ -13,9 +13,7 @@ from __future__ import annotations
 import hashlib
 import re
 
-import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 # BPE-ish token split: word runs | single non-word-non-space chars
 _TOKEN_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
