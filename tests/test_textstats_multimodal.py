@@ -73,7 +73,7 @@ def test_blob_feature_stage(ray_session):
         batch_size=8,
         concurrency=1,
         batch_format="pyarrow",
-    ).to_pandas()
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert len(out) == 20
     assert out["n_bytes"].tolist() == [10 + i for i in range(20)]
     # deterministic fake decode: stable across runs
