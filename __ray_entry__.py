@@ -574,6 +574,26 @@ def q_sessionize(sf_dir: str):
     return sessionize(events)
 
 
+def q_topk_per_group(sf_dir: str):
+    """Windowed rank: top-3 orders per customer by (totalprice desc,
+    orderkey asc) — per-group top-k without a global sort."""
+    import pandas as pd
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def top3(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64))
+        return df[["o_custkey", "rank", "o_orderkey"]]
+
+    return orders.groupby("o_custkey").map_groups(top3, batch_format="pandas")
+
+
 def q_topk_orders(sf_dir: str):
     """A4+M13: global sort (totalprice desc, orderkey asc) + limit."""
     ds = ray.data.read_parquet(
@@ -675,6 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "groupby_lineitem": q_groupby_lineitem,
         "topk_orders": q_topk_orders,
+        "topk_per_group": q_topk_per_group,
     }
 
 
@@ -864,6 +885,15 @@ SELECT row_number() OVER (
        o_orderkey
 FROM orders
 ORDER BY rank LIMIT 100
+""",
+        "topk_per_group": """
+SELECT o_custkey, rank, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) t WHERE rank <= 3
 """,
         # simhash_dup_pairs / knn_lsh / winnow_fingerprints: intentionally
         # no SQL oracle (probabilistic blocking / bespoke hashing);

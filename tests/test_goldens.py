@@ -37,6 +37,27 @@ def test_lineage_recorded_per_round(flagship_run):
         assert len(entry["fetched"]) == 16
 
 
+def test_flagship_politeness_budgets_respected(flagship_run, sf_tiny):
+    """No (host, round) exceeds its per-host token budget
+    (20/10/6 by source index % 3)."""
+    import collections
+
+    from cex_crawler_ray.pipelines.flagship import (
+        DEFAULT_DELAY_MS,
+        crawl_delays_for,
+    )
+    from cex_crawler_ray.sources.pages import sources_in
+
+    delays = crawl_delays_for(sources_in(sf_tiny))
+    fetched = flagship_run.fetched_table()
+    counts = collections.Counter(
+        zip(fetched["host"].to_pylist(), fetched["fetch_round"].to_pylist())
+    )
+    for (host, _round), n in counts.items():
+        budget = max(1, 10_000 // delays.get(host, DEFAULT_DELAY_MS))
+        assert n <= budget, (host, _round, n, budget)
+
+
 def test_lineage_stable_across_runs(ray_session, sf_tiny, flagship_run):
     from cex_crawler_ray.pipelines.flagship import run_flagship_crawl
 
