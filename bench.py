@@ -82,7 +82,11 @@ def bench_frontier(sf_dir: str) -> dict:
     from cex_crawler_ray.state.seen_filter import SeenFilterPool
 
     store = page_store_for(sf_dir, replicate=REPLICATE)
-    pool = SeenFilterPool(num_shards=8, mode="exact")
+    # shard count scales with the cluster (one-ish per 2 cores), like it
+    # would on a real deployment — a fixed 8 caps frontier scaling
+    pool = SeenFilterPool(
+        num_shards=max(8, _num_cpus() // 2), mode="exact"
+    )
     urls = ray.data.read_parquet(
         store.path, columns=["url"], override_num_blocks=128
     )
