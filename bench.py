@@ -25,6 +25,9 @@ import sys
 import time
 
 REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "40"))
+# body-repeat factor for realistic page sizes (1 -> ~700 B pages,
+# 20 -> ~10 KB); throughput in MB/s is size-invariant, pages/s is not
+PAD = int(os.environ.get("GRAFT_BENCH_PAD", "1"))
 
 
 def _num_cpus() -> int:
@@ -41,7 +44,7 @@ def bench_fetch_extract(sf_dir: str) -> dict:
     from cex_crawler_ray.sources.pages import sources_in
     from cex_crawler_ray.stages.extract import ExtractStage, profiles_for_sources
 
-    store = page_store_for(sf_dir, replicate=REPLICATE)
+    store = page_store_for(sf_dir, replicate=REPLICATE, pad=PAD)
     profiles = profiles_for_sources(sources_in(sf_dir))
 
     # dense frontier (covers the whole store) -> broadcast semi-join
@@ -71,7 +74,25 @@ def bench_fetch_extract(sf_dir: str) -> dict:
     # worker startup dominate the first run), then the measured pass
     run_once()
     n, dt = run_once()
-    return {"pages": n, "sec": dt, "pages_per_sec": n / dt}
+
+    # average page size (sample one bucket) -> MB/s, which is the
+    # size-invariant way to read the number against real ~10-100 KB pages
+    import glob
+
+    import pyarrow.parquet as pq
+
+    sample = sorted(glob.glob(f"{store.path}/bucket=*/*.parquet"))[0]
+    t = pq.read_table(sample, columns=["html"])
+    avg_bytes = sum(len(x) for x in t["html"].to_pylist()) / max(
+        1, t.num_rows
+    )
+    return {
+        "pages": n,
+        "sec": dt,
+        "pages_per_sec": n / dt,
+        "avg_page_bytes": round(avg_bytes, 1),
+        "mb_per_sec": round(n / dt * avg_bytes / 1e6, 2),
+    }
 
 
 def bench_frontier(sf_dir: str) -> dict:
@@ -182,6 +203,9 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "fetch_extract_pages": fe["pages"],
         "fetch_extract_pages_per_sec": round(fe["pages_per_sec"], 1),
+        "avg_page_bytes": fe["avg_page_bytes"],
+        "fetch_extract_mb_per_sec": fe["mb_per_sec"],
+        "pad": PAD,
         "frontier_urls_per_sec": round(fr["urls_per_sec"], 1),
         "crawl_e2e_pages_per_sec": round(crawl["pages_per_sec"], 1),
         "crawl_e2e_sec": round(crawl["sec"], 3),

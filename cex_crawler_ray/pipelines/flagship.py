@@ -36,7 +36,10 @@ _STORE_ROOT = "/tmp/cex_crawler_ray_stores"
 
 
 def page_store_for(
-    sf_dir: str, replicate: int = 1, num_buckets: int | None = None
+    sf_dir: str,
+    replicate: int = 1,
+    num_buckets: int | None = None,
+    pad: int = 1,
 ) -> PageStore:
     """Build (once, cached on disk) the bucketed page store for a
     testdata dir.  Generation is deterministic, so reuse is safe.
@@ -48,13 +51,15 @@ def page_store_for(
         num_buckets = 128 if replicate >= 10 else 16
     # bump the version suffix whenever synthetic page generation changes
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{replicate}:{num_buckets}:v3".encode()
+        f"{os.path.abspath(sf_dir)}:{replicate}:{num_buckets}:{pad}:v3".encode()
     ).hexdigest()[:12]
     path = os.path.join(_STORE_ROOT, key)
     marker = os.path.join(path, "_SUCCESS")
     store = PageStore(path, num_buckets=num_buckets)
     if not os.path.exists(marker):
-        store.write(pages_from_documents(sf_dir, replicate=replicate))
+        store.write(
+            pages_from_documents(sf_dir, replicate=replicate, pad=pad)
+        )
         with open(marker, "w") as f:
             f.write("ok")
     return store

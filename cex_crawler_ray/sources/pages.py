@@ -65,8 +65,13 @@ def warc_ts_for(doc_id: int) -> _dt.datetime:
     return BASE_TS + _dt.timedelta(minutes=int(doc_id))
 
 
-def ann_text(doc_id: int, text: str) -> str:
-    """Deterministic announcement decoration (analyzer conformance input)."""
+def ann_text(doc_id: int, text: str, pad: int = 1) -> str:
+    """Deterministic announcement decoration (analyzer conformance input).
+
+    ``pad`` repeats the body text (bench-only: realistic page sizes);
+    the decoration appears once so analyzer semantics are unchanged."""
+    if pad > 1:
+        text = " ".join([text] * pad)
     sym = SYMBOLS[doc_id % 5]
     date = f" on {DATE_STR}" if doc_id % 2 == 0 else ""
     m = doc_id % 4
@@ -79,20 +84,24 @@ def ann_text(doc_id: int, text: str) -> str:
     return text
 
 
-def expected_extracted_text(doc_id: int, lang: str, source: str, text: str) -> str:
+def expected_extracted_text(
+    doc_id: int, lang: str, source: str, text: str, pad: int = 1
+) -> str:
     """Oracle text for the `text` column: what extraction must reproduce
     byte-identically (profile 0 -> variant A newline join, else variant B
     space join)."""
     title = title_for(doc_id, lang)
-    body = ann_text(doc_id, text)
+    body = ann_text(doc_id, text, pad)
     if src_num(source) % 3 == 0:
         return f"{title}\n{body}"
     return f"{title} {body}"
 
 
-def article_html(doc_id: int, lang: str, source: str, text: str) -> str:
+def article_html(
+    doc_id: int, lang: str, source: str, text: str, pad: int = 1
+) -> str:
     title = title_for(doc_id, lang)
-    body = ann_text(doc_id, text)
+    body = ann_text(doc_id, text, pad)
     profile = src_num(source) % 3
     if profile == 0:
         # whole-page extraction, variant A; script/style are decomposed.
@@ -169,7 +178,7 @@ def robots_rules(sources) -> dict:
     return rules
 
 
-def _article_batch(batch: pa.Table) -> pa.Table:
+def _article_batch(batch: pa.Table, pad: int = 1) -> pa.Table:
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for doc_id, text, lang, source in zip(
         batch["doc_id"].to_pylist(),
@@ -179,8 +188,12 @@ def _article_batch(batch: pa.Table) -> pa.Table:
     ):
         urls.append(article_url(source, doc_id))
         tss.append(warc_ts_for(doc_id))
-        htmls.append(article_html(doc_id, lang, source, text).encode("utf-8"))
-        texts.append(expected_extracted_text(doc_id, lang, source, text))
+        htmls.append(
+            article_html(doc_id, lang, source, text, pad).encode("utf-8")
+        )
+        texts.append(
+            expected_extracted_text(doc_id, lang, source, text, pad)
+        )
         langs.append(lang)
     return pa.Table.from_arrays(
         [
@@ -213,7 +226,10 @@ def _hub_group(batch: pa.Table) -> pa.Table:
 
 
 def pages_from_documents(
-    sf_dir: str, include_hubs: bool = True, replicate: int = 1
+    sf_dir: str,
+    include_hubs: bool = True,
+    replicate: int = 1,
+    pad: int = 1,
 ) -> "ray.data.Dataset":
     """Synthesize the `pages` Dataset from ``{sf_dir}/documents.parquet``.
 
@@ -225,7 +241,9 @@ def pages_from_documents(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
     )
-    articles = docs.map_batches(_article_batch, batch_format="pyarrow")
+    articles = docs.map_batches(
+        lambda b, _p=pad: _article_batch(b, _p), batch_format="pyarrow"
+    )
     if replicate > 1:
 
         def _tile(batch: pa.Table) -> pa.Table:
