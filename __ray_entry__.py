@@ -525,6 +525,44 @@ def q_groupby_lineitem(sf_dir: str):
     )
 
 
+def q_records_partitioned_sink(sf_dir: str):
+    """K1 sink path: records -> hive-partitioned Parquet (one dir per
+    exchange, the reference's per-exchange output dirs) -> read back ->
+    per-partition counts.  Exercises write_parquet + read_parquet
+    round-trip inside the correctness gate."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.pipelines.flagship import records_for
+
+    out_dir = tempfile.mkdtemp(prefix="cex_records_sink_")
+    try:
+        records_for(sf_dir, _flagship_run(sf_dir)).write_parquet(
+            out_dir, partition_cols=["exchange"]
+        )
+        back = ray.data.read_parquet(out_dir)
+
+        def count_part(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "exchange": [df["exchange"].iloc[0]],
+                    "n_records": [len(df)],
+                }
+            )
+
+        counts = (
+            back.groupby("exchange")
+            .map_groups(count_part, batch_format="pandas")
+            .to_pandas()
+        )
+        return counts
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_hash_join_agg(sf_dir: str):
     """Shuffle hash join (co-partitioned, no broadcast): orders x
     customer -> per-nation counts/sums.  Same semantics as
@@ -671,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_extract": q_crawl_extract,
         "crawl_fetch_status": q_crawl_fetch_status,
         "crawl_records": q_crawl_records,
+        "records_partitioned_sink": q_records_partitioned_sink,
         "report_full": q_report_full,
         "report_spot_grouped": q_report_spot_grouped,
         "report_futures_grouped": q_report_futures_grouped,
@@ -718,6 +757,11 @@ FROM documents
         + """
 SELECT symbol, action, type, time, exchange, title, url, release_time, content
 FROM records
+""",
+        "records_partitioned_sink": _CRAWL_CTE
+        + """
+SELECT exchange, count(*) AS n_records
+FROM records GROUP BY exchange
 """,
         "report_full": _CRAWL_CTE
         + """
