@@ -249,6 +249,7 @@ class DiscoverStage:
 
 _UNION_EXTRA = [
     ("fetch_slot", pa.int32()),
+    ("fetch_round", pa.int32()),
     ("status", pa.int32()),
     ("warc_ts", pa.timestamp("us", tz="UTC")),
     ("exchange", pa.string()),
@@ -283,6 +284,7 @@ class ProcessStage:
                 pa.array(["page"] * n, pa.string()),
                 *(batch[name].combine_chunks() for name in FRONTIER.names),
                 batch["fetch_slot"].combine_chunks(),
+                pa.array([self.round_no - 1] * n, pa.int32()),
                 batch["status"].combine_chunks(),
                 batch["warc_ts"].combine_chunks(),
                 ext["exchange"].combine_chunks(),
@@ -298,6 +300,7 @@ class ProcessStage:
         ln = canon.num_rows
         nulls = {
             "fetch_slot": pa.nulls(ln, pa.int32()),
+            "fetch_round": pa.nulls(ln, pa.int32()),
             "status": pa.nulls(ln, pa.int32()),
             "warc_ts": pa.nulls(ln, pa.timestamp("us", tz="UTC")),
             "exchange": pa.nulls(ln, pa.string()),
@@ -330,12 +333,38 @@ class RoundMetrics:
     discovered_new: int = 0
 
 
+def _read_union_part(rd: str, kind: str, columns, schema):
+    """Column-pruned read of one kind partition of a round's union dir."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = _glob.glob(os.path.join(rd, "union", f"kind={kind}", "*.parquet"))
+    if not files:
+        if schema is not None:
+            return pa.Table.from_pydict(
+                {n: [] for n in schema.names}, schema=schema
+            )
+        return pa.table({c: pa.array([]) for c in columns})
+    t = pa.concat_tables(pq.read_table(f, columns=columns) for f in files)
+    if schema is not None:
+        t = t.select(schema.names).cast(schema)
+    return t.combine_chunks()
+
+
 class CrawlRun:
-    """Holds the per-round outputs + state of one crawl execution."""
+    """Holds the per-round outputs + state of one crawl execution.
+
+    Two storage modes: in-memory (no checkpoint_dir — tests/small runs;
+    round outputs held as Arrow tables) and ``disk_rounds``
+    (checkpoint_dir set — round pages are written by workers to
+    partitioned Parquet and the driver never materializes them, the
+    10^10-scale requirement)."""
 
     def __init__(self, cfg: CrawlConfig, checkpoint_dir: str | None = None):
         self.cfg = cfg
         self.checkpoint_dir = checkpoint_dir
+        self.disk_rounds = checkpoint_dir is not None
         self.seen = SeenFilterPool(cfg.seen_shards, mode=cfg.seen_mode)
         self.metrics: list = []
         self.lineage: list = []
@@ -347,15 +376,13 @@ class CrawlRun:
     def _round_dir(self, k: int) -> str:
         return os.path.join(self.checkpoint_dir, f"round={k}")
 
-    def _save_round(self, k: int, fetched, extracted, frontier_next) -> None:
+    def _save_round(self, k: int, frontier_next) -> None:
         if not self.checkpoint_dir:
             return
         rd = self._round_dir(k)
         os.makedirs(rd, exist_ok=True)
         import pyarrow.parquet as pq
 
-        pq.write_table(fetched, os.path.join(rd, "fetched.parquet"))
-        pq.write_table(extracted, os.path.join(rd, "extracted.parquet"))
         pq.write_table(frontier_next, os.path.join(rd, "frontier_next.parquet"))
         state_dir = os.path.join(self.checkpoint_dir, "state")
         os.makedirs(state_dir, exist_ok=True)
@@ -410,25 +437,78 @@ class CrawlRun:
         self.rounds_done = k
         import pyarrow.parquet as pq
 
-        for j in range(k):
-            rd = self._round_dir(j)
-            self._fetched.append(pq.read_table(os.path.join(rd, "fetched.parquet")))
-            self._extracted.append(
-                pq.read_table(os.path.join(rd, "extracted.parquet"))
-            )
         return pq.read_table(
             os.path.join(self._round_dir(k - 1), "frontier_next.parquet")
         )
 
     # --- results -------------------------------------------------------
+    _FETCHED_COLS = [*FRONTIER.names, "fetch_slot", "status", "warc_ts", "fetch_round"]
+    _EXTRACTED_COLS = [
+        "url",
+        "exchange",
+        "article_id",
+        "title",
+        "release_time",
+        "text",
+        "xstatus",
+    ]
+
+    def _disk_pages(self, columns) -> pa.Table:
+        parts = [
+            _read_union_part(self._round_dir(j), "page", columns, None)
+            for j in range(self.rounds_done)
+        ]
+        parts = [p for p in parts if p.num_rows]
+        return (
+            pa.concat_tables(parts).combine_chunks() if parts else None
+        )
+
     def fetched_table(self) -> pa.Table:
-        return pa.concat_tables(self._fetched) if self._fetched else None
+        if self._fetched:
+            return pa.concat_tables(self._fetched)
+        if self.disk_rounds:
+            return self._disk_pages(self._FETCHED_COLS)
+        return None
 
     def extracted_table(self) -> pa.Table:
-        return pa.concat_tables(self._extracted) if self._extracted else None
+        if self._extracted:
+            return pa.concat_tables(self._extracted)
+        if self.disk_rounds:
+            t = self._disk_pages(self._EXTRACTED_COLS)
+            if t is None:
+                return None
+            return t.rename_columns(
+                [c if c != "xstatus" else "status" for c in t.column_names]
+            )
+        return None
 
     def extracted_dataset(self) -> "ray.data.Dataset":
-        return ray.data.from_arrow(self._extracted)
+        """In disk mode this is a lazy partitioned read — the flagship
+        analyze/report pipelines stream from the checkpoint without the
+        driver ever holding page rows."""
+        if self._extracted:
+            return ray.data.from_arrow(self._extracted)
+        assert self.disk_rounds
+
+        def fix_cols(batch: pa.Table) -> pa.Table:
+            batch = batch.select(self._EXTRACTED_COLS)
+            return batch.rename_columns(
+                [
+                    c if c != "xstatus" else "status"
+                    for c in batch.column_names
+                ]
+            )
+
+        union_dirs = [
+            os.path.join(self._round_dir(j), "union", "kind=page")
+            for j in range(self.rounds_done)
+            if os.path.isdir(
+                os.path.join(self._round_dir(j), "union", "kind=page")
+            )
+        ]
+        return ray.data.read_parquet(union_dirs).map_batches(
+            fix_cols, batch_format="pyarrow"
+        )
 
     def crawl_order(self) -> list:
         """Deterministic serialization of the fetch order:
@@ -539,62 +619,83 @@ def run_crawl(
                 batch_format="pyarrow",
             )
         )
-        union_tbl = _to_table(round_ds, UNION_SCHEMA)
+        if run.disk_rounds:
+            # scale path: the round's pages (incl. extracted text) are
+            # written by the WORKERS, partitioned by kind; the driver
+            # reads back only the link partition + pruned metric columns
+            rd = run._round_dir(k)
+            os.makedirs(rd, exist_ok=True)
+            round_ds.write_parquet(
+                os.path.join(rd, "union"), partition_cols=["kind"]
+            )
+            discovered_tbl = _read_union_part(
+                rd, "link", FRONTIER.names, FRONTIER
+            )
+            stat_tbl = _read_union_part(
+                rd, "page", ["status", "xstatus", "url"], None
+            )
+            page_status = stat_tbl["status"]
+            xstatus = stat_tbl["xstatus"]
+            page_urls_for_lineage = stat_tbl["url"]
+            n_pages = stat_tbl.num_rows
+        else:
+            union_tbl = _to_table(round_ds, UNION_SCHEMA)
+            page_mask = pc.equal(union_tbl["kind"], "page")
+            pages_tbl = union_tbl.filter(page_mask)
+            discovered_tbl = union_tbl.filter(pc.invert(page_mask)).select(
+                FRONTIER.names
+            )
+            fetched_slim = pages_tbl.select(
+                [*FRONTIER.names, "fetch_slot", "status", "warc_ts", "fetch_round"]
+            )
+            extracted_tbl = pa.Table.from_arrays(
+                [
+                    pages_tbl["url"].combine_chunks(),
+                    pages_tbl["exchange"].combine_chunks(),
+                    pages_tbl["article_id"].combine_chunks(),
+                    pages_tbl["title"].combine_chunks(),
+                    pages_tbl["release_time"].combine_chunks(),
+                    pages_tbl["text"].combine_chunks(),
+                    pages_tbl["xstatus"].combine_chunks(),
+                ],
+                names=[
+                    "url",
+                    "exchange",
+                    "article_id",
+                    "title",
+                    "release_time",
+                    "text",
+                    "status",
+                ],
+            )
+            page_status = pages_tbl["status"]
+            xstatus = pages_tbl["xstatus"]
+            page_urls_for_lineage = pages_tbl["url"]
+            n_pages = pages_tbl.num_rows
+            run._fetched.append(fetched_slim)
+            run._extracted.append(extracted_tbl)
 
-        page_mask = pc.equal(union_tbl["kind"], "page")
-        pages_tbl = union_tbl.filter(page_mask)
-        discovered_tbl = union_tbl.filter(pc.invert(page_mask)).select(
-            FRONTIER.names
-        )
-        fetched_slim = pages_tbl.select(
-            [*FRONTIER.names, "fetch_slot", "status", "warc_ts"]
-        ).append_column(
-            "fetch_round", pa.array([k] * pages_tbl.num_rows, pa.int32())
-        )
-        extracted_tbl = pa.Table.from_arrays(
-            [
-                pages_tbl["url"].combine_chunks(),
-                pages_tbl["exchange"].combine_chunks(),
-                pages_tbl["article_id"].combine_chunks(),
-                pages_tbl["title"].combine_chunks(),
-                pages_tbl["release_time"].combine_chunks(),
-                pages_tbl["text"].combine_chunks(),
-                pages_tbl["xstatus"].combine_chunks(),
-            ],
-            names=[
-                "url",
-                "exchange",
-                "article_id",
-                "title",
-                "release_time",
-                "text",
-                "status",
-            ],
-        )
         m.fetched_ok = (
-            pc.sum(pc.cast(pc.equal(pages_tbl["status"], 200), pa.int64())).as_py()
+            pc.sum(pc.cast(pc.equal(page_status, 200), pa.int64())).as_py()
             or 0
         )
-        m.fetched_miss = pages_tbl.num_rows - m.fetched_ok
+        m.fetched_miss = n_pages - m.fetched_ok
         m.tombstones = (
             pc.sum(
-                pc.cast(pc.equal(extracted_tbl["status"], "tombstone"), pa.int64())
+                pc.cast(pc.equal(xstatus, "tombstone"), pa.int64())
             ).as_py()
             or 0
         )
         m.discovered_new = discovered_tbl.num_rows
-
-        run._fetched.append(fetched_slim)
-        run._extracted.append(extracted_tbl)
         run.metrics.append(m)
 
         # per-partition lineage: content hashes tying each round's
         # outputs to its inputs (recorded in the checkpoint manifest; a
         # resumed run verifies it is continuing the same crawl)
-        def _content_hash(t: pa.Table) -> str:
+        def _content_hash(col) -> str:
             import hashlib as _hl
 
-            urls = sorted(t["url"].to_pylist()) if t.num_rows else []
+            urls = sorted(col.to_pylist()) if len(col) else []
             return _hl.md5("\n".join(urls).encode()).hexdigest()[:16]
 
         if discovered_tbl.num_rows:
@@ -606,11 +707,11 @@ def run_crawl(
         run.lineage.append(
             {
                 "round": k,
-                "fetched": _content_hash(fetched_slim),
-                "frontier_next": _content_hash(frontier_next),
+                "fetched": _content_hash(page_urls_for_lineage),
+                "frontier_next": _content_hash(frontier_next["url"]),
             }
         )
-        run._save_round(k, fetched_slim, extracted_tbl, frontier_next)
+        run._save_round(k, frontier_next)
         frontier_tbl = frontier_next
         run.rounds_done = k + 1
         k += 1

@@ -200,11 +200,15 @@ def test_resume_no_refetch(store, crawl_inputs, tmp_path):
     urls_resumed = sorted(resumed.fetched_table()["url"].to_pylist())
     assert urls_resumed == urls_full
     assert resumed.metrics[0].scheduled == full.metrics[0].scheduled
-    # second process only fetched the remainder
+    # second process only fetched the remainder (rows in rounds that ran
+    # after the crash point)
+    import pyarrow.compute as _pc
+
     remainder = len(urls_full) - fetched_before
-    refetched = sum(
-        t.num_rows for t in resumed._fetched[part.rounds_done:]
-    )
+    ft = resumed.fetched_table()
+    refetched = ft.filter(
+        _pc.greater_equal(ft["fetch_round"], part.rounds_done)
+    ).num_rows
     assert refetched == remainder
     # crawl order identical to the uninterrupted run
     assert resumed.crawl_order() == full.crawl_order()
