@@ -357,6 +357,20 @@ def q_knn_topk(sf_dir: str):
     return t.select(["rank", "vec_id"])
 
 
+def q_knn_ivf(sf_dir: str):
+    """IVF-indexed approximate top-k (no SQL oracle: approximate by
+    construction; pytest checks recall vs brute force)."""
+    from cex_crawler_ray.stages.similarity import knn_ivf
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qvec = None
+    for r in emb.filter(lambda r: r["vec_id"] == 0).take(1):
+        qvec = np.asarray(r["embedding"], dtype=np.float64)
+    return knn_ivf(emb, qvec[None, :], k=10)
+
+
 def q_token_stats(sf_dir: str):
     """Token counting (whitespace + BPE-ish regex)."""
     from cex_crawler_ray.stages.textstats import token_stats
@@ -722,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "knn_topk": q_knn_topk,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,

@@ -8,6 +8,12 @@
 * ``knn_lsh``: random-hyperplane LSH bucketing — candidate buckets only
   (probe shared-bucket points), exact re-rank on candidates.  The scale
   path when the corpus is too large to scan per query.
+* ``knn_ivf``: IVF index — deterministic mini-k-means centroids
+  (seeded, fixed iterations), corpus assigned to inverted lists via
+  one ``map_batches`` pass against broadcast centroids; a query probes
+  its ``nprobe`` nearest lists and exact-reranks only those.  The
+  standard billion-scale ANN layout (FAISS-style), partitionable by
+  list id.
 """
 
 from __future__ import annotations
@@ -180,6 +186,111 @@ def knn_lsh(
         if not mask.any():
             continue
         sims = qn[qi] @ mat[mask].T
+        cand_ids = ids[mask]
+        order = sorted(
+            range(len(sims)), key=lambda j: (-sims[j], cand_ids[j])
+        )[:k]
+        for rank, j in enumerate(order, 1):
+            out_q.append(qi)
+            out_rank.append(rank)
+            out_id.append(cand_ids[j])
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_rank, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+        }
+    )
+
+
+def _minibatch_kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Deterministic k-means on a (normalized) sample — index build."""
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def knn_ivf(
+    ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    num_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """IVF approximate top-k: probe the ``nprobe`` inverted lists whose
+    centroids are nearest each query, exact cosine re-rank inside them.
+
+    Index build is one corpus pass (assignment against broadcast
+    centroids); at scale the inverted lists are the partitioning key for
+    a bucketed Parquet layout exactly like the page store's.
+    """
+    q = _norm_rows(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+
+    # build: sample-based centroids (deterministic), broadcast once
+    sample_rows = ds.limit(4096).take_all()
+    sample = _norm_rows(
+        np.stack(
+            [np.asarray(r[emb_col], dtype=np.float64) for r in sample_rows]
+        )
+    )
+    centroids = _minibatch_kmeans(sample, num_lists)
+    cent_ref = ray.put(centroids)
+
+    probe_lists = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    wanted = set(int(x) for x in probe_lists.ravel())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = _norm_rows(
+            np.stack(
+                [
+                    np.asarray(e, dtype=np.float64)
+                    for e in batch[emb_col].to_pylist()
+                ]
+            )
+        )
+        lists = np.argmax(m @ cent.T, axis=1)
+        keep = np.isin(lists, np.array(sorted(wanted)))
+        out = pa.table(
+            {
+                id_col: batch[id_col],
+                "ivf_list": pa.array(lists, pa.int64()),
+                emb_col: batch[emb_col],
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    rows = ds.map_batches(assign, batch_format="pyarrow").take_all()
+    if not rows:
+        return pa.table(
+            {
+                "query_idx": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+            }
+        )
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    lists = np.array([r["ivf_list"] for r in rows], dtype=np.int64)
+    mat = _norm_rows(
+        np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
+    )
+    out_q, out_rank, out_id = [], [], []
+    for qi in range(len(q)):
+        mask = np.isin(lists, probe_lists[qi])
+        if not mask.any():
+            continue
+        sims = q[qi] @ mat[mask].T
         cand_ids = ids[mask]
         order = sorted(
             range(len(sims)), key=lambda j: (-sims[j], cand_ids[j])

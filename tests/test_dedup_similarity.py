@@ -131,3 +131,29 @@ def test_knn_lsh_recall(ray_session):
     assert len(approx) == 10
     recall = len(set(approx["vec_id"]) & exact) / 10
     assert recall >= 0.5  # multiprobe radius 2 over 8 planes
+
+
+def test_knn_ivf_recall_and_self_hit(ray_session):
+    from cex_crawler_ray.stages.similarity import knn_brute_force, knn_ivf
+
+    rng = np.random.RandomState(5)
+    # clustered corpus (IVF's favourable regime)
+    centers = rng.randn(8, 32) * 4
+    mat = np.vstack(
+        [centers[i % 8] + rng.randn(32) for i in range(400)]
+    )
+    ds = ray.data.from_items(
+        [
+            {"vec_id": i, "embedding": mat[i].astype("float32").tolist()}
+            for i in range(400)
+        ]
+    )
+    q = mat[17].astype("float32").astype("float64")
+    exact = set(
+        knn_brute_force(ds, q[None, :], k=10).to_pandas()["vec_id"]
+    )
+    approx = knn_ivf(ds, q[None, :], k=10, num_lists=16, nprobe=4).to_pandas()
+    assert len(approx) == 10
+    assert 17 in set(approx["vec_id"])  # query point always found
+    recall = len(set(approx["vec_id"]) & exact) / 10
+    assert recall >= 0.7

@@ -72,6 +72,17 @@ def test_root_missing_falls_back_to_whole_page():
     assert extract_with_profile(html, prof) == "only this"
 
 
+def test_article_tag_root():
+    # okx-style <article> root with no class filter (reference
+    # exchange/okx.py:102-108)
+    html = (
+        "<body><header>H</header><article><h1>T</h1>\n<p>body  text</p>"
+        "</article><footer>F</footer></body>"
+    )
+    prof = ExtractProfile(variant="b", root_tag="article", root_class=None)
+    assert extract_with_profile(html, prof) == "T body text"
+
+
 def test_root_variant_a():
     html = '<div class="article-content"><p>x  y</p>\n<p>z</p></div>'
     prof = ExtractProfile(

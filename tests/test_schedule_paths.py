@@ -72,6 +72,22 @@ def test_driver_and_distributed_schedule_agree(ray_session):
     assert _canon(driver) == _canon(dist)
 
 
+def test_slot_order_follows_priority_then_clock_then_hash(ray_session):
+    tbl = _synthetic_frontier(n=200, hosts=3)
+    out = _schedule_driver(tbl, {}, 5)
+    df = out.to_pandas()
+    for _, g in df.groupby("host"):
+        g = g.sort_values("fetch_slot")
+        keys = list(
+            zip(g["priority"], g["discovered_ts"], g["url_hash"])
+        )
+        assert keys == sorted(keys)
+        # budget: exactly the first 5 slots scheduled
+        assert g["scheduled"].tolist() == [
+            s < 5 for s in range(len(g))
+        ]
+
+
 def test_schedule_threshold_switches(ray_session, monkeypatch):
     tbl = _synthetic_frontier(n=120)
     monkeypatch.setattr(crawl_mod, "DRIVER_SCHEDULE_MAX_ROWS", 50)
