@@ -95,6 +95,48 @@ def bench_fetch_extract(sf_dir: str) -> dict:
     }
 
 
+def bench_fetch_sparse(sf_dir: str) -> dict:
+    """Sparse-frontier regime: bucket-aligned join fetch of a
+    deterministic ~10% url subset (every 10th by hash) — the per-round
+    crawl fetch path, without politeness caps."""
+    import pyarrow as pa
+
+    import ray
+    from cex_crawler_ray.pipelines.flagship import page_store_for
+    from cex_crawler_ray.sources.pages import sources_in
+    from cex_crawler_ray.stages.extract import ExtractStage, profiles_for_sources
+
+    store = page_store_for(sf_dir, replicate=REPLICATE, pad=PAD)
+    profiles = profiles_for_sources(sources_in(sf_dir))
+    tbl = pa.concat_tables(
+        [
+            ray.get(ref)
+            for ref in ray.data.read_parquet(
+                store.path, columns=["url"]
+            ).to_arrow_refs()
+        ]
+    )
+    import numpy as np
+
+    # deterministic ~10%: url_hash % 10 == 0
+    from cex_crawler_ray.functions.canonical import url_hash64
+
+    mask = np.fromiter(
+        (url_hash64(u) % 10 == 0 for u in tbl["url"].to_pylist()),
+        dtype=bool,
+        count=tbl.num_rows,
+    )
+    sub = tbl.filter(pa.array(mask))
+    t0 = time.perf_counter()
+    n = (
+        store.fetch_aligned(sub)
+        .map_batches(ExtractStage(profiles=profiles), batch_format="pyarrow")
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    return {"pages": n, "sec": dt, "pages_per_sec": n / dt}
+
+
 def bench_frontier(sf_dir: str) -> dict:
     """Frontier path: canonicalize + hash + sharded seen-filter admit."""
     import ray
@@ -181,6 +223,7 @@ def run_bench() -> dict:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     fe = bench_fetch_extract(sf_dir)
+    sparse = bench_fetch_sparse(sf_dir)
     fr = bench_frontier(sf_dir)
     crawl = bench_crawl_e2e(sf_dir)
     queries = bench_queries(sf_dir)
@@ -207,6 +250,7 @@ def run_bench() -> dict:
         "fetch_extract_mb_per_sec": fe["mb_per_sec"],
         "pad": PAD,
         "frontier_urls_per_sec": round(fr["urls_per_sec"], 1),
+        "sparse_fetch_pages_per_sec": round(sparse["pages_per_sec"], 1),
         "crawl_e2e_pages_per_sec": round(crawl["pages_per_sec"], 1),
         "crawl_e2e_sec": round(crawl["sec"], 3),
         "replicate": REPLICATE,
