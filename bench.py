@@ -195,6 +195,9 @@ def bench_queries(sf_dir: str) -> dict:
         "hk_timestamps",
         "report_spot_grouped",
     ]
+    # warm the shared flagship crawl once so per-query timings measure
+    # the operators; the crawl itself is the crawl_e2e row
+    entry_mod._flagship_run(sf_dir)
     qs = entry_mod.queries()
     out = {}
     for name in names:

@@ -21,10 +21,12 @@ a sequence of *rounds*; each round is a streaming Dataset pipeline:
   slots; slots beyond the budget defer to the next round.  This makes
   the crawl order a pure function of (seeds, pages, budget) — the
   north_rule's reproducible-ordering requirement,
-* every round checkpoints fetched/extracted/frontier Parquet plus the
-  seen-filter snapshot and a manifest, so a killed crawl resumes at the
-  next round without re-fetching (reference analog: the
-  ``os.path.exists`` skip, ``exchange/binance.py:253-255``).
+* with a checkpoint dir, each round's pages are written BY THE WORKERS
+  to kind-partitioned Parquet (driver never materializes page data) plus
+  the pending frontier, seen-filter snapshots and an atomic manifest —
+  a killed crawl resumes at the next round without re-fetching
+  (reference analog: the ``os.path.exists`` skip,
+  ``exchange/binance.py:253-255``).
 """
 
 from __future__ import annotations
@@ -58,11 +60,6 @@ class CrawlConfig:
     offset_days: int = 7
     profiles: dict = field(default_factory=dict)
     fetch_concurrency: int | None = None
-
-
-def _frontier_table(rows: list) -> pa.Table:
-    cols = {name: [r[name] for r in rows] for name in FRONTIER.names}
-    return pa.Table.from_pydict(cols, schema=FRONTIER)
 
 
 def canonicalize_batch(batch: pa.Table, depth: int = 0, round_no: int = 0) -> pa.Table:
