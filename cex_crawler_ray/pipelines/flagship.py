@@ -49,9 +49,14 @@ def page_store_for(
     for the small conformance webs."""
     if num_buckets is None:
         num_buckets = 128 if replicate >= 10 else 16
-    # bump the version suffix whenever synthetic page generation changes
+    # bump the version suffix whenever synthetic page generation changes;
+    # the source-file fingerprint invalidates the cache if the testdata
+    # itself is ever regenerated
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{replicate}:{num_buckets}:{pad}:v3".encode()
+        f"{os.path.abspath(sf_dir)}:{replicate}:{num_buckets}:{pad}"
+        f":{st.st_size}:{int(st.st_mtime)}:v3".encode()
     ).hexdigest()[:12]
     path = os.path.join(_STORE_ROOT, key)
     marker = os.path.join(path, "_SUCCESS")
