@@ -243,6 +243,15 @@ def q_report_futures_grouped(sf_dir: str):
     return _report(sf_dir)["futures_grouped"]
 
 
+def q_report_spot_pivot(sf_dir: str):
+    """A9: the time x exchange pivot itself (missing cells filled '' —
+    the reference leaves NaN which its CSV writer renders as '')."""
+    pv = _report(sf_dir)["spot"]()
+    pv = pv.fillna("").reset_index()
+    pv.columns.name = None  # pandas pivot artifact
+    return pv
+
+
 def q_hk_timestamps(sf_dir: str):
     """M7: timestamp normalization to HK-local strings."""
     from cex_crawler_ray.functions.timefmt import to_hk_string_array
@@ -727,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "report_full": q_report_full,
         "report_spot_grouped": q_report_spot_grouped,
         "report_futures_grouped": q_report_futures_grouped,
+        "report_spot_pivot": q_report_spot_pivot,
         "hk_timestamps": q_hk_timestamps,
         "recency_filter": q_recency_filter,
         "exact_dedup": q_exact_dedup,
@@ -803,6 +813,26 @@ SELECT time, exchange,
 FROM windowed
 WHERE type = '合约' AND CAST(substr(exchange, 4) AS INT) % 3 <> 1
 GROUP BY time, exchange
+""",
+        "report_spot_pivot": _CRAWL_CTE
+        + """
+, grouped AS (
+  SELECT time, exchange,
+         string_agg(description, ' '
+                    ORDER BY release_date DESC, release_time DESC,
+                             url ASC, symbol ASC) AS description
+  FROM windowed
+  WHERE type = '现货' AND CAST(substr(exchange, 4) AS INT) % 2 = 0
+  GROUP BY time, exchange
+)
+SELECT time,
+"""
+        + ",\n".join(
+            f"  COALESCE(MAX(CASE WHEN exchange = 'src{i}' THEN description END), '') AS src{i}"
+            for i in range(0, 20, 2)
+        )
+        + """
+FROM grouped GROUP BY time
 """,
         "hk_timestamps": """
 SELECT event_id,
