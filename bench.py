@@ -225,11 +225,26 @@ def run_bench() -> dict:
         )
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
+    only = set(
+        filter(None, os.environ.get("GRAFT_BENCH_ONLY", "").split(","))
+    )
+
+    def want(name):
+        return not only or name in only
+
     fe = bench_fetch_extract(sf_dir)
-    sparse = bench_fetch_sparse(sf_dir)
+    sparse = (
+        bench_fetch_sparse(sf_dir)
+        if want("sparse")
+        else {"pages_per_sec": 0.0}
+    )
     fr = bench_frontier(sf_dir)
-    crawl = bench_crawl_e2e(sf_dir)
-    queries = bench_queries(sf_dir)
+    crawl = (
+        bench_crawl_e2e(sf_dir)
+        if want("crawl")
+        else {"pages": 0, "sec": 0.0, "pages_per_sec": 0.0}
+    )
+    queries = bench_queries(sf_dir) if want("queries") else {}
 
     sf_num = None
     try:
@@ -279,7 +294,19 @@ def run_scaling() -> None:
     lo, hi = pair[0], pair[1]
     out = {}
     for cpus in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        # scaling children run a LARGER input (1M pages) and only the
+        # fetch+extract / frontier rows: efficiency measures the
+        # streaming pipeline, not fixed per-run costs amortized over a
+        # too-small job (Amdahl: ~2s serial per run needs >>60 core-s of
+        # parallel work for a clean N->4N reading)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(cpus),
+            GRAFT_BENCH_REPLICATE=os.environ.get(
+                "GRAFT_SCALE_REPLICATE", "200"
+            ),
+            GRAFT_BENCH_ONLY="fe,frontier",
+        )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
