@@ -34,7 +34,9 @@ def canonicalize(url: str, base: str | None = None) -> str:
         netloc = host
     path = parts.path or "/"
     if len(path) > 1 and path.endswith("/"):
-        path = path[:-1]
+        # strip ALL trailing slashes (idempotence: '///' must not take
+        # three passes to normalize — caught by hypothesis)
+        path = path.rstrip("/") or "/"
     return urlunsplit((scheme, netloc, path, parts.query, ""))
 
 
