@@ -444,6 +444,61 @@ def q_blob_meta(sf_dir: str):
     )
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic corpus subsampling: keep docs whose md5(text)
+    starts with '0' (a reproducible ~1/16 sample — the standard
+    hash-mod sampling used for training-data splits)."""
+    from cex_crawler_ray.stages.textstats import content_fingerprint
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        texts = batch["text"].to_pylist()
+        keep = [
+            hashlib.md5(t.encode("utf-8")).hexdigest().startswith("0")
+            for t in texts
+        ]
+        sub = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "n_chars": pa.array(
+                    [len(t) for t in sub["text"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(sample, batch_format="pyarrow")
+
+
+def q_group_median(sf_dir: str):
+    """Exact per-group quantile (order statistic, quantile_disc
+    semantics): median event value in integer cents per event_type."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (
+            (df["value"] * 100).round().astype("int64").sort_values().values
+        )
+        n = len(cents)
+        idx = int((n - 1) * 0.5)  # discrete lower quantile
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "median_cents": [int(cents[idx])],
+                "n": [n],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
 def q_window_cumsum(sf_dir: str):
     """Windowed aggregate (beyond-reference): per-user running sum of
     value (integer cents) ordered by (ts, event_id)."""
@@ -753,6 +808,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "winnow_fingerprints": q_winnow_fingerprints,
         "blob_meta": q_blob_meta,
+        "hash_sample": q_hash_sample,
+        "group_median": q_group_median,
         "window_cumsum": q_window_cumsum,
         "broadcast_join_agg": q_broadcast_join_agg,
         "hash_join_agg": q_hash_join_agg,
@@ -926,6 +983,17 @@ FROM documents
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        sha256(text) AS sha256
 FROM documents
+""",
+        "hash_sample": """
+SELECT doc_id, length(text) AS n_chars
+FROM documents WHERE substr(md5(text), 1, 1) = '0'
+""",
+        "group_median": """
+SELECT event_type,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)
+         AS median_cents,
+       count(*) AS n
+FROM events GROUP BY event_type
 """,
         "window_cumsum": """
 SELECT event_id,
