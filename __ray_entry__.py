@@ -448,8 +448,6 @@ def q_hash_sample(sf_dir: str):
     """Deterministic corpus subsampling: keep docs whose md5(text)
     starts with '0' (a reproducible ~1/16 sample — the standard
     hash-mod sampling used for training-data splits)."""
-    from cex_crawler_ray.stages.textstats import content_fingerprint
-
     docs = _docs(sf_dir).select_columns(["doc_id", "text"])
 
     def sample(batch: pa.Table) -> pa.Table:
