@@ -548,21 +548,41 @@ def run_crawl(
     cfg: CrawlConfig,
     checkpoint_dir: str | None = None,
     stop_after_round: int | None = None,
+    reseed: bool = False,
 ) -> CrawlRun:
-    """Execute (or resume) a crawl.  ``stop_after_round`` simulates a
-    crash after k rounds for resume tests."""
+    """Execute (or resume) a crawl.
+
+    ``stop_after_round`` simulates a crash after k rounds for resume
+    tests.  ``reseed=True`` is the incremental re-crawl (the reference's
+    cron tick, ``run.sh:5-6``): on a resumed checkpoint, seeds re-enter
+    the frontier even though already seen — list/hub pages are
+    re-fetched every run while the seen filter still skips every
+    already-fetched detail page, so only NEW articles are fetched."""
     run = CrawlRun(cfg, checkpoint_dir)
 
     frontier_tbl = run.try_resume()
-    if frontier_tbl is None:
+    if frontier_tbl is None or reseed:
         # seed lists are tiny (one row per hub endpoint): canonicalize +
         # admit driver-side instead of paying a pipeline execution
         seed_tbl = _to_table(seeds)
-        cand = canonicalize_batch(seed_tbl, depth=0, round_no=0)
+        cand = canonicalize_batch(
+            seed_tbl, depth=0, round_no=run.rounds_done
+        )
         mask = run.seen.check_and_add(
             np.asarray(cand["url_hash"].to_pylist(), dtype=np.uint64)
         )
-        frontier_tbl = cand.filter(pa.array(mask))
+        if reseed:
+            # force seeds through (idempotent insert above keeps the
+            # filter consistent); new frontier = pending + fresh seeds
+            seed_frontier = cand
+            if frontier_tbl is not None and frontier_tbl.num_rows:
+                frontier_tbl = pa.concat_tables(
+                    [frontier_tbl, seed_frontier]
+                ).combine_chunks()
+            else:
+                frontier_tbl = seed_frontier
+        else:
+            frontier_tbl = cand.filter(pa.array(mask))
 
     budgets = {
         h: robots.tokens_per_round(h, cfg.round_ms)

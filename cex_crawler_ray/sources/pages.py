@@ -230,17 +230,29 @@ def pages_from_documents(
     include_hubs: bool = True,
     replicate: int = 1,
     pad: int = 1,
+    max_doc_id: int | None = None,
 ) -> "ray.data.Dataset":
     """Synthesize the `pages` Dataset from ``{sf_dir}/documents.parquet``.
 
     ``replicate > 1`` tiles the articles with distinct urls
     (``/articles/{doc_id}?copy={i}``) for bench-scale inputs; copies keep
     identical html/text so extraction cost scales linearly.
+    ``max_doc_id`` restricts the web to older documents — the smaller
+    snapshot of a growing site, for incremental-recrawl tests (hubs list
+    only the present articles, like a real list API at an earlier tick).
     """
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
     )
+    if max_doc_id is not None:
+
+        def cutoff(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.less(batch["doc_id"], max_doc_id))
+
+        docs = docs.map_batches(cutoff, batch_format="pyarrow")
     articles = docs.map_batches(
         lambda b, _p=pad: _article_batch(b, _p), batch_format="pyarrow"
     )
