@@ -444,6 +444,23 @@ def q_blob_meta(sf_dir: str):
     )
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate (mergeable sketch, no
+    shuffle).  No SQL oracle: approximate by construction (DuckDB's
+    approx_count_distinct uses a different sketch); accuracy and
+    mergeability are pytest-gated, and the exact companion is
+    trivially `COUNT(DISTINCT user_id)` in exact_dedup-style queries."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.sketch import approx_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    est = approx_distinct(ds, "user_id", p=12)
+    return pd.DataFrame({"approx_distinct_users": [round(est, 1)]})
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic corpus subsampling: keep docs whose md5(text)
     starts with '0' (a reproducible ~1/16 sample — the standard
@@ -806,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "winnow_fingerprints": q_winnow_fingerprints,
         "blob_meta": q_blob_meta,
+        "approx_distinct_users": q_approx_distinct_users,
         "hash_sample": q_hash_sample,
         "group_median": q_group_median,
         "window_cumsum": q_window_cumsum,

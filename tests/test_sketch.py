@@ -1,0 +1,63 @@
+"""HyperLogLog sketch: accuracy, mergeability, determinism."""
+
+import numpy as np
+import pytest
+
+import ray
+
+from cex_crawler_ray.stages.sketch import HyperLogLog, approx_distinct
+
+
+def _hashes(n, seed=0):
+    # full 64-bit hashes (a 63-bit generator leaves the top register
+    # half unreachable and wrecks the estimate)
+    rng = np.random.RandomState(seed)
+    hi = rng.randint(0, 2**32, size=n, dtype=np.int64).astype(np.uint64)
+    lo = rng.randint(0, 2**32, size=n, dtype=np.int64).astype(np.uint64)
+    return (hi << np.uint64(32)) | lo
+
+
+@pytest.mark.parametrize("true_n", [100, 5_000, 100_000])
+def test_hll_accuracy(true_n):
+    h = HyperLogLog(p=12)
+    h.add_hashes(_hashes(true_n))
+    est = h.estimate()
+    # standard error ~1.04/sqrt(4096) ≈ 1.6%; allow 6%
+    assert abs(est - true_n) / true_n < 0.06
+
+
+def test_hll_merge_equals_union():
+    a_h, b_h = _hashes(10_000, seed=1), _hashes(10_000, seed=2)
+    a = HyperLogLog(p=12).add_hashes(a_h)
+    b = HyperLogLog(p=12).add_hashes(b_h)
+    union = HyperLogLog(p=12).add_hashes(np.concatenate([a_h, b_h]))
+    merged = a.merge(b)
+    assert (merged.registers == union.registers).all()
+    assert merged.estimate() == union.estimate()
+
+
+def test_hll_duplicates_dont_inflate():
+    h1 = HyperLogLog(p=12).add_hashes(_hashes(1000))
+    h2 = HyperLogLog(p=12).add_hashes(
+        np.tile(_hashes(1000), 50)  # same 1000 values, 50x over
+    )
+    assert h1.estimate() == h2.estimate()
+
+
+def test_approx_distinct_on_dataset(ray_session, sf_small):
+    import pyarrow.parquet as pq
+
+    exact = len(
+        set(
+            pq.read_table(
+                f"{sf_small}/events.parquet", columns=["user_id"]
+            )["user_id"].to_pylist()
+        )
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_small}/events.parquet", columns=["user_id"]
+    )
+    est = approx_distinct(ds, "user_id", p=12)
+    assert abs(est - exact) / exact < 0.1
+    # deterministic across runs (fixed hashing, order-free merge)
+    assert approx_distinct(ds, "user_id", p=12) == est
