@@ -141,6 +141,15 @@ def _docs(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
 
 
+def _cents(series) -> "np.ndarray":
+    """value*100 rounded half-AWAY-from-zero (DuckDB ``round()``
+    semantics) as int64.  pandas ``.round()`` is half-to-even and
+    diverges by 1 cent whenever the double product lands exactly on
+    .5 (e.g. 0.125 * 100)."""
+    x = np.asarray(series, dtype=np.float64) * 100.0
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def _with_injected_dups(ds, id_col: str, mod: int):
     """Union the input with copies of every ``id % mod == 0`` row, the
     copy's id shifted by +1_000_000 — a deterministic duplicate corpus
@@ -499,7 +508,7 @@ def q_group_median(sf_dir: str):
 
     def med(df: pd.DataFrame) -> pd.DataFrame:
         cents = (
-            (df["value"] * 100).round().astype("int64").sort_values().values
+            np.sort(_cents(df["value"]))
         )
         n = len(cents)
         idx = int((n - 1) * 0.5)  # discrete lower quantile
@@ -525,7 +534,7 @@ def q_window_cumsum(sf_dir: str):
 
     def cum(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"])
-        cents = (df["value"] * 100).round().astype("int64")
+        cents = pd.Series(_cents(df["value"]), index=df.index)
         return pd.DataFrame(
             {
                 "event_id": df["event_id"],
@@ -554,7 +563,7 @@ def q_broadcast_join_agg(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(lookup_ref)
         nk = df["o_custkey"].map(lookup)
-        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        cents = _cents(df["o_totalprice"])
         g = pd.DataFrame({"c_nationkey": nk, "cents": cents}).groupby(
             "c_nationkey", as_index=False
         )
@@ -590,8 +599,8 @@ def q_groupby_lineitem(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(
-            qty=(df["l_quantity"] * 100).round().astype("int64"),
-            price_cents=(df["l_extendedprice"] * 100).round().astype("int64"),
+            qty=_cents(df["l_quantity"]),
+            price_cents=_cents(df["l_extendedprice"]),
         )
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
         return g.agg(
@@ -673,7 +682,7 @@ def q_hash_join_agg(sf_dir: str):
     joined = hash_join(orders, cust, "o_custkey", "c_custkey", num_parts=32)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        cents = _cents(df["o_totalprice"])
         g = pd.DataFrame(
             {"c_nationkey": df["c_nationkey"], "cents": cents}
         ).groupby("c_nationkey", as_index=False)
@@ -1013,21 +1022,23 @@ FROM events GROUP BY event_type
 """,
         "window_cumsum": """
 SELECT event_id,
-       SUM(CAST(round(value * 100) AS BIGINT)) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id) AS cum_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS cum_cents
 FROM events
 """,
         "broadcast_join_agg": """
 SELECT c.c_nationkey,
        count(*) AS n_orders,
-       SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS total_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_nationkey
 """,
         "hash_join_agg": """
 SELECT c.c_nationkey,
        count(*) AS n_orders,
-       SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS total_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_nationkey
 """,
@@ -1047,8 +1058,10 @@ FROM (
         "groupby_lineitem": """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,
-       SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+            AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS sum_price_cents
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """,

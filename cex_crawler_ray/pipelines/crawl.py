@@ -557,7 +557,11 @@ def run_crawl(
     cron tick, ``run.sh:5-6``): on a resumed checkpoint, seeds re-enter
     the frontier even though already seen — list/hub pages are
     re-fetched every run while the seen filter still skips every
-    already-fetched detail page, so only NEW articles are fetched."""
+    already-fetched detail page, so only NEW articles are fetched.
+
+    ``cfg.max_rounds`` is a per-invocation budget: every invocation
+    (fresh, crash-resume, or cron tick) may run up to ``max_rounds``
+    rounds beyond where the checkpoint left off."""
     run = CrawlRun(cfg, checkpoint_dir)
 
     frontier_tbl = run.try_resume()
@@ -573,11 +577,20 @@ def run_crawl(
         )
         if reseed:
             # force seeds through (idempotent insert above keeps the
-            # filter consistent); new frontier = pending + fresh seeds
+            # filter consistent); new frontier = pending + fresh seeds.
+            # Pending rows that ARE a seed (e.g. deferred by the
+            # politeness budget at shutdown) are dropped first so a seed
+            # never appears twice in one round's frontier.
             seed_frontier = cand
             if frontier_tbl is not None and frontier_tbl.num_rows:
+                not_seed = pc.invert(
+                    pc.is_in(
+                        frontier_tbl["url_hash"],
+                        value_set=cand["url_hash"].combine_chunks(),
+                    )
+                )
                 frontier_tbl = pa.concat_tables(
-                    [frontier_tbl, seed_frontier]
+                    [frontier_tbl.filter(not_seed), seed_frontier]
                 ).combine_chunks()
             else:
                 frontier_tbl = seed_frontier
@@ -590,8 +603,13 @@ def run_crawl(
     }
     default_tokens = max(1, cfg.round_ms // max(1, robots.default_delay_ms))
 
+    # max_rounds is a PER-INVOCATION budget: a resumed / re-seeded run
+    # (cron tick) gets cfg.max_rounds fresh rounds, not what's left of
+    # the previous tick's allowance (which reaches 0 and would silently
+    # no-op every later tick).
     k = run.rounds_done
-    while k < cfg.max_rounds and frontier_tbl.num_rows > 0:
+    round_budget_end = k + cfg.max_rounds
+    while k < round_budget_end and frontier_tbl.num_rows > 0:
         m = RoundMetrics(round_no=k, frontier_in=frontier_tbl.num_rows)
 
         # 1. robots gate (pure, broadcast policy — never re-shipped)

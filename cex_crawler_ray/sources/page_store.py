@@ -147,6 +147,11 @@ class PageStore:
         def member_filter(batch: pa.Table) -> pa.Table:
             _cap_arrow_threads()
             sorted_hashes = _ray.get(urls_ref)
+            if len(sorted_hashes) == 0:
+                empty = batch.slice(0, 0)
+                return empty.append_column(
+                    "status", pa.array([], pa.int32())
+                )
             h = np.fromiter(
                 (url_hash64(u) for u in batch["url"].to_pylist()),
                 dtype=np.uint64,

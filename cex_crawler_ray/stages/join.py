@@ -79,9 +79,15 @@ def hash_join(
         tag("l", left_key), batch_format="pyarrow"
     ).union(right.map_batches(tag("r", right_key), batch_format="pyarrow"))
 
+    # union-padding with pa.nulls makes the other side's int columns
+    # float64 in pandas; restore int64 after side-filtering (the padding
+    # nulls are gone by then, so the cast is exact)
+    int_l = {c: "int64" for c in lcols if pa.types.is_integer(ltypes[c])}
+    int_r = {c: "int64" for c in rcols if pa.types.is_integer(rtypes[c])}
+
     def join_part(df: pd.DataFrame) -> pd.DataFrame:
-        lp = df[df["__side"] == "l"][lcols]
-        rp = df[df["__side"] == "r"][rcols]
+        lp = df[df["__side"] == "l"][lcols].astype(int_l)
+        rp = df[df["__side"] == "r"][rcols].astype(int_r)
         return lp.merge(rp, left_on=left_key, right_on=right_key, how=how)
 
     return tagged.groupby("__part").map_groups(

@@ -83,6 +83,20 @@ def test_query_matches_oracle(name, entry_mod, oracle_con, sf_tiny):
     assert len(ray_result) == len(sql_result), (
         f"{name}: {len(ray_result)} rows vs oracle {len(sql_result)}"
     )
+    # The driver's value hash is dtype-sensitive: DuckDB SUM(BIGINT)
+    # yields HUGEINT -> float64 while Ray returns int64, and the two
+    # hash differently even when every value is equal (round-1 red
+    # rows).  Compare dtype KINDS (i/u vs f vs M vs O...) so that
+    # class of bug fails locally, while int32-vs-int64 and ns-vs-us
+    # width differences stay benign.
+    ray_kinds = [d.kind for d in ray_result.dtypes]
+    sql_kinds = [d.kind for d in sql_result.dtypes]
+    norm = lambda k: "i" if k in "iu" else k
+    assert [norm(k) for k in ray_kinds] == [norm(k) for k in sql_kinds], (
+        f"{name}: dtype kinds {ray_kinds} != oracle {sql_kinds} "
+        f"(columns {list(ray_result.columns)}) — the driver's value "
+        f"hash WILL flag this even if values are equal"
+    )
     pd.testing.assert_frame_equal(
         ray_result, sql_result, check_dtype=False, check_exact=True, obj=name
     )
