@@ -60,6 +60,10 @@ class CrawlConfig:
     offset_days: int = 7
     profiles: dict = field(default_factory=dict)
     fetch_concurrency: int | None = None
+    # frontier rows above which a checkpointed crawl round runs the
+    # fully-distributed path (robots + schedule in workers, frontier
+    # never materialized on the driver); None -> module default
+    driver_schedule_max_rows: int | None = None
 
 
 def canonicalize_batch(batch: pa.Table, depth: int = 0, round_no: int = 0) -> pa.Table:
@@ -204,6 +208,210 @@ def _schedule(
             batch_format="pyarrow",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed frontier path (disk mode, frontier above the driver threshold)
+#
+# The frontier lives as partitioned Parquet between rounds; the driver
+# holds only paths + counts.  A round is:
+#
+#   read frontier dirs ──map_batches(robots gate + local per-host
+#   top-tokens precut; losers written straight back to disk by the
+#   WORKERS)──groupby(host_part)──exact per-host schedule (non-scheduled
+#   candidates also worker-written)──> scheduled rows (≤ Σ_host tokens,
+#   the per-round politeness budget — the only frontier slice the driver
+#   ever materializes)
+#
+# The local precut is exact: the global top-``tokens_h`` of host h is
+# contained in the union of each block's top-``tokens_h``, so the
+# candidate shuffle carries ≤ blocks x hosts x tokens rows instead of
+# the whole frontier.  Worker-side deferred writes use content-derived
+# file names (md5 of the block's url_hash bytes), so Ray task
+# re-execution overwrites the same file instead of duplicating rows.
+# ---------------------------------------------------------------------------
+
+_FRONTIER_SORT = [
+    ("host", "ascending"),
+    ("priority", "ascending"),
+    ("discovered_ts", "ascending"),
+    ("url_hash", "ascending"),
+]
+
+CAND_SCHEMA = pa.schema([*FRONTIER, ("host_part", pa.int64())])
+SCHED_SCHEMA = pa.schema([*FRONTIER, ("fetch_slot", pa.int32())])
+
+# worker-process-global cache: ray.get of a pickled policy object
+# re-deserializes per call, so cache it per worker (pages are fetched by
+# reused worker processes; one live policy per worker)
+_POLICY_CACHE: dict = {}
+
+
+def _cached_policy(ref):
+    key = ref.hex()
+    if key not in _POLICY_CACHE:
+        _POLICY_CACHE.clear()
+        _POLICY_CACHE[key] = ray.get(ref)
+    return _POLICY_CACHE[key]
+
+
+def _host_ranks(t: pa.Table, budgets: dict, default_tokens: int):
+    """Per-host rank + token budget for a table ALREADY sorted by
+    ``_FRONTIER_SORT``.  Vectorized over rows; Python only per distinct
+    host (budget lookup)."""
+    hosts = np.asarray(t["host"].to_pylist(), dtype=object)
+    n = len(hosts)
+    idx = np.arange(n)
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        change[1:] = hosts[1:] != hosts[:-1]
+    grp_start = np.maximum.accumulate(np.where(change, idx, 0))
+    rank = (idx - grp_start).astype(np.int32)
+    tok = np.empty(n, dtype=np.int64)
+    starts = np.append(np.nonzero(change)[0], n)
+    for s, e in zip(starts[:-1], starts[1:]):
+        tok[s:e] = budgets.get(hosts[s], default_tokens)
+    return rank, tok
+
+
+def _write_deferred(t: pa.Table, deferred_dir: str, prefix: str) -> None:
+    import hashlib as _hl
+
+    import pyarrow.parquet as _pq
+
+    digest = _hl.md5(
+        np.asarray(t["url_hash"].to_pylist(), dtype=np.uint64).tobytes()
+    ).hexdigest()[:16]
+    _pq.write_table(
+        t, os.path.join(deferred_dir, f"{prefix}-{digest}.parquet")
+    )
+
+
+def _gate_precut_fn(policy_ref, deferred_dir: str, num_parts: int = 64):
+    """map_batches stage: robots gate + exact local per-host precut.
+
+    Rows beyond a host's local top-``tokens`` cannot be in the global
+    top-``tokens`` — they are deferred IN PLACE (written to the round's
+    deferred dir by this task); survivors stream to the candidate
+    shuffle tagged with ``host_part = hash(host) % num_parts``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return CAND_SCHEMA.empty_table()
+        batch = batch.select(FRONTIER.names).cast(FRONTIER)
+        robots, budgets, default_tokens = _cached_policy(policy_ref)
+        urls = batch["url"].to_pylist()
+        keep = np.fromiter(
+            (robots.allowed(u) for u in urls), dtype=bool, count=len(urls)
+        )
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return CAND_SCHEMA.empty_table()
+        batch = batch.take(pc.sort_indices(batch, sort_keys=_FRONTIER_SORT))
+        rank, tok = _host_ranks(batch, budgets, default_tokens)
+        cand_mask = rank < tok
+        if not cand_mask.all():
+            _write_deferred(
+                batch.filter(pa.array(~cand_mask)), deferred_dir, "pre"
+            )
+        cand = batch.filter(pa.array(cand_mask))
+        memo: dict = {}
+        hp = np.fromiter(
+            (
+                memo.setdefault(h, url_hash64(h) % num_parts)
+                for h in cand["host"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=cand.num_rows,
+        )
+        return cand.append_column("host_part", pa.array(hp, pa.int64()))
+
+    return fn
+
+
+def _sched_exact_fn(policy_ref, deferred_dir: str):
+    """map_groups stage over ``host_part`` partitions: the exact global
+    per-host schedule (same sort + budget cut as ``_schedule_driver``).
+    Non-scheduled candidates are deferred in place; only scheduled rows
+    (with their fetch_slot) leave the task."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return SCHED_SCHEMA.empty_table()
+        robots, budgets, default_tokens = _cached_policy(policy_ref)
+        group = group.drop_columns(["host_part"])
+        group = group.take(pc.sort_indices(group, sort_keys=_FRONTIER_SORT))
+        rank, tok = _host_ranks(group, budgets, default_tokens)
+        mask = rank < tok
+        if not mask.all():
+            _write_deferred(
+                group.filter(pa.array(~mask)), deferred_dir, "cand"
+            )
+        sched = group.filter(pa.array(mask))
+        return sched.append_column(
+            "fetch_slot", pa.array(rank[mask], pa.int32())
+        )
+
+    return fn
+
+
+def _parquet_files_in(paths) -> list:
+    import glob as _glob
+
+    files = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                sorted(
+                    _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+                )
+            )
+        elif os.path.exists(p):
+            files.append(p)
+    return files
+
+
+def _frontier_row_count(paths) -> int:
+    """Metadata-only row count over frontier parquet dirs (no data read)."""
+    import pyarrow.parquet as _pq
+
+    return sum(_pq.read_metadata(f).num_rows for f in _parquet_files_in(paths))
+
+
+def _read_frontier_paths(paths) -> pa.Table:
+    """Driver-side read of a BELOW-THRESHOLD frontier (bounded by
+    ``driver_schedule_max_rows``; column-pruned to the frontier schema)."""
+    import pyarrow.parquet as _pq
+
+    files = _parquet_files_in(paths)
+    if not files:
+        return FRONTIER.empty_table()
+    tables = [
+        _pq.read_table(f, columns=list(FRONTIER.names)) for f in files
+    ]
+    return (
+        pa.concat_tables(tables, promote_options="permissive")
+        .select(FRONTIER.names)
+        .cast(FRONTIER)
+        .combine_chunks()
+    )
+
+
+def _paths_fingerprint(paths) -> str:
+    """Order-insensitive lineage fingerprint of a frontier-on-disk state:
+    md5 over the sorted (basename, rows) pairs.  Deferred file names are
+    content-derived (md5 of url_hash bytes), so this binds content for
+    the deferred part and cardinality for the link part — without the
+    driver ever reading a URL."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as _pq
+
+    entries = sorted(
+        f"{os.path.basename(f)}:{_pq.read_metadata(f).num_rows}"
+        for f in _parquet_files_in(paths)
+    )
+    return _hl.md5("\n".join(entries).encode()).hexdigest()[:16]
 
 
 class DiscoverStage:
@@ -373,14 +581,14 @@ class CrawlRun:
     def _round_dir(self, k: int) -> str:
         return os.path.join(self.checkpoint_dir, f"round={k}")
 
-    def _save_round(self, k: int, frontier_next) -> None:
+    def _save_round(self, k: int, frontier_paths: list) -> None:
+        """Checkpoint one completed round.  ``frontier_paths`` names the
+        parquet files/dirs holding the pending frontier — written by the
+        WORKERS in the distributed path, or a single driver-written file
+        for a below-threshold round.  The driver records paths, never
+        rows."""
         if not self.checkpoint_dir:
             return
-        rd = self._round_dir(k)
-        os.makedirs(rd, exist_ok=True)
-        import pyarrow.parquet as pq
-
-        pq.write_table(frontier_next, os.path.join(rd, "frontier_next.parquet"))
         state_dir = os.path.join(self.checkpoint_dir, "state")
         os.makedirs(state_dir, exist_ok=True)
         for i, snap in enumerate(self.seen.snapshot()):
@@ -394,6 +602,10 @@ class CrawlRun:
         manifest = {
             "rounds_done": k + 1,
             "seen_shards": self.cfg.seen_shards,
+            "frontier": [
+                os.path.relpath(p, self.checkpoint_dir)
+                for p in frontier_paths
+            ],
             "metrics": [m.__dict__ for m in self.metrics],
             "lineage": self.lineage,
         }
@@ -403,9 +615,10 @@ class CrawlRun:
         # atomic commit: the manifest only ever names fully-written rounds
         os.replace(tmp, os.path.join(self.checkpoint_dir, "manifest.json"))
 
-    def try_resume(self) -> pa.Table | None:
-        """Restore seen-filter + metrics; return the pending frontier, or
-        None when there is no usable checkpoint."""
+    def try_resume(self) -> list | None:
+        """Restore seen-filter + metrics; return the pending frontier as
+        a list of parquet paths, or None when there is no usable
+        checkpoint."""
         if not self.checkpoint_dir:
             return None
         mpath = os.path.join(self.checkpoint_dir, "manifest.json")
@@ -432,11 +645,10 @@ class CrawlRun:
         self.metrics = [RoundMetrics(**m) for m in manifest["metrics"]]
         self.lineage = manifest.get("lineage", [])
         self.rounds_done = k
-        import pyarrow.parquet as pq
-
-        return pq.read_table(
-            os.path.join(self._round_dir(k - 1), "frontier_next.parquet")
-        )
+        return [
+            os.path.join(self.checkpoint_dir, p)
+            for p in manifest["frontier"]
+        ]
 
     # --- results -------------------------------------------------------
     _FETCHED_COLS = [*FRONTIER.names, "fetch_slot", "status", "warc_ts", "fetch_round"]
@@ -564,44 +776,86 @@ def run_crawl(
     rounds beyond where the checkpoint left off."""
     run = CrawlRun(cfg, checkpoint_dir)
 
-    frontier_tbl = run.try_resume()
-    if frontier_tbl is None or reseed:
+    # frontier representation: in-memory mode holds an Arrow table on
+    # the driver (small/test runs); disk mode holds a LIST OF PARQUET
+    # PATHS — the driver materializes frontier rows only when a round is
+    # below the driver-schedule threshold.
+    frontier_tbl: pa.Table | None = None
+    frontier_paths: list | None = run.try_resume()
+
+    def _seed_frontier() -> pa.Table:
         # seed lists are tiny (one row per hub endpoint): canonicalize +
         # admit driver-side instead of paying a pipeline execution
         seed_tbl = _to_table(seeds)
-        cand = canonicalize_batch(
-            seed_tbl, depth=0, round_no=run.rounds_done
-        )
+        cand = canonicalize_batch(seed_tbl, depth=0, round_no=run.rounds_done)
         mask = run.seen.check_and_add(
             np.asarray(cand["url_hash"].to_pylist(), dtype=np.uint64)
         )
-        if reseed:
-            # force seeds through (idempotent insert above keeps the
-            # filter consistent); new frontier = pending + fresh seeds.
-            # Pending rows that ARE a seed (e.g. deferred by the
-            # politeness budget at shutdown) are dropped first so a seed
-            # never appears twice in one round's frontier.
-            seed_frontier = cand
-            if frontier_tbl is not None and frontier_tbl.num_rows:
-                not_seed = pc.invert(
-                    pc.is_in(
-                        frontier_tbl["url_hash"],
-                        value_set=cand["url_hash"].combine_chunks(),
+        # reseed forces seeds through (the idempotent insert above keeps
+        # the filter consistent); fresh runs admit only unseen seeds
+        return cand if reseed else cand.filter(pa.array(mask))
+
+    if run.disk_rounds:
+        import pyarrow.parquet as pq
+
+        if frontier_paths is None or reseed:
+            k0 = run.rounds_done
+            cand = _seed_frontier()
+            seed_file = os.path.join(checkpoint_dir, f"seeds-r{k0}.parquet")
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            pq.write_table(cand, seed_file)
+            if (
+                reseed
+                and frontier_paths
+                and _frontier_row_count(frontier_paths)
+            ):
+                # strip re-seeded urls from the pending frontier (a seed
+                # deferred at shutdown must not appear twice) — one
+                # worker-side pass, the driver never reads the rows
+                clean_dir = os.path.join(
+                    checkpoint_dir, f"reseed_clean-r{k0}"
+                )
+                excl_ref = ray.put(
+                    np.sort(
+                        np.asarray(
+                            cand["url_hash"].to_pylist(), dtype=np.uint64
+                        )
                     )
                 )
-                frontier_tbl = pa.concat_tables(
-                    [frontier_tbl.filter(not_seed), seed_frontier]
-                ).combine_chunks()
+
+                def strip_seeds(batch: pa.Table) -> pa.Table:
+                    batch = batch.select(FRONTIER.names).cast(FRONTIER)
+                    excl = ray.get(excl_ref)
+                    h = np.asarray(
+                        batch["url_hash"].to_pylist(), dtype=np.uint64
+                    )
+                    pos = np.searchsorted(excl, h)
+                    pos[pos >= len(excl)] = 0
+                    return batch.filter(pa.array(excl[pos] != h))
+
+                ray.data.read_parquet(
+                    _parquet_files_in(frontier_paths),
+                    columns=list(FRONTIER.names),
+                ).map_batches(
+                    strip_seeds, batch_format="pyarrow"
+                ).write_parquet(clean_dir)
+                frontier_paths = [clean_dir, seed_file]
             else:
-                frontier_tbl = seed_frontier
-        else:
-            frontier_tbl = cand.filter(pa.array(mask))
+                frontier_paths = [seed_file]
+    elif frontier_tbl is None:
+        frontier_tbl = _seed_frontier()
 
     budgets = {
         h: robots.tokens_per_round(h, cfg.round_ms)
         for h in set(robots.crawl_delay_ms)
     }
     default_tokens = max(1, cfg.round_ms // max(1, robots.default_delay_ms))
+    threshold = (
+        cfg.driver_schedule_max_rows
+        if cfg.driver_schedule_max_rows is not None
+        else DRIVER_SCHEDULE_MAX_ROWS
+    )
+    policy_ref = None  # lazy one-time broadcast for the distributed path
 
     # max_rounds is a PER-INVOCATION budget: a resumed / re-seeded run
     # (cron tick) gets cfg.max_rounds fresh rounds, not what's left of
@@ -609,35 +863,85 @@ def run_crawl(
     # no-op every later tick).
     k = run.rounds_done
     round_budget_end = k + cfg.max_rounds
-    while k < round_budget_end and frontier_tbl.num_rows > 0:
-        m = RoundMetrics(round_no=k, frontier_in=frontier_tbl.num_rows)
+    while k < round_budget_end:
+        # ---- frontier intake: choose the round's execution path -------
+        distributed = False
+        if run.disk_rounds:
+            n_front = _frontier_row_count(frontier_paths)
+            if n_front == 0:
+                break
+            if n_front > threshold:
+                distributed = True
+            else:
+                frontier_tbl = _read_frontier_paths(frontier_paths)
+        else:
+            n_front = frontier_tbl.num_rows
+            if n_front == 0:
+                break
+        m = RoundMetrics(round_no=k, frontier_in=n_front)
 
-        # 1. robots gate (pure, broadcast policy — never re-shipped)
-        allowed_mask = pa.array(
-            [robots.allowed(u) for u in frontier_tbl["url"].to_pylist()]
-        )
-        allowed_tbl = frontier_tbl.filter(allowed_mask)
-        m.robots_blocked = frontier_tbl.num_rows - allowed_tbl.num_rows
+        if distributed:
+            # robots + politeness fully in workers; losers written back
+            # to disk by the tasks that gated them; the driver sees only
+            # the scheduled slice (≤ Σ_host tokens, the round's fetch
+            # budget — which the bucket-aligned fetch materializes
+            # anyway)
+            rd = run._round_dir(k)
+            deferred_dir = os.path.join(rd, "deferred")
+            os.makedirs(deferred_dir, exist_ok=True)
+            if policy_ref is None:
+                policy_ref = ray.put((robots, budgets, default_tokens))
+            sched_ds = (
+                ray.data.read_parquet(
+                    _parquet_files_in(frontier_paths),
+                    columns=list(FRONTIER.names),
+                )
+                .map_batches(
+                    _gate_precut_fn(policy_ref, deferred_dir),
+                    batch_format="pyarrow",
+                )
+                .groupby("host_part")
+                .map_groups(
+                    _sched_exact_fn(policy_ref, deferred_dir),
+                    batch_format="pyarrow",
+                )
+            )
+            to_fetch = _to_table(sched_ds, SCHED_SCHEMA)
+            n_deferred = _frontier_row_count([deferred_dir])
+            m.scheduled, m.deferred = to_fetch.num_rows, n_deferred
+            m.robots_blocked = n_front - to_fetch.num_rows - n_deferred
+            if to_fetch.num_rows == 0:
+                run.metrics.append(m)
+                break
+            deferred = None
+        else:
+            # 1. robots gate (pure, broadcast policy — never re-shipped;
+            # driver-side only for frontiers below the threshold)
+            allowed_mask = pa.array(
+                [robots.allowed(u) for u in frontier_tbl["url"].to_pylist()]
+            )
+            allowed_tbl = frontier_tbl.filter(allowed_mask)
+            m.robots_blocked = frontier_tbl.num_rows - allowed_tbl.num_rows
 
-        if allowed_tbl.num_rows == 0:
-            run.metrics.append(m)
-            break
+            if allowed_tbl.num_rows == 0:
+                run.metrics.append(m)
+                break
 
-        # 2. politeness schedule on frontier metadata (driver-side below
-        # DRIVER_SCHEDULE_MAX_ROWS, groupby(host) shuffle above)
-        scheduled_tbl = _schedule(allowed_tbl, budgets, default_tokens)
-        sched_mask = scheduled_tbl["scheduled"]
-        to_fetch = scheduled_tbl.filter(sched_mask)
-        deferred = scheduled_tbl.filter(pc.invert(sched_mask)).drop_columns(
-            ["fetch_slot", "scheduled"]
-        )
-        m.scheduled, m.deferred = to_fetch.num_rows, deferred.num_rows
+            # 2. politeness schedule on frontier metadata
+            scheduled_tbl = _schedule(allowed_tbl, budgets, default_tokens)
+            sched_mask = scheduled_tbl["scheduled"]
+            to_fetch = scheduled_tbl.filter(sched_mask).drop_columns(
+                ["scheduled"]
+            )
+            deferred = scheduled_tbl.filter(
+                pc.invert(sched_mask)
+            ).drop_columns(["fetch_slot", "scheduled"])
+            m.scheduled, m.deferred = to_fetch.num_rows, deferred.num_rows
 
         # 3-5. fused round pipeline, ONE streaming execution:
         #      fetch (bucket-aligned tasks + worker-global bucket cache)
         #      -> process (extract M1-M7 + discover links, html dropped)
         #      -> seen-check on the link rows (admission actors)
-        to_fetch = to_fetch.drop_columns(["scheduled"])
         extract = ExtractStage(
             profiles=cfg.profiles,
             as_of_hk=cfg.as_of_hk,
@@ -657,15 +961,15 @@ def run_crawl(
         if run.disk_rounds:
             # scale path: the round's pages (incl. extracted text) are
             # written by the WORKERS, partitioned by kind; the driver
-            # reads back only the link partition + pruned metric columns
+            # reads back only pruned metric columns of the page part
+            # (bounded by the round's fetch budget) — and the link part
+            # only when next round's frontier fits under the threshold
             rd = run._round_dir(k)
             os.makedirs(rd, exist_ok=True)
             round_ds.write_parquet(
                 os.path.join(rd, "union"), partition_cols=["kind"]
             )
-            discovered_tbl = _read_union_part(
-                rd, "link", FRONTIER.names, FRONTIER
-            )
+            link_dir = os.path.join(rd, "union", "kind=link")
             stat_tbl = _read_union_part(
                 rd, "page", ["status", "xstatus", "url"], None
             )
@@ -673,6 +977,17 @@ def run_crawl(
             xstatus = stat_tbl["xstatus"]
             page_urls_for_lineage = stat_tbl["url"]
             n_pages = stat_tbl.num_rows
+            discovered_tbl = None
+            n_links = _frontier_row_count([link_dir])
+            if distributed:
+                n_deferred = m.deferred
+            else:
+                n_deferred = deferred.num_rows
+            if not distributed and n_deferred + n_links <= threshold:
+                # small next-frontier: keep the single-file layout
+                discovered_tbl = _read_union_part(
+                    rd, "link", FRONTIER.names, FRONTIER
+                )
         else:
             union_tbl = _to_table(round_ds, UNION_SCHEMA)
             page_mask = pc.equal(union_tbl["kind"], "page")
@@ -721,9 +1036,6 @@ def run_crawl(
             ).as_py()
             or 0
         )
-        m.discovered_new = discovered_tbl.num_rows
-        run.metrics.append(m)
-
         # per-partition lineage: content hashes tying each round's
         # outputs to its inputs (recorded in the checkpoint manifest; a
         # resumed run verifies it is continuing the same crawl)
@@ -733,21 +1045,59 @@ def run_crawl(
             urls = sorted(col.to_pylist()) if len(col) else []
             return _hl.md5("\n".join(urls).encode()).hexdigest()[:16]
 
-        if discovered_tbl.num_rows:
-            frontier_next = pa.concat_tables(
-                [deferred, discovered_tbl]
-            ).combine_chunks()
+        if run.disk_rounds and discovered_tbl is None:
+            # scale layout: next frontier = this round's deferred dir(s)
+            # + the worker-written link partition; the driver never reads
+            # the rows, only parquet metadata
+            m.discovered_new = n_links
+            run.metrics.append(m)
+            if distributed:
+                next_paths = [deferred_dir, link_dir]
+            else:
+                next_paths = [link_dir]
+                if deferred.num_rows:
+                    import pyarrow.parquet as _pq
+
+                    dd = os.path.join(rd, "deferred")
+                    os.makedirs(dd, exist_ok=True)
+                    _write_deferred(deferred, dd, "drv")
+                    next_paths.insert(0, dd)
+            frontier_paths = [
+                p for p in next_paths if _frontier_row_count([p])
+            ]
+            run.lineage.append(
+                {
+                    "round": k,
+                    "fetched": _content_hash(page_urls_for_lineage),
+                    "frontier_next": _paths_fingerprint(frontier_paths),
+                }
+            )
+            run._save_round(k, frontier_paths)
         else:
-            frontier_next = deferred
-        run.lineage.append(
-            {
-                "round": k,
-                "fetched": _content_hash(page_urls_for_lineage),
-                "frontier_next": _content_hash(frontier_next["url"]),
-            }
-        )
-        run._save_round(k, frontier_next)
-        frontier_tbl = frontier_next
+            m.discovered_new = discovered_tbl.num_rows
+            run.metrics.append(m)
+            if discovered_tbl.num_rows:
+                frontier_next = pa.concat_tables(
+                    [deferred, discovered_tbl]
+                ).combine_chunks()
+            else:
+                frontier_next = deferred
+            run.lineage.append(
+                {
+                    "round": k,
+                    "fetched": _content_hash(page_urls_for_lineage),
+                    "frontier_next": _content_hash(frontier_next["url"]),
+                }
+            )
+            if run.disk_rounds:
+                import pyarrow.parquet as _pq
+
+                ff = os.path.join(rd, "frontier_next.parquet")
+                _pq.write_table(frontier_next, ff)
+                frontier_paths = [ff]
+                run._save_round(k, frontier_paths)
+            else:
+                frontier_tbl = frontier_next
         run.rounds_done = k + 1
         k += 1
         if stop_after_round is not None and k >= stop_after_round:

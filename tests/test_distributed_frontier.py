@@ -1,0 +1,164 @@
+"""The distributed frontier path (robots gate + politeness schedule in
+workers, frontier as worker-written Parquet, driver holds only paths +
+counts) must produce the IDENTICAL crawl to the driver-side path.
+
+Forced via ``driver_schedule_max_rows=0`` so every round — however small
+— runs the distributed pipeline (gate + local per-host precut ->
+candidate shuffle -> exact per-host schedule).
+"""
+
+import json
+import os
+
+import pytest
+
+from cex_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+from cex_crawler_ray.sources.page_store import PageStore
+from cex_crawler_ray.sources.pages import (
+    pages_from_documents,
+    robots_rules,
+    seeds_for_sources,
+    sources_in,
+)
+from cex_crawler_ray.stages.extract import profiles_for_sources
+from cex_crawler_ray.state.politeness import RobotsPolicy
+
+
+@pytest.fixture(scope="module")
+def store(ray_session, sf_tiny, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pagestore_dist"))
+    ps = PageStore(path, num_buckets=8)
+    ps.write(pages_from_documents(sf_tiny))
+    return ps
+
+
+@pytest.fixture(scope="module")
+def crawl_inputs(sf_tiny):
+    sources = sources_in(sf_tiny)
+    robots = RobotsPolicy(
+        disallow=robots_rules(sources), default_delay_ms=500
+    )
+    kwargs = dict(
+        max_rounds=6,
+        seen_shards=4,
+        profiles=profiles_for_sources(sources),
+        as_of_hk="2024-03-08 09:00:00",
+        offset_days=7,
+    )
+    return sources, robots, kwargs
+
+
+def test_distributed_matches_driver_path(store, crawl_inputs, tmp_path):
+    sources, robots, kwargs = crawl_inputs
+    seeds = seeds_for_sources(sources)
+
+    mem = run_crawl(store, seeds, robots, CrawlConfig(**kwargs))
+
+    ckpt = str(tmp_path / "dist_ckpt")
+    dist = run_crawl(
+        store,
+        seeds_for_sources(sources),
+        robots,
+        CrawlConfig(driver_schedule_max_rows=0, **kwargs),
+        checkpoint_dir=ckpt,
+    )
+
+    # identical crawl order, fetched set, and seen set
+    assert dist.crawl_order() == mem.crawl_order()
+    assert sorted(dist.fetched_table()["url"].to_pylist()) == sorted(
+        mem.fetched_table()["url"].to_pylist()
+    )
+    assert dist.seen_set_size() == mem.seen_set_size()
+
+    # identical per-round metrics (the schedule/defer/robots split is a
+    # pure function of the frontier, not of where it executes)
+    for a, b in zip(dist.metrics, mem.metrics):
+        assert (a.round_no, a.frontier_in, a.robots_blocked) == (
+            b.round_no,
+            b.frontier_in,
+            b.robots_blocked,
+        )
+        assert (a.scheduled, a.deferred, a.discovered_new) == (
+            b.scheduled,
+            b.deferred,
+            b.discovered_new,
+        )
+
+    # no driver-materialized frontier file: every round checkpoints
+    # worker-written dirs, never a driver-written frontier_next.parquet
+    manifest = json.load(open(os.path.join(ckpt, "manifest.json")))
+    assert manifest["frontier"] is not None
+    for j in range(dist.rounds_done):
+        assert not os.path.exists(
+            os.path.join(ckpt, f"round={j}", "frontier_next.parquet")
+        )
+
+
+def test_distributed_resume_no_refetch(store, crawl_inputs, tmp_path):
+    sources, robots, kwargs = crawl_inputs
+    cfg = CrawlConfig(driver_schedule_max_rows=0, **kwargs)
+    full = run_crawl(
+        store, seeds_for_sources(sources), robots, CrawlConfig(**kwargs)
+    )
+
+    ckpt = str(tmp_path / "dist_resume")
+    part = run_crawl(
+        store,
+        seeds_for_sources(sources),
+        robots,
+        cfg,
+        checkpoint_dir=ckpt,
+        stop_after_round=1,
+    )
+    fetched_before = part.fetched_table().num_rows
+    resumed = run_crawl(
+        store, seeds_for_sources(sources), robots, cfg, checkpoint_dir=ckpt
+    )
+    assert sorted(resumed.fetched_table()["url"].to_pylist()) == sorted(
+        full.fetched_table()["url"].to_pylist()
+    )
+    assert resumed.crawl_order() == full.crawl_order()
+    import pyarrow.compute as pc
+
+    ft = resumed.fetched_table()
+    refetched = ft.filter(
+        pc.greater_equal(ft["fetch_round"], part.rounds_done)
+    ).num_rows
+    assert refetched == ft.num_rows - fetched_before
+
+
+def test_distributed_reseed_tick(store, crawl_inputs, tmp_path):
+    """Incremental cron tick through the distributed path: hub pages are
+    re-fetched, already-seen articles are not."""
+    sources, robots, kwargs = crawl_inputs
+    cfg = CrawlConfig(driver_schedule_max_rows=0, **kwargs)
+    ckpt = str(tmp_path / "dist_reseed")
+
+    first = run_crawl(
+        store, seeds_for_sources(sources), robots, cfg, checkpoint_dir=ckpt
+    )
+    n_first = first.fetched_table().num_rows
+
+    second = run_crawl(
+        store,
+        seeds_for_sources(sources),
+        robots,
+        cfg,
+        checkpoint_dir=ckpt,
+        reseed=True,
+    )
+    ft = second.fetched_table()
+    # the tick re-fetched exactly the hub pages (seeds), nothing else
+    import pyarrow.compute as pc
+
+    new_rows = ft.filter(
+        pc.greater_equal(ft["fetch_round"], first.rounds_done)
+    )
+    n_seeds = seeds_for_sources(sources).count()
+    assert new_rows.num_rows == n_seeds
+    assert all(
+        "/announcements" in u or u.rstrip("/").endswith("news")
+        or "/articles/" not in u
+        for u in new_rows["url"].to_pylist()
+    )
+    assert ft.num_rows == n_first + n_seeds
