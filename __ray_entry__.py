@@ -141,6 +141,19 @@ def _docs(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
 
 
+def _query_vec(sf_dir: str, vec_id: int = 0) -> "np.ndarray":
+    """The ANN queries' probe vector: a predicate-pushdown parquet read
+    of one row (row-group pruned), not a Dataset scan."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", vec_id)],
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
 def _cents(series) -> "np.ndarray":
     """value*100 rounded half-AWAY-from-zero (DuckDB ``round()``
     semantics) as int64.  pandas ``.round()`` is half-to-even and
@@ -309,49 +322,32 @@ def q_exact_dedup(sf_dir: str):
 
 
 def q_minhash_dup_pairs(sf_dir: str):
-    """MinHash+LSH candidates, verified by exact text equality."""
-    from cex_crawler_ray.stages.dedup import minhash_lsh_pairs
+    """MinHash+LSH candidates, verified by exact text equality — the
+    verify is a distributed join of the candidate pairs back to the
+    corpus on doc_id (no driver-side text dict)."""
+    from cex_crawler_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_exact,
+    )
 
     corpus = _dedup_corpus(sf_dir)
-    texts = {
-        r["doc_id"]: r["text"] for r in corpus.take_all()
-    }  # small side; at scale this verify is a hash-join on doc_id
     pairs = minhash_lsh_pairs(corpus)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = [
-            texts.get(a) == texts.get(b)
-            for a, b in zip(
-                batch["id_a"].to_pylist(), batch["id_b"].to_pylist()
-            )
-        ]
-        return batch.filter(pa.array(keep))
-
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return verify_pairs_exact(pairs, corpus)
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):
     """n-gram Jaccard near-dup: LSH candidates verified by TRUE k-gram
-    Jaccard >= 0.8 (no SQL oracle: bespoke shingle hash; exact-dup
-    recall is implied by minhash_dup_pairs' oracle)."""
-    from cex_crawler_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard
+    Jaccard >= 0.8 through the distributed pair-text join (no SQL
+    oracle: bespoke shingle hash; exact-dup recall is implied by
+    minhash_dup_pairs' oracle)."""
+    from cex_crawler_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_jaccard,
+    )
 
     corpus = _dedup_corpus(sf_dir)
-    texts = {r["doc_id"]: r["text"] for r in corpus.take_all()}
     pairs = minhash_lsh_pairs(corpus)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        keep = [
-            ngram_jaccard(texts[a], texts[b]) >= 0.8
-            for a, b in zip(
-                batch["id_a"].to_pylist(), batch["id_b"].to_pylist()
-            )
-        ]
-        return batch.filter(pa.array(keep))
-
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return verify_pairs_jaccard(pairs, corpus, min_jaccard=0.8)
 
 
 def q_embedding_dup_pairs(sf_dir: str):
@@ -368,9 +364,7 @@ def q_knn_topk(sf_dir: str):
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    qvec = None
-    for r in emb.filter(lambda r: r["vec_id"] == 0).take(1):
-        qvec = np.asarray(r["embedding"], dtype=np.float64)
+    qvec = _query_vec(sf_dir)
     t = knn_brute_force(emb, qvec[None, :], k=10)
     return t.select(["rank", "vec_id"])
 
@@ -383,9 +377,7 @@ def q_knn_ivf(sf_dir: str):
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    qvec = None
-    for r in emb.filter(lambda r: r["vec_id"] == 0).take(1):
-        qvec = np.asarray(r["embedding"], dtype=np.float64)
+    qvec = _query_vec(sf_dir)
     return knn_ivf(emb, qvec[None, :], k=10)
 
 
@@ -763,9 +755,7 @@ def q_knn_lsh(sf_dir: str):
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    qvec = None
-    for r in emb.filter(lambda r: r["vec_id"] == 0).take(1):
-        qvec = np.asarray(r["embedding"], dtype=np.float64)
+    qvec = _query_vec(sf_dir)
     return knn_lsh(emb, qvec[None, :], k=10)
 
 

@@ -64,6 +64,11 @@ class CrawlConfig:
     # fully-distributed path (robots + schedule in workers, frontier
     # never materialized on the driver); None -> module default
     driver_schedule_max_rows: int | None = None
+    # alternative fetch stage: callable(to_fetch: pa.Table) -> Dataset
+    # with (frontier + status + warc_ts + html) columns.  None -> the
+    # store's bucket-aligned batch fetch; the live actor-pool fetcher
+    # (sources/live_fetch.py) plugs in here.
+    fetch_fn: object | None = None
 
 
 def canonicalize_batch(batch: pa.Table, depth: int = 0, round_no: int = 0) -> pa.Table:
@@ -947,8 +952,9 @@ def run_crawl(
             as_of_hk=cfg.as_of_hk,
             offset_days=cfg.offset_days,
         )
+        fetch = cfg.fetch_fn or store.fetch_aligned
         round_ds = (
-            store.fetch_aligned(to_fetch)
+            fetch(to_fetch)
             .map_batches(
                 ProcessStage(extract, round_no=k + 1, max_depth=cfg.max_depth),
                 batch_format="pyarrow",

@@ -1,0 +1,171 @@
+"""Live fetch actor pool: the production-shaped HTTP/browser stage.
+
+The reference holds one Playwright browser per worker process for its
+whole lifetime (``exchange/base_scraper.py:78-143``: launch in setup,
+``page.goto`` + content per url, teardown at exit) and wraps fetches in
+a bounded content-sniff retry loop — bithumb retries up to 3 times when
+the returned page smells like a Cloudflare challenge
+(``exchange/bithumb.py:28-72``).
+
+Ray-Data-native shape: a CALLABLE CLASS passed to ``map_batches(...,
+concurrency=N)`` — the transport session is built once per actor in
+``__init__`` (browser/HTTP-client analog), each ``__call__`` fetches a
+batch with per-url bounded retries and deterministic backoff
+accounting.  Failures are never dropped: after ``max_attempts`` the url
+becomes a DEAD-LETTER row (``status`` = last status, ``fetch_state`` =
+'dead_letter') that flows through extraction as a miss, so the crawl
+loop's metrics and checkpoints see every url exactly once.
+
+The transport is injectable: production would pass an HTTP session
+factory; this sandbox passes the PageStore-backed transport (the
+simulated internet) or a flaky wrapper in tests.  M16 header synthesis
+(``functions/headers.py``) runs per request as a hook.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.headers import synth_headers
+
+# content sniff: a "page" that is actually an interstitial challenge
+CHALLENGE_MARKERS = (b"cf-challenge", b"Checking your browser")
+
+
+class LiveFetcher:
+    """map_batches callable class (actor pool).
+
+    ``transport_factory() -> transport`` is called ONCE per actor;
+    ``transport(url, headers) -> (status:int, html:bytes|None,
+    warc_ts)`` is called per attempt.  Retries: non-200 status or a
+    challenge-marker body retries up to ``max_attempts`` with
+    deterministic exponential backoff *accounting* (recorded in
+    ``backoff_ms_total``; actual sleeping is the politeness layer's
+    job — the crawl's token budget already paces hosts, reference
+    analog ``base_scraper.py:160-181``).
+    """
+
+    def __init__(
+        self,
+        transport_factory,
+        max_attempts: int = 3,
+        base_backoff_ms: int = 250,
+        header_seed: int = 0,
+        sleep_fn=None,
+    ):
+        self.transport = transport_factory()  # per-actor session
+        self.max_attempts = max_attempts
+        self.base_backoff_ms = base_backoff_ms
+        self.header_seed = header_seed
+        self.sleep_fn = sleep_fn  # injectable for tests; None = no sleep
+
+    def _fetch_one(self, url: str):
+        attempts = 0
+        backoff_total = 0
+        status, html, warc_ts = 0, None, None
+        while attempts < self.max_attempts:
+            headers = synth_headers(url, self.header_seed + attempts)
+            attempts += 1
+            status, html, warc_ts = self.transport(url, headers)
+            challenged = html is not None and any(
+                m in html for m in CHALLENGE_MARKERS
+            )
+            if status == 200 and not challenged:
+                return status, html, warc_ts, attempts, backoff_total, "ok"
+            if status == 404:
+                # definitive miss: retrying cannot help (the reference
+                # only loops on challenge/5xx, not not-found)
+                return status, None, warc_ts, attempts, backoff_total, "miss"
+            if attempts < self.max_attempts:
+                wait = self.base_backoff_ms * (2 ** (attempts - 1))
+                backoff_total += wait
+                if self.sleep_fn is not None:
+                    self.sleep_fn(wait / 1000.0)
+        return status, None, warc_ts, attempts, backoff_total, "dead_letter"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        statuses = np.empty(len(urls), dtype=np.int32)
+        htmls: list = []
+        warcs: list = []
+        attempts = np.empty(len(urls), dtype=np.int32)
+        backoffs = np.empty(len(urls), dtype=np.int64)
+        states: list = []
+        for i, u in enumerate(urls):
+            s, h, w, a, b, st = self._fetch_one(u)
+            statuses[i] = s
+            htmls.append(h)
+            warcs.append(w)
+            attempts[i] = a
+            backoffs[i] = b
+            states.append(st)
+        return (
+            batch.append_column("status", pa.array(statuses, pa.int32()))
+            .append_column(
+                "warc_ts", pa.array(warcs, pa.timestamp("us", tz="UTC"))
+            )
+            .append_column("html", pa.array(htmls, pa.binary()))
+            .append_column("attempts", pa.array(attempts, pa.int32()))
+            .append_column(
+                "backoff_ms_total", pa.array(backoffs, pa.int64())
+            )
+            .append_column("fetch_state", pa.array(states, pa.string()))
+        )
+
+
+def store_transport_factory(store_path: str, num_buckets: int):
+    """The sandbox 'network': resolve urls against the bucketed page
+    store, through the same worker-global bucket cache the batch fetch
+    uses.  Returns a factory suitable for ``LiveFetcher``."""
+
+    def factory():
+        from .page_store import _fetch_batch
+
+        def transport(url: str, headers: dict):
+            t = pa.table({"url": pa.array([url], pa.string())})
+            out = _fetch_batch(t, store_path, num_buckets)
+            status = out["status"][0].as_py()
+            html = out["html"][0].as_py() if "html" in out.column_names else None
+            warc = (
+                out["warc_ts"][0].as_py()
+                if "warc_ts" in out.column_names
+                else None
+            )
+            return status, html, warc
+
+        return transport
+
+    return factory
+
+
+def live_fetch(
+    frontier,
+    transport_factory,
+    concurrency=(1, 4),
+    batch_size: int = 256,
+    max_attempts: int = 3,
+    **fetcher_kwargs,
+):
+    """Wire a frontier Dataset (or Arrow table) through the actor pool.
+
+    Drop-in alternative to ``PageStore.fetch_aligned`` for the crawl
+    loop (``CrawlConfig.fetch_fn``): output carries the same
+    (frontier + status + warc_ts + html) columns plus the retry
+    telemetry (attempts, backoff_ms_total, fetch_state).
+    """
+    import ray
+
+    if isinstance(frontier, pa.Table):
+        frontier = ray.data.from_arrow(frontier)
+    return frontier.map_batches(
+        LiveFetcher,
+        fn_constructor_kwargs={
+            "transport_factory": transport_factory,
+            "max_attempts": max_attempts,
+            **fetcher_kwargs,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -281,6 +281,75 @@ def _distinct_pairs(pairs):
     )
 
 
+def attach_pair_texts(
+    pairs, corpus, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Join candidate (id_a, id_b) pairs back to the corpus on id —
+    twice, once per side — yielding (id_a, id_b, text_a, text_b).
+
+    This is the scale shape for candidate verification: two
+    co-partition hash joins whose volume is the CANDIDATE set (plus the
+    corpus id/text columns through the shuffle), never a driver-side
+    doc_id -> text dict of the whole corpus.
+    """
+    from .join import hash_join
+
+    side = corpus.select_columns([id_col, text_col])
+
+    def _rename(ds, new_text):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = [
+                c for c in batch.column_names if c not in (id_col, text_col)
+            ]
+            out = batch.select(cols + [text_col])
+            return out.rename_columns(cols + [new_text])
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    j1 = _rename(
+        hash_join(pairs, side, "id_a", id_col), "text_a"
+    )
+    j2 = _rename(
+        hash_join(j1, side, "id_b", id_col), "text_b"
+    )
+    return j2
+
+
+def verify_pairs_exact(pairs, corpus, id_col="doc_id", text_col="text"):
+    """Keep only candidate pairs whose texts are byte-identical
+    (verification by distributed join, not a driver dict)."""
+
+    def check(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["text_a"], batch["text_b"])
+        return batch.filter(keep).select(["id_a", "id_b"])
+
+    return attach_pair_texts(pairs, corpus, id_col, text_col).map_batches(
+        check, batch_format="pyarrow"
+    )
+
+
+def verify_pairs_jaccard(
+    pairs, corpus, min_jaccard: float = 0.8, k: int = 5,
+    id_col="doc_id", text_col="text",
+):
+    """Keep only candidate pairs whose TRUE k-gram Jaccard >= threshold
+    (verification by distributed join; the Jaccard kernel runs where the
+    candidate rows already are)."""
+
+    def check(batch: pa.Table) -> pa.Table:
+        keep = [
+            ngram_jaccard(a, b, k) >= min_jaccard
+            for a, b in zip(
+                batch["text_a"].to_pylist(), batch["text_b"].to_pylist()
+            )
+        ]
+        return batch.filter(pa.array(keep)).select(["id_a", "id_b"])
+
+    return attach_pair_texts(pairs, corpus, id_col, text_col).map_batches(
+        check, batch_format="pyarrow"
+    )
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     """True k-gram Jaccard similarity (verification kernel)."""
     ta = _SHINGLE_RE.sub(" ", text_a)
@@ -383,14 +452,129 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
 
 
 # ------------------------------------------------------------ embedding
-def embedding_dup_pairs(ds, threshold: float = 0.999, id_col: str = "vec_id"):
-    """Near-dup pairs by cosine similarity >= threshold.
+_GRID_PRIMES = np.array(
+    [
+        0x9E3779B97F4A7C15,
+        0xC2B2AE3D27D4EB4F,
+        0x165667B19E3779F9,
+        0x27D4EB2F165667C5,
+    ],
+    dtype=np.uint64,
+)
 
-    The full matrix is broadcast ONCE via ``ray.put`` (embeddings are
-    the small side at curation time); each batch does one numpy matmul
-    against it — no per-batch reshipping, no shuffle.  For corpora where
-    the matrix exceeds worker memory, swap the broadcast for the LSH
-    bucketing in similarity.py.
+_GRID_PLANES_CACHE: dict = {}
+
+
+def _grid_planes(dim: int, proj_dims: int) -> np.ndarray:
+    """Fixed random unit projection vectors (seeded; memoized per
+    worker process)."""
+    key = (dim, proj_dims)
+    if key not in _GRID_PLANES_CACHE:
+        rng = np.random.RandomState(17)
+        p = rng.randn(proj_dims, dim)
+        p /= np.linalg.norm(p, axis=1, keepdims=True)
+        _GRID_PLANES_CACHE[key] = p
+    return _GRID_PLANES_CACHE[key]
+
+
+def embedding_dup_pairs(
+    ds,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    proj_dims: int = 2,
+    num_parts: int = 64,
+):
+    """Near-dup pairs by cosine similarity >= threshold — EXACT result
+    via lossless grid blocking (no all-pairs, no driver materialization).
+
+    cos(a,b) >= t on unit vectors means ||a-b|| <= eps = sqrt(2-2t)
+    (eps ≈ 0.045 at t=0.999).  Projection onto a unit vector is
+    1-Lipschitz, so a qualifying pair differs by <= eps per projected
+    coordinate — i.e. by <= 1 grid cell of width eps.  Each point is
+    emitted to its 3^proj_dims neighbor cells; any qualifying pair
+    therefore shares at least one cell (b's home cell is in a's
+    neighborhood and vice versa), where an exact in-cell cosine verify
+    keeps only true pairs.  The shuffle carries 3^proj_dims copies of
+    (id, embedding) — bounded blowup — and cell population bounds
+    per-task work; raise ``proj_dims`` to shrink cells at larger scale.
+
+    ``embedding_dup_pairs_broadcast`` remains for corpora small enough
+    to broadcast whole.
+    """
+    import itertools
+
+    eps = float(np.sqrt(max(2.0 - 2.0 * threshold, 1e-12)))
+    offsets = list(itertools.product((-1, 0, 1), repeat=proj_dims))
+    primes = _GRID_PRIMES[:proj_dims]
+
+    def explode_cells(batch: pa.Table) -> pa.Table:
+        m = np.stack(
+            [
+                np.asarray(e, dtype=np.float64)
+                for e in batch[emb_col].to_pylist()
+            ]
+        )
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-300)
+        planes = _grid_planes(m.shape[1], proj_dims)
+        base = np.floor((m @ planes.T) / eps).astype(np.int64)
+        parts = []
+        for off in offsets:
+            c = (base + np.asarray(off, dtype=np.int64)).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                key = (c * primes[None, :]).sum(axis=1, dtype=np.uint64)
+            parts.append(
+                pa.table(
+                    {
+                        id_col: batch[id_col],
+                        "cell_key": pa.array(key, pa.uint64()),
+                        emb_col: batch[emb_col],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def pairs_in_part(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        a_out, b_out = [], []
+        for _, grp in df.groupby("cell_key", sort=False):
+            grp = grp.drop_duplicates(subset=[id_col])
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in grp[emb_col]]
+            )
+            mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-300)
+            sims = mat @ mat.T
+            ai, bj = np.nonzero(np.triu(sims >= threshold, 1))
+            lo = np.minimum(ids[ai], ids[bj])
+            hi = np.maximum(ids[ai], ids[bj])
+            a_out.extend(lo.tolist())
+            b_out.extend(hi.tolist())
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+            }
+        )
+
+    exploded = ds.select_columns([id_col, emb_col]).map_batches(
+        explode_cells, batch_format="pyarrow"
+    )
+    cand = _coarse_group_apply(
+        exploded, "cell_key", pairs_in_part, num_parts=num_parts
+    )
+    return _distinct_pairs(cand)
+
+
+def embedding_dup_pairs_broadcast(
+    ds, threshold: float = 0.999, id_col: str = "vec_id"
+):
+    """Near-dup pairs by cosine similarity >= threshold — broadcast
+    variant for corpora whose full matrix fits a worker (the matrix is
+    ``ray.put`` once; each batch does one matmul against it).  Use the
+    grid-blocked ``embedding_dup_pairs`` at scale.
     """
     all_rows = ds.select_columns([id_col, "embedding"]).take_all()
     ids = np.array([r[id_col] for r in all_rows], dtype=np.int64)

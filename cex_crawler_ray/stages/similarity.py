@@ -74,8 +74,15 @@ def knn_brute_force(
     # merge the per-batch partial top-k candidates on the driver
     # (candidate volume is k x queries x blocks — tiny)
     cand = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
+    return _merge_topk(cand, k)
+
+
+def _merge_topk(cand_rows, k: int) -> pa.Table:
+    """Driver merge of per-batch partial-top-k candidate rows
+    (query_idx, vec_id, sim) — the only thing the driver ever holds is
+    k x queries x blocks candidates, never corpus rows."""
     best: dict = {}
-    for r in cand:
+    for r in cand_rows:
         best.setdefault(r["query_idx"], []).append((r["sim"], r["vec_id"]))
     out_q, out_rank, out_id = [], [], []
     for qi in sorted(best):
@@ -89,6 +96,39 @@ def knn_brute_force(
             "query_idx": pa.array(out_q, pa.int64()),
             "rank": pa.array(out_rank, pa.int64()),
             "vec_id": pa.array(out_id, pa.int64()),
+        }
+    )
+
+
+def _masked_partial_topk(
+    qn: np.ndarray,
+    probe_keys: list,
+    ids: np.ndarray,
+    mat: np.ndarray,
+    keys: np.ndarray,
+    k: int,
+):
+    """Per-batch partial top-k, each query restricted to rows whose
+    bucket/list key is in its probe set.  Vectorized per query."""
+    out_q, out_id, out_sim = [], [], []
+    sims = qn @ mat.T
+    for qi in range(len(qn)):
+        mask = np.isin(keys, probe_keys[qi])
+        if not mask.any():
+            continue
+        s = sims[qi][mask]
+        cand_ids = ids[mask]
+        kk = min(k, len(s))
+        # deterministic even under sim ties: (sim desc, id asc)
+        part = np.lexsort((cand_ids, -s))[:kk]
+        out_q.extend([qi] * kk)
+        out_id.extend(cand_ids[part].tolist())
+        out_sim.extend(s[part].tolist())
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "sim": pa.array(out_sim, pa.float64()),
         }
     )
 
@@ -152,48 +192,66 @@ def knn_lsh(
     qkeys = np.zeros(len(q), dtype=np.int64)
     for b in range(qbits.shape[1]):
         qkeys |= qbits[:, b].astype(np.int64) << b
-    probe_sets = [
-        _within_hamming(int(kk), num_planes, probe_radius) for kk in qkeys
-    ]
-    wanted = set().union(*probe_sets)
-
-    bucketed = ds.map_batches(
-        _LSHStage,
-        fn_constructor_kwargs={"dim": dim, "num_planes": num_planes,
-                               "emb_col": emb_col, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    ).filter(lambda r, _w=wanted: r["bucket"] in _w)
-    rows = bucketed.take_all()
-    if not rows:
-        return pa.table(
-            {
-                "query_idx": pa.array([], pa.int64()),
-                "rank": pa.array([], pa.int64()),
-                "vec_id": pa.array([], pa.int64()),
-            }
+    probe_keys = [
+        np.array(
+            sorted(_within_hamming(int(kk), num_planes, probe_radius)),
+            dtype=np.int64,
         )
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = _norm_rows(
-        np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
+        for kk in qkeys
+    ]
+    wanted = np.array(
+        sorted(set().union(*(set(p.tolist()) for p in probe_keys))),
+        dtype=np.int64,
     )
-    keys = np.array([r["bucket"] for r in rows], dtype=np.int64)
     qn = _norm_rows(q)
+    # one broadcast of (queries, probe sets, planes); each batch does
+    # signature -> vectorized np.isin membership -> masked partial top-k
+    # — no per-row Python filter, no corpus rows ever reach the driver
+    bcast = ray.put((qn, probe_keys, wanted, stage.planes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qn, probes, wanted, planes = ray.get(bcast)
+        m = np.stack(
+            [
+                np.asarray(e, dtype=np.float64)
+                for e in batch[emb_col].to_pylist()
+            ]
+        )
+        bits = (m @ planes.T) > 0
+        keys = np.zeros(len(m), dtype=np.int64)
+        for b in range(bits.shape[1]):
+            keys |= bits[:, b].astype(np.int64) << b
+        keep = np.isin(keys, wanted)
+        if not keep.any():
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)[keep]
+        return _masked_partial_topk(
+            qn, probes, ids, _norm_rows(m[keep]), keys[keep], k
+        )
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _merge_topk_det(cand, k)
+
+
+def _merge_topk_det(cand_rows, k: int) -> pa.Table:
+    """Like ``_merge_topk`` but with the (sim desc, id asc)
+    deterministic tie-break used by the approximate indexes."""
+    best: dict = {}
+    for r in cand_rows:
+        best.setdefault(r["query_idx"], []).append((r["sim"], r["vec_id"]))
     out_q, out_rank, out_id = [], [], []
-    for qi in range(len(q)):
-        probes = np.array(sorted(probe_sets[qi]), dtype=np.int64)
-        mask = np.isin(keys, probes)
-        if not mask.any():
-            continue
-        sims = qn[qi] @ mat[mask].T
-        cand_ids = ids[mask]
-        order = sorted(
-            range(len(sims)), key=lambda j: (-sims[j], cand_ids[j])
-        )[:k]
-        for rank, j in enumerate(order, 1):
+    for qi in sorted(best):
+        top = sorted(best[qi], key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (s, vid) in enumerate(top, 1):
             out_q.append(qi)
             out_rank.append(rank)
-            out_id.append(cand_ids[j])
+            out_id.append(vid)
     return pa.table(
         {
             "query_idx": pa.array(out_q, pa.int64()),
@@ -245,13 +303,23 @@ def knn_ivf(
         )
     )
     centroids = _minibatch_kmeans(sample, num_lists)
-    cent_ref = ray.put(centroids)
 
     probe_lists = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
-    wanted = set(int(x) for x in probe_lists.ravel())
+    probe_keys = [
+        np.asarray(sorted(row.tolist()), dtype=np.int64)
+        for row in probe_lists
+    ]
+    wanted = np.array(
+        sorted({int(x) for x in probe_lists.ravel()}), dtype=np.int64
+    )
+    # one broadcast of (queries, probe lists, centroids); each batch
+    # assigns its rows to lists, keeps only probed-list members, and
+    # emits a masked partial top-k per query — corpus rows never leave
+    # their task, only k x queries x blocks candidates reach the driver
+    bcast = ray.put((q, probe_keys, wanted, centroids))
 
-    def assign(batch: pa.Table) -> pa.Table:
-        cent = ray.get(cent_ref)
+    def partial(batch: pa.Table) -> pa.Table:
+        qn, probes, wanted, cent = ray.get(bcast)
         m = _norm_rows(
             np.stack(
                 [
@@ -260,49 +328,20 @@ def knn_ivf(
                 ]
             )
         )
-        lists = np.argmax(m @ cent.T, axis=1)
-        keep = np.isin(lists, np.array(sorted(wanted)))
-        out = pa.table(
-            {
-                id_col: batch[id_col],
-                "ivf_list": pa.array(lists, pa.int64()),
-                emb_col: batch[emb_col],
-            }
+        lists = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+        keep = np.isin(lists, wanted)
+        if not keep.any():
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)[keep]
+        return _masked_partial_topk(
+            qn, probes, ids, m[keep], lists[keep], k
         )
-        return out.filter(pa.array(keep))
 
-    rows = ds.map_batches(assign, batch_format="pyarrow").take_all()
-    if not rows:
-        return pa.table(
-            {
-                "query_idx": pa.array([], pa.int64()),
-                "rank": pa.array([], pa.int64()),
-                "vec_id": pa.array([], pa.int64()),
-            }
-        )
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    lists = np.array([r["ivf_list"] for r in rows], dtype=np.int64)
-    mat = _norm_rows(
-        np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
-    )
-    out_q, out_rank, out_id = [], [], []
-    for qi in range(len(q)):
-        mask = np.isin(lists, probe_lists[qi])
-        if not mask.any():
-            continue
-        sims = q[qi] @ mat[mask].T
-        cand_ids = ids[mask]
-        order = sorted(
-            range(len(sims)), key=lambda j: (-sims[j], cand_ids[j])
-        )[:k]
-        for rank, j in enumerate(order, 1):
-            out_q.append(qi)
-            out_rank.append(rank)
-            out_id.append(cand_ids[j])
-    return pa.table(
-        {
-            "query_idx": pa.array(out_q, pa.int64()),
-            "rank": pa.array(out_rank, pa.int64()),
-            "vec_id": pa.array(out_id, pa.int64()),
-        }
-    )
+    cand = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _merge_topk_det(cand, k)

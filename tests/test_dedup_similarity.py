@@ -89,6 +89,71 @@ def test_embedding_dup_pairs(ray_session):
     assert got == {(i, 100 + i) for i in range(0, 50, 10)}
 
 
+def test_embedding_grid_matches_broadcast(ray_session):
+    """The grid-blocked default must equal the exact broadcast variant
+    pair-for-pair — including near-threshold pairs straddling grid-cell
+    boundaries."""
+    from cex_crawler_ray.stages.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_broadcast,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(120, 24)
+    rows = [
+        {"vec_id": i, "embedding": base[i].astype("float64").tolist()}
+        for i in range(120)
+    ]
+    # near-dups at varying closeness: some above, some below threshold
+    for j, i in enumerate(range(0, 120, 8)):
+        noisy = base[i] + rng.randn(24) * (0.001 + 0.004 * (j % 4))
+        rows.append({"vec_id": 500 + i, "embedding": noisy.tolist()})
+    ds = ray.data.from_items(rows)
+    grid = embedding_dup_pairs(ds, threshold=0.999).to_pandas()
+    bcast = embedding_dup_pairs_broadcast(ds, threshold=0.999).to_pandas()
+    g = {tuple(p) for p in grid[["id_a", "id_b"]].values}
+    b = {tuple(p) for p in bcast[["id_a", "id_b"]].values}
+    assert g == b
+    assert len(g) > 0  # the tightest near-dups qualify
+
+
+def test_verify_pairs_join(corpus):
+    """Join-based pair verification == the driver-dict semantics."""
+    from cex_crawler_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard,
+        verify_pairs_exact,
+        verify_pairs_jaccard,
+    )
+
+    texts = {r["doc_id"]: r["text"] for r in corpus.take_all()}
+    pairs = minhash_lsh_pairs(corpus)
+    exact = verify_pairs_exact(pairs, corpus).to_pandas()
+    got = {tuple(p) for p in exact[["id_a", "id_b"]].values}
+    want = {
+        (a, b)
+        for a, b in (
+            tuple(p)
+            for p in pairs.to_pandas()[["id_a", "id_b"]].values
+        )
+        if texts[a] == texts[b]
+    }
+    assert got == want
+
+    jac = verify_pairs_jaccard(pairs, corpus, min_jaccard=0.8).to_pandas()
+    got_j = {tuple(p) for p in jac[["id_a", "id_b"]].values}
+    want_j = {
+        (a, b)
+        for a, b in (
+            tuple(p)
+            for p in pairs.to_pandas()[["id_a", "id_b"]].values
+        )
+        if ngram_jaccard(texts[a], texts[b]) >= 0.8
+    }
+    assert got_j == want_j
+    assert got <= got_j  # exact dups always pass the jaccard bar
+
+
 def test_knn_brute_force_matches_numpy(ray_session):
     from cex_crawler_ray.stages.similarity import knn_brute_force
 

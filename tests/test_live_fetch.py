@@ -1,0 +1,190 @@
+"""Live fetch actor pool (sources/live_fetch.py) + M16 header synthesis:
+bounded content-sniff retries, dead-letter rows (no silent drops), and
+drop-in compatibility with the crawl loop via CrawlConfig.fetch_fn.
+"""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from cex_crawler_ray.functions.headers import (
+    csrf_token,
+    device_info_b64,
+    device_uuid,
+    synth_headers,
+)
+from cex_crawler_ray.sources.live_fetch import (
+    LiveFetcher,
+    live_fetch,
+    store_transport_factory,
+)
+
+
+# ------------------------------------------------------------- headers
+def test_headers_deterministic_and_distinct():
+    h1 = synth_headers("https://a.test/x", seed=0)
+    h2 = synth_headers("https://a.test/x", seed=0)
+    h3 = synth_headers("https://b.test/y", seed=0)
+    assert h1 == h2
+    assert h1["csrftoken"] != h3["csrftoken"]
+    assert h1["device-info"] != h3["device-info"]
+    # uuid shape: 8-4-4-4-12 with version nibble 4
+    u = device_uuid("https://a.test/x")
+    parts = u.split("-")
+    assert [len(p) for p in parts] == [8, 4, 4, 4, 12]
+    assert parts[2][0] == "4"
+    assert len(csrf_token("u")) == 32
+    import base64, json
+
+    info = json.loads(base64.b64decode(device_info_b64("u")))
+    assert "screen_resolution" in info and "canvas_code" in info
+
+
+# ------------------------------------------------------- retry semantics
+class FlakyTransport:
+    """Challenge page for the first ``flaky_for`` attempts of urls
+    containing 'flaky'; permanent challenge for urls containing 'dead';
+    404 for urls containing 'missing'; else 200."""
+
+    def __init__(self, flaky_for=2):
+        self.flaky_for = flaky_for
+        self.calls: dict = {}
+
+    def __call__(self, url, headers):
+        assert "user-agent" in headers  # M16 hook ran
+        n = self.calls.get(url, 0) + 1
+        self.calls[url] = n
+        ts = datetime.datetime(2024, 3, 1, tzinfo=datetime.timezone.utc)
+        if "missing" in url:
+            return 404, None, ts
+        if "dead" in url or ("flaky" in url and n <= self.flaky_for):
+            return 503, b"<html>Checking your browser</html>", ts
+        return 200, f"<html>ok {url}</html>".encode(), ts
+
+
+def test_bounded_retry_and_dead_letter():
+    transport = FlakyTransport(flaky_for=2)
+    fetcher = LiveFetcher(lambda: transport, max_attempts=3)
+    batch = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://h.test/ok",
+                    "https://h.test/flaky",
+                    "https://h.test/dead",
+                    "https://h.test/missing",
+                ]
+            )
+        }
+    )
+    out = fetcher(batch)
+    rows = {
+        r["url"]: r for r in out.to_pylist()
+    }
+    assert len(rows) == 4  # nothing dropped
+    ok = rows["https://h.test/ok"]
+    assert (ok["status"], ok["attempts"], ok["fetch_state"]) == (200, 1, "ok")
+    fl = rows["https://h.test/flaky"]
+    assert (fl["status"], fl["attempts"], fl["fetch_state"]) == (
+        200,
+        3,
+        "ok",
+    )
+    assert fl["backoff_ms_total"] == 250 + 500
+    dead = rows["https://h.test/dead"]
+    assert (dead["status"], dead["attempts"], dead["fetch_state"]) == (
+        503,
+        3,
+        "dead_letter",
+    )
+    assert dead["html"] is None
+    miss = rows["https://h.test/missing"]
+    assert (miss["status"], miss["attempts"], miss["fetch_state"]) == (
+        404,
+        1,
+        "miss",
+    )
+    # ≤ max_attempts transport calls per url, ever
+    assert max(transport.calls.values()) <= 3
+
+
+def test_challenge_marker_on_200_still_retries():
+    class Challenge200:
+        def __init__(self):
+            self.n = 0
+
+        def __call__(self, url, headers):
+            self.n += 1
+            ts = datetime.datetime(
+                2024, 3, 1, tzinfo=datetime.timezone.utc
+            )
+            if self.n == 1:
+                return 200, b"<html>cf-challenge</html>", ts
+            return 200, b"<html>real content</html>", ts
+
+    t = Challenge200()
+    fetcher = LiveFetcher(lambda: t, max_attempts=3)
+    out = fetcher(pa.table({"url": pa.array(["https://h.test/p"])}))
+    r = out.to_pylist()[0]
+    assert r["attempts"] == 2 and r["fetch_state"] == "ok"
+    assert b"real content" in r["html"]
+
+
+# -------------------------------------------------- crawl-loop drop-in
+@pytest.fixture(scope="module")
+def store(ray_session, sf_tiny, tmp_path_factory):
+    from cex_crawler_ray.sources.page_store import PageStore
+    from cex_crawler_ray.sources.pages import pages_from_documents
+
+    path = str(tmp_path_factory.mktemp("pagestore_live"))
+    ps = PageStore(path, num_buckets=8)
+    ps.write(pages_from_documents(sf_tiny))
+    return ps
+
+
+def test_crawl_through_live_fetcher(store, sf_tiny):
+    """The flagship crawl runs unchanged through the live actor pool
+    (PageStore transport), producing the identical crawl."""
+    from cex_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from cex_crawler_ray.sources.pages import (
+        robots_rules,
+        seeds_for_sources,
+        sources_in,
+    )
+    from cex_crawler_ray.stages.extract import profiles_for_sources
+    from cex_crawler_ray.state.politeness import RobotsPolicy
+
+    sources = sources_in(sf_tiny)
+    robots = RobotsPolicy(
+        disallow=robots_rules(sources), default_delay_ms=500
+    )
+    kwargs = dict(
+        max_rounds=6,
+        seen_shards=4,
+        profiles=profiles_for_sources(sources),
+        as_of_hk="2024-03-08 09:00:00",
+        offset_days=7,
+    )
+    base = run_crawl(
+        store, seeds_for_sources(sources), robots, CrawlConfig(**kwargs)
+    )
+
+    factory = store_transport_factory(store.path, store.num_buckets)
+    cfg_live = CrawlConfig(
+        fetch_fn=lambda tbl: live_fetch(
+            tbl, factory, concurrency=2, batch_size=128
+        ),
+        **kwargs,
+    )
+    live = run_crawl(
+        store, seeds_for_sources(sources), robots, cfg_live
+    )
+    assert live.crawl_order() == base.crawl_order()
+    assert sorted(live.fetched_table()["url"].to_pylist()) == sorted(
+        base.fetched_table()["url"].to_pylist()
+    )
+    assert live.seen_set_size() == base.seen_set_size()
