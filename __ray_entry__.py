@@ -54,9 +54,12 @@ pages AS (
   FROM base
 ),
 crawlable AS (
-  -- robots: hosts with src%5==4 disallow /articles/1*
+  -- robots: hosts with src%5==4 disallow /articles/1*;
+  -- M12 title filter: hosts with src%7==6 admit only titles ending
+  -- ' en' (anchor title = 'Doc {id} {lang}' -> lang = 'en')
   SELECT * FROM pages
   WHERE NOT (src % 5 = 4 AND CAST(doc_id AS VARCHAR) LIKE '1%')
+    AND NOT (src % 7 = 6 AND lang <> 'en')
 ),
 ex AS (
   SELECT *,
@@ -462,6 +465,32 @@ def q_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"approx_distinct_users": [round(est, 1)]})
 
 
+def q_exact_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) — the oracle-backed anchor for the
+    HLL estimate: per-batch partial distinct sets (numpy unique), a
+    single small shuffle of distinct keys, final count.  The HLL row
+    (``approx_distinct_users``) is pytest-gated to within 5% relative
+    error of THIS number, so the sketch's accuracy is tied to an
+    oracle-verified quantity every round."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(batch["user_id"].to_pylist()))
+        return pa.table({"user_id": pa.array(u)})
+
+    # partial distinct per block -> tiny groupby on the survivors
+    distinct = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .count()
+    )
+    return pd.DataFrame({"n_users": [int(distinct.count())]})
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic corpus subsampling: keep docs whose md5(text)
     starts with '0' (a reproducible ~1/16 sample — the standard
@@ -823,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "blob_meta": q_blob_meta,
         "approx_distinct_users": q_approx_distinct_users,
+        "exact_distinct_users": q_exact_distinct_users,
         "hash_sample": q_hash_sample,
         "group_median": q_group_median,
         "window_cumsum": q_window_cumsum,
@@ -1002,6 +1032,9 @@ FROM documents
         "hash_sample": """
 SELECT doc_id, length(text) AS n_chars
 FROM documents WHERE substr(md5(text), 1, 1) = '0'
+""",
+        "exact_distinct_users": """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
 """,
         "group_median": """
 SELECT event_type,

@@ -331,6 +331,40 @@ def get_json_from_pre(html: str):
         return html
 
 
+def article_detail_from_next_data(data):
+    """JSON-detail-page projection (M6 full surface): the reference's
+    bybit detail extraction walks
+    ``props.pageProps.articleDetail.content.json.children[*]``, keeps
+    ``type == 'p'`` nodes, and concatenates their text children
+    (reference ``exchange/bybit.py:81-102``; gate/mexc variants
+    ``exchange/gate.py:59-66``, ``exchange/mexc.py:83-98``).
+
+    Returns ``(title, [paragraph, ...])`` or None when the blob is not
+    an article-detail payload (e.g. a hub page's ``__NEXT_DATA__``)."""
+    if not isinstance(data, dict):
+        return None
+    detail = (
+        data.get("props", {}).get("pageProps", {}).get("articleDetail")
+    )
+    if not isinstance(detail, dict):
+        return None
+    title = str(detail.get("title", ""))
+    children = (
+        detail.get("content", {}).get("json", {}).get("children", [])
+    )
+    paras = []
+    for node in children:
+        if not isinstance(node, dict) or node.get("type") != "p":
+            continue  # the reference skips imgs/embeds (bybit.py:92)
+        parts = [
+            str(c.get("text", ""))
+            for c in node.get("children", [])
+            if isinstance(c, dict)
+        ]
+        paras.append("".join(parts))
+    return title, paras
+
+
 def get_next_data(html: str, script_id: str = "__NEXT_DATA__"):
     """``<script id="__NEXT_DATA__" type="application/json">`` JSON blob
     (reference ``exchange/bybit.py:54-78`` and near-copies).  None when

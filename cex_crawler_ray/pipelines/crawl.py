@@ -69,6 +69,12 @@ class CrawlConfig:
     # store's bucket-aligned batch fetch; the live actor-pool fetcher
     # (sources/live_fetch.py) plugs in here.
     fetch_fn: object | None = None
+    # M12 title filters (reference exchange/lbank.py:179-184 'Delist'
+    # substring keep, exchange/bithumb.py:90-95 category whitelist):
+    # host -> tuple of substrings; a discovered link on that host is
+    # admitted only if its anchor title contains one of them.  Applied
+    # vectorized between discover and seen-check, in the workers.
+    title_filters: dict = field(default_factory=dict)
 
 
 def canonicalize_batch(batch: pa.Table, depth: int = 0, round_no: int = 0) -> pa.Table:
@@ -473,18 +479,49 @@ UNION_SCHEMA = pa.schema(
 )
 
 
+def apply_title_filters(canon: pa.Table, filters: dict) -> pa.Table:
+    """M12: drop frontier candidates on filtered hosts whose anchor
+    title contains none of the host's keep-substrings (vectorized
+    ``match_substring`` per (host, pattern), reference
+    ``exchange/lbank.py:179-184``)."""
+    if not filters or canon.num_rows == 0:
+        return canon
+    hosts = canon["host"].combine_chunks()
+    titles = canon["title"].combine_chunks()
+    keep = np.ones(canon.num_rows, dtype=bool)
+    for host, pats in filters.items():
+        on_host = pc.equal(hosts, host).to_numpy(zero_copy_only=False)
+        if not on_host.any():
+            continue
+        ok = np.zeros(canon.num_rows, dtype=bool)
+        for p in pats:
+            ok |= pc.match_substring(titles, p).to_numpy(
+                zero_copy_only=False
+            )
+        keep &= ok | ~on_host
+    return canon.filter(pa.array(keep))
+
+
 class ProcessStage:
     """Fused per-round stage: fetched batch -> page rows + link rows.
 
     One ``map_batches`` pass does extraction (M1-M7 via ExtractStage)
-    AND link discovery, emitting a union-typed table
-    (``kind`` = 'page' | 'link') so a crawl round is a single streaming
-    pipeline execution: fetch -> process -> seen-check(links)."""
+    AND link discovery — including the M12 title filter — emitting a
+    union-typed table (``kind`` = 'page' | 'link') so a crawl round is
+    a single streaming pipeline execution:
+    fetch -> process -> seen-check(links)."""
 
-    def __init__(self, extract: ExtractStage, round_no: int, max_depth: int):
+    def __init__(
+        self,
+        extract: ExtractStage,
+        round_no: int,
+        max_depth: int,
+        title_filters: dict | None = None,
+    ):
         self.extract = extract
         self.discover = DiscoverStage(max_depth)
         self.round_no = round_no
+        self.title_filters = title_filters or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -506,7 +543,10 @@ class ProcessStage:
             schema=UNION_SCHEMA,
         )
         links = self.discover(batch)
-        canon = canonicalize_batch(links, round_no=self.round_no)
+        canon = apply_title_filters(
+            canonicalize_batch(links, round_no=self.round_no),
+            self.title_filters,
+        )
         ln = canon.num_rows
         nulls = {
             "fetch_slot": pa.nulls(ln, pa.int32()),
@@ -956,7 +996,12 @@ def run_crawl(
         round_ds = (
             fetch(to_fetch)
             .map_batches(
-                ProcessStage(extract, round_no=k + 1, max_depth=cfg.max_depth),
+                ProcessStage(
+                    extract,
+                    round_no=k + 1,
+                    max_depth=cfg.max_depth,
+                    title_filters=cfg.title_filters,
+                ),
                 batch_format="pyarrow",
             )
             .map_batches(

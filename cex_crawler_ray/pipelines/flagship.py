@@ -56,7 +56,7 @@ def page_store_for(
     st = os.stat(src)
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{replicate}:{num_buckets}:{pad}"
-        f":{st.st_size}:{int(st.st_mtime)}:v3".encode()
+        f":{st.st_size}:{int(st.st_mtime)}:v4".encode()
     ).hexdigest()[:12]
     path = os.path.join(_STORE_ROOT, key)
     marker = os.path.join(path, "_SUCCESS")
@@ -70,6 +70,19 @@ def page_store_for(
     return store
 
 
+def title_filters_for(sources) -> dict:
+    """M12 frontier title filters in the flagship (reference
+    ``exchange/lbank.py:179-184`` keeps only 'Delist' titles): hosts
+    with source index % 7 == 6 admit only English-titled articles —
+    anchor titles are 'Doc {id} {lang}', so the keep-substring ' en'
+    selects lang == 'en' (SQL: ``NOT (src % 7 = 6 AND lang <> 'en')``)."""
+    from ..sources.pages import host_for
+
+    return {
+        host_for(s): (" en",) for s in sources if src_num(s) % 7 == 6
+    }
+
+
 def crawl_config_for(sf_dir: str, **overrides) -> CrawlConfig:
     sources = sources_in(sf_dir)
     kwargs = dict(
@@ -78,6 +91,7 @@ def crawl_config_for(sf_dir: str, **overrides) -> CrawlConfig:
         profiles=profiles_for_sources(sources),
         as_of_hk=AS_OF_HK,
         offset_days=OFFSET_DAYS,
+        title_filters=title_filters_for(sources),
     )
     kwargs.update(overrides)
     return CrawlConfig(**kwargs)

@@ -102,6 +102,47 @@ def article_html(
 ) -> str:
     title = title_for(doc_id, lang)
     body = ann_text(doc_id, text, pad)
+    if src_num(source) % 4 == 3:
+        # JSON detail page: hosts whose hubs are __NEXT_DATA__ (m4==3)
+        # also serve their ARTICLES as Next.js JSON blobs — the
+        # reference's bybit detail layout
+        # (props.pageProps.articleDetail.content.json.children with a
+        # type filter, exchange/bybit.py:81-102); the img node is a
+        # decoy the type=='p' filter must skip
+        import json as _json
+
+        payload = _json.dumps(
+            {
+                "props": {
+                    "pageProps": {
+                        "articleDetail": {
+                            "title": title,
+                            "content": {
+                                "json": {
+                                    "children": [
+                                        {
+                                            "type": "p",
+                                            "children": [{"text": body}],
+                                        },
+                                        {
+                                            "type": "img",
+                                            "src": "banner.png",
+                                        },
+                                    ]
+                                }
+                            },
+                        }
+                    }
+                }
+            },
+            ensure_ascii=False,
+        )
+        return (
+            "<html><head>"
+            '<script id="__NEXT_DATA__" type="application/json">'
+            + payload
+            + "</script></head><body>\n<div>loading…</div>\n</body></html>"
+        )
     profile = src_num(source) % 3
     if profile == 0:
         # whole-page extraction, variant A; script/style are decomposed.

@@ -36,6 +36,10 @@ class ExtractProfile:
     root_tag: str | None = None
     root_class: str | None = None
     exchange: str | None = None  # default: first dns label of the host
+    # JSON detail pages (reference bybit.py:81-102): extract from the
+    # __NEXT_DATA__ articleDetail projection when present; pages
+    # without one (e.g. the host's hub) fall through to the HTML path
+    json_detail: bool = False
 
 
 _EXCLUDE_A = ("script", "style")
@@ -45,6 +49,15 @@ DEFAULT_PROFILE = ExtractProfile()
 
 
 def extract_with_profile(html: str, profile: ExtractProfile) -> str:
+    if profile.json_detail and "__NEXT_DATA__" in html:
+        detail = html_text.article_detail_from_next_data(
+            html_text.get_next_data(html)
+        )
+        if detail is not None:
+            title, paras = detail
+            sep = "\n" if profile.variant == "a" else " "
+            body = " ".join(paras)
+            return f"{title}{sep}{body}" if body else title
     if profile.root_tag is not None:
         exclude = _EXCLUDE_A if profile.variant == "a" else _EXCLUDE_B
         root_text = html_text.get_text_in_root(
@@ -153,17 +166,27 @@ class ExtractStage:
 def profiles_for_sources(sources) -> dict:
     """Host-profile registry for the synthetic web (sources/pages.py):
     source index % 3 -> 0: whole-page variant A, 1: article-body + B,
-    2: article-content + B."""
+    2: article-content + B; hosts with source index % 4 == 3
+    additionally serve JSON detail pages (__NEXT_DATA__ articleDetail,
+    reference bybit.py:81-102) — same extracted text, different
+    transport."""
     from ..sources.pages import host_for, src_num
 
     out = {}
     for s in sources:
+        jd = src_num(s) % 4 == 3
         m = src_num(s) % 3
         if m == 0:
-            out[host_for(s)] = ExtractProfile(variant="a", exchange=s)
+            out[host_for(s)] = ExtractProfile(
+                variant="a", exchange=s, json_detail=jd
+            )
         elif m == 1:
             out[host_for(s)] = ExtractProfile(
-                variant="b", root_tag="div", root_class="article-body", exchange=s
+                variant="b",
+                root_tag="div",
+                root_class="article-body",
+                exchange=s,
+                json_detail=jd,
             )
         else:
             out[host_for(s)] = ExtractProfile(
@@ -171,5 +194,6 @@ def profiles_for_sources(sources) -> dict:
                 root_tag="div",
                 root_class="article-content",
                 exchange=s,
+                json_detail=jd,
             )
     return out

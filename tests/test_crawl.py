@@ -212,3 +212,40 @@ def test_resume_no_refetch(store, crawl_inputs, tmp_path):
     assert refetched == remainder
     # crawl order identical to the uninterrupted run
     assert resumed.crawl_order() == full.crawl_order()
+
+
+def test_title_filter_applied_in_frontier():
+    """M12: on filtered hosts only matching anchor titles enter the
+    frontier (vectorized substring keep, reference lbank.py:179-184)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cex_crawler_ray.pipelines.crawl import (
+        apply_title_filters,
+        canonicalize_batch,
+    )
+
+    links = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://f.test/articles/1",
+                    "https://f.test/articles/2",
+                    "https://open.test/articles/3",
+                ]
+            ),
+            "title": pa.array(["Doc 1 en", "Doc 2 de", "Doc 3 de"]),
+            "priority": pa.array([0, 0, 0], pa.int32()),
+            "depth": pa.array([1, 1, 1], pa.int32()),
+        }
+    )
+    canon = canonicalize_batch(links, round_no=1)
+    out = apply_title_filters(canon, {"f.test": (" en",)})
+    urls = out["url"].to_pylist()
+    # f.test filtered to en titles; unfiltered hosts untouched
+    assert urls == [
+        "https://f.test/articles/1",
+        "https://open.test/articles/3",
+    ]
+    # no filters -> identity
+    assert apply_title_filters(canon, {}).num_rows == 3

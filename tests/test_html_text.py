@@ -133,3 +133,60 @@ def test_windows_newlines_and_two_space_runs():
     html = "<p>a\r\nb</p><p>c    d</p>"
     # splitlines handles \r\n; 4 spaces = two 2-space separators
     assert ht.extract_text_a(html) == "a\nbc\nd"
+
+
+def test_article_detail_from_next_data():
+    """M6 full surface: bybit-style articleDetail projection — type=='p'
+    filter, text-children concat, None on non-detail payloads."""
+    data = {
+        "props": {
+            "pageProps": {
+                "articleDetail": {
+                    "title": "T1",
+                    "content": {
+                        "json": {
+                            "children": [
+                                {"type": "p", "children": [
+                                    {"text": "hello "}, {"text": "world"}
+                                ]},
+                                {"type": "img", "src": "x.png"},
+                                {"type": "p", "children": [{"text": "again"}]},
+                            ]
+                        }
+                    },
+                }
+            }
+        }
+    }
+    assert ht.article_detail_from_next_data(data) == (
+        "T1",
+        ["hello world", "again"],
+    )
+    # hub-style __NEXT_DATA__ (no articleDetail) -> None (fallback path)
+    assert ht.article_detail_from_next_data(
+        {"props": {"pageProps": {"articles": []}}}
+    ) is None
+    assert ht.article_detail_from_next_data(None) is None
+
+
+def test_json_detail_page_extraction_matches_oracle_text():
+    """A synthetic JSON-detail article must extract byte-identically to
+    the pages.text oracle column through its host profile."""
+    from cex_crawler_ray.sources.pages import (
+        article_html,
+        expected_extracted_text,
+    )
+    from cex_crawler_ray.stages.extract import (
+        extract_with_profile,
+        profiles_for_sources,
+    )
+
+    # src3: %4==3 -> JSON detail; %3==0 -> variant A (newline join)
+    # src7: %4==3 -> JSON detail; %3==1 -> variant B (space join)
+    for src, doc_id in (("src3", 41), ("src7", 42)):
+        prof = profiles_for_sources([src])[f"{src}.test"]
+        assert prof.json_detail
+        html = article_html(doc_id, "en", src, "body text here")
+        assert "__NEXT_DATA__" in html
+        got = extract_with_profile(html, prof)
+        assert got == expected_extracted_text(doc_id, "en", src, "body text here")

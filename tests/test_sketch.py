@@ -61,3 +61,22 @@ def test_approx_distinct_on_dataset(ray_session, sf_small):
     assert abs(est - exact) / exact < 0.1
     # deterministic across runs (fixed hashing, order-free merge)
     assert approx_distinct(ds, "user_id", p=12) == est
+
+
+def test_hll_anchored_to_exact_companion_query(ray_session, sf_small):
+    """The driver-facing HLL row is tied to the ORACLE-BACKED exact
+    count (queries()['exact_distinct_users']) within 5% relative error
+    — so the sketch's accuracy is re-checked against a SQL-verified
+    number every round."""
+    import __ray_entry__ as m
+
+    exact = int(
+        m.queries()["exact_distinct_users"](sf_small)["n_users"].iloc[0]
+    )
+    est = float(
+        m.queries()["approx_distinct_users"](sf_small)[
+            "approx_distinct_users"
+        ].iloc[0]
+    )
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.05
