@@ -72,6 +72,20 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve the dashboard (reference backend.py:14-41): /health and /,
+    regenerating the HTML from the consolidated CSV when missing.
+    Needs no Ray session — serving is driver-side by design."""
+    from .serve import DashboardServer
+
+    srv = DashboardServer(
+        csv_path=args.csv, html_path=args.html, port=args.port
+    )
+    print(json.dumps({"port": srv.port, "csv": args.csv, "html": args.html}))
+    srv.serve_forever()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="cex_crawler_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -89,11 +103,18 @@ def main(argv=None) -> int:
     r.add_argument("--out", default="/tmp/cex_crawler_ray_report")
     r.set_defaults(fn=cmd_report)
 
+    s = sub.add_parser("serve", help="serve the dashboard (/, /health)")
+    s.add_argument("--csv", default="/tmp/cex_crawler_ray_report/announcements.csv")
+    s.add_argument("--html", default="/tmp/cex_crawler_ray_report/announcements.html")
+    s.add_argument("--port", type=int, default=8888)
+    s.set_defaults(fn=cmd_serve, needs_ray=False)
+
     args = p.parse_args(argv)
     rc = args.fn(args)
     import ray
 
-    ray.shutdown()
+    if ray.is_initialized():
+        ray.shutdown()
     return rc
 
 

@@ -821,6 +821,30 @@ def run_crawl(
     rounds beyond where the checkpoint left off."""
     run = CrawlRun(cfg, checkpoint_dir)
 
+    # structured per-run log with retention (reference utils.py:25-52):
+    # one JSONL file per invocation under {checkpoint}/logs, named by
+    # the run's HK start time (deterministic when as_of_hk is pinned)
+    runlog = None
+    if checkpoint_dir:
+        import datetime as _dt
+
+        from ..state.runlog import RunLogger
+
+        now = None
+        if cfg.as_of_hk:
+            now = _dt.datetime.strptime(
+                cfg.as_of_hk, "%Y-%m-%d %H:%M:%S"
+            ).replace(tzinfo=_dt.timezone(_dt.timedelta(hours=8)))
+        runlog = RunLogger(os.path.join(checkpoint_dir, "logs"), now=now)
+        runlog.info(
+            "run_start",
+            resumed=os.path.exists(
+                os.path.join(checkpoint_dir, "manifest.json")
+            ),
+            reseed=reseed,
+            max_rounds=cfg.max_rounds,
+        )
+
     # frontier representation: in-memory mode holds an Arrow table on
     # the driver (small/test runs); disk mode holds a LIST OF PARQUET
     # PATHS — the driver materializes frontier rows only when a round is
@@ -1149,9 +1173,22 @@ def run_crawl(
                 run._save_round(k, frontier_paths)
             else:
                 frontier_tbl = frontier_next
+        if runlog is not None:
+            runlog.info(
+                "round",
+                **m.__dict__,
+                frontier_next=run.lineage[-1]["frontier_next"],
+            )
         run.rounds_done = k + 1
         k += 1
         if stop_after_round is not None and k >= stop_after_round:
             break
 
+    if runlog is not None:
+        runlog.info(
+            "run_end",
+            rounds_done=run.rounds_done,
+            seen_total=run.seen.total(),
+        )
+        runlog.close()
     return run
