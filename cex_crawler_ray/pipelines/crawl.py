@@ -136,15 +136,23 @@ class SeenCheckStage:
             idx = np.nonzero(applies.to_numpy(zero_copy_only=False))[0]
             if len(idx) == 0:
                 return batch
-            hashes = np.asarray(
-                batch["url_hash"].take(pa.array(idx)).to_pylist(),
-                dtype=np.uint64,
+            hashes = (
+                batch["url_hash"]
+                .take(pa.array(idx))
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64, copy=False)
             )
             new = self.pool.check_and_add(hashes)
             keep = np.ones(batch.num_rows, dtype=bool)
             keep[idx] = new
             return batch.filter(pa.array(keep))
-        hashes = np.asarray(batch["url_hash"].to_pylist(), dtype=np.uint64)
+        hashes = (
+            batch["url_hash"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64, copy=False)
+        )
         mask = self.pool.check_and_add(hashes)
         return batch.filter(pa.array(mask))
 

@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 
 import ray
 
+from .similarity import col_to_numpy, stack_list_column
+
 
 def _hash64(s: str) -> int:
     return int.from_bytes(
@@ -262,8 +264,8 @@ def _distinct_pairs(pairs):
     a vectorized local drop_duplicates."""
 
     def add_key(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["id_a"].to_pylist(), dtype=np.uint64)
-        b = np.asarray(batch["id_b"].to_pylist(), dtype=np.uint64)
+        a = col_to_numpy(batch["id_a"], np.uint64)
+        b = col_to_numpy(batch["id_b"], np.uint64)
         key = a * np.uint64(0x9E3779B97F4A7C15) + b
         return batch.append_column("pair_key", pa.array(key, pa.uint64()))
 
@@ -315,16 +317,68 @@ def attach_pair_texts(
     return j2
 
 
+def _materialize_pairs(pairs) -> pa.Table:
+    if isinstance(pairs, pa.Table):
+        return pairs
+    tables = [ray.get(r) for r in pairs.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables).combine_chunks()
+
+
+def _candidate_texts(pairs_tbl: pa.Table, corpus, id_col, text_col) -> dict:
+    """id -> text for exactly the ids appearing in candidate pairs: a
+    broadcast sorted-id membership scan of the corpus (one pass, no
+    shuffle).  The lookup is bounded by the CANDIDATE set — 2 x npairs
+    texts — never the corpus (the round-1 driver dict held every doc).
+    For candidate sets too large even for that, ``attach_pair_texts``
+    is the co-partition-join alternative."""
+    ids = np.unique(
+        np.concatenate(
+            [
+                col_to_numpy(pairs_tbl["id_a"], np.int64),
+                col_to_numpy(pairs_tbl["id_b"], np.int64),
+            ]
+        )
+    )
+    if len(ids) == 0:
+        return {}
+    ref = ray.put(ids)  # already sorted by np.unique
+
+    def pick(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)
+        h = col_to_numpy(batch[id_col], np.int64)
+        pos = np.searchsorted(wanted, h)
+        pos[pos >= len(wanted)] = 0
+        return batch.select([id_col, text_col]).filter(
+            pa.array(wanted[pos] == h)
+        )
+
+    rows = corpus.map_batches(pick, batch_format="pyarrow").take_all()
+    return {r[id_col]: r[text_col] for r in rows}
+
+
 def verify_pairs_exact(pairs, corpus, id_col="doc_id", text_col="text"):
-    """Keep only candidate pairs whose texts are byte-identical
-    (verification by distributed join, not a driver dict)."""
+    """Keep only candidate pairs whose texts are byte-identical.
 
-    def check(batch: pa.Table) -> pa.Table:
-        keep = pc.equal(batch["text_a"], batch["text_b"])
-        return batch.filter(keep).select(["id_a", "id_b"])
+    Verification volume scales with the candidate set: candidate ids
+    are broadcast, one corpus scan picks their texts, the equality
+    check is vectorized over the (small) pair table."""
+    import pandas as pd
 
-    return attach_pair_texts(pairs, corpus, id_col, text_col).map_batches(
-        check, batch_format="pyarrow"
+    pairs_tbl = _materialize_pairs(pairs)
+    texts = _candidate_texts(pairs_tbl, corpus, id_col, text_col)
+    ta = pd.Series(pairs_tbl["id_a"].to_pylist()).map(texts)
+    tb = pd.Series(pairs_tbl["id_b"].to_pylist()).map(texts)
+    keep = (ta == tb) & ta.notna()
+    return pairs_tbl.filter(pa.array(keep.to_numpy())).select(
+        ["id_a", "id_b"]
     )
 
 
@@ -333,21 +387,17 @@ def verify_pairs_jaccard(
     id_col="doc_id", text_col="text",
 ):
     """Keep only candidate pairs whose TRUE k-gram Jaccard >= threshold
-    (verification by distributed join; the Jaccard kernel runs where the
-    candidate rows already are)."""
-
-    def check(batch: pa.Table) -> pa.Table:
-        keep = [
-            ngram_jaccard(a, b, k) >= min_jaccard
-            for a, b in zip(
-                batch["text_a"].to_pylist(), batch["text_b"].to_pylist()
-            )
-        ]
-        return batch.filter(pa.array(keep)).select(["id_a", "id_b"])
-
-    return attach_pair_texts(pairs, corpus, id_col, text_col).map_batches(
-        check, batch_format="pyarrow"
-    )
+    (same candidate-bounded broadcast verify as
+    ``verify_pairs_exact``)."""
+    pairs_tbl = _materialize_pairs(pairs)
+    texts = _candidate_texts(pairs_tbl, corpus, id_col, text_col)
+    keep = [
+        ngram_jaccard(texts[a], texts[b], k) >= min_jaccard
+        for a, b in zip(
+            pairs_tbl["id_a"].to_pylist(), pairs_tbl["id_b"].to_pylist()
+        )
+    ]
+    return pairs_tbl.filter(pa.array(keep)).select(["id_a", "id_b"])
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -509,12 +559,7 @@ def embedding_dup_pairs(
     primes = _GRID_PRIMES[:proj_dims]
 
     def explode_cells(batch: pa.Table) -> pa.Table:
-        m = np.stack(
-            [
-                np.asarray(e, dtype=np.float64)
-                for e in batch[emb_col].to_pylist()
-            ]
-        )
+        m = stack_list_column(batch[emb_col])
         m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-300)
         planes = _grid_planes(m.shape[1], proj_dims)
         base = np.floor((m @ planes.T) / eps).astype(np.int64)

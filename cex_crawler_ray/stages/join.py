@@ -54,7 +54,12 @@ def hash_join(
     def tag(side: str, key: str):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            k = np.asarray(batch[key].to_pylist(), dtype=np.uint64)
+            k = (
+                batch[key]
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64, copy=False)
+            )
             part = pa.array(
                 ((k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_parts)).astype(
                     np.int64

@@ -30,6 +30,35 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-300)
 
 
+def stack_list_column(col) -> np.ndarray:
+    """``list<float>`` column -> (n, dim) float64 matrix.
+
+    Fast path: uniform-length lists reshape the flattened values buffer
+    (zero-copy out of Arrow) instead of a per-row Python conversion —
+    the difference between an Arrow-native and a Python-object batch
+    kernel on embedding columns."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    try:
+        offs = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+        if n and (offs == offs[0]).all() and offs[0] > 0:
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(n, int(offs[0])).astype(
+                np.float64, copy=False
+            )
+    except (AttributeError, ValueError):
+        pass
+    return np.stack(
+        [np.asarray(e, dtype=np.float64) for e in arr.to_pylist()]
+    )
+
+
+def col_to_numpy(col, dtype) -> np.ndarray:
+    """Numeric Arrow column -> numpy, zero-copy when null-free."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return arr.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+
+
 def knn_brute_force(
     ds,
     query_vecs: np.ndarray,
@@ -47,12 +76,8 @@ def knn_brute_force(
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        m = _norm_rows(
-            np.stack(
-                [np.asarray(e, dtype=np.float64) for e in batch[emb_col].to_pylist()]
-            )
-        )
+        ids = col_to_numpy(batch[id_col], np.int64)
+        m = _norm_rows(stack_list_column(batch[emb_col]))
         sims = qm @ m.T  # (nq, batch)
         nq = sims.shape[0]
         kk = min(k, sims.shape[1])
@@ -211,12 +236,7 @@ def knn_lsh(
 
     def partial(batch: pa.Table) -> pa.Table:
         qn, probes, wanted, planes = ray.get(bcast)
-        m = np.stack(
-            [
-                np.asarray(e, dtype=np.float64)
-                for e in batch[emb_col].to_pylist()
-            ]
-        )
+        m = stack_list_column(batch[emb_col])
         bits = (m @ planes.T) > 0
         keys = np.zeros(len(m), dtype=np.int64)
         for b in range(bits.shape[1]):
@@ -230,7 +250,7 @@ def knn_lsh(
                     "sim": pa.array([], pa.float64()),
                 }
             )
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)[keep]
+        ids = col_to_numpy(batch[id_col], np.int64)[keep]
         return _masked_partial_topk(
             qn, probes, ids, _norm_rows(m[keep]), keys[keep], k
         )
@@ -320,14 +340,7 @@ def knn_ivf(
 
     def partial(batch: pa.Table) -> pa.Table:
         qn, probes, wanted, cent = ray.get(bcast)
-        m = _norm_rows(
-            np.stack(
-                [
-                    np.asarray(e, dtype=np.float64)
-                    for e in batch[emb_col].to_pylist()
-                ]
-            )
-        )
+        m = _norm_rows(stack_list_column(batch[emb_col]))
         lists = np.argmax(m @ cent.T, axis=1).astype(np.int64)
         keep = np.isin(lists, wanted)
         if not keep.any():
@@ -338,7 +351,7 @@ def knn_ivf(
                     "sim": pa.array([], pa.float64()),
                 }
             )
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)[keep]
+        ids = col_to_numpy(batch[id_col], np.int64)[keep]
         return _masked_partial_topk(
             qn, probes, ids, m[keep], lists[keep], k
         )

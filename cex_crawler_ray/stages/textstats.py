@@ -129,28 +129,34 @@ def winnow_fingerprints(
 ) -> list:
     """Winnowing (Schleimer et al., SIGMOD'03): rolling k-gram hashes,
     per-window minima — a robust document fingerprint for near-dup
-    detection.  Pure function; the stage maps it per row."""
+    detection.  Fully vectorized: polynomial rolling hashes over
+    sliding char-code windows (natural uint64 wraparound, same scheme
+    as dedup.shingle_hashes_vec), then window minima + consecutive-
+    dedup via numpy.  The chosen min index per window is non-decreasing
+    in w, so 'same index as previously kept' reduces to 'same index as
+    the previous window' — a plain diff."""
+    import numpy as np
+
     if len(text) < k:
         return []
-    hashes = [
-        int.from_bytes(
-            hashlib.blake2b(
-                text[i : i + k].encode("utf-8"), digest_size=8
-            ).digest(),
-            "big",
-        )
-        for i in range(len(text) - k + 1)
-    ]
-    out = []
-    prev = -1
-    for w in range(max(1, len(hashes) - window + 1)):
-        win = hashes[w : w + window]
-        m = min(win)
-        idx = w + win.index(m)
-        if idx != prev:
-            out.append(m)
-            prev = idx
-    return out
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    base = np.uint64(1099511628211)
+    powers = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+        hashes = (grams * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    n = len(hashes)
+    if n <= window:
+        return [int(hashes.min())]
+    wins = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    amin = wins.argmin(axis=1)
+    idx = np.arange(len(wins)) + amin
+    keep = np.empty(len(idx), dtype=bool)
+    keep[0] = True
+    keep[1:] = idx[1:] != idx[:-1]
+    return hashes[idx[keep]].tolist()
 
 
 def winnow_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
