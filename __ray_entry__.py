@@ -735,6 +735,91 @@ def q_sessionize(sf_dir: str):
     return sessionize(events)
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (beyond-reference, a named custom-operator target):
+    each event matched to the user's most recent order as of the event
+    time.  Right side pre-deduplicated to unique (custkey, orderdate)
+    — max orderkey per day — because a tied as-of row is ambiguous in
+    any engine."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+    from cex_crawler_ray.stages.join import asof_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["o_custkey", "o_orderdate"], as_index=False
+        ).agg(last_orderkey=("o_orderkey", "max"))
+
+    def final(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        out = df.groupby(
+            ["o_custkey", "o_orderdate"], as_index=False
+        ).agg(last_orderkey=("last_orderkey", "max"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # partial per batch, then coarse-partitioned vectorized final (a
+    # per-(custkey,date) map_groups would pay a Python call per group)
+    grouped = _coarse_group_apply(
+        orders.map_batches(partial, batch_format="pandas"),
+        "o_custkey",
+        final,
+        num_parts=32,
+    )
+    j = asof_join(
+        events, grouped, "user_id", "o_custkey", "ts", "o_orderdate"
+    )
+    return j.select_columns(["event_id", "last_orderkey"])
+
+
+_TIERS = [
+    (0, 1_000, "micro"),
+    (1_000, 5_000, "small"),
+    (5_000, 20_000, "mid"),
+    (20_000, 1_000_000_000, "large"),
+]
+
+
+def q_range_join(sf_dir: str):
+    """Range (band) join: each event's integer-cents value assigned to
+    its tier via a broadcast non-overlapping range table — the big side
+    never shuffles."""
+    from cex_crawler_ray.stages.join import range_join_broadcast
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "cents": pa.array(_cents(batch["value"].to_pylist()), pa.int64()),
+            }
+        )
+
+    ranges = pa.table(
+        {
+            "lo": pa.array([t[0] for t in _TIERS], pa.int64()),
+            "hi": pa.array([t[1] for t in _TIERS], pa.int64()),
+            "tier": pa.array([t[2] for t in _TIERS], pa.string()),
+        }
+    )
+    return range_join_broadcast(
+        events.map_batches(add_cents, batch_format="pyarrow"),
+        ranges,
+        "cents",
+    ).select_columns(["event_id", "tier"])
+
+
 def q_topk_per_group(sf_dir: str):
     """Windowed rank: top-3 orders per customer by (totalprice desc,
     orderkey asc) — per-group top-k without a global sort."""
@@ -859,6 +944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join_agg": q_broadcast_join_agg,
         "hash_join_agg": q_hash_join_agg,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "groupby_lineitem": q_groupby_lineitem,
         "topk_orders": q_topk_orders,
         "topk_per_group": q_topk_per_group,
@@ -1077,6 +1164,25 @@ FROM (
               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
   FROM events
 ) t
+""",
+        "asof_join": """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(max(o_orderkey) AS BIGINT) AS last_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, o.last_orderkey
+FROM events e ASOF JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+        "range_join": """
+SELECT e.event_id, t.tier
+FROM (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events) e
+JOIN (VALUES (0, 1000, 'micro'), (1000, 5000, 'small'),
+             (5000, 20000, 'mid'), (20000, 1000000000, 'large'))
+     t(lo, hi, tier)
+  ON e.cents >= t.lo AND e.cents < t.hi
 """,
         "groupby_lineitem": """
 SELECT l_returnflag, l_linestatus,

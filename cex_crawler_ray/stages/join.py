@@ -100,6 +100,151 @@ def hash_join(
     )
 
 
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    num_parts: int = 32,
+) -> "ray.data.Dataset":
+    """As-of join: for each left row, the single right row of the same
+    key with the greatest ``right_ts <= left_ts`` (backward inexact
+    match — the standard time-series enrichment join Ray Data lacks).
+
+    Partitioning assumption (documented per the custom-operator rule):
+    both sides hash-partition on the JOIN KEY, so a key's full history
+    lands in one partition; within a partition the match is a sorted
+    ``merge_asof`` per key.  The shuffle carries join + timestamp
+    columns only.  Right-side (key, ts) pairs must be unique — ties
+    make "the" as-of row ambiguous in any engine; pre-aggregate first.
+    Inner semantics: left rows with no as-of match are dropped.
+    """
+    lschema, rschema = left.schema(), right.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    overlap = (set(lcols) & set(rcols)) - {left_key, right_key}
+    assert not overlap, f"ambiguous columns: {overlap}"
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+    all_types = {**rtypes, **ltypes}
+
+    def tag(side: str, key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            k = (
+                batch[key]
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64, copy=False)
+            )
+            part = pa.array(
+                (
+                    (k * np.uint64(0x9E3779B97F4A7C15))
+                    % np.uint64(num_parts)
+                ).astype(np.int64),
+                pa.int64(),
+            )
+            arrays = []
+            for c in all_cols:
+                if c in batch.column_names:
+                    arrays.append(batch[c].combine_chunks())
+                else:
+                    arrays.append(pa.nulls(n, all_types[c]))
+            out = pa.Table.from_arrays(arrays, names=all_cols)
+            return out.append_column("__part", part).append_column(
+                "__side", pa.array([side] * n, pa.string())
+            )
+
+        return fn
+
+    tagged = left.map_batches(
+        tag("l", left_key), batch_format="pyarrow"
+    ).union(right.map_batches(tag("r", right_key), batch_format="pyarrow"))
+
+    int_l = {c: "int64" for c in lcols if pa.types.is_integer(ltypes[c])}
+    int_r = {c: "int64" for c in rcols if pa.types.is_integer(rtypes[c])}
+
+    def join_part(df: pd.DataFrame) -> pd.DataFrame:
+        lp = (
+            df[df["__side"] == "l"][lcols]
+            .astype(int_l)
+            .sort_values([left_ts, left_key], kind="mergesort")
+        )
+        rp = (
+            df[df["__side"] == "r"][rcols]
+            .astype(int_r)
+            .sort_values([right_ts, right_key], kind="mergesort")
+        )
+        if lp.empty or rp.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=object) for c in all_cols}
+            )
+        out = pd.merge_asof(
+            lp,
+            rp,
+            left_on=left_ts,
+            right_on=right_ts,
+            left_by=left_key,
+            right_by=right_key,
+            direction="backward",
+        )
+        # inner semantics: drop left rows with no as-of match; unmatched
+        # NaNs floated the right ints, so restore them after the drop
+        non_key_r = [c for c in rcols if c != right_key]
+        out = out[out[non_key_r[0]].notna()]
+        return out.astype(int_r)
+
+    return tagged.groupby("__part").map_groups(
+        join_part, batch_format="pandas"
+    )
+
+
+def range_join_broadcast(
+    ds: "ray.data.Dataset",
+    ranges: "pa.Table",
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> "ray.data.Dataset":
+    """Range join against a SMALL table of half-open, non-overlapping,
+    sorted ranges [lo, hi): each input row gains the range row it falls
+    into (rows outside every range are dropped — inner semantics).
+
+    Partitioning assumption: none — the ranges table is broadcast via
+    ``ray.put`` once and each batch does one ``searchsorted``; the big
+    side never shuffles.  This is the scale shape for banding /
+    tiering / histogram joins where the range side fits in memory.
+    """
+    import ray as _ray
+
+    lo = np.asarray(ranges[lo_col].to_pylist())
+    hi = np.asarray(ranges[hi_col].to_pylist())
+    order = np.argsort(lo)
+    lo, hi = lo[order], hi[order]
+    assert (lo[1:] >= hi[:-1]).all(), "ranges must be non-overlapping"
+    label_cols = [
+        c for c in ranges.column_names if c not in (lo_col, hi_col)
+    ]
+    labels = {c: np.asarray(ranges[c].to_pylist())[order] for c in label_cols}
+    bref = _ray.put((lo, hi, labels))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lo, hi, labels = _ray.get(bref)
+        v = np.asarray(batch[value_col].to_pylist())
+        idx = np.searchsorted(lo, v, side="right") - 1
+        idx_c = np.clip(idx, 0, len(lo) - 1)
+        ok = (idx >= 0) & (v < hi[idx_c])
+        sub = batch.filter(pa.array(ok))
+        out = sub
+        for c, vals in labels.items():
+            out = out.append_column(c, pa.array(vals[idx_c[ok]]))
+        return out
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def sessionize(
     events: "ray.data.Dataset",
     user_col: str = "user_id",

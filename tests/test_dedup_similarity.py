@@ -222,3 +222,74 @@ def test_knn_ivf_recall_and_self_hit(ray_session):
     assert 17 in set(approx["vec_id"])  # query point always found
     recall = len(set(approx["vec_id"]) & exact) / 10
     assert recall >= 0.7
+
+
+def test_asof_join_semantics(ray_session):
+    """Backward as-of: greatest right_ts <= left_ts per key; inner
+    semantics drop unmatched left rows."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from cex_crawler_ray.stages.join import asof_join
+
+    def ts(d):
+        return dt.datetime(2024, 1, d)
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3], pa.int64()),
+                "lts": pa.array([ts(5), ts(1), ts(3), ts(9)]),
+                "lid": pa.array([10, 11, 12, 13], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([1, 1, 2], pa.int64()),
+                "rts": pa.array([ts(2), ts(4), ts(3)]),
+                "rid": pa.array([100, 101, 102], pa.int64()),
+            }
+        )
+    )
+    out = (
+        asof_join(left, right, "k", "rk", "lts", "rts")
+        .to_pandas()
+        .sort_values("lid")
+    )
+    # lid 10 (k=1, t=5) -> rid 101 (t=4); lid 11 (t=1) unmatched;
+    # lid 12 (k=2, t=3) -> rid 102 (exact match allowed); k=3 unmatched
+    assert out["lid"].tolist() == [10, 12]
+    assert out["rid"].tolist() == [101, 102]
+
+
+def test_range_join_broadcast_edges(ray_session):
+    import pyarrow as pa
+
+    from cex_crawler_ray.stages.join import range_join_broadcast
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "v": pa.array([0, 999, 1000, 19999, -5], pa.int64()),
+            }
+        )
+    )
+    ranges = pa.table(
+        {
+            "lo": pa.array([0, 1000], pa.int64()),
+            "hi": pa.array([1000, 20000], pa.int64()),
+            "tier": pa.array(["a", "b"]),
+        }
+    )
+    out = (
+        range_join_broadcast(ds, ranges, "v")
+        .to_pandas()
+        .sort_values("id")
+    )
+    # half-open [lo, hi): 0->a, 999->a, 1000->b, 19999->b; -5 dropped
+    assert out["id"].tolist() == [1, 2, 3, 4]
+    assert out["tier"].tolist() == ["a", "a", "b", "b"]
