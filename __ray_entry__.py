@@ -780,6 +780,47 @@ def q_asof_join(sf_dir: str):
     return j.select_columns(["event_id", "last_orderkey"])
 
 
+def q_tumbling_window(sf_dir: str):
+    """Tumbling event-time window aggregate (beyond-reference): per
+    (user, 1-day window) event count + cents sum.  Partial aggregation
+    per batch, coarse-partitioned vectorized final — the shuffle
+    carries one row per (batch, user, day)."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["ts"].dt.floor("D").dt.strftime("%Y-%m-%d")
+        g = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "window_start": w,
+                "cents": _cents(df["value"]),
+            }
+        ).groupby(["user_id", "window_start"], as_index=False)
+        return g.agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+
+    def final(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        out = df.groupby(
+            ["user_id", "window_start"], as_index=False
+        ).agg(
+            n_events=("n_events", "sum"), sum_cents=("sum_cents", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return _coarse_group_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        "user_id",
+        final,
+        num_parts=32,
+    )
+
+
 _TIERS = [
     (0, 1_000, "micro"),
     (1_000, 5_000, "small"),
@@ -946,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "tumbling_window": q_tumbling_window,
         "groupby_lineitem": q_groupby_lineitem,
         "topk_orders": q_topk_orders,
         "topk_per_group": q_topk_per_group,
@@ -1174,6 +1216,14 @@ WITH o AS (
 SELECT e.event_id, o.last_orderkey
 FROM events e ASOF JOIN o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+        "tumbling_window": """
+SELECT user_id,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+       count(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY user_id, window_start
 """,
         "range_join": """
 SELECT e.event_id, t.tier
