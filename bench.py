@@ -178,6 +178,32 @@ def bench_crawl_e2e(sf_dir: str) -> dict:
     return {"pages": n, "sec": dt, "pages_per_sec": n / dt}
 
 
+def bench_crawl_dist(sf_dir: str) -> dict:
+    """The distributed-frontier crawl path (robots + schedule in
+    workers, frontier as worker-written Parquet; forced via
+    driver_schedule_max_rows=0) — evidences the 10^10-scale round
+    machinery end-to-end at sf0.1."""
+    import shutil
+    import tempfile
+
+    from cex_crawler_ray.pipelines.flagship import run_flagship_crawl
+
+    ckpt = tempfile.mkdtemp(prefix="bench_dist_ckpt_")
+    try:
+        t0 = time.perf_counter()
+        run = run_flagship_crawl(
+            sf_dir,
+            checkpoint_dir=ckpt,
+            max_rounds=50,
+            driver_schedule_max_rows=0,
+        )
+        dt = time.perf_counter() - t0
+        n = run.fetched_table().num_rows
+        return {"pages": n, "sec": dt, "pages_per_sec": n / dt}
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def bench_queries(sf_dir: str) -> dict:
     import __ray_entry__ as entry_mod
 
@@ -244,6 +270,11 @@ def run_bench() -> dict:
         if want("crawl")
         else {"pages": 0, "sec": 0.0, "pages_per_sec": 0.0}
     )
+    crawl_dist = (
+        bench_crawl_dist(sf_dir)
+        if want("crawl")
+        else {"pages": 0, "sec": 0.0, "pages_per_sec": 0.0}
+    )
     queries = bench_queries(sf_dir) if want("queries") else {}
 
     sf_num = None
@@ -271,6 +302,8 @@ def run_bench() -> dict:
         "sparse_fetch_pages_per_sec": round(sparse["pages_per_sec"], 1),
         "crawl_e2e_pages_per_sec": round(crawl["pages_per_sec"], 1),
         "crawl_e2e_sec": round(crawl["sec"], 3),
+        "crawl_dist_pages_per_sec": round(crawl_dist["pages_per_sec"], 1),
+        "crawl_dist_sec": round(crawl_dist["sec"], 3),
         "replicate": REPLICATE,
     }
     ray.shutdown()

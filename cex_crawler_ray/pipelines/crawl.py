@@ -274,6 +274,26 @@ def _cached_policy(ref):
     return _POLICY_CACHE[key]
 
 
+def _robots_keep_mask(batch: pa.Table, robots) -> np.ndarray:
+    """Vectorized-adjacent robots gate: only rows whose HOST has
+    disallow rules pay a per-URL ``allowed`` call; every other row is
+    admitted by a numpy membership test.  On a typical web most hosts
+    publish no disallows, so the Python loop touches a sliver."""
+    n = batch.num_rows
+    keep = np.ones(n, dtype=bool)
+    ruled = robots.hosts_with_rules()
+    if not ruled:
+        return keep
+    hosts = np.asarray(batch["host"].to_pylist(), dtype=object)
+    check = np.isin(hosts, list(ruled))
+    if not check.any():
+        return keep
+    urls = batch["url"].to_pylist()
+    for i in np.nonzero(check)[0]:
+        keep[i] = robots.allowed(urls[i])
+    return keep
+
+
 def _host_ranks(t: pa.Table, budgets: dict, default_tokens: int):
     """Per-host rank + token budget for a table ALREADY sorted by
     ``_FRONTIER_SORT``.  Vectorized over rows; Python only per distinct
@@ -319,11 +339,7 @@ def _gate_precut_fn(policy_ref, deferred_dir: str, num_parts: int = 64):
             return CAND_SCHEMA.empty_table()
         batch = batch.select(FRONTIER.names).cast(FRONTIER)
         robots, budgets, default_tokens = _cached_policy(policy_ref)
-        urls = batch["url"].to_pylist()
-        keep = np.fromiter(
-            (robots.allowed(u) for u in urls), dtype=bool, count=len(urls)
-        )
-        batch = batch.filter(pa.array(keep))
+        batch = batch.filter(pa.array(_robots_keep_mask(batch, robots)))
         if batch.num_rows == 0:
             return CAND_SCHEMA.empty_table()
         batch = batch.take(pc.sort_indices(batch, sort_keys=_FRONTIER_SORT))
@@ -994,10 +1010,9 @@ def run_crawl(
         else:
             # 1. robots gate (pure, broadcast policy — never re-shipped;
             # driver-side only for frontiers below the threshold)
-            allowed_mask = pa.array(
-                [robots.allowed(u) for u in frontier_tbl["url"].to_pylist()]
+            allowed_tbl = frontier_tbl.filter(
+                pa.array(_robots_keep_mask(frontier_tbl, robots))
             )
-            allowed_tbl = frontier_tbl.filter(allowed_mask)
             m.robots_blocked = frontier_tbl.num_rows - allowed_tbl.num_rows
 
             if allowed_tbl.num_rows == 0:

@@ -82,17 +82,16 @@ def knn_brute_force(
         nq = sims.shape[0]
         kk = min(k, sims.shape[1])
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out_q, out_id, out_sim = [], [], []
-        for qi in range(nq):
-            for j in part[qi]:
-                out_q.append(qi)
-                out_id.append(ids[j])
-                out_sim.append(sims[qi, j])
+        out_q = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        flat = part.ravel()
         return pa.table(
             {
                 "query_idx": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_id, pa.int64()),
-                "sim": pa.array(out_sim, pa.float64()),
+                "vec_id": pa.array(ids[flat], pa.int64()),
+                "sim": pa.array(
+                    np.take_along_axis(sims, part, axis=1).ravel(),
+                    pa.float64(),
+                ),
             }
         )
 

@@ -44,3 +44,66 @@ class RobotsPolicy:
         """Deterministic per-round fetch budget for a host."""
         delay = self.crawl_delay_ms.get(host, self.default_delay_ms)
         return max(1, round_ms // max(1, delay))
+
+    def hosts_with_rules(self) -> frozenset:
+        """Hosts that have at least one disallow prefix — the gate
+        short-circuits every other host without a per-URL call."""
+        return frozenset(h for h, p in self.disallow.items() if p)
+
+    @classmethod
+    def from_robots_txt(
+        cls,
+        texts: dict,
+        user_agent: str = "*",
+        default_delay_ms: int = 1000,
+    ) -> "RobotsPolicy":
+        """Build a policy from raw robots.txt bodies (host -> text).
+
+        Standard-format subset: ``User-agent`` group matching (exact
+        agent or ``*``), ``Disallow`` path prefixes (empty = allow
+        all), ``Crawl-delay`` seconds.  Unknown directives are ignored;
+        a fetch pipeline caches one parsed policy per host exactly like
+        the reference caches its buildId (``exchange/gate.py:52``)."""
+        disallow: dict = {}
+        delays: dict = {}
+        ua = user_agent.lower()
+        for host, text in texts.items():
+            rules: list = []
+            delay = None
+            star_rules: list = []
+            star_delay = None
+            applies = False
+            star_applies = False
+            for raw in (text or "").splitlines():
+                line = raw.split("#", 1)[0].strip()
+                if not line or ":" not in line:
+                    continue
+                key, _, val = line.partition(":")
+                key = key.strip().lower()
+                val = val.strip()
+                if key == "user-agent":
+                    applies = val.lower() == ua
+                    star_applies = val == "*"
+                elif key == "disallow":
+                    if applies and val:
+                        rules.append(val)
+                    elif star_applies and val:
+                        star_rules.append(val)
+                elif key == "crawl-delay":
+                    try:
+                        ms = int(float(val) * 1000)
+                    except ValueError:
+                        continue
+                    if applies:
+                        delay = ms
+                    elif star_applies:
+                        star_delay = ms
+            disallow[host] = rules if (rules or delay is not None) else star_rules
+            chosen = delay if delay is not None else star_delay
+            if chosen is not None:
+                delays[host] = chosen
+        return cls(
+            disallow=disallow,
+            crawl_delay_ms=delays,
+            default_delay_ms=default_delay_ms,
+        )

@@ -249,3 +249,89 @@ def test_title_filter_applied_in_frontier():
     ]
     # no filters -> identity
     assert apply_title_filters(canon, {}).num_rows == 3
+
+
+def test_robots_txt_parser():
+    """RobotsPolicy.from_robots_txt: UA group matching, disallow
+    prefixes, crawl-delay, comments, unknown directives."""
+    from cex_crawler_ray.state.politeness import RobotsPolicy
+
+    txt = """
+# comments ignored
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Crawl-delay: 2
+Sitemap: https://h.test/sitemap.xml
+
+User-agent: otherbot
+Disallow: /
+"""
+    pol = RobotsPolicy.from_robots_txt({"h.test": txt, "open.test": ""})
+    assert not pol.allowed("https://h.test/private/x")
+    assert not pol.allowed("https://h.test/tmpfile")  # prefix semantics
+    assert pol.allowed("https://h.test/public")
+    assert pol.allowed("https://open.test/anything")
+    assert pol.crawl_delay_ms["h.test"] == 2000
+    assert pol.tokens_per_round("h.test", 10_000) == 5
+    # agent-specific group wins over *
+    pol2 = RobotsPolicy.from_robots_txt(
+        {"h.test": txt}, user_agent="otherbot"
+    )
+    assert not pol2.allowed("https://h.test/anything")
+    assert pol.hosts_with_rules() == frozenset({"h.test"})
+
+
+def test_robots_keep_mask_short_circuit():
+    import numpy as np
+    import pyarrow as pa
+
+    from cex_crawler_ray.pipelines.crawl import (
+        _robots_keep_mask,
+        canonicalize_batch,
+    )
+    from cex_crawler_ray.state.politeness import RobotsPolicy
+
+    links = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://ruled.test/articles/1",
+                    "https://ruled.test/blocked/2",
+                    "https://free.test/blocked/3",
+                ]
+            )
+        }
+    )
+    tbl = canonicalize_batch(links)
+    pol = RobotsPolicy(disallow={"ruled.test": ["/blocked"]})
+    mask = _robots_keep_mask(tbl, pol)
+    # only the ruled host's matching path is blocked; free.test passes
+    # even though its path matches the pattern (host-scoped rules)
+    assert mask.tolist() == [True, False, True]
+    # no rules at all -> all-true without touching urls
+    assert _robots_keep_mask(tbl, RobotsPolicy()).all()
+
+
+def test_priority_orders_schedule(store, crawl_inputs):
+    """Lower priority value fetches first within a host's budget (the
+    north-star's priority frontier)."""
+    import pyarrow as pa
+
+    from cex_crawler_ray.pipelines.crawl import _schedule_driver
+
+    tbl = pa.table(
+        {
+            "url": pa.array([f"https://h.test/p{i}" for i in range(6)]),
+            "host": pa.array(["h.test"] * 6),
+            "url_hash": pa.array(list(range(6)), pa.uint64()),
+            "title": pa.array([""] * 6),
+            "priority": pa.array([2, 0, 1, 0, 2, 1], pa.int32()),
+            "depth": pa.array([0] * 6, pa.int32()),
+            "discovered_ts": pa.array([0] * 6, pa.int64()),
+        }
+    )
+    out = _schedule_driver(tbl, {"h.test": 2}, 2).to_pandas()
+    sched = out[out["scheduled"]].sort_values("fetch_slot")
+    assert sched["priority"].tolist() == [0, 0]
+    assert set(sched["url_hash"]) == {1, 3}
