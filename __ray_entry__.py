@@ -491,6 +491,39 @@ def q_exact_distinct_users(sf_dir: str):
     return pd.DataFrame({"n_users": [int(distinct.count())]})
 
 
+def q_approx_group_median(sf_dir: str):
+    """Bottom-k-sampled per-group median (mergeable quantile sketch).
+    No SQL oracle (approximate by construction above k rows/group);
+    pytest anchors it to the oracle-backed exact ``group_median`` —
+    identical whenever a group fits in the k-row sample."""
+    from cex_crawler_ray.stages.sketch import approx_group_quantile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "cents": pa.array(
+                    _cents(batch["value"].to_pylist()), pa.int64()
+                ),
+            }
+        )
+
+    return approx_group_quantile(
+        ds.map_batches(add_cents, batch_format="pyarrow"),
+        "event_type",
+        "cents",
+        "event_id",
+        q=0.5,
+        k=1024,
+    )
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic corpus subsampling: keep docs whose md5(text)
     starts with '0' (a reproducible ~1/16 sample — the standard
@@ -981,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_distinct_users": q_exact_distinct_users,
         "hash_sample": q_hash_sample,
         "group_median": q_group_median,
+        "approx_group_median": q_approx_group_median,
         "window_cumsum": q_window_cumsum,
         "broadcast_join_agg": q_broadcast_join_agg,
         "hash_join_agg": q_hash_join_agg,

@@ -1,4 +1,5 @@
-"""Mergeable sketches: HyperLogLog distinct counting.
+"""Mergeable sketches: HyperLogLog distinct counting + bottom-k
+quantile sampling.
 
 The reference has no approximate sketches (SURVEY.md §2.6 "absent");
 at 10^10-URL scale exact distinct counts (urls seen, hosts touched,
@@ -10,6 +11,13 @@ Flajolet et al. 2007 HLL with the standard bias correction; register
 hashing reuses the engine's 64-bit content hashes, so estimates are
 deterministic across runs and partitionings (merge is a register-wise
 max — order-independent).
+
+Bottom-k quantile sampling: the rows with the k smallest
+``hash(row_id)`` values form a uniform k-row sample whose selection is
+DETERMINISTIC and MERGEABLE (the bottom-k of a union is the bottom-k
+of the parts' bottom-k's — Cohen & Kaplan 2007 bottom-k sketches);
+quantiles of the sample estimate quantiles of the stream with
+O(1/sqrt(k)) error, exact whenever a group has <= k rows.
 """
 
 from __future__ import annotations
@@ -101,3 +109,102 @@ def approx_distinct(
         ).copy()
         merged = merged.merge(other)
     return merged.estimate()
+
+
+def _id_hash(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix of integer row ids (splitmix64-style)."""
+    h = np.asarray(ids, dtype=np.uint64).copy()
+    with np.errstate(over="ignore"):
+        h = (h + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(
+            0xBF58476D1CE4E5B9
+        )
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def approx_group_quantile(
+    ds,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    q: float = 0.5,
+    k: int = 1024,
+):
+    """Per-group approximate quantile via bottom-k row sampling.
+
+    Stage 1 (map_batches): per block, per group, keep the k rows with
+    the smallest ``hash(id)`` — each partial is <= k rows per (block,
+    group).  Stage 2 (coarse-partitioned vectorized merge): re-select
+    the global bottom-k per group, then take the discrete q-quantile of
+    the sampled values.  One small shuffle of <= k-row partials; exact
+    when a group has <= k rows; deterministic (pure function of ids).
+
+    Returns a pyarrow Table (group, approx_quantile, sample_size).
+    """
+    import pandas as pd
+
+    from .dedup import _coarse_group_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                group_col: df[group_col],
+                "_h": _id_hash(df[id_col].to_numpy()),
+                value_col: df[value_col],
+            }
+        )
+        return (
+            out.sort_values("_h", kind="mergesort")
+            .groupby(group_col, sort=False)
+            .head(k)
+        )
+
+    def final(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        groups, quants, sizes = [], [], []
+        for g, grp in df.groupby(group_col, sort=False):
+            sample = grp.sort_values("_h", kind="mergesort").head(k)
+            vals = np.sort(sample[value_col].to_numpy())
+            idx = int((len(vals) - 1) * q)
+            groups.append(g)
+            quants.append(vals[idx])
+            sizes.append(len(vals))
+        return pa.table(
+            {
+                group_col: pa.array(groups),
+                "approx_quantile": pa.array(quants),
+                "sample_size": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    # coarse-partition on a group-content hash so the merge stays
+    # vectorized even with many groups
+    import hashlib as _hl
+
+    def add_gkey(batch: pa.Table) -> pa.Table:
+        keys = np.fromiter(
+            (
+                int.from_bytes(
+                    _hl.blake2b(
+                        str(v).encode(), digest_size=8
+                    ).digest(),
+                    "big",
+                )
+                for v in batch[group_col].to_pylist()
+            ),
+            dtype=np.uint64,
+            count=batch.num_rows,
+        )
+        return batch.append_column("_gkey", pa.array(keys, pa.uint64()))
+
+    out = _coarse_group_apply(
+        partials.map_batches(add_gkey, batch_format="pyarrow"),
+        "_gkey",
+        lambda t: final(t.drop_columns(["_gkey"])),
+        num_parts=32,
+    )
+    return out

@@ -80,3 +80,57 @@ def test_hll_anchored_to_exact_companion_query(ray_session, sf_small):
     )
     assert exact > 0
     assert abs(est - exact) / exact < 0.05
+
+
+def test_bottom_k_quantile_exact_when_small(ray_session, sf_tiny):
+    """Groups with <= k rows sample everything -> exact agreement with
+    the oracle-backed exact group median."""
+    import __ray_entry__ as m
+
+    exact = (
+        m.queries()["group_median"](sf_tiny)
+        .to_pandas()
+        .set_index("event_type")["median_cents"]
+        .to_dict()
+    )
+    approx = (
+        m.queries()["approx_group_median"](sf_tiny)
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert set(approx.index) == set(exact)
+    for g, row in approx.iterrows():
+        assert row["approx_quantile"] == exact[g], g
+        assert row["sample_size"] <= 1024
+
+
+def test_bottom_k_quantile_merge_and_accuracy(ray_session):
+    """Above k rows the estimate is approximate but bounded, mergeable
+    (block-split invariant) and deterministic."""
+    import numpy as np
+
+    import ray as _ray
+
+    from cex_crawler_ray.stages.sketch import approx_group_quantile
+
+    rng = np.random.RandomState(9)
+    vals = rng.randint(0, 100_000, size=20_000)
+    rows = [
+        {"id": i, "g": "a", "v": int(v)} for i, v in enumerate(vals)
+    ]
+    for blocks in (2, 16):
+        ds = _ray.data.from_items(rows, override_num_blocks=blocks)
+        out = approx_group_quantile(
+            ds, "g", "v", "id", q=0.5, k=512
+        ).to_pandas()
+        est = out["approx_quantile"].iloc[0]
+        true = np.sort(vals)[(len(vals) - 1) // 2]
+        # k=512 -> stderr ~ sqrt(0.25/512) ~ 2.2% of the range at the
+        # median; allow 10% relative slack
+        assert abs(est - true) / true < 0.10, (blocks, est, true)
+        if blocks == 2:
+            first = est
+    # block-split invariance (mergeability): identical sample selection
+    ds2 = _ray.data.from_items(rows, override_num_blocks=16)
+    out2 = approx_group_quantile(ds2, "g", "v", "id", q=0.5, k=512).to_pandas()
+    assert out2["approx_quantile"].iloc[0] == first
