@@ -77,9 +77,26 @@ class CrawlConfig:
     title_filters: dict = field(default_factory=dict)
 
 
+# A url matching this is PROVABLY a fixed point of ``canonicalize``:
+# lowercase scheme, lowercase host without port/userinfo, a path that
+# is '/' or '/'-joined non-empty segments with no trailing slash, an
+# optional non-empty query, no fragment — reconstruction is the input
+# string, so the Python normalizer can be skipped (the dominant
+# frontier-admission cost after hashing).  Anything else (relative,
+# uppercase, ports, fragments, '//', bare host, trailing '?') takes
+# the slow path.
+_CANONICAL_FAST_RE = (
+    r"^(?P<s>https?)://(?P<h>[a-z0-9._\-]+)"
+    r"(?:/|(?:/[^/?#]+)+)(?:\?[^#]+)?$"
+)
+
+
 def canonicalize_batch(batch: pa.Table, depth: int = 0, round_no: int = 0) -> pa.Table:
     """urls (+optional title/priority) -> FRONTIER-schema rows."""
-    urls = batch["url"].to_pylist()
+    url_col = batch["url"].combine_chunks() if isinstance(
+        batch["url"], pa.ChunkedArray
+    ) else batch["url"]
+    urls = url_col.to_pylist()
     titles = (
         batch["title"].to_pylist()
         if "title" in batch.column_names
@@ -97,12 +114,25 @@ def canonicalize_batch(batch: pa.Table, depth: int = 0, round_no: int = 0) -> pa
     )
     # columnar build (no per-row dicts) — this is the frontier hot path
     n = len(urls)
-    c_url, c_host, c_hash = [], [], []
-    for u in urls:
-        cu = canonicalize(u)
-        c_url.append(cu)
-        c_host.append(host_of(cu))
-        c_hash.append(url_hash64(cu))
+    extracted = pc.extract_regex(url_col, _CANONICAL_FAST_RE)
+    # null struct = no match (.field() of a null struct yields "", so
+    # gate on struct validity, not the field value)
+    fast = (
+        extracted.is_valid().to_numpy(zero_copy_only=False)
+        if n
+        else np.zeros(0, dtype=bool)
+    )
+    fast_hosts = extracted.field("h").to_pylist() if n else []
+    c_url = list(urls)
+    c_host = [None] * n
+    for i, u in enumerate(urls):
+        if fast[i]:
+            c_host[i] = fast_hosts[i]
+        else:
+            cu = canonicalize(u)
+            c_url[i] = cu
+            c_host[i] = host_of(cu)
+    c_hash = [url_hash64(u) for u in c_url]
     return pa.Table.from_arrays(
         [
             pa.array(c_url, pa.string()),

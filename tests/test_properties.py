@@ -66,3 +66,50 @@ def test_extract_links_roundtrip(links):
     )
     out = ht.extract_links(html)
     assert [h for h, _ in out] == [f"/{h}" for h, _ in links]
+
+
+# fast-path equivalence: canonicalize_batch's regex fast path must be a
+# provable fixed-point detector — batch output == per-row canonicalize
+# for ANY url, including ones crafted to sit on the regex boundary
+_url_strategy = st.one_of(
+    st.builds(
+        lambda h, p, q: f"https://{h}/{p}" + (f"?{q}" if q else ""),
+        st.text(alphabet=string.ascii_letters + string.digits + ".-", min_size=1, max_size=15),
+        st.text(alphabet=string.ascii_letters + string.digits + "/-_.", max_size=30),
+        st.text(alphabet=string.ascii_lowercase + "=&", max_size=10),
+    ),
+    st.sampled_from(
+        [
+            "https://h.test",             # bare host (slow path)
+            "https://h.test/",            # root
+            "https://h.test/a/",          # trailing slash
+            "https://h.test///x///",      # runs of slashes
+            "https://H.TEST/a",           # uppercase host
+            "HTTPS://h.test/a",           # uppercase scheme
+            "https://h.test:443/a",       # default port
+            "https://h.test:8443/a",      # explicit port
+            "https://h.test/a#frag",      # fragment
+            "https://h.test/a?",          # empty query
+            "https://h.test/a?x=1",       # query
+            "http://h.test/a",            # http scheme
+            "https://user@h.test/a",      # userinfo
+        ]
+    ),
+)
+
+
+@given(st.lists(_url_strategy, min_size=1, max_size=20))
+@settings(max_examples=150, deadline=None)
+def test_canonicalize_batch_matches_per_row(urls):
+    import pyarrow as pa
+
+    from cex_crawler_ray.functions.canonical import host_of
+    from cex_crawler_ray.pipelines.crawl import canonicalize_batch
+
+    out = canonicalize_batch(pa.table({"url": pa.array(urls, pa.string())}))
+    expect_url = [canonicalize(u) for u in urls]
+    expect_host = [host_of(u) for u in expect_url]
+    expect_hash = [url_hash64(u) for u in expect_url]
+    assert out["url"].to_pylist() == expect_url
+    assert out["host"].to_pylist() == expect_host
+    assert out["url_hash"].to_pylist() == expect_hash
