@@ -192,11 +192,15 @@ def _crawl_dist_child(sf_dir: str) -> None:
 
     ckpt = tempfile.mkdtemp(prefix="bench_dist_ckpt_")
     try:
+        # 12 rounds ≈ 1/4 of the full crawl: pages/s of the distributed
+        # round machinery is round-shape-invariant, and the driver's
+        # per-round bench shouldn't pay 43 rounds x ~5 s of forced
+        # distributed fixed cost for the same reading
         t0 = time.perf_counter()
         run = run_flagship_crawl(
             sf_dir,
             checkpoint_dir=ckpt,
-            max_rounds=50,
+            max_rounds=12,
             driver_schedule_max_rows=0,
         )
         dt = time.perf_counter() - t0
