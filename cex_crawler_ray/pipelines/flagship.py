@@ -15,7 +15,6 @@ import ray
 from ..sources.page_store import PageStore
 from ..sources.pages import (
     pages_from_documents,
-    robots_rules,
     seeds_for_sources,
     sources_in,
     src_num,
@@ -23,7 +22,6 @@ from ..sources.pages import (
 from ..stages.analyze import records_from_extracted
 from ..stages.extract import profiles_for_sources
 from ..pipelines.crawl import CrawlConfig, CrawlRun, run_crawl
-from ..state.politeness import RobotsPolicy
 
 # Conformance constants (replace the reference's now()/random delays)
 AS_OF_HK = "2024-03-08 09:00:00"  # 'now' for the recency window (M8)
@@ -56,7 +54,7 @@ def page_store_for(
     st = os.stat(src)
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{replicate}:{num_buckets}:{pad}"
-        f":{st.st_size}:{int(st.st_mtime)}:v4".encode()
+        f":{st.st_size}:{int(st.st_mtime)}:v5".encode()
     ).hexdigest()[:12]
     path = os.path.join(_STORE_ROOT, key)
     marker = os.path.join(path, "_SUCCESS")
@@ -101,11 +99,14 @@ def crawl_delays_for(sources) -> dict:
     """Per-host crawl delays (deterministic): source index % 3 scales
     the delay, so hosts get 20 / 10 / 6 fetch tokens per round — the
     per-host token-bucket is exercised in the conformance path, not
-    just in tests."""
-    from ..sources.pages import host_for
+    just in tests.  The same rule is PUBLISHED in each host's
+    /robots.txt (sources/pages.py robots_txt_for), which is what the
+    flagship actually parses."""
+    from ..sources.pages import crawl_delay_ms_for, host_for
 
     return {
-        host_for(s): DEFAULT_DELAY_MS * (1 + src_num(s) % 3) for s in sources
+        host_for(s): crawl_delay_ms_for(s, DEFAULT_DELAY_MS)
+        for s in sources
     }
 
 
@@ -115,11 +116,19 @@ def run_flagship_crawl(
     checkpoint_dir: str | None = None,
     **cfg_overrides,
 ) -> CrawlRun:
+    """The flagship crawl BOOTSTRAPS its politeness policy by fetching
+    and parsing each host's /robots.txt from the (simulated) web —
+    north_star's robots.txt caching; the synthetic robots bodies render
+    exactly the rules the DuckDB oracle assumes, so conformance is
+    end-to-end through the parser."""
+    from ..pipelines.crawl import bootstrap_robots
+    from ..sources.pages import host_for
+
     sources = sources_in(sf_dir)
     store = page_store_for(sf_dir, replicate=replicate)
-    robots = RobotsPolicy(
-        disallow=robots_rules(sources),
-        crawl_delay_ms=crawl_delays_for(sources),
+    robots = bootstrap_robots(
+        store,
+        [host_for(s) for s in sources],
         default_delay_ms=DEFAULT_DELAY_MS,
     )
     return run_crawl(

@@ -219,6 +219,30 @@ def robots_rules(sources) -> dict:
     return rules
 
 
+def crawl_delay_ms_for(source: str, base_ms: int = 500) -> int:
+    """Deterministic per-host crawl delay (source index % 3 scales the
+    base): the value published in the host's robots.txt AND assumed by
+    the flagship politeness budget — one rule, two consumers."""
+    return base_ms * (1 + src_num(source) % 3)
+
+
+def robots_txt_url(source: str) -> str:
+    return f"https://{host_for(source)}/robots.txt"
+
+
+def robots_txt_for(source: str, delay_ms: int | None = None) -> str:
+    """The host's /robots.txt BODY — the standard-format rendering of
+    ``robots_rules`` (+ an optional Crawl-delay), so a crawl that
+    FETCHES and parses robots.txt recovers exactly the policy the
+    oracle assumes."""
+    lines = ["User-agent: *"]
+    for p in robots_rules([source]).get(host_for(source), []):
+        lines.append(f"Disallow: {p}")
+    if delay_ms is not None:
+        lines.append(f"Crawl-delay: {delay_ms / 1000:g}")
+    return "\n".join(lines) + "\n"
+
+
 def _article_batch(batch: pa.Table, pad: int = 1) -> pa.Table:
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for doc_id, text, lang, source in zip(
@@ -254,13 +278,18 @@ def _hub_group(batch: pa.Table) -> pa.Table:
     doc_ids = pa.compute.take(batch["doc_id"], order).to_pylist()
     langs = pa.compute.take(batch["lang"], order).to_pylist()
     html = hub_html(source, doc_ids, langs).encode("utf-8")
+    robots = robots_txt_for(
+        source, delay_ms=crawl_delay_ms_for(source)
+    ).encode("utf-8")
     return pa.Table.from_arrays(
         [
-            pa.array([hub_url(source)], pa.string()),
-            pa.array([BASE_TS], pa.timestamp("us", tz="UTC")),
-            pa.array([html], pa.binary()),
-            pa.array([""], pa.string()),
-            pa.array(["en"], pa.string()),
+            pa.array(
+                [hub_url(source), robots_txt_url(source)], pa.string()
+            ),
+            pa.array([BASE_TS, BASE_TS], pa.timestamp("us", tz="UTC")),
+            pa.array([html, robots], pa.binary()),
+            pa.array(["", ""], pa.string()),
+            pa.array(["en", "en"], pa.string()),
         ],
         schema=PAGES,
     )

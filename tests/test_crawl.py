@@ -335,3 +335,31 @@ def test_priority_orders_schedule(store, crawl_inputs):
     sched = out[out["scheduled"]].sort_values("fetch_slot")
     assert sched["priority"].tolist() == [0, 0]
     assert set(sched["url_hash"]) == {1, 3}
+
+
+def test_bootstrap_robots_roundtrip(store, crawl_inputs, sf_tiny):
+    """Fetching + parsing the synthetic /robots.txt bodies recovers
+    exactly the policy the oracle assumes (rules AND crawl delays)."""
+    from cex_crawler_ray.pipelines.crawl import bootstrap_robots
+    from cex_crawler_ray.pipelines.flagship import (
+        DEFAULT_DELAY_MS,
+        crawl_delays_for,
+    )
+    from cex_crawler_ray.sources.pages import host_for
+
+    sources, robots, _ = crawl_inputs
+    boot = bootstrap_robots(
+        store,
+        [host_for(s) for s in sources],
+        default_delay_ms=DEFAULT_DELAY_MS,
+    )
+    expected_rules = robots_rules(sources)
+    for s in sources:
+        h = host_for(s)
+        assert list(boot.disallow.get(h, [])) == expected_rules[h], h
+    assert boot.crawl_delay_ms == crawl_delays_for(sources)
+    # a url blocked by the constructed policy is blocked by the
+    # bootstrapped one
+    for s in sources:
+        u = f"https://{host_for(s)}/articles/12"
+        assert boot.allowed(u) == robots.allowed(u), u
