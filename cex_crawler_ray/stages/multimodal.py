@@ -78,6 +78,137 @@ class BlobFeatureStage:
         )
 
 
+def real_extract_frames(payload: bytes, num_frames: int):
+    """Placeholder for a real frame sampler (ffmpeg/pyav — not
+    installed)."""
+    raise NotImplementedError(
+        "video decode requires a codec library not present in this "
+        "container; inject an extract_frames= callable into "
+        "FrameSampleStage"
+    )
+
+
+def _fake_extract_frames(payload: bytes, num_frames: int):
+    """Deterministic stand-in: evenly slice the payload into
+    pseudo-frames with synthetic timestamps (30 fps-equivalent)."""
+    p = payload or b"\x00"
+    out = []
+    step = max(1, len(p) // num_frames)
+    for i in range(num_frames):
+        chunk = p[i * step : (i + 1) * step] or p[-step:]
+        out.append((int(i * 1000 / 30), chunk))
+    return out
+
+
+class FrameSampleStage:
+    """Actor-pool flat-expand stage: one video blob row -> N frame rows.
+
+    Output layout (the real contract a downstream vision model stage
+    consumes): ``(id, frame_idx: int32, frame_ts_ms: int64,
+    frame: binary, frame_sha256: string)``.  The sampler is injectable
+    (``extract_frames=``); the deterministic fake keeps the plumbing —
+    explode cardinality, schema, batch sizing — fully testable without
+    codec libraries.  Use small ``batch_size`` (frames multiply payload
+    bytes per block)."""
+
+    def __init__(
+        self,
+        payload_col: str = "payload",
+        id_col: str = "doc_id",
+        num_frames: int = 4,
+        extract_frames=None,
+    ):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.num_frames = num_frames
+        self.extract = (
+            extract_frames
+            if extract_frames is not None
+            else _fake_extract_frames
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_in = batch[self.id_col].to_pylist()
+        payloads = batch[self.payload_col].to_pylist()
+        ids, idxs, tss, frames, shas = [], [], [], [], []
+        for i, p in zip(ids_in, payloads):
+            for j, (ts, chunk) in enumerate(
+                self.extract(p, self.num_frames)
+            ):
+                ids.append(i)
+                idxs.append(j)
+                tss.append(ts)
+                frames.append(chunk)
+                shas.append(hashlib.sha256(chunk).hexdigest())
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame_ts_ms": pa.array(tss, pa.int64()),
+                "frame": pa.array(frames, pa.binary()),
+                "frame_sha256": pa.array(shas, pa.string()),
+            }
+        )
+
+
+def real_resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Placeholder for a real resizer (PIL/libvips — not installed)."""
+    raise NotImplementedError(
+        "image resize requires an image library not present in this "
+        "container; inject a resize= callable into ResizeStage"
+    )
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: a content-derived thumbnail payload
+    whose bytes are a blake2b stream seeded by (payload, dims)."""
+    seed = hashlib.blake2b(
+        (payload or b"") + f":{width}x{height}".encode(), digest_size=32
+    ).digest()
+    reps = (width * height * 3 // 32 // 64) + 1  # tiny stand-in body
+    return (seed * reps)[:64]
+
+
+class ResizeStage:
+    """Actor-pool stage: (id, image blob) -> resized blob + target dims.
+
+    Output: ``(id, resized: binary, width: int32, height: int32,
+    resized_sha256: string)``.  Kernel injectable via ``resize=``."""
+
+    def __init__(
+        self,
+        width: int = 224,
+        height: int = 224,
+        payload_col: str = "payload",
+        id_col: str = "doc_id",
+        resize=None,
+    ):
+        self.width = width
+        self.height = height
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.resize = resize if resize is not None else _fake_resize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        out = [
+            self.resize(p or b"", self.width, self.height)
+            for p in payloads
+        ]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "resized": pa.array(out, pa.binary()),
+                "width": pa.array([self.width] * len(out), pa.int32()),
+                "height": pa.array([self.height] * len(out), pa.int32()),
+                "resized_sha256": pa.array(
+                    [hashlib.sha256(b).hexdigest() for b in out],
+                    pa.string(),
+                ),
+            }
+        )
+
+
 def blob_meta_basic(batch: pa.Table, payload_col="payload", id_col="doc_id") -> pa.Table:
     """Decode-free metadata (size + sha256) — SQL-checkable subset."""
     payloads = batch[payload_col].to_pylist()
