@@ -142,6 +142,7 @@ def test_resize_stage_deterministic_and_injectable(ray_session):
     out2 = ds.map_batches(
         ResizeStage,
         fn_constructor_kwargs={"width": 128, "height": 96},
+        concurrency=1,
         batch_format="pyarrow",
     ).to_pandas().sort_values("doc_id")
     assert (out1["resized_sha256"].values == out2["resized_sha256"].values).all()
@@ -152,6 +153,7 @@ def test_resize_stage_deterministic_and_injectable(ray_session):
         fn_constructor_kwargs={
             "resize": lambda p, w, h: p[: w % 16 + 1]
         },
+        concurrency=1,
         batch_format="pyarrow",
     ).to_pandas().sort_values("doc_id")
     # default width 224 -> custom kernel returns p[:224 % 16 + 1] = p[:1]
