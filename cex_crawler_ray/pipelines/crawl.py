@@ -304,6 +304,54 @@ def _cached_policy(ref):
     return _POLICY_CACHE[key]
 
 
+def compact_checkpoint(checkpoint_dir: str) -> dict:
+    """Garbage-collect consumed frontier state from a checkpoint.
+
+    A crawl round fully consumes the previous round's frontier files
+    (deferred dirs, reseed_clean dirs, frontier_next files, seed
+    files); only the paths named by the CURRENT manifest are live.
+    Everything else under the checkpoint that is frontier state — NOT
+    the union page/link partitions, which are the crawl's output — is
+    deleted.  At the 10^10 design point this is the difference between
+    a checkpoint that grows with Σ rounds' frontier sizes and one that
+    holds a single frontier generation.
+
+    Returns {"removed": [...], "kept": [...]} (relative paths)."""
+    import shutil
+
+    mpath = os.path.join(checkpoint_dir, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    live = {
+        os.path.normpath(os.path.join(checkpoint_dir, p))
+        for p in manifest.get("frontier", [])
+    }
+    removed, kept = [], []
+
+    def consider(path: str) -> None:
+        norm = os.path.normpath(path)
+        rel = os.path.relpath(norm, checkpoint_dir)
+        if norm in live:
+            kept.append(rel)
+            return
+        if os.path.isdir(norm):
+            shutil.rmtree(norm, ignore_errors=True)
+        elif os.path.exists(norm):
+            os.remove(norm)
+        removed.append(rel)
+
+    for name in sorted(os.listdir(checkpoint_dir)):
+        full = os.path.join(checkpoint_dir, name)
+        if name.startswith(("seeds-", "reseed_clean-")):
+            consider(full)
+        elif name.startswith("round="):
+            for sub in ("deferred", "frontier_next.parquet"):
+                p = os.path.join(full, sub)
+                if os.path.exists(p):
+                    consider(p)
+    return {"removed": removed, "kept": kept}
+
+
 def bootstrap_robots(
     store: PageStore,
     hosts,

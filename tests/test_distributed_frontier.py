@@ -162,3 +162,40 @@ def test_distributed_reseed_tick(store, crawl_inputs, tmp_path):
         for u in new_rows["url"].to_pylist()
     )
     assert ft.num_rows == n_first + n_seeds
+
+
+def test_compact_checkpoint_preserves_resume(store, crawl_inputs, tmp_path):
+    """GC of consumed frontier state mid-crawl: only the manifest's
+    live paths survive, and a resumed run is still identical."""
+    from cex_crawler_ray.pipelines.crawl import compact_checkpoint
+
+    sources, robots, kwargs = crawl_inputs
+    cfg = CrawlConfig(driver_schedule_max_rows=0, **kwargs)
+    full = run_crawl(
+        store, seeds_for_sources(sources), robots, CrawlConfig(**kwargs)
+    )
+
+    ckpt = str(tmp_path / "gc_ckpt")
+    run_crawl(
+        store,
+        seeds_for_sources(sources),
+        robots,
+        cfg,
+        checkpoint_dir=ckpt,
+        stop_after_round=2,
+    )
+    report = compact_checkpoint(ckpt)
+    # something was collected (round-0 deferred state is consumed) and
+    # the live frontier paths survived
+    assert report["removed"]
+    manifest = json.load(open(os.path.join(ckpt, "manifest.json")))
+    for p in manifest["frontier"]:
+        assert os.path.exists(os.path.join(ckpt, p)), p
+
+    resumed = run_crawl(
+        store, seeds_for_sources(sources), robots, cfg, checkpoint_dir=ckpt
+    )
+    assert resumed.crawl_order() == full.crawl_order()
+    assert sorted(resumed.fetched_table()["url"].to_pylist()) == sorted(
+        full.fetched_table()["url"].to_pylist()
+    )
