@@ -227,6 +227,64 @@ def q_crawl_fetch_status(sf_dir: str):
     return t.select(["url", "status"])
 
 
+def q_crawl_live_fetch_status(sf_dir: str):
+    """S7/M15/M16 through the LIVE fetch actor pool: the same flagship
+    crawl routed through LiveFetcher (transport session per actor,
+    bounded content-sniff retry, M16 header synthesis per request,
+    dead-letter rows) — must produce the identical fetched url/status
+    set as the batch fetch, proven by the same SQL oracle."""
+    from cex_crawler_ray.pipelines.flagship import (
+        page_store_for,
+        run_flagship_crawl,
+    )
+    from cex_crawler_ray.sources.live_fetch import (
+        live_fetch,
+        store_transport_factory,
+    )
+
+    store = page_store_for(sf_dir)
+    factory = store_transport_factory(store.path, store.num_buckets)
+    run = run_flagship_crawl(
+        sf_dir,
+        fetch_fn=lambda tbl: live_fetch(
+            tbl, factory, concurrency=2, batch_size=256
+        ),
+    )
+    return run.fetched_table().select(["url", "status"])
+
+
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end training-data curation over documents: quality gate
+    -> exact dedup (keep min-id per text) -> language filter (en) ->
+    token counts.  One composition of the curation operators with one
+    SQL oracle."""
+    from cex_crawler_ray.stages.dedup import exact_dedup
+    from cex_crawler_ray.stages.textstats import (
+        lang_id,
+        quality_score,
+        token_stats,
+    )
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def keep_quality(batch: pa.Table) -> pa.Table:
+        scored = quality_score(batch.select(["doc_id", "text"]))
+        keep = scored["quality_keep"]
+        return batch.filter(keep)
+
+    def keep_english(batch: pa.Table) -> pa.Table:
+        pred = lang_id(batch.select(["doc_id", "text"]))
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(pred["lang_pred"], "en"))
+
+    kept = docs.map_batches(
+        keep_quality, batch_format="pyarrow"
+    ).map_batches(keep_english, batch_format="pyarrow")
+    deduped = exact_dedup(kept).select_columns(["doc_id", "text"])
+    return deduped.map_batches(token_stats, batch_format="pyarrow")
+
+
 def q_crawl_records(sf_dir: str):
     """M19-M21: analyzer explode incl. tombstone rows."""
     from cex_crawler_ray.pipelines.flagship import records_for
@@ -988,6 +1046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "crawl_extract": q_crawl_extract,
         "crawl_fetch_status": q_crawl_fetch_status,
+        "crawl_live_fetch_status": q_crawl_live_fetch_status,
+        "curation_pipeline": q_curation_pipeline,
         "crawl_records": q_crawl_records,
         "records_partitioned_sink": q_records_partitioned_sink,
         "report_full": q_report_full,
@@ -1037,6 +1097,13 @@ SELECT url, source AS exchange, CAST(doc_id AS VARCHAR) AS article_id,
 FROM ex
 """,
         "crawl_fetch_status": _CRAWL_CTE
+        + """
+SELECT url, 200 AS status FROM ex
+UNION ALL
+SELECT DISTINCT 'https://' || source || '.test/hub' AS url, 200 AS status
+FROM documents
+""",
+        "crawl_live_fetch_status": _CRAWL_CTE
         + """
 SELECT url, 200 AS status FROM ex
 UNION ALL
@@ -1172,6 +1239,32 @@ SELECT doc_id, n_chars, n_words, mean_word_len, stopword_ratio,
        (n_words >= 10 AND mean_word_len BETWEEN 2.0 AND 12.0)
          AS quality_keep
 FROM f
+""",
+        "curation_pipeline": r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, text FROM w
+  WHERE len(words) >= 10
+    AND (CAST(list_sum(list_transform(words, x -> length(x)))
+              AS DOUBLE) / len(words)) BETWEEN 2.0 AND 12.0
+    AND NOT regexp_matches(text, '[一-鿿]')
+    AND NOT regexp_matches(text, '[가-힯]')
+    AND NOT regexp_matches(text, '[Ѐ-ӿ]')
+    AND regexp_matches(text, '(^|[^A-Za-z])the([^A-Za-z]|$)')
+),
+dedup AS (
+  SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))
+         AS n_tokens
+FROM dedup
 """,
         "lang_id": """
 SELECT doc_id,
