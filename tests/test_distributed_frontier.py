@@ -199,3 +199,108 @@ def test_compact_checkpoint_preserves_resume(store, crawl_inputs, tmp_path):
     assert sorted(resumed.fetched_table()["url"].to_pylist()) == sorted(
         full.fetched_table()["url"].to_pylist()
     )
+
+
+def test_distributed_schedule_under_host_skew(ray_session, tmp_path):
+    """A 90%-one-host frontier (binance-style skew): the distributed
+    schedule still selects the exact per-host top-tokens, and the hot
+    host's candidate volume is bounded by blocks x tokens, not its
+    frontier size."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+
+    from cex_crawler_ray.pipelines.crawl import (
+        CAND_SCHEMA,
+        SCHED_SCHEMA,
+        _gate_precut_fn,
+        _sched_exact_fn,
+        _schedule_driver,
+        _to_table,
+    )
+    from cex_crawler_ray.state.politeness import RobotsPolicy
+
+    n_hot, n_cold = 9000, 1000
+    rng = np.random.RandomState(11)
+    hosts = ["hot.test"] * n_hot + [
+        f"cold{i % 20}.test" for i in range(n_cold)
+    ]
+    urls = [f"https://{h}/p{i}" for i, h in enumerate(hosts)]
+    tbl = pa.table(
+        {
+            "url": pa.array(urls),
+            "host": pa.array(hosts),
+            "url_hash": pa.array(
+                rng.randint(0, 2**63, size=len(urls), dtype=np.int64
+                            ).astype(np.uint64),
+                pa.uint64(),
+            ),
+            "title": pa.array([""] * len(urls)),
+            "priority": pa.array(np.zeros(len(urls), np.int32), pa.int32()),
+            "depth": pa.array(np.zeros(len(urls), np.int32), pa.int32()),
+            "discovered_ts": pa.array(np.zeros(len(urls), np.int64), pa.int64()),
+        }
+    )
+    budgets = {"hot.test": 10}
+    robots = RobotsPolicy()
+    policy_ref = _ray.put((robots, budgets, 5))
+    deferred_dir = str(tmp_path / "defer")
+    import os as _os
+
+    _os.makedirs(deferred_dir, exist_ok=True)
+    ds = _ray.data.from_arrow(tbl).repartition(16)
+    sched = _to_table(
+        ds.map_batches(
+            _gate_precut_fn(policy_ref, deferred_dir),
+            batch_format="pyarrow",
+        )
+        .groupby("host_part")
+        .map_groups(
+            _sched_exact_fn(policy_ref, deferred_dir),
+            batch_format="pyarrow",
+        ),
+        SCHED_SCHEMA,
+    )
+    # exact equality with the driver-side schedule's selected set
+    drv = _schedule_driver(tbl, budgets, 5)
+    drv_sel = drv.filter(drv["scheduled"])
+    got = sorted(
+        zip(sched["host"].to_pylist(), sched["url_hash"].to_pylist())
+    )
+    want = sorted(
+        zip(drv_sel["host"].to_pylist(), drv_sel["url_hash"].to_pylist())
+    )
+    assert got == want
+    # the hot host scheduled exactly its budget
+    hot = [h for h, _ in got if h == "hot.test"]
+    assert len(hot) == 10
+
+
+def test_deferred_write_idempotent(tmp_path):
+    """Ray task re-execution writes the SAME deferred file (content-
+    derived name), so duplicated execution cannot duplicate rows."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from cex_crawler_ray.pipelines.crawl import _write_deferred
+
+    t = pa.table(
+        {
+            "url": pa.array(["https://h.test/a", "https://h.test/b"]),
+            "url_hash": pa.array(
+                np.array([7, 9], dtype=np.uint64), pa.uint64()
+            ),
+        }
+    )
+    d = str(tmp_path / "defer")
+    os.makedirs(d)
+    _write_deferred(t, d, "pre")
+    _write_deferred(t, d, "pre")  # simulated task re-execution
+    files = os.listdir(d)
+    assert len(files) == 1
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(os.path.join(d, files[0])).num_rows == 2
