@@ -72,6 +72,16 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """GC consumed frontier state from a crawl checkpoint (keeps the
+    manifest's live paths + the union output partitions)."""
+    from .pipelines.crawl import compact_checkpoint
+
+    report = compact_checkpoint(args.checkpoint)
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Serve the dashboard (reference backend.py:14-41): /health and /,
     regenerating the HTML from the consolidated CSV when missing.
@@ -102,6 +112,10 @@ def main(argv=None) -> int:
     r.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     r.add_argument("--out", default="/tmp/cex_crawler_ray_report")
     r.set_defaults(fn=cmd_report)
+
+    g = sub.add_parser("compact", help="GC consumed frontier checkpoint state")
+    g.add_argument("--checkpoint", required=True)
+    g.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("serve", help="serve the dashboard (/, /health)")
     s.add_argument("--csv", default="/tmp/cex_crawler_ray_report/announcements.csv")
