@@ -549,6 +549,33 @@ def q_exact_distinct_users(sf_dir: str):
     return pd.DataFrame({"n_users": [int(distinct.count())]})
 
 
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling: per-language rates (en kept
+    at 1/16, every other language at 8/16) via md5-prefix buckets — the
+    standard rebalancing sampler for training-data mixes, reproducible
+    across engines because membership is a pure function of content."""
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "text"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        langs = batch["lang"].to_pylist()
+        texts = batch["text"].to_pylist()
+        keep = []
+        for lang, t in zip(langs, texts):
+            bucket = int(
+                hashlib.md5(t.encode("utf-8")).hexdigest()[0], 16
+            )
+            limit = 1 if lang == "en" else 8
+            keep.append(bucket < limit)
+        sub = batch.filter(pa.array(keep))
+        return pa.table(
+            {"doc_id": sub["doc_id"], "lang": sub["lang"]}
+        )
+
+    return docs.map_batches(sample, batch_format="pyarrow")
+
+
 def q_approx_group_median(sf_dir: str):
     """Bottom-k-sampled per-group median (mergeable quantile sketch).
     No SQL oracle (approximate by construction above k rows/group);
@@ -1073,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": q_approx_distinct_users,
         "exact_distinct_users": q_exact_distinct_users,
         "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
         "group_median": q_group_median,
         "approx_group_median": q_approx_group_median,
         "window_cumsum": q_window_cumsum,
@@ -1288,6 +1316,11 @@ FROM documents
         "hash_sample": """
 SELECT doc_id, length(text) AS n_chars
 FROM documents WHERE substr(md5(text), 1, 1) = '0'
+""",
+        "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(text), 1, 1)) AS INT)
+      < CASE WHEN lang = 'en' THEN 1 ELSE 8 END
 """,
         "exact_distinct_users": """
 SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
