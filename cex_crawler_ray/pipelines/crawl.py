@@ -84,10 +84,13 @@ class CrawlConfig:
 # string, so the Python normalizer can be skipped (the dominant
 # frontier-admission cost after hashing).  Anything else (relative,
 # uppercase, ports, fragments, '//', bare host, trailing '?') takes
-# the slow path.
+# the slow path.  Tab/CR/LF/space are excluded from every class:
+# urlsplit strips those control chars before parsing, so a URL
+# containing them canonicalizes differently from its raw form and
+# must not take the fast path (it would get a distinct url_hash64).
 _CANONICAL_FAST_RE = (
     r"^(?P<s>https?)://(?P<h>[a-z0-9._\-]+)"
-    r"(?:/|(?:/[^/?#]+)+)(?:\?[^#]+)?$"
+    r"(?:/|(?:/[^/?#\t\r\n ]+)+)(?:\?[^#\t\r\n ]+)?$"
 )
 
 
@@ -832,14 +835,50 @@ class CrawlRun:
         # atomic commit: the manifest only ever names fully-written rounds
         os.replace(tmp, os.path.join(self.checkpoint_dir, "manifest.json"))
 
+    def _purge_uncommitted(self, keep_paths: list) -> None:
+        """Delete round dirs / seed / reseed-clean files a crashed
+        invocation left behind past the last committed manifest.
+        ``write_parquet`` names files by a per-execution UUID and never
+        overwrites, so re-running an uncommitted round would append a
+        second set of files next to the stale ones — and the
+        whole-directory globs that consume link/deferred/clean dirs
+        would then fetch those URLs twice.  Frontier paths named by the
+        manifest always live inside ``round=j`` with j < rounds_done
+        (``_save_round(k)`` commits rounds_done=k+1), so wiping
+        j >= rounds_done can never drop committed state."""
+        import glob as _glob
+        import re as _re
+        import shutil
+
+        keep = {os.path.abspath(p) for p in keep_paths}
+        for d in _glob.glob(os.path.join(self.checkpoint_dir, "round=*")):
+            mm = _re.match(r"^round=(\d+)$", os.path.basename(d))
+            if mm and int(mm.group(1)) >= self.rounds_done:
+                shutil.rmtree(d, ignore_errors=True)
+        stale = _glob.glob(
+            os.path.join(self.checkpoint_dir, "seeds-r*.parquet")
+        ) + _glob.glob(os.path.join(self.checkpoint_dir, "reseed_clean-r*"))
+        for p in stale:
+            if os.path.abspath(p) in keep:
+                continue
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                os.remove(p)
+
     def try_resume(self) -> list | None:
         """Restore seen-filter + metrics; return the pending frontier as
         a list of parquet paths, or None when there is no usable
-        checkpoint."""
+        checkpoint.  Purges any uncommitted round outputs first so a
+        crash-resume never double-writes (see ``_purge_uncommitted``)."""
         if not self.checkpoint_dir:
             return None
         mpath = os.path.join(self.checkpoint_dir, "manifest.json")
         if not os.path.exists(mpath):
+            if os.path.isdir(self.checkpoint_dir):
+                # crashed before the first manifest commit: treat as a
+                # fresh run over a clean directory
+                self._purge_uncommitted([])
             return None
         with open(mpath) as f:
             manifest = json.load(f)
@@ -862,10 +901,18 @@ class CrawlRun:
         self.metrics = [RoundMetrics(**m) for m in manifest["metrics"]]
         self.lineage = manifest.get("lineage", [])
         self.rounds_done = k
-        return [
-            os.path.join(self.checkpoint_dir, p)
-            for p in manifest["frontier"]
-        ]
+        fr = manifest.get("frontier")
+        if fr is not None:
+            paths = [os.path.join(self.checkpoint_dir, p) for p in fr]
+        else:
+            # legacy (pre-path-list) checkpoint format: the pending
+            # frontier is a single file in the last committed round dir
+            legacy = os.path.join(
+                self._round_dir(k - 1), "frontier_next.parquet"
+            )
+            paths = [legacy] if k > 0 and os.path.exists(legacy) else []
+        self._purge_uncommitted(paths)
+        return paths
 
     # --- results -------------------------------------------------------
     _FETCHED_COLS = [*FRONTIER.names, "fetch_slot", "status", "warc_ts", "fetch_round"]
@@ -1067,6 +1114,8 @@ def run_crawl(
                 def strip_seeds(batch: pa.Table) -> pa.Table:
                     batch = batch.select(FRONTIER.names).cast(FRONTIER)
                     excl = ray.get(excl_ref)
+                    if len(excl) == 0 or batch.num_rows == 0:
+                        return batch
                     h = np.asarray(
                         batch["url_hash"].to_pylist(), dtype=np.uint64
                     )

@@ -59,21 +59,23 @@ class RobotsPolicy:
     ) -> "RobotsPolicy":
         """Build a policy from raw robots.txt bodies (host -> text).
 
-        Standard-format subset: ``User-agent`` group matching (exact
-        agent or ``*``), ``Disallow`` path prefixes (empty = allow
-        all), ``Crawl-delay`` seconds.  Unknown directives are ignored;
-        a fetch pipeline caches one parsed policy per host exactly like
-        the reference caches its buildId (``exchange/gate.py:52``)."""
+        Standard-format subset following RFC 9309 group semantics:
+        consecutive ``User-agent`` lines form ONE group sharing the
+        rule lines that follow; groups naming the same agent combine;
+        a matched specific-agent group wins entirely over the ``*``
+        group — even when the specific group has no rules (allow all).
+        ``Disallow`` path prefixes (empty = allow all), ``Crawl-delay``
+        seconds.  Unknown directives are ignored; a fetch pipeline
+        caches one parsed policy per host exactly like the reference
+        caches its buildId (``exchange/gate.py:52``)."""
         disallow: dict = {}
         delays: dict = {}
         ua = user_agent.lower()
         for host, text in texts.items():
-            rules: list = []
-            delay = None
-            star_rules: list = []
-            star_delay = None
-            applies = False
-            star_applies = False
+            # Parse into groups: each is {agents, rules, delay}.
+            groups: list = []
+            cur: dict | None = None
+            in_ua_run = False
             for raw in (text or "").splitlines():
                 line = raw.split("#", 1)[0].strip()
                 if not line or ":" not in line:
@@ -82,26 +84,36 @@ class RobotsPolicy:
                 key = key.strip().lower()
                 val = val.strip()
                 if key == "user-agent":
-                    applies = val.lower() == ua
-                    star_applies = val == "*"
-                elif key == "disallow":
-                    if applies and val:
-                        rules.append(val)
-                    elif star_applies and val:
-                        star_rules.append(val)
-                elif key == "crawl-delay":
-                    try:
-                        ms = int(float(val) * 1000)
-                    except ValueError:
+                    if not in_ua_run:
+                        cur = {"agents": set(), "rules": [], "delay": None}
+                        groups.append(cur)
+                        in_ua_run = True
+                    cur["agents"].add(val.lower())
+                elif key in ("disallow", "crawl-delay"):
+                    in_ua_run = False
+                    if cur is None:
                         continue
-                    if applies:
-                        delay = ms
-                    elif star_applies:
-                        star_delay = ms
-            disallow[host] = rules if (rules or delay is not None) else star_rules
-            chosen = delay if delay is not None else star_delay
-            if chosen is not None:
-                delays[host] = chosen
+                    if key == "disallow":
+                        if val:
+                            cur["rules"].append(val)
+                    else:
+                        try:
+                            cur["delay"] = int(float(val) * 1000)
+                        except ValueError:
+                            pass
+            # Most-specific match wins entirely; same-agent groups merge.
+            matched = [g for g in groups if ua in g["agents"]]
+            if not matched:
+                matched = [g for g in groups if "*" in g["agents"]]
+            rules: list = []
+            delay = None
+            for g in matched:
+                rules.extend(g["rules"])
+                if delay is None:
+                    delay = g["delay"]
+            disallow[host] = rules
+            if delay is not None:
+                delays[host] = delay
         return cls(
             disallow=disallow,
             crawl_delay_ms=delays,

@@ -5,6 +5,8 @@ scheduling determinism, link discovery, extraction byte-identity vs the
 pages.text oracle column, tombstones, and resume-without-refetch.
 """
 
+import os
+
 import pyarrow.compute as pc
 import pytest
 
@@ -214,6 +216,86 @@ def test_resume_no_refetch(store, crawl_inputs, tmp_path):
     assert resumed.crawl_order() == full.crawl_order()
 
 
+def test_resume_purges_uncommitted_round_outputs(
+    store, crawl_inputs, tmp_path
+):
+    """A crash AFTER a round's write_parquet but BEFORE the manifest
+    commit leaves stale UUID-named files; resume must purge them or the
+    round re-run appends a second copy and pages duplicate."""
+    import shutil
+
+    sources, robots, cfg = crawl_inputs
+    ckpt = str(tmp_path / "ckpt")
+    full = run_crawl(store, seeds_for_sources(sources), robots, cfg)
+    part = run_crawl(
+        store,
+        seeds_for_sources(sources),
+        robots,
+        cfg,
+        checkpoint_dir=ckpt,
+        stop_after_round=1,
+    )
+    assert part.rounds_done == 1
+    # plant what an uncommitted round=1 crash would leave behind:
+    # a round dir full of parquet, plus stale seed/reseed-clean files
+    shutil.copytree(
+        os.path.join(ckpt, "round=0"), os.path.join(ckpt, "round=1")
+    )
+    shutil.copy(
+        os.path.join(ckpt, "seeds-r0.parquet"),
+        os.path.join(ckpt, "seeds-r1.parquet"),
+    )
+    os.makedirs(os.path.join(ckpt, "reseed_clean-r1"))
+    shutil.copy(
+        os.path.join(ckpt, "seeds-r0.parquet"),
+        os.path.join(ckpt, "reseed_clean-r1", "stale.parquet"),
+    )
+    resumed = run_crawl(
+        store, seeds_for_sources(sources), robots, cfg, checkpoint_dir=ckpt
+    )
+    # stale artifacts are gone and nothing was double-counted
+    assert not os.path.exists(os.path.join(ckpt, "seeds-r1.parquet"))
+    assert not os.path.exists(os.path.join(ckpt, "reseed_clean-r1"))
+    urls = resumed.fetched_table()["url"].to_pylist()
+    assert len(urls) == len(set(urls))
+    assert sorted(urls) == sorted(full.fetched_table()["url"].to_pylist())
+    assert resumed.crawl_order() == full.crawl_order()
+
+
+def test_resume_legacy_manifest_without_frontier_key(
+    store, crawl_inputs, tmp_path
+):
+    """Checkpoints written by the pre-path-list format (no 'frontier'
+    key; frontier_next.parquet in the last round dir) must resume, not
+    KeyError."""
+    import json as _json
+
+    sources, robots, cfg = crawl_inputs
+    ckpt = str(tmp_path / "ckpt")
+    full = run_crawl(store, seeds_for_sources(sources), robots, cfg)
+    run_crawl(
+        store,
+        seeds_for_sources(sources),
+        robots,
+        cfg,
+        checkpoint_dir=ckpt,
+        stop_after_round=1,
+    )
+    mpath = os.path.join(ckpt, "manifest.json")
+    with open(mpath) as f:
+        manifest = _json.load(f)
+    del manifest["frontier"]
+    with open(mpath, "w") as f:
+        _json.dump(manifest, f)
+    assert os.path.exists(
+        os.path.join(ckpt, "round=0", "frontier_next.parquet")
+    )
+    resumed = run_crawl(
+        store, seeds_for_sources(sources), robots, cfg, checkpoint_dir=ckpt
+    )
+    assert resumed.crawl_order() == full.crawl_order()
+
+
 def test_title_filter_applied_in_frontier():
     """M12: on filtered hosts only matching anchor titles enter the
     frontier (vectorized substring keep, reference lbank.py:179-184)."""
@@ -280,6 +362,71 @@ Disallow: /
     )
     assert not pol2.allowed("https://h.test/anything")
     assert pol.hosts_with_rules() == frozenset({"h.test"})
+
+
+def test_robots_txt_rfc9309_groups():
+    """RFC 9309 group semantics: consecutive User-agent lines share the
+    following rules; a matched specific-agent group wins ENTIRELY over
+    '*' even when the specific group has no rules (allow-all)."""
+    from cex_crawler_ray.state.politeness import RobotsPolicy
+
+    txt = """
+User-agent: abot
+User-agent: bbot
+Disallow: /shared/
+
+User-agent: *
+Disallow: /everything/
+Crawl-delay: 9
+"""
+    # consecutive UA lines form ONE group: both agents get /shared/
+    for agent in ("abot", "bbot"):
+        pol = RobotsPolicy.from_robots_txt({"h.test": txt}, user_agent=agent)
+        assert not pol.allowed("https://h.test/shared/x")
+        assert pol.allowed("https://h.test/everything/x")  # star ignored
+        assert "h.test" not in pol.crawl_delay_ms  # star delay ignored
+    # unmatched agent falls back to the star group
+    pol = RobotsPolicy.from_robots_txt({"h.test": txt}, user_agent="cbot")
+    assert not pol.allowed("https://h.test/everything/x")
+    assert pol.allowed("https://h.test/shared/x")
+    assert pol.crawl_delay_ms["h.test"] == 9000
+    # a matched specific group with NO rules means allow-all, not
+    # fall-back-to-star
+    txt2 = """
+User-agent: emptybot
+Disallow:
+
+User-agent: *
+Disallow: /blocked/
+"""
+    pol = RobotsPolicy.from_robots_txt({"h.test": txt2}, user_agent="emptybot")
+    assert pol.allowed("https://h.test/blocked/x")
+    # same-agent groups merge
+    txt3 = """
+User-agent: abot
+Disallow: /a/
+
+User-agent: abot
+Disallow: /b/
+"""
+    pol = RobotsPolicy.from_robots_txt({"h.test": txt3}, user_agent="abot")
+    assert not pol.allowed("https://h.test/a/x")
+    assert not pol.allowed("https://h.test/b/x")
+
+
+def test_canonical_fast_path_rejects_control_chars():
+    """URLs containing tab/CR/LF must NOT take the regex fast path:
+    urlsplit strips those chars, so the canonical form differs from the
+    raw string and both must hash identically via the slow path."""
+    import pyarrow as pa
+
+    from cex_crawler_ray.pipelines.crawl import canonicalize_batch
+
+    dirty = "https://h.test/a\tb/c"
+    clean = "https://h.test/ab/c"
+    out = canonicalize_batch(pa.table({"url": [dirty, clean]}))
+    assert out["url"].to_pylist() == [clean, clean]
+    assert out["url_hash"][0].as_py() == out["url_hash"][1].as_py()
 
 
 def test_robots_keep_mask_short_circuit():
