@@ -338,6 +338,14 @@ def _materialize_pairs(pairs) -> pa.Table:
     if isinstance(pairs, pa.Table):
         return pairs
     tables = [ray.get(r) for r in pairs.to_arrow_refs()]
+    # empty blocks of a fused pandas map_groups stage can surface as
+    # DataFrames even through to_arrow_refs — normalize before sizing
+    tables = [
+        t
+        if isinstance(t, pa.Table)
+        else pa.Table.from_pandas(t, preserve_index=False)
+        for t in tables
+    ]
     tables = [t for t in tables if t.num_rows]
     if not tables:
         return pa.table(
@@ -381,14 +389,67 @@ def _candidate_texts(pairs_tbl: pa.Table, corpus, id_col, text_col) -> dict:
     return {r[id_col]: r[text_col] for r in rows}
 
 
-def verify_pairs_exact(pairs, corpus, id_col="doc_id", text_col="text"):
+# Above this many candidate pairs the verify routes through the
+# co-partition join (``attach_pair_texts``) instead of materializing
+# the pair table + candidate texts on the driver.  Below it, the
+# broadcast scan is measurably faster at sandbox scale (one corpus
+# pass vs two shuffle joins); the join path is the 100-TB shape where
+# a dup-heavy corpus can emit 10^8 candidates.
+VERIFY_BROADCAST_MAX_PAIRS = 100_000
+
+
+def _prepare_pairs(pairs, broadcast_max_pairs):
+    """Normalize the candidate side and pick the verify path.
+
+    Returns (pairs_materialized, use_join).  A Dataset is materialized
+    (blocks stay distributed in the object store) so the count comes
+    from metadata and neither path re-executes the LSH pipeline."""
+    limit = (
+        VERIFY_BROADCAST_MAX_PAIRS
+        if broadcast_max_pairs is None
+        else broadcast_max_pairs
+    )
+    if isinstance(pairs, pa.Table):
+        return pairs, pairs.num_rows > limit
+    pairs = pairs.materialize()
+    return pairs, pairs.count() > limit
+
+
+def _verified_join(pairs, corpus, keep_fn, id_col, text_col):
+    """Scale path: candidate pairs -> co-partition joins back to the
+    corpus (``attach_pair_texts``) -> vectorized per-batch verify.
+    Only the VERIFIED pair ids (the result) ever reach the driver —
+    no candidate pair table, no id->text dict."""
+    if isinstance(pairs, pa.Table):
+        pairs = ray.data.from_arrow(pairs)
+    joined = attach_pair_texts(pairs, corpus, id_col=id_col, text_col=text_col)
+    out = joined.map_batches(keep_fn, batch_format="pyarrow")
+    return _materialize_pairs(out).select(["id_a", "id_b"])
+
+
+def verify_pairs_exact(
+    pairs, corpus, id_col="doc_id", text_col="text",
+    broadcast_max_pairs: int | None = None,
+):
     """Keep only candidate pairs whose texts are byte-identical.
 
-    Verification volume scales with the candidate set: candidate ids
-    are broadcast, one corpus scan picks their texts, the equality
-    check is vectorized over the (small) pair table."""
+    Verification volume scales with the candidate set.  Below
+    ``broadcast_max_pairs`` (default ``VERIFY_BROADCAST_MAX_PAIRS``)
+    candidate ids are broadcast and one corpus scan picks their texts;
+    above it the verify is two co-partition hash joins + a vectorized
+    equality filter, so nothing candidate-sized touches the driver.
+    Pass ``broadcast_max_pairs=0`` to force the join path."""
     import pandas as pd
 
+    pairs, use_join = _prepare_pairs(pairs, broadcast_max_pairs)
+    if use_join:
+        def keep_eq(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(batch["text_a"], batch["text_b"])
+            return batch.filter(
+                pc.fill_null(keep, False)
+            ).select(["id_a", "id_b"])
+
+        return _verified_join(pairs, corpus, keep_eq, id_col, text_col)
     pairs_tbl = _materialize_pairs(pairs)
     texts = _candidate_texts(pairs_tbl, corpus, id_col, text_col)
     ta = pd.Series(pairs_tbl["id_a"].to_pylist()).map(texts)
@@ -402,10 +463,24 @@ def verify_pairs_exact(pairs, corpus, id_col="doc_id", text_col="text"):
 def verify_pairs_jaccard(
     pairs, corpus, min_jaccard: float = 0.8, k: int = 5,
     id_col="doc_id", text_col="text",
+    broadcast_max_pairs: int | None = None,
 ):
     """Keep only candidate pairs whose TRUE k-gram Jaccard >= threshold
-    (same candidate-bounded broadcast verify as
-    ``verify_pairs_exact``)."""
+    (same threshold-switched verify as ``verify_pairs_exact``: broadcast
+    scan below ``broadcast_max_pairs`` candidates, co-partition join
+    above)."""
+    pairs, use_join = _prepare_pairs(pairs, broadcast_max_pairs)
+    if use_join:
+        def keep_jac(batch: pa.Table) -> pa.Table:
+            keep = [
+                ngram_jaccard(a, b, k) >= min_jaccard
+                for a, b in zip(
+                    batch["text_a"].to_pylist(), batch["text_b"].to_pylist()
+                )
+            ]
+            return batch.filter(pa.array(keep)).select(["id_a", "id_b"])
+
+        return _verified_join(pairs, corpus, keep_jac, id_col, text_col)
     pairs_tbl = _materialize_pairs(pairs)
     texts = _candidate_texts(pairs_tbl, corpus, id_col, text_col)
     keep = [

@@ -157,30 +157,28 @@ def _masked_partial_topk(
     )
 
 
-class _LSHStage:
-    """Random-hyperplane signatures, planes built once per worker."""
+_LSH_PLANES_CACHE: dict = {}
 
-    def __init__(self, dim: int, num_planes: int = 12, seed: int = 7, emb_col="embedding", id_col="vec_id"):
+
+def _lsh_planes(dim: int, num_planes: int = 12, seed: int = 7) -> np.ndarray:
+    """Random-hyperplane matrix — a pure seeded function of the config,
+    memoized per process (the former ``_LSHStage`` class carried a dead
+    per-row ``__call__``; a plain helper can't be misused that way)."""
+    key = (dim, num_planes, seed)
+    if key not in _LSH_PLANES_CACHE:
         rng = np.random.RandomState(seed)
-        self.planes = rng.randn(num_planes, dim)
-        self.emb_col = emb_col
-        self.id_col = id_col
+        _LSH_PLANES_CACHE[key] = rng.randn(num_planes, dim)
+    return _LSH_PLANES_CACHE[key]
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in batch[self.emb_col].to_pylist()]
-        )
-        bits = (m @ self.planes.T) > 0
-        keys = np.zeros(len(m), dtype=np.int64)
-        for b in range(bits.shape[1]):
-            keys |= bits[:, b].astype(np.int64) << b
-        return pa.table(
-            {
-                self.id_col: batch[self.id_col],
-                "bucket": pa.array(keys, pa.int64()),
-                self.emb_col: batch[self.emb_col],
-            }
-        )
+
+def _lsh_keys(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Bit-packed hyperplane signs, fully vectorized (one matmul + one
+    matvec, no per-bit Python loop)."""
+    bits = (m @ planes.T) > 0
+    weights = np.left_shift(
+        np.int64(1), np.arange(bits.shape[1], dtype=np.int64)
+    )
+    return bits.astype(np.int64) @ weights
 
 
 def _within_hamming(key: int, num_planes: int, radius: int) -> set:
@@ -211,11 +209,8 @@ def knn_lsh(
     the brute-force oracle."""
     q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
     dim = q.shape[1]
-    stage = _LSHStage(dim, num_planes)
-    qbits = (q @ stage.planes.T) > 0
-    qkeys = np.zeros(len(q), dtype=np.int64)
-    for b in range(qbits.shape[1]):
-        qkeys |= qbits[:, b].astype(np.int64) << b
+    planes = _lsh_planes(dim, num_planes)
+    qkeys = _lsh_keys(q, planes)
     probe_keys = [
         np.array(
             sorted(_within_hamming(int(kk), num_planes, probe_radius)),
@@ -231,15 +226,12 @@ def knn_lsh(
     # one broadcast of (queries, probe sets, planes); each batch does
     # signature -> vectorized np.isin membership -> masked partial top-k
     # — no per-row Python filter, no corpus rows ever reach the driver
-    bcast = ray.put((qn, probe_keys, wanted, stage.planes))
+    bcast = ray.put((qn, probe_keys, wanted, planes))
 
     def partial(batch: pa.Table) -> pa.Table:
         qn, probes, wanted, planes = ray.get(bcast)
         m = stack_list_column(batch[emb_col])
-        bits = (m @ planes.T) > 0
-        keys = np.zeros(len(m), dtype=np.int64)
-        for b in range(bits.shape[1]):
-            keys |= bits[:, b].astype(np.int64) << b
+        keys = _lsh_keys(m, planes)
         keep = np.isin(keys, wanted)
         if not keep.any():
             return pa.table(
@@ -357,3 +349,215 @@ def knn_ivf(
 
     cand = ds.map_batches(partial, batch_format="pyarrow").take_all()
     return _merge_topk_det(cand, k)
+
+
+# ------------------------------------------------- batch-query kNN
+# The broadcast-matrix contract above fits a handful of query vectors;
+# these variants take the QUERY SIDE as a Dataset too.  Shape: the
+# query dataset is materialized into object-store blocks (the driver
+# holds only block refs), every corpus task scores its batch against
+# each query block (zero-copy shared-memory reads, normalized once per
+# worker), and the per-(query-block x corpus-batch) partial top-k
+# candidates are reduced per query by a coarse-partitioned groupby —
+# the driver never holds anything larger than the k x queries result.
+
+_QBLOCK_CACHE: dict = {}
+
+
+def _cached_query_block(ref, query_id_col: str, emb_col: str):
+    """Per-worker cache: query block ref -> (ids, normalized matrix).
+    Normalization happens once per worker per block, not per corpus
+    batch."""
+    key = (ref.hex(), query_id_col, emb_col)
+    ent = _QBLOCK_CACHE.get(key)
+    if ent is None:
+        if len(_QBLOCK_CACHE) > 512:
+            _QBLOCK_CACHE.clear()
+        t = ray.get(ref)
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        qids = col_to_numpy(t[query_id_col], np.int64)
+        qn = _norm_rows(stack_list_column(t[emb_col]))
+        ent = (qids, qn)
+        _QBLOCK_CACHE[key] = ent
+    return ent
+
+
+def _reduce_topk_per_query(cand, k: int, num_parts: int = 64) -> pa.Table:
+    """Distributed per-query top-k merge of candidate rows
+    (query_id, vec_id, sim): coarse-partition on query_id, local
+    sort/head per partition, deterministic (sim desc, vec_id asc)
+    tie-break.  Only the final k x queries rows reach the driver."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        q = col_to_numpy(batch["query_id"], np.uint64)
+        part = pa.array(
+            ((q * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_parts)).astype(
+                np.int64
+            ),
+            pa.int64(),
+        )
+        return batch.append_column("_part", part)
+
+    def merge_part(df):
+        df = df.sort_values(
+            ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+        )
+        top = df.groupby("query_id", sort=False).head(k).copy()
+        top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
+        return top[["query_id", "rank", "vec_id"]]
+
+    out = (
+        cand.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(merge_part, batch_format="pandas")
+    )
+    tables = [ray.get(r) for r in out.to_arrow_refs()]
+    tables = [
+        t
+        if isinstance(t, pa.Table)
+        else pa.Table.from_pandas(t, preserve_index=False)
+        for t in tables
+    ]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+            }
+        )
+    merged = pa.concat_tables(tables).combine_chunks()
+    order = pa.compute.sort_indices(
+        merged,
+        sort_keys=[("query_id", "ascending"), ("rank", "ascending")],
+    )
+    return merged.take(order)
+
+
+def knn_brute_force_ds(
+    corpus,
+    queries,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+):
+    """Exact cosine top-k where BOTH sides are Datasets.
+
+    Returns (query_id, rank, vec_id), rank 1..k, ties (sim desc, id
+    asc).  Every corpus batch is scored against every query block with
+    one matmul + a vectorized per-row argpartition — no per-query
+    Python loop in the scoring path."""
+    qrefs = list(queries.materialize().to_arrow_refs())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = col_to_numpy(batch[id_col], np.int64)
+        m = _norm_rows(stack_list_column(batch[emb_col]))
+        outs = []
+        for ref in qrefs:
+            qids, qn = _cached_query_block(ref, query_id_col, emb_col)
+            if len(qids) == 0 or len(ids) == 0:
+                continue
+            sims = qn @ m.T
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            outs.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(
+                            np.repeat(qids, kk), pa.int64()
+                        ),
+                        "vec_id": pa.array(ids[part.ravel()], pa.int64()),
+                        "sim": pa.array(
+                            np.take_along_axis(sims, part, axis=1).ravel(),
+                            pa.float64(),
+                        ),
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    cand = corpus.map_batches(partial, batch_format="pyarrow")
+    return _reduce_topk_per_query(cand, k)
+
+
+def knn_ivf_ds(
+    corpus,
+    queries,
+    k: int = 10,
+    num_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+):
+    """IVF approximate top-k with a query Dataset: same index build as
+    ``knn_ivf`` (broadcast centroids), but probe-list assignment happens
+    INSIDE the corpus tasks per query block, and scoring masks each
+    query to its probed lists fully vectorized (no per-query loop)."""
+    sample_rows = corpus.limit(4096).take_all()
+    sample = _norm_rows(
+        np.stack(
+            [np.asarray(r[emb_col], dtype=np.float64) for r in sample_rows]
+        )
+    )
+    centroids = _minibatch_kmeans(sample, num_lists)
+    cent_ref = ray.put(centroids)
+    qrefs = list(queries.materialize().to_arrow_refs())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        ids = col_to_numpy(batch[id_col], np.int64)
+        m = _norm_rows(stack_list_column(batch[emb_col]))
+        lists = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+        outs = []
+        for ref in qrefs:
+            qids, qn = _cached_query_block(ref, query_id_col, emb_col)
+            if len(qids) == 0 or len(ids) == 0:
+                continue
+            probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+            # (nq, nb) membership: does this corpus row's list appear in
+            # the query's probe set?
+            mask = (probes[:, :, None] == lists[None, None, :]).any(axis=1)
+            if not mask.any():
+                continue
+            sims = np.where(mask, qn @ m.T, -np.inf)
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            svals = np.take_along_axis(sims, part, axis=1)
+            valid = np.isfinite(svals).ravel()
+            outs.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(
+                            np.repeat(qids, kk)[valid], pa.int64()
+                        ),
+                        "vec_id": pa.array(
+                            ids[part.ravel()][valid], pa.int64()
+                        ),
+                        "sim": pa.array(svals.ravel()[valid], pa.float64()),
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    cand = corpus.map_batches(partial, batch_format="pyarrow")
+    return _reduce_topk_per_query(cand, k)

@@ -154,6 +154,94 @@ def test_verify_pairs_join(corpus):
     assert got <= got_j  # exact dups always pass the jaccard bar
 
 
+def test_verify_pairs_threshold_switch(corpus):
+    """Forcing the co-partition join path (broadcast_max_pairs=0) must
+    produce the identical verified pair set as the broadcast path —
+    the automatic switch can never change results, only where the
+    candidate texts live."""
+    from cex_crawler_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_exact,
+        verify_pairs_jaccard,
+    )
+
+    pairs = minhash_lsh_pairs(corpus).materialize()
+
+    def pset(tbl):
+        return set(
+            zip(tbl["id_a"].to_pylist(), tbl["id_b"].to_pylist())
+        )
+
+    bc = verify_pairs_exact(pairs, corpus, broadcast_max_pairs=10**9)
+    jn = verify_pairs_exact(pairs, corpus, broadcast_max_pairs=0)
+    assert pset(jn) == pset(bc) and len(pset(bc)) > 0
+
+    bc_j = verify_pairs_jaccard(
+        pairs, corpus, min_jaccard=0.8, broadcast_max_pairs=10**9
+    )
+    jn_j = verify_pairs_jaccard(
+        pairs, corpus, min_jaccard=0.8, broadcast_max_pairs=0
+    )
+    assert pset(jn_j) == pset(bc_j)
+
+
+def test_knn_batch_query_dataset(ray_session):
+    """Batch-query kNN: 1,000 queries as a Dataset against a corpus
+    Dataset.  Brute-force must equal the local numpy oracle exactly;
+    IVF-ds recall vs brute force >= 0.6.  The driver-side result is
+    exactly k x queries rows."""
+    from cex_crawler_ray.stages.similarity import (
+        knn_brute_force_ds,
+        knn_ivf_ds,
+    )
+
+    rng = np.random.RandomState(5)
+    n, nq, dim, k = 600, 1000, 16, 5
+    mat = rng.randn(n, dim)
+    qmat = rng.randn(nq, dim)
+    corpus = ray.data.from_items(
+        [
+            {"vec_id": i, "embedding": mat[i].tolist()}
+            for i in range(n)
+        ]
+    ).repartition(8)
+    queries = ray.data.from_items(
+        [
+            {"query_id": i, "embedding": qmat[i].tolist()}
+            for i in range(nq)
+        ]
+    ).repartition(4)
+
+    out = knn_brute_force_ds(corpus, queries, k=k).to_pandas()
+    assert len(out) == nq * k
+    # numpy oracle
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    for qi in (0, 17, 500, 999):
+        expect = sorted(range(n), key=lambda i: (-sims[qi, i], i))[:k]
+        got = out[out["query_id"] == qi].sort_values("rank")[
+            "vec_id"
+        ].tolist()
+        assert got == expect
+    # full equality of the top-1 column (cheap full sweep)
+    top1 = (
+        out[out["rank"] == 1].sort_values("query_id")["vec_id"].to_numpy()
+    )
+    expect_top1 = np.lexsort((np.arange(n)[None, :].repeat(nq, 0), -sims))[
+        :, 0
+    ]
+    assert (top1 == expect_top1).all()
+
+    ivf = knn_ivf_ds(corpus, queries, k=k, num_lists=8, nprobe=3).to_pandas()
+    brute = {
+        (r.query_id, r.vec_id) for r in out.itertuples()
+    }
+    approx = {(r.query_id, r.vec_id) for r in ivf.itertuples()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.6, recall
+
+
 def test_knn_brute_force_matches_numpy(ray_session):
     from cex_crawler_ray.stages.similarity import knn_brute_force
 
