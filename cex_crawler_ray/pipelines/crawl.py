@@ -1196,13 +1196,26 @@ def run_crawl(
                     batch_format="pyarrow",
                 )
             )
-            to_fetch = _to_table(sched_ds, SCHED_SCHEMA)
-            n_deferred = _frontier_row_count([deferred_dir])
-            m.scheduled, m.deferred = to_fetch.num_rows, n_deferred
-            m.robots_blocked = n_front - to_fetch.num_rows - n_deferred
-            if to_fetch.num_rows == 0:
-                run.metrics.append(m)
-                break
+            if cfg.fetch_fn is None:
+                # FUSED round: the scheduled slice streams straight into
+                # the bucket-keyed fetch inside the SAME execution —
+                # no _to_table hop, no second pipeline startup.  The
+                # schedule metrics are recovered from the written page
+                # partition after the round (scheduled == page rows:
+                # every scheduled row yields exactly one page row, 404s
+                # and tombstones included).
+                to_fetch = None
+            else:
+                # pluggable fetch stages (e.g. the live actor-pool
+                # fetcher) take a materialized table; keep the two-step
+                # path for them
+                to_fetch = _to_table(sched_ds, SCHED_SCHEMA)
+                n_deferred = _frontier_row_count([deferred_dir])
+                m.scheduled, m.deferred = to_fetch.num_rows, n_deferred
+                m.robots_blocked = n_front - to_fetch.num_rows - n_deferred
+                if to_fetch.num_rows == 0:
+                    run.metrics.append(m)
+                    break
             deferred = None
         else:
             # 1. robots gate (pure, broadcast policy — never re-shipped;
@@ -1237,8 +1250,9 @@ def run_crawl(
             offset_days=cfg.offset_days,
         )
         fetch = cfg.fetch_fn or store.fetch_aligned
+        fused = distributed and to_fetch is None
         round_ds = (
-            fetch(to_fetch)
+            (store.fetch_grouped(sched_ds) if fused else fetch(to_fetch))
             .map_batches(
                 ProcessStage(
                     extract,
@@ -1272,6 +1286,15 @@ def run_crawl(
             xstatus = stat_tbl["xstatus"]
             page_urls_for_lineage = stat_tbl["url"]
             n_pages = stat_tbl.num_rows
+            if fused:
+                # schedule metrics, recovered post-execution: every
+                # scheduled row produced exactly one page row
+                n_def_f = _frontier_row_count([deferred_dir])
+                m.scheduled, m.deferred = n_pages, n_def_f
+                m.robots_blocked = n_front - n_pages - n_def_f
+                if n_pages == 0:
+                    run.metrics.append(m)
+                    break
             discovered_tbl = None
             n_links = _frontier_row_count([link_dir])
             if distributed:

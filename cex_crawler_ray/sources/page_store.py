@@ -171,6 +171,70 @@ class PageStore:
             self.path, columns=FETCH_COLS, **kwargs
         ).map_batches(member_filter, batch_format="pyarrow")
 
+    def fetch_grouped(
+        self,
+        frontier: "ray.data.Dataset",
+        batch_size: int = 8192,
+        grouped: bool = False,
+    ) -> "ray.data.Dataset":
+        """Fetch a STREAMING frontier Dataset inside the same execution
+        — the fused-round counterpart of ``fetch_aligned``.
+
+        Default (``grouped=False``): coalescing ``map_batches`` — Ray
+        bundles the scheduler's many tiny host-partition blocks up to
+        ``batch_size`` rows per fetch task, and each task resolves its
+        rows bucket-by-bucket.  Per-round bucket-file reads are bounded
+        by ``ceil(scheduled / batch_size) x num_buckets``; a crawl
+        round's scheduled slice is politeness-bounded (Σ per-host
+        tokens), so with ``scheduled <= batch_size`` this reads each
+        touched bucket exactly once — aligned behavior without any
+        shuffle.  Measured: a per-round ``groupby(bucket)`` shuffle
+        costs ~4 s/round of sort-barrier fixed cost in local mode,
+        ~10x more than the coalesced reads it saves.
+
+        ``grouped=True`` keys each row by store bucket and shuffles
+        with ``groupby(bucket)`` instead — strict read-once-per-bucket
+        regardless of scheduled volume.  Use it when the per-round
+        fetch budget is many multiples of ``batch_size`` (dense
+        recrawls), where read amplification would exceed the one
+        shuffle of ~100 B/row frontier metadata.
+        """
+        path, nb = self.path, self.num_buckets
+
+        def fetch_fn(batch: pa.Table) -> pa.Table:
+            return _fetch_batch(batch, path, nb)
+
+        if not grouped:
+            return frontier.map_batches(
+                fetch_fn, batch_format="pyarrow", batch_size=batch_size
+            )
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = _bucket_of_urls(batch["url"].to_pylist(), nb)
+            return batch.append_column(
+                "_store_bucket", pa.array(b, pa.int64())
+            )
+
+        def fetch_group(part: pa.Table) -> pa.Table:
+            if part.num_rows == 0:
+                t = part
+                if "_store_bucket" in t.column_names:
+                    t = t.drop_columns(["_store_bucket"])
+                t = t.append_column(
+                    "warc_ts", pa.array([], pa.timestamp("us", tz="UTC"))
+                )
+                t = t.append_column("html", pa.array([], pa.binary()))
+                return t.append_column("status", pa.array([], pa.int32()))
+            return _fetch_batch(
+                part.drop_columns(["_store_bucket"]), path, nb
+            )
+
+        return (
+            frontier.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_store_bucket")
+            .map_groups(fetch_group, batch_format="pyarrow")
+        )
+
     def fetch_aligned(
         self,
         frontier_tbl: pa.Table,

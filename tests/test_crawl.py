@@ -296,6 +296,39 @@ def test_resume_legacy_manifest_without_frontier_key(
     assert resumed.crawl_order() == full.crawl_order()
 
 
+def test_fetch_grouped_modes_match_aligned(store, crawl_inputs):
+    """Both fused-fetch modes (coalesced map_batches and
+    groupby(bucket)) resolve the same rows as the materialized
+    bucket-aligned fetch."""
+    import pyarrow as pa
+
+    from cex_crawler_ray.pipelines.crawl import canonicalize_batch
+    from cex_crawler_ray.sources.pages import seeds_for_sources
+
+    sources, _, _ = crawl_inputs
+    seed_tbl = pa.concat_tables(
+        [pa.table(b) for b in seeds_for_sources(sources).iter_batches(
+            batch_format="pyarrow"
+        )]
+    )
+    frontier = canonicalize_batch(seed_tbl)
+
+    def rows(ds):
+        df = ds.to_pandas()
+        return sorted(
+            zip(df["url"], df["status"], df["html"].isna())
+        )
+
+    aligned = rows(store.fetch_aligned(frontier))
+    assert len(aligned) == frontier.num_rows
+    fused = rows(store.fetch_grouped(ray.data.from_arrow(frontier)))
+    grouped = rows(
+        store.fetch_grouped(ray.data.from_arrow(frontier), grouped=True)
+    )
+    assert fused == aligned
+    assert grouped == aligned
+
+
 def test_title_filter_applied_in_frontier():
     """M12: on filtered hosts only matching anchor titles enter the
     frontier (vectorized substring keep, reference lbank.py:179-184)."""
