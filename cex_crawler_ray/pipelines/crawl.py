@@ -75,6 +75,12 @@ class CrawlConfig:
     # admitted only if its anchor title contains one of them.  Applied
     # vectorized between discover and seen-check, in the workers.
     title_filters: dict = field(default_factory=dict)
+    # GC consumed frontier generations (deferred dirs, frontier_next
+    # files, stale seed/reseed files) right after each round's manifest
+    # commit, so a long crawl's checkpoint holds ONE frontier
+    # generation instead of Σ rounds' worth.  The manifest-named paths
+    # are always kept, so crash-resume is unaffected.
+    auto_compact: bool = True
 
 
 # A url matching this is PROVABLY a fixed point of ``canonicalize``:
@@ -1391,6 +1397,8 @@ def run_crawl(
                 }
             )
             run._save_round(k, frontier_paths)
+            if cfg.auto_compact:
+                compact_checkpoint(checkpoint_dir)
         else:
             m.discovered_new = discovered_tbl.num_rows
             run.metrics.append(m)
@@ -1414,6 +1422,8 @@ def run_crawl(
                 _pq.write_table(frontier_next, ff)
                 frontier_paths = [ff]
                 run._save_round(k, frontier_paths)
+                if cfg.auto_compact:
+                    compact_checkpoint(checkpoint_dir)
             else:
                 frontier_tbl = frontier_next
         if runlog is not None:

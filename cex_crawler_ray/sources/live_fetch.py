@@ -139,6 +139,74 @@ def store_transport_factory(store_path: str, num_buckets: int):
     return factory
 
 
+def http_transport_factory(
+    robots_policy=None,
+    timeout_s: float = 20.0,
+    sleep_fn=None,
+    clock=None,
+):
+    """Production HTTP transport: one ``requests.Session`` per actor.
+
+    The reference's non-browser fallback is a per-scraper ``requests``
+    client with synthesized headers (reference
+    ``exchange/base_scraper.py:242-253``); its pacing is a
+    ``random_delay`` sleep between sequential fetches
+    (``base_scraper.py:160-181``).  Here pacing is deterministic and
+    robots-aware: when ``robots_policy`` is given, consecutive requests
+    to the SAME host from this actor are spaced by the host's
+    ``crawl_delay_ms`` (falling back to the policy default) via the
+    injectable ``sleep_fn`` — unrelated hosts are never delayed, and
+    the crawl loop's token budget still bounds per-round volume.
+
+    ``requests`` is imported lazily inside the factory, so the module
+    stays importable without it.  Transport errors (timeouts, refused
+    connections) surface as status 0 with no body — retryable by
+    ``LiveFetcher``'s backoff loop, dead-lettered after
+    ``max_attempts``.  Non-200 bodies are returned so the challenge
+    sniff sees interstitial pages served with any status.
+    """
+
+    def factory():
+        import datetime as _dt
+        import time as _time
+        from urllib.parse import urlsplit
+
+        import requests  # optional dep; only needed for this factory
+
+        sess = requests.Session()
+        sleep = sleep_fn if sleep_fn is not None else _time.sleep
+        now = clock if clock is not None else _time.monotonic
+        last_req: dict = {}  # host -> monotonic ts of the last request
+
+        def transport(url: str, headers: dict):
+            host = urlsplit(url).netloc.lower().partition(":")[0]
+            if robots_policy is not None:
+                delay_s = (
+                    robots_policy.crawl_delay_ms.get(
+                        host, robots_policy.default_delay_ms
+                    )
+                    / 1000.0
+                )
+                prev = last_req.get(host)
+                if prev is not None:
+                    wait = delay_s - (now() - prev)
+                    if wait > 0:
+                        sleep(wait)
+            try:
+                resp = sess.get(url, headers=headers, timeout=timeout_s)
+                status = resp.status_code
+                html = resp.content
+            except requests.RequestException:
+                status, html = 0, None
+            last_req[host] = now()
+            warc_ts = _dt.datetime.now(_dt.timezone.utc)
+            return status, html, warc_ts
+
+        return transport
+
+    return factory
+
+
 def live_fetch(
     frontier,
     transport_factory,

@@ -170,7 +170,10 @@ def test_compact_checkpoint_preserves_resume(store, crawl_inputs, tmp_path):
     from cex_crawler_ray.pipelines.crawl import compact_checkpoint
 
     sources, robots, kwargs = crawl_inputs
-    cfg = CrawlConfig(driver_schedule_max_rows=0, **kwargs)
+    # auto_compact off: this test exercises the MANUAL compaction CLI
+    cfg = CrawlConfig(
+        driver_schedule_max_rows=0, auto_compact=False, **kwargs
+    )
     full = run_crawl(
         store, seeds_for_sources(sources), robots, CrawlConfig(**kwargs)
     )
@@ -199,6 +202,54 @@ def test_compact_checkpoint_preserves_resume(store, crawl_inputs, tmp_path):
     assert sorted(resumed.fetched_table()["url"].to_pylist()) == sorted(
         full.fetched_table()["url"].to_pylist()
     )
+
+
+def test_auto_compact_keeps_one_frontier_generation(
+    store, crawl_inputs, tmp_path
+):
+    """With auto_compact (the default) a multi-round crawl's checkpoint
+    holds exactly ONE frontier generation — only the manifest-named
+    paths — and still crash-resumes identically."""
+    from cex_crawler_ray.pipelines.crawl import compact_checkpoint
+
+    sources, robots, kwargs = crawl_inputs
+    cfg = CrawlConfig(driver_schedule_max_rows=0, **kwargs)
+    full = run_crawl(
+        store, seeds_for_sources(sources), robots, CrawlConfig(**kwargs)
+    )
+
+    ckpt = str(tmp_path / "auto_gc_ckpt")
+    part = run_crawl(
+        store,
+        seeds_for_sources(sources),
+        robots,
+        cfg,
+        checkpoint_dir=ckpt,
+        stop_after_round=2,
+    )
+    assert part.rounds_done >= 2
+    # nothing left for a manual compaction: every consumed generation
+    # was GC'd after its round's manifest commit
+    report = compact_checkpoint(ckpt)
+    assert report["removed"] == []
+    manifest = json.load(open(os.path.join(ckpt, "manifest.json")))
+    live = {os.path.normpath(p) for p in manifest["frontier"]}
+    # the only frontier-state paths on disk are the live ones
+    for j in range(part.rounds_done):
+        for sub in ("deferred", "frontier_next.parquet"):
+            p = os.path.join(ckpt, f"round={j}", sub)
+            if os.path.exists(p):
+                assert os.path.normpath(
+                    os.path.relpath(p, ckpt)
+                ) in live, p
+    for name in os.listdir(ckpt):
+        if name.startswith(("seeds-", "reseed_clean-")):
+            assert os.path.normpath(name) in live, name
+
+    resumed = run_crawl(
+        store, seeds_for_sources(sources), robots, cfg, checkpoint_dir=ckpt
+    )
+    assert resumed.crawl_order() == full.crawl_order()
 
 
 def test_distributed_schedule_under_host_skew(ray_session, tmp_path):

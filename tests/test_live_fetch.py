@@ -188,3 +188,116 @@ def test_crawl_through_live_fetcher(store, sf_tiny):
         base.fetched_table()["url"].to_pylist()
     )
     assert live.seen_set_size() == base.seen_set_size()
+
+
+# ------------------------------------- production HTTP transport factory
+@pytest.fixture(scope="module")
+def http_server():
+    """Local stdlib HTTP server: 200, 404, and a challenge page that
+    clears after two attempts (per-path attempt counters)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    counts: dict = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            n = counts[self.path] = counts.get(self.path, 0) + 1
+            if self.path == "/ok":
+                body, code = b"<html>hello</html>", 200
+            elif self.path == "/challenge":
+                if n <= 2:
+                    body, code = b"<html>cf-challenge</html>", 200
+                else:
+                    body, code = b"<html>cleared</html>", 200
+            elif self.path == "/always-challenge":
+                body, code = b"Checking your browser", 503
+            else:
+                body, code = b"not here", 404
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", counts
+    srv.shutdown()
+
+
+def test_http_transport_against_local_server(http_server):
+    """The requests.Session-per-actor factory through a REAL server:
+    200 ok, 404 fail-fast, challenge-sniff retry until cleared,
+    permanent challenge dead-letters."""
+    from cex_crawler_ray.sources.live_fetch import http_transport_factory
+
+    base, counts = http_server
+    fetcher = LiveFetcher(
+        transport_factory=http_transport_factory(), max_attempts=3
+    )
+    s, h, w, attempts, backoff, state = fetcher._fetch_one(f"{base}/ok")
+    assert (s, state, attempts) == (200, "ok", 1)
+    assert b"hello" in h and w is not None
+
+    s, h, w, attempts, backoff, state = fetcher._fetch_one(f"{base}/nope")
+    assert (s, state, attempts, h) == (404, "miss", 1, None)
+
+    # challenge body on 200 retries until the interstitial clears
+    s, h, w, attempts, backoff, state = fetcher._fetch_one(
+        f"{base}/challenge"
+    )
+    assert (s, state, attempts) == (200, "ok", 3)
+    assert b"cleared" in h
+    assert counts["/challenge"] == 3
+
+    s, h, w, attempts, backoff, state = fetcher._fetch_one(
+        f"{base}/always-challenge"
+    )
+    assert (s, state, h) == (503, "dead_letter", None)
+    assert attempts == 3 and backoff == 250 + 500
+
+    # connection refused -> status 0, retried, dead-lettered
+    dead = LiveFetcher(
+        transport_factory=http_transport_factory(timeout_s=2),
+        max_attempts=2,
+    )
+    s, h, w, attempts, backoff, state = dead._fetch_one(
+        "http://127.0.0.1:9/never"
+    )
+    assert (s, state, attempts) == (0, "dead_letter", 2)
+
+
+def test_http_transport_robots_crawl_delay(http_server):
+    """Consecutive same-host requests are spaced by the host's
+    crawl_delay_ms; other hosts are not delayed."""
+    from cex_crawler_ray.sources.live_fetch import http_transport_factory
+    from cex_crawler_ray.state.politeness import RobotsPolicy
+
+    base, _ = http_server
+    pol = RobotsPolicy(
+        crawl_delay_ms={"127.0.0.1": 2000}, default_delay_ms=1000
+    )
+    sleeps: list = []
+    t = [0.0]
+
+    def clock():
+        return t[0]
+
+    def sleep(s):
+        sleeps.append(round(s, 6))
+        t[0] += s
+
+    transport = http_transport_factory(
+        robots_policy=pol, sleep_fn=sleep, clock=clock
+    )()
+    transport(f"{base}/ok", {})
+    assert sleeps == []  # first request: no pacing
+    transport(f"{base}/ok", {})
+    assert sleeps == [2.0]  # same host: full crawl-delay wait
+    t[0] += 5.0
+    transport(f"{base}/ok", {})
+    assert sleeps == [2.0]  # enough time elapsed: no extra sleep
