@@ -1056,6 +1056,117 @@ def q_winnow_fingerprints(sf_dir: str):
     return ds.map_batches(sizes, batch_format="pyarrow")
 
 
+def q_simhash_exact_dup_pairs(sf_dir: str):
+    """SimHash oracle anchor: pairs at hamming distance 0, verified by
+    exact text equality, must equal ALL exact-duplicate pairs — equal
+    texts have equal shingle sets, hence equal simhashes, share every
+    band, and are emitted at hamming 0 by construction.  This pins the
+    banding + bucket-pairing + distinct machinery of
+    ``simhash_dup_pairs`` to the same SQL oracle as
+    ``minhash_dup_pairs``."""
+    import pyarrow.compute as pc
+
+    from cex_crawler_ray.stages.dedup import (
+        simhash_pairs,
+        verify_pairs_exact,
+    )
+
+    corpus = _dedup_corpus(sf_dir)
+    pairs = simhash_pairs(corpus)
+
+    def hamming0(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            batch = batch.filter(pc.equal(batch["hamming"], 0))
+        return batch.select(["id_a", "id_b"])
+
+    return verify_pairs_exact(
+        pairs.map_batches(hamming0, batch_format="pyarrow"), corpus
+    )
+
+
+def _knn_top50_guard(sf_dir: str, approx_fn):
+    """Constraint oracle for the approximate kNN indexes: the
+    approximate top-10 must (a) contain exactly k rows and (b) be a
+    subset of the EXACT brute-force top-50 (the brute-force kernel is
+    itself pinned by ``knn_topk``'s SQL oracle).  A recall collapse or
+    a scoring bug surfaces as a nonzero ``n_outside_top50``."""
+    from cex_crawler_ray.stages.similarity import knn_brute_force
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qvec = _query_vec(sf_dir)
+    approx_ids = approx_fn(emb, qvec)["vec_id"].to_pylist()
+    top50 = set(
+        knn_brute_force(emb, qvec[None, :], k=50)["vec_id"].to_pylist()
+    )
+    n_out = sum(1 for v in approx_ids if v not in top50)
+    return pa.table(
+        {
+            "n_returned": pa.array([len(approx_ids)], pa.int64()),
+            "n_outside_top50": pa.array([n_out], pa.int64()),
+        }
+    )
+
+
+def q_knn_lsh_top50_guard(sf_dir: str):
+    from cex_crawler_ray.stages.similarity import knn_lsh
+
+    return _knn_top50_guard(
+        sf_dir, lambda emb, q: knn_lsh(emb, q[None, :], k=10)
+    )
+
+
+def q_knn_ivf_top50_guard(sf_dir: str):
+    from cex_crawler_ray.stages.similarity import knn_ivf
+
+    return _knn_top50_guard(
+        sf_dir, lambda emb, q: knn_ivf(emb, q[None, :], k=10)
+    )
+
+
+def q_winnow_bounds(sf_dir: str):
+    """Constraint oracle for winnowing (k=8, window=4): the
+    fingerprint count of every document must lie within the window
+    arithmetic implied by its text length — g = len-7 k-grams;
+    g <= 0 -> 0 fingerprints; g <= 4 -> exactly 1; else w = g-3
+    windows with ceil(w/4) <= n <= w (each window keeps one index, an
+    index spans at most ``window`` consecutive windows).  lo/hi are
+    computed on BOTH sides (SQL from length(text)), so drift in either
+    the arithmetic or the fingerprint kernel goes red."""
+    from cex_crawler_ray.stages.textstats import winnow_fingerprints
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lo, hi, ok = [], [], []
+        for t in batch["text"].to_pylist():
+            g = max(len(t) - 7, 0)
+            if g == 0:
+                l, h = 0, 0
+            elif g <= 4:
+                l, h = 1, 1
+            else:
+                w = g - 3
+                l, h = -(-w // 4), w
+            n = len(winnow_fingerprints(t))
+            lo.append(l)
+            hi.append(h)
+            ok.append(1 if l <= n <= h else 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "ok": pa.array(ok, pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -1086,16 +1197,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
+        "simhash_exact_dup_pairs": q_simhash_exact_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "knn_topk": q_knn_topk,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_lsh_top50_guard": q_knn_lsh_top50_guard,
+        "knn_ivf_top50_guard": q_knn_ivf_top50_guard,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_bounds": q_winnow_bounds,
         "blob_meta": q_blob_meta,
         "approx_distinct_users": q_approx_distinct_users,
         "exact_distinct_users": q_exact_distinct_users,
@@ -1213,6 +1328,36 @@ FROM corpus GROUP BY text
         + """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        # simhash anchor: hamming-0 + exact-verify == ALL exact-text
+        # pairs (equal text -> equal simhash -> shared bands -> emitted)
+        "simhash_exact_dup_pairs": _DEDUP_CORPUS_CTE
+        + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        # approximate-kNN guards: exactly k rows, all inside the exact
+        # brute-force top-50 (pinned itself by knn_topk's oracle)
+        "knn_lsh_top50_guard": """
+SELECT CAST(10 AS BIGINT) AS n_returned,
+       CAST(0 AS BIGINT) AS n_outside_top50
+""",
+        "knn_ivf_top50_guard": """
+SELECT CAST(10 AS BIGINT) AS n_returned,
+       CAST(0 AS BIGINT) AS n_outside_top50
+""",
+        # winnowing bounds from text-length window arithmetic (k=8,
+        # window=4): lo/hi computed in SQL, ok asserted Ray-side
+        "winnow_bounds": """
+SELECT doc_id,
+       CASE WHEN length(text) <= 7 THEN 0
+            WHEN length(text) <= 11 THEN 1
+            ELSE CAST(ceil((length(text) - 10) / 4.0) AS BIGINT) END AS lo,
+       CASE WHEN length(text) <= 7 THEN 0
+            WHEN length(text) <= 11 THEN 1
+            ELSE CAST(length(text) - 10 AS BIGINT) END AS hi,
+       CAST(1 AS BIGINT) AS ok
+FROM documents
 """,
         "embedding_dup_pairs": _EMB_CORPUS_CTE
         + """
@@ -1420,7 +1565,11 @@ SELECT o_custkey, rank, o_orderkey FROM (
   FROM orders
 ) t WHERE rank <= 3
 """,
-        # simhash_dup_pairs / knn_lsh / winnow_fingerprints: intentionally
-        # no SQL oracle (probabilistic blocking / bespoke hashing);
-        # covered by pytest recall/property tests instead.
+        # simhash_dup_pairs / knn_lsh / knn_ivf / winnow_fingerprints /
+        # ngram_jaccard_pairs: intentionally no DIRECT SQL oracle
+        # (probabilistic blocking / bespoke hashing), but each is
+        # anchored by an oracle-backed companion above —
+        # simhash_exact_dup_pairs, knn_{lsh,ivf}_top50_guard,
+        # winnow_bounds, and minhash_dup_pairs' exact-verify —
+        # plus pytest recall/property tests.
     }
