@@ -16,6 +16,7 @@ Scale design notes (each documented per stage):
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -166,7 +167,7 @@ class MinHasher:
         )
 
 
-def minhash_lsh_pairs(
+def minhash_band_rows(
     ds,
     num_perm: int = 64,
     bands: int = 16,
@@ -174,14 +175,10 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ):
-    """Candidate near-dup pairs via banded LSH.
-
-    pipeline: signatures (stateful map_batches) -> explode one row per
-    band (band_hash = hash of the band's signature slice) ->
-    ``groupby(band_hash)`` -> all pairs within a bucket -> distinct.
-    Returns (id_a, id_b) with id_a < id_b — candidates only; callers
-    verify with true Jaccard / exact equality.
-    """
+    """(doc, band_key) rows: signatures (vectorized, worker-global
+    hasher) exploded one row per band.  The unit of the persistent
+    near-dup index — band rows are what an incremental run stores and
+    re-reads instead of recomputing signatures."""
     rows_per_band = num_perm // bands
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -200,6 +197,24 @@ def minhash_lsh_pairs(
                 "band_key": pa.array(band_keys, pa.uint64()),
             }
         )
+
+    # stateless tasks + a worker-process-global MinHasher (permutation
+    # params are pure functions of the config): same amortization as an
+    # actor pool without per-execution actor startup (~2-4 s each run)
+    mh_cfg = (num_perm, shingle_k, text_col, id_col)
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        return _global_minhasher(mh_cfg)(batch)
+
+    return ds.map_batches(signatures, batch_format="pyarrow").map_batches(
+        explode_bands, batch_format="pyarrow"
+    )
+
+
+def pairs_from_band_rows(band_ds, id_col: str = "doc_id"):
+    """Candidate pairs from (doc, band_key) rows: coarse-partitioned
+    bucket pairing + global distinct — shared by the one-shot and the
+    incremental-index paths."""
 
     def pairs_in_part(part: pa.Table) -> pa.Table:
         # vectorized: local group by band_key, numpy triu pairs per
@@ -237,22 +252,105 @@ def minhash_lsh_pairs(
             }
         )
 
-    # stateless tasks + a worker-process-global MinHasher (permutation
-    # params are pure functions of the config): same amortization as an
-    # actor pool without per-execution actor startup (~2-4 s each run)
-    mh_cfg = (num_perm, shingle_k, text_col, id_col)
-
-    def signatures(batch: pa.Table) -> pa.Table:
-        return _global_minhasher(mh_cfg)(batch)
-
-    pairs = _coarse_group_apply(
-        ds.map_batches(signatures, batch_format="pyarrow").map_batches(
-            explode_bands, batch_format="pyarrow"
-        ),
-        "band_key",
-        pairs_in_part,
-    )
+    pairs = _coarse_group_apply(band_ds, "band_key", pairs_in_part)
     return _distinct_pairs(pairs)
+
+
+def minhash_lsh_pairs(
+    ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Candidate near-dup pairs via banded LSH.
+
+    pipeline: signatures (stateful map_batches) -> explode one row per
+    band (band_hash = hash of the band's signature slice) ->
+    ``groupby(band_hash)`` -> all pairs within a bucket -> distinct.
+    Returns (id_a, id_b) with id_a < id_b — candidates only; callers
+    verify with true Jaccard / exact equality.
+    """
+    return pairs_from_band_rows(
+        minhash_band_rows(ds, num_perm, bands, shingle_k, text_col, id_col),
+        id_col=id_col,
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    corpus,
+    index_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Persistent-index LSH: the dedup analog of the reseeded crawl
+    (reference cron model ``run.sh:5-6``).
+
+    The index directory holds (doc_id, band_key) rows from every prior
+    run, one ``gen=k`` parquet generation per invocation.  A new run
+    (1) reads only the indexed doc_ids (column-pruned), (2) computes
+    signatures ONLY for corpus docs not yet indexed (broadcast
+    sorted-id anti-join inside ``map_batches``), (3) appends the new
+    band rows as the next generation — written by the workers — and
+    (4) returns the pair set of the FULL band table (stored + new),
+    which equals a from-scratch ``minhash_lsh_pairs`` over the grown
+    corpus.  The expensive stage (shingle/minhash signatures) runs
+    once per document ever; the bucket pairing re-runs per invocation
+    over (id, band_key) rows only — 16 ints/doc, never text.
+    """
+    import glob as _glob
+
+    os.makedirs(index_dir, exist_ok=True)
+    gens = sorted(_glob.glob(os.path.join(index_dir, "gen=*")))
+    files = [
+        f
+        for g in gens
+        for f in sorted(_glob.glob(os.path.join(g, "*.parquet")))
+    ]
+    if files:
+        import pyarrow.parquet as _pq
+
+        known = np.unique(
+            np.concatenate(
+                [
+                    col_to_numpy(
+                        _pq.read_table(f, columns=[id_col])[id_col],
+                        np.int64,
+                    )
+                    for f in files
+                ]
+            )
+        )
+    else:
+        known = np.zeros(0, dtype=np.int64)
+    known_ref = ray.put(known)  # sorted by np.unique
+
+    def only_new(batch: pa.Table) -> pa.Table:
+        kn = ray.get(known_ref)
+        if len(kn) == 0 or batch.num_rows == 0:
+            return batch
+        ids = col_to_numpy(batch[id_col], np.int64)
+        pos = np.searchsorted(kn, ids)
+        pos[pos >= len(kn)] = 0
+        return batch.filter(pa.array(kn[pos] != ids))
+
+    new_bands = minhash_band_rows(
+        corpus.map_batches(only_new, batch_format="pyarrow"),
+        num_perm,
+        bands,
+        shingle_k,
+        text_col,
+        id_col,
+    )
+    gen_dir = os.path.join(index_dir, f"gen={len(gens)}")
+    new_bands.write_parquet(gen_dir)
+
+    band_union = ray.data.read_parquet(index_dir)
+    return pairs_from_band_rows(band_union, id_col=id_col)
 
 
 _STAGE_CACHE: dict = {}

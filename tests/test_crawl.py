@@ -238,17 +238,18 @@ def test_resume_purges_uncommitted_round_outputs(
     assert part.rounds_done == 1
     # plant what an uncommitted round=1 crash would leave behind:
     # a round dir full of parquet, plus stale seed/reseed-clean files
+    # (synthesized — auto_compact already GC'd the consumed originals)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     shutil.copytree(
         os.path.join(ckpt, "round=0"), os.path.join(ckpt, "round=1")
     )
-    shutil.copy(
-        os.path.join(ckpt, "seeds-r0.parquet"),
-        os.path.join(ckpt, "seeds-r1.parquet"),
-    )
+    stale_tbl = pa.table({"url": pa.array(["https://stale.test/x"])})
+    pq.write_table(stale_tbl, os.path.join(ckpt, "seeds-r1.parquet"))
     os.makedirs(os.path.join(ckpt, "reseed_clean-r1"))
-    shutil.copy(
-        os.path.join(ckpt, "seeds-r0.parquet"),
-        os.path.join(ckpt, "reseed_clean-r1", "stale.parquet"),
+    pq.write_table(
+        stale_tbl, os.path.join(ckpt, "reseed_clean-r1", "stale.parquet")
     )
     resumed = run_crawl(
         store, seeds_for_sources(sources), robots, cfg, checkpoint_dir=ckpt

@@ -185,6 +185,63 @@ def test_verify_pairs_threshold_switch(corpus):
     assert pset(jn_j) == pset(bc_j)
 
 
+def test_minhash_incremental_index(ray_session, tmp_path):
+    """Persistent band index across a growing corpus: run 2 computes
+    signatures only for the NEW docs (generation-0 files untouched,
+    generation-1 band rows cover only new ids) and the returned pair
+    set equals a from-scratch run over the grown corpus."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cex_crawler_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    rng = np.random.RandomState(9)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta".split()
+
+    def doc(i):
+        words = [vocab[j] for j in rng.randint(0, len(vocab), size=30)]
+        return {"doc_id": i, "text": " ".join(words)}
+
+    batch1 = [doc(i) for i in range(40)]
+    batch1 += [{"doc_id": 500 + i, "text": batch1[i]["text"]} for i in range(0, 40, 5)]
+    batch2 = [doc(100 + i) for i in range(30)]
+    # cross-batch dups: new docs duplicating OLD texts must pair too
+    batch2 += [{"doc_id": 900 + i, "text": batch1[i]["text"]} for i in range(0, 40, 8)]
+
+    idx = str(tmp_path / "band_index")
+
+    def pset(ds):
+        df = ds.to_pandas()
+        return set(map(tuple, df[["id_a", "id_b"]].values))
+
+    ds1 = ray.data.from_items(batch1)
+    p1 = pset(minhash_lsh_pairs_incremental(ds1, idx))
+    assert p1 == pset(minhash_lsh_pairs(ds1))
+
+    gen0_files = sorted(glob.glob(os.path.join(idx, "gen=0", "*.parquet")))
+    assert gen0_files
+    gen0_stat = [(f, os.path.getmtime(f), os.path.getsize(f)) for f in gen0_files]
+
+    ds_full = ray.data.from_items(batch1 + batch2)
+    p2 = pset(minhash_lsh_pairs_incremental(ds_full, idx))
+    # equals from-scratch over the grown corpus
+    assert p2 == pset(minhash_lsh_pairs(ds_full))
+    assert p2 > p1  # cross-batch dups found
+    # generation 0 untouched (signatures not recomputed)...
+    assert [
+        (f, os.path.getmtime(f), os.path.getsize(f)) for f in gen0_files
+    ] == gen0_stat
+    # ...and generation 1 indexed ONLY the new doc ids
+    new_ids = {r["doc_id"] for r in batch2}
+    gen1 = pq.read_table(os.path.join(idx, "gen=1"))
+    assert set(gen1["doc_id"].to_pylist()) == new_ids
+
+
 def test_knn_batch_query_dataset(ray_session):
     """Batch-query kNN: 1,000 queries as a Dataset against a corpus
     Dataset.  Brute-force must equal the local numpy oracle exactly;
