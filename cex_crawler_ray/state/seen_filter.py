@@ -62,11 +62,38 @@ class _Bloom:
 
 @ray.remote(num_cpus=0)
 class SeenShard:
+    # merge the pending buffer into the sorted base above this size:
+    # np.isin re-sorts pending per probe, so keep it bounded
+    _MERGE_AT = 1 << 16
+
     def __init__(self, mode: str = "exact", bloom_bits: int = 1 << 22):
         self.mode = mode
         self.bloom = _Bloom(bloom_bits)
-        self.exact: set = set() if mode == "exact" else None
+        # exact mode: sorted base array + small unsorted pending buffer
+        # (vectorized membership — a Python set pays a per-url loop that
+        # serializes the whole pool at high core counts; measured: the
+        # shard kernel, not the RPC fan-out, bounded admission scaling)
+        self._sorted = np.empty(0, dtype=np.uint64)
+        self._pending = np.empty(0, dtype=np.uint64)
         self.count = 0
+
+    def _exact_contains(self, uniq: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(uniq), dtype=bool)
+        if len(self._sorted):
+            pos = np.searchsorted(self._sorted, uniq)
+            pos[pos >= len(self._sorted)] = 0
+            out |= self._sorted[pos] == uniq
+        if len(self._pending):
+            out |= np.isin(uniq, self._pending)
+        return out
+
+    def _exact_insert(self, new_keys: np.ndarray) -> None:
+        self._pending = np.concatenate([self._pending, new_keys])
+        if len(self._pending) > self._MERGE_AT:
+            merged = np.concatenate([self._sorted, self._pending])
+            merged.sort()
+            self._sorted = merged
+            self._pending = np.empty(0, dtype=np.uint64)
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """Returns a boolean mask: True where the hash was NEW (admitted).
@@ -74,14 +101,13 @@ class SeenShard:
         Duplicates *within* the batch are admitted once (first wins)."""
         hashes = np.asarray(hashes, dtype=np.uint64)
         if self.mode == "exact":
-            new = np.empty(len(hashes), dtype=bool)
-            seen = self.exact
-            for i, h in enumerate(hashes.tolist()):
-                if h in seen:
-                    new[i] = False
-                else:
-                    seen.add(h)
-                    new[i] = True
+            # np.unique's return_index is the FIRST occurrence, so
+            # within-batch duplicates keep first-wins semantics
+            uniq, first_idx = np.unique(hashes, return_index=True)
+            new_uniq = ~self._exact_contains(uniq)
+            self._exact_insert(uniq[new_uniq])
+            new = np.zeros(len(hashes), dtype=bool)
+            new[first_idx[new_uniq]] = True
             self.bloom.add(hashes[new])
         else:
             maybe_seen = self.bloom.contains(hashes)
@@ -100,9 +126,7 @@ class SeenShard:
     def snapshot(self) -> dict:
         out = {"mode": self.mode, "count": self.count, "bloom": self.bloom.bits}
         if self.mode == "exact":
-            out["exact"] = np.fromiter(
-                self.exact, dtype=np.uint64, count=len(self.exact)
-            )
+            out["exact"] = np.concatenate([self._sorted, self._pending])
         return out
 
     def restore(self, snap: dict) -> None:
@@ -110,7 +134,10 @@ class SeenShard:
         self.count = int(snap["count"])
         self.bloom.bits = np.asarray(snap["bloom"], dtype=np.uint64).copy()
         if self.mode == "exact":
-            self.exact = set(np.asarray(snap["exact"], dtype=np.uint64).tolist())
+            base = np.asarray(snap["exact"], dtype=np.uint64).copy()
+            base.sort()
+            self._sorted = base
+            self._pending = np.empty(0, dtype=np.uint64)
 
 
 class SeenFilterPool:
