@@ -411,6 +411,47 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return verify_pairs_jaccard(pairs, corpus, min_jaccard=0.8)
 
 
+def q_dup_clusters(sf_dir: str):
+    """Duplicate clusters: verified exact-dup pairs -> connected
+    components (min-label propagation); cluster_id = smallest doc_id
+    reachable in the pair graph."""
+    from cex_crawler_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_exact,
+    )
+    from cex_crawler_ray.stages.graph import connected_components
+
+    corpus = _dedup_corpus(sf_dir)
+    pairs = verify_pairs_exact(minhash_lsh_pairs(corpus), corpus)
+    cc = connected_components(ray.data.from_arrow(pairs))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["node"], "cluster_id": batch["cluster_id"]}
+        )
+
+    return cc.map_batches(rename, batch_format="pyarrow")
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Cluster-level dedup: one survivor per duplicate cluster (longest
+    text, ties to smallest doc_id); unclustered docs survive as
+    singleton clusters."""
+    from cex_crawler_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        verify_pairs_exact,
+    )
+    from cex_crawler_ray.stages.graph import (
+        connected_components,
+        dedup_keep_best,
+    )
+
+    corpus = _dedup_corpus(sf_dir)
+    pairs = verify_pairs_exact(minhash_lsh_pairs(corpus), corpus)
+    cc = connected_components(ray.data.from_arrow(pairs))
+    return dedup_keep_best(corpus, cc)
+
+
 def q_embedding_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup (threshold 0.999 -> exact copies)."""
     from cex_crawler_ray.stages.dedup import embedding_dup_pairs
@@ -1199,6 +1240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "simhash_exact_dup_pairs": q_simhash_exact_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dup_clusters": q_dup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "knn_topk": q_knn_topk,
         "knn_lsh": q_knn_lsh,
@@ -1328,6 +1371,72 @@ FROM corpus GROUP BY text
         + """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        # connected components over the verified exact-dup pair graph:
+        # the recursive CTE computes min-reachable-id per node — the
+        # exact semantics of the Ray min-label propagation
+        "dup_clusters": """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+""",
+        "dedup_keep_best": """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+cl AS (
+  SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+aug AS (
+  SELECT c.doc_id,
+         COALESCE(cl.cluster_id, c.doc_id) AS ck,
+         length(c.text) AS n_chars
+  FROM corpus c LEFT JOIN cl ON c.doc_id = cl.node
+),
+win AS (
+  SELECT doc_id,
+         COUNT(*) OVER (PARTITION BY ck) AS cluster_size,
+         ROW_NUMBER() OVER (
+           PARTITION BY ck ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM aug
+)
+SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
+FROM win WHERE rn = 1
 """,
         # simhash anchor: hamming-0 + exact-verify == ALL exact-text
         # pairs (equal text -> equal simhash -> shared bands -> emitted)
