@@ -411,6 +411,31 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return verify_pairs_jaccard(pairs, corpus, min_jaccard=0.8)
 
 
+def q_top_df_tokens(sf_dir: str):
+    """Top-100 corpus vocabulary by document frequency (partial DF
+    inside map_batches -> small token groupby -> distributed sort)."""
+    from cex_crawler_ray.stages.tfidf import top_df_tokens
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return top_df_tokens(docs, k=100)
+
+
+def q_rarest_token(sf_dir: str):
+    """Per-doc max-IDF term: the corpus DF table is broadcast once
+    (sorted numpy arrays via ray.put) and probed per batch."""
+    from cex_crawler_ray.stages.tfidf import (
+        corpus_df,
+        rarest_token_per_doc,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return rarest_token_per_doc(docs, corpus_df(docs))
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate clusters: verified exact-dup pairs -> connected
     components (min-label propagation); cluster_id = smallest doc_id
@@ -1242,6 +1267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
+        "top_df_tokens": q_top_df_tokens,
+        "rarest_token": q_rarest_token,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "knn_topk": q_knn_topk,
         "knn_lsh": q_knn_lsh,
@@ -1371,6 +1398,38 @@ FROM corpus GROUP BY text
         + """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "top_df_tokens": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9_]+'), t -> lower(t)
+         ))) AS token
+  FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+FROM toks GROUP BY token
+ORDER BY df DESC, token ASC
+LIMIT 100
+""",
+        "rarest_token": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9_]+'), t -> lower(t)
+         ))) AS token
+  FROM documents
+),
+df AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+j AS (
+  SELECT t.doc_id, t.token, df.df,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.doc_id ORDER BY df.df ASC, t.token ASC
+         ) AS rn
+  FROM toks t JOIN df ON t.token = df.token
+)
+SELECT doc_id, token AS rarest_token, CAST(df AS BIGINT) AS rarest_df
+FROM j WHERE rn = 1
 """,
         # connected components over the verified exact-dup pair graph:
         # the recursive CTE computes min-reachable-id per node — the

@@ -1,0 +1,141 @@
+"""Corpus-level term statistics: document frequency, top-k vocabulary,
+rarest-token (max-IDF) per document.
+
+Reference parity: the reference has no corpus-level text statistics
+(its analyzer is per-announcement, reference ``analyzer.py``); these are
+the training-data-pipeline operators a 100-TB curation run needs on top.
+
+Scale design:
+
+* ``corpus_df`` — the document-frequency table is computed with the
+  combiner pattern: each ``map_batches`` task counts per-doc DISTINCT
+  tokens into a partial (token, df) table, so the groupby shuffle
+  carries one row per (batch, token), never one per occurrence.
+* ``top_df_tokens`` — distributed sort on (df desc, token asc) + limit;
+  only k rows reach the driver.
+* ``rarest_token_per_doc`` — the vocabulary (small side) is broadcast
+  once via ``ray.put`` as a SORTED numpy token array + aligned df
+  array — zero-copy to read in every task, probed with searchsorted
+  (a pickled dict would re-deserialize per batch).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+# ASCII word runs, lowercased per token AFTER extraction — full-text
+# lower() diverges between Python and SQL engines on exotic unicode,
+# per-token ASCII lower is identical everywhere.  SQL twin:
+# list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'), t -> lower(t))
+_WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+
+
+def _doc_tokens(text: str) -> set:
+    return {w.lower() for w in _WORD_RE.findall(text)}
+
+
+def corpus_df(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """(token, df): number of documents containing each token."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update(_doc_tokens(t))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("df")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "token": batch["token"],
+                "df": batch["sum(df)"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def top_df_tokens(
+    ds: "ray.data.Dataset", k: int = 100, text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Top-k corpus vocabulary by document frequency (ties to the
+    lexicographically smaller token, so the cut is deterministic)."""
+    return (
+        corpus_df(ds, text_col=text_col)
+        .sort(["df", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+class _Vocab:
+    """Broadcast vocabulary: sorted token array + aligned df column."""
+
+    def __init__(self, tokens: np.ndarray, dfs: np.ndarray):
+        order = np.argsort(tokens)
+        self.tokens = tokens[order]
+        self.dfs = dfs[order]
+
+
+def rarest_token_per_doc(
+    ds: "ray.data.Dataset",
+    df_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per document, its token with the smallest document frequency
+    (ties to the lexicographically smaller token) — the max-IDF term, a
+    cheap integer-exact stand-in for a full TF-IDF ranking.
+
+    Documents with no word tokens are dropped (they have no terms).
+    """
+    df_tbl = pa.concat_tables(
+        ray.get(df_ds.to_arrow_refs()), promote_options="default"
+    )
+    vocab_ref = ray.put(
+        _Vocab(
+            np.asarray(df_tbl["token"].to_pylist(), dtype=object),
+            df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        vocab: _Vocab = ray.get(vocab_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_tok, out_df = [], [], []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            toks = np.asarray(sorted(_doc_tokens(t)), dtype=object)
+            if len(toks) == 0:
+                continue
+            pos = np.searchsorted(vocab.tokens, toks)
+            dfs = vocab.dfs[pos]
+            best = np.lexsort((toks, dfs))[0]
+            out_id.append(ids[i])
+            out_tok.append(toks[best])
+            out_df.append(dfs[best])
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "rarest_token": pa.array(out_tok, pa.string()),
+                "rarest_df": pa.array(out_df, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow")
