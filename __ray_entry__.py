@@ -123,6 +123,38 @@ WITH corpus AS (
 )
 """
 
+# boilerplate corpus: the synthetic single-line texts carry no page
+# chrome, so both sides inject deterministic footers (doc_id%3 -> a
+# newsletter line, doc_id%4 -> a copyright line) before detection
+_BOILER_CTE = """
+WITH corpus AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || 'Subscribe to our newsletter for updates.'
+            ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+            THEN chr(10) || '(c) 2024 Example Corp. All rights reserved.'
+            ELSE '' END
+         AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(split(text, chr(10))) AS line,
+         unnest(range(1, len(split(text, chr(10))) + 1)) AS i
+  FROM corpus
+),
+paras AS (
+  SELECT DISTINCT doc_id, trim(line, ' ' || chr(9)) AS paragraph
+  FROM lines WHERE trim(line, ' ' || chr(9)) <> ''
+),
+boiler AS (
+  SELECT paragraph, CAST(COUNT(*) AS BIGINT) AS df
+  FROM paras GROUP BY paragraph HAVING COUNT(*) >= 3
+)
+"""
+
 
 # --------------------------------------------------------------------------
 # ray-side helpers
@@ -193,6 +225,64 @@ def _dedup_corpus(sf_dir: str):
         "doc_id",
         7,
     )
+
+
+_FOOTER_1 = "Subscribe to our newsletter for updates."
+_FOOTER_2 = "(c) 2024 Example Corp. All rights reserved."
+
+
+def _boiler_corpus(sf_dir: str):
+    """documents + deterministic boilerplate footers — the Ray twin of
+    ``_BOILER_CTE``'s corpus."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def add_footers(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        texts = np.asarray(batch["text"].to_pylist(), dtype=object)
+        m3 = (ids % 3) == 0
+        m4 = (ids % 4) == 0
+        texts[m3] = texts[m3] + ("\n" + _FOOTER_1)
+        texts[m4] = texts[m4] + ("\n" + _FOOTER_2)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(list(texts), pa.string()),
+            }
+        )
+
+    return docs.map_batches(add_footers, batch_format="pyarrow")
+
+
+def _pii_corpus(sf_dir: str):
+    """documents + deterministic PII (doc_id%5 -> an email, doc_id%6 ->
+    a phone number) — the Ray twin of the ``redact_pii`` oracle CTE."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def add_pii(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        texts = np.asarray(batch["text"].to_pylist(), dtype=object)
+        m5 = (ids % 5) == 0
+        m6 = (ids % 6) == 0
+        texts[m5] = texts[m5] + np.asarray(
+            [
+                f" Contact: user{i}@mail.example.com now"
+                for i in ids[m5]
+            ],
+            dtype=object,
+        )
+        texts[m6] = texts[m6] + " Call +1-555-0199 today"
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(list(texts), pa.string()),
+            }
+        )
+
+    return docs.map_batches(add_pii, batch_format="pyarrow")
 
 
 def _emb_corpus(sf_dir: str):
@@ -434,6 +524,61 @@ def q_rarest_token(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return rarest_token_per_doc(docs, corpus_df(docs))
+
+
+def q_boilerplate_paragraphs(sf_dir: str):
+    """Corpus-statistical boilerplate detection: trimmed lines in >= 3
+    distinct documents (C4-style curation; combiner-pattern DF)."""
+    from cex_crawler_ray.stages.boilerplate import boilerplate_paragraphs
+
+    return boilerplate_paragraphs(_boiler_corpus(sf_dir), min_docs=3)
+
+
+def q_strip_boilerplate(sf_dir: str):
+    """Strip detected boilerplate lines from every document (docs whose
+    every line was boilerplate are dropped).  The boilerplate set is
+    broadcast once as a sorted hash array — documents never shuffle."""
+    from cex_crawler_ray.stages.boilerplate import (
+        boilerplate_paragraphs,
+        strip_boilerplate,
+    )
+
+    corpus = _boiler_corpus(sf_dir)
+    return strip_boilerplate(
+        corpus, boilerplate_paragraphs(corpus, min_docs=3)
+    )
+
+
+def q_inverted_index(sf_dir: str):
+    """token -> (df, sorted comma-joined posting list); the shuffle is
+    partitioned by a stable token crc32, assembly partition-local."""
+    from cex_crawler_ray.stages.tfidf import inverted_index
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return inverted_index(docs)
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition metrics (Rae et al. 2021): top-word /
+    top-bigram count fractions + keep flag, vectorized map_batches."""
+    from cex_crawler_ray.stages.textstats import repetition_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+def q_redact_pii(sf_dir: str):
+    """PII scrubbing (C4/CCNet-style): email + phone placeholders with
+    replacement counts, over the deterministically PII-injected corpus."""
+    from cex_crawler_ray.stages.textstats import redact_pii
+
+    return _pii_corpus(sf_dir).map_batches(
+        redact_pii, batch_format="pyarrow"
+    )
 
 
 def q_dup_clusters(sf_dir: str):
@@ -1269,6 +1414,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q_dedup_keep_best,
         "top_df_tokens": q_top_df_tokens,
         "rarest_token": q_rarest_token,
+        "boilerplate_paragraphs": q_boilerplate_paragraphs,
+        "strip_boilerplate": q_strip_boilerplate,
+        "inverted_index": q_inverted_index,
+        "repetition_stats": q_repetition_stats,
+        "redact_pii": q_redact_pii,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "knn_topk": q_knn_topk,
         "knn_lsh": q_knn_lsh,
@@ -1430,6 +1580,94 @@ j AS (
 )
 SELECT doc_id, token AS rarest_token, CAST(df AS BIGINT) AS rarest_df
 FROM j WHERE rn = 1
+""",
+        "boilerplate_paragraphs": _BOILER_CTE
+        + """
+SELECT paragraph, df FROM boiler
+""",
+        "strip_boilerplate": _BOILER_CTE
+        + """,
+kept AS (
+  SELECT doc_id, line, i FROM lines
+  WHERE trim(line, ' ' || chr(9)) = ''
+     OR trim(line, ' ' || chr(9)) NOT IN (SELECT paragraph FROM boiler)
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+FROM kept GROUP BY doc_id
+HAVING count(*) FILTER (WHERE trim(line, ' ' || chr(9)) <> '') > 0
+""",
+        "inverted_index": """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9_]+'), t -> lower(t)
+         ))) AS token
+  FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM toks GROUP BY token
+""",
+        "repetition_stats": """
+WITH lists AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                        x -> lower(x)) AS l
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS i
+  FROM lists
+),
+wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+tw AS (SELECT doc_id, MAX(c) AS top_w, SUM(c) AS n_words
+       FROM wc GROUP BY doc_id),
+big AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+tb AS (SELECT doc_id, MAX(c) AS top_b, SUM(c) AS n_big
+       FROM bc GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_words AS BIGINT) AS n_words,
+       CAST(t.top_w AS DOUBLE) / t.n_words AS top_word_frac,
+       COALESCE(CAST(b.top_b AS DOUBLE) / b.n_big, 0.0) AS top_bigram_frac,
+       (CAST(t.top_w AS DOUBLE) / t.n_words <= 0.20
+        AND COALESCE(CAST(b.top_b AS DOUBLE) / b.n_big, 0.0) <= 0.18)
+         AS rep_keep
+FROM tw t LEFT JOIN tb b ON t.doc_id = b.doc_id
+""",
+        "redact_pii": """
+WITH corpus AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+            THEN ' Contact: user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com now'
+            ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+            THEN ' Call +1-555-0199 today' ELSE '' END
+         AS text
+  FROM documents
+),
+em AS (
+  SELECT doc_id,
+         regexp_replace(text,
+           '[A-Za-z0-9_.]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+',
+           '<EMAIL>', 'g') AS t1,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9_.]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+')) AS BIGINT)
+           AS n_emails
+  FROM corpus
+)
+SELECT doc_id,
+       regexp_replace(t1, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}',
+                      '<PHONE>', 'g') AS text,
+       n_emails,
+       CAST(len(regexp_extract_all(t1,
+         '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+FROM em
 """,
         # connected components over the verified exact-dup pair graph:
         # the recursive CTE computes min-reachable-id per node — the

@@ -124,6 +124,80 @@ def content_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("sha256", pa.array(shas, pa.string()))
 
 
+_WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+
+# Repetition thresholds after Gopher (Rae et al. 2021, table A1):
+# documents dominated by one word or one bigram are dropped.
+REP_TOP_WORD_MAX = 0.20
+REP_TOP_BIGRAM_MAX = 0.18
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition metrics per document: total word tokens,
+    the most-frequent word's count fraction, the most-frequent bigram's
+    count fraction, and a keep flag.  Docs with no word tokens are
+    dropped (no denominator).  Fractions are single IEEE divisions so
+    the DuckDB oracle reproduces them bit-for-bit."""
+    from collections import Counter
+
+    texts = batch[text_col].to_pylist()
+    keep_rows, n_words_c, top_w_c, top_b_c, keep_c = [], [], [], [], []
+    for i, t in enumerate(texts):
+        toks = [w.lower() for w in _WORD_RE.findall(t)]
+        if not toks:
+            continue
+        n = len(toks)
+        top_w = max(Counter(toks).values()) / n
+        if n >= 2:
+            bigrams = Counter(zip(toks, toks[1:]))
+            top_b = max(bigrams.values()) / (n - 1)
+        else:
+            top_b = 0.0
+        keep_rows.append(i)
+        n_words_c.append(n)
+        top_w_c.append(top_w)
+        top_b_c.append(top_b)
+        keep_c.append(
+            top_w <= REP_TOP_WORD_MAX and top_b <= REP_TOP_BIGRAM_MAX
+        )
+    out = batch.drop_columns([text_col]).take(pa.array(keep_rows))
+    out = out.append_column("n_words", pa.array(n_words_c, pa.int64()))
+    out = out.append_column(
+        "top_word_frac", pa.array(top_w_c, pa.float64())
+    )
+    out = out.append_column(
+        "top_bigram_frac", pa.array(top_b_c, pa.float64())
+    )
+    return out.append_column("rep_keep", pa.array(keep_c, pa.bool_()))
+
+
+# PII patterns: RE2-compatible (DuckDB regexp_replace twin uses the
+# identical pattern strings — keep them subset-syntax: no lookaround)
+PII_EMAIL_PAT = r"[A-Za-z0-9_.]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+"
+PII_PHONE_PAT = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+_PII_EMAIL_RE = re.compile(PII_EMAIL_PAT)
+_PII_PHONE_RE = re.compile(PII_PHONE_PAT)
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Replace email addresses and phone numbers with typed placeholders
+    and count the replacements (C4/CCNet-style PII scrubbing).  Order
+    matters: emails first (a phone-like digit run inside a local part
+    must not be re-matched)."""
+    texts = batch[text_col].to_pylist()
+    red, n_em, n_ph = [], [], []
+    for t in texts:
+        t1, ne = _PII_EMAIL_RE.subn("<EMAIL>", t)
+        t2, np_ = _PII_PHONE_RE.subn("<PHONE>", t1)
+        red.append(t2)
+        n_em.append(ne)
+        n_ph.append(np_)
+    out = batch.drop_columns([text_col])
+    out = out.append_column("text", pa.array(red, pa.string()))
+    out = out.append_column("n_emails", pa.array(n_em, pa.int64()))
+    return out.append_column("n_phones", pa.array(n_ph, pa.int64()))
+
+
 def winnow_fingerprints(
     text: str, k: int = 8, window: int = 4
 ) -> list:

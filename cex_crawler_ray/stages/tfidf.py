@@ -85,6 +85,73 @@ def top_df_tokens(
     )
 
 
+def inverted_index(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """(token, df, postings): sorted doc-id posting list per token,
+    comma-joined.
+
+    The shuffle carries per-doc DISTINCT (token, doc_id) pairs,
+    partitioned by a STABLE token hash (crc32 — ``hash()`` is
+    per-process-seeded and would split a token across partitions).
+    Posting-list assembly is partition-local.  At 100-TB scale the
+    posting column for stop-words is unbounded — a production sink
+    would write list<int64> postings partitioned by token hash and cap
+    or tier hot tokens; the joined-string form here is the exact
+    oracle-comparable shape.
+    """
+    import zlib
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_tok, out_id, out_part = [], [], []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            for tok in _doc_tokens(t):
+                out_tok.append(tok)
+                out_id.append(ids[i])
+                out_part.append(
+                    zlib.crc32(tok.encode("utf-8")) % num_parts
+                )
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "_part": pa.array(out_part, pa.int64()),
+            }
+        )
+
+    def assemble(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (
+            tbl.select(["token", "doc_id"])
+            .to_pandas()
+            .sort_values(["token", "doc_id"])
+        )
+        g = df.groupby("token", sort=True)["doc_id"]
+        out = pd.DataFrame(
+            {
+                "df": g.size().astype("int64"),
+                "postings": g.agg(
+                    lambda s: ",".join(str(v) for v in s)
+                ),
+            }
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda t: assemble(t.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 class _Vocab:
     """Broadcast vocabulary: sorted token array + aligned df column."""
 

@@ -48,6 +48,52 @@ def test_quality_score_flags():
     assert out["n_words"].to_pylist()[0] == len(good.split())
 
 
+def test_repetition_stats_fractions():
+    out = textstats.repetition_stats(
+        _t(
+            [
+                "spam spam spam spam",  # top word 4/4
+                "the cat sat on a mat near red rug today",  # all 1/10
+                "go go stop go go stop",  # bigram "go go" 2/5
+                "!!!",  # no word tokens -> dropped
+            ]
+        )
+    )
+    assert out["doc_id"].to_pylist() == [0, 1, 2]
+    assert out["n_words"].to_pylist() == [4, 10, 6]
+    assert out["top_word_frac"].to_pylist() == [1.0, 1 / 10, 4 / 6]
+    assert out["top_bigram_frac"].to_pylist()[0] == 1.0  # spam spam 3/3
+    assert out["top_bigram_frac"].to_pylist()[2] == 2 / 5
+    assert out["rep_keep"].to_pylist() == [False, True, False]
+
+
+def test_repetition_single_word_doc():
+    out = textstats.repetition_stats(_t(["hello"]))
+    assert out["top_bigram_frac"].to_pylist() == [0.0]
+    assert out["rep_keep"].to_pylist() == [False]  # top_word_frac 1.0
+
+
+def test_redact_pii_counts_and_order():
+    out = textstats.redact_pii(
+        _t(
+            [
+                "write to a.b_c@mail.example.com or x@y.io now",
+                "call +1-555-0199 or +44-555-0100",
+                "clean text",
+                "mixed u@v.org and +1-555-0000",
+            ]
+        )
+    )
+    assert out["text"].to_pylist() == [
+        "write to <EMAIL> or <EMAIL> now",
+        "call <PHONE> or <PHONE>",
+        "clean text",
+        "mixed <EMAIL> and <PHONE>",
+    ]
+    assert out["n_emails"].to_pylist() == [2, 0, 0, 1]
+    assert out["n_phones"].to_pylist() == [0, 2, 0, 1]
+
+
 def test_winnow_fingerprints_properties():
     a = "the quick brown fox jumps over the lazy dog again and again"
     fp_a = textstats.winnow_fingerprints(a)

@@ -33,6 +33,21 @@ def test_top_df_ties_break_lexicographically(ray_session):
     assert out["df"].tolist() == [2, 2]
 
 
+def test_inverted_index_postings_sorted(ray_session):
+    from cex_crawler_ray.stages.tfidf import inverted_index
+
+    ds = _docs([(3, "b a"), (1, "a a b"), (2, "c A")])
+    out = (
+        inverted_index(ds, num_parts=4)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    assert out["token"].tolist() == ["a", "b", "c"]
+    assert out["df"].tolist() == [3, 2, 1]
+    assert out["postings"].tolist() == ["1,2,3", "1,3", "2"]
+
+
 def test_rarest_token_drops_empty_docs(ray_session):
     from cex_crawler_ray.stages.tfidf import (
         corpus_df,
