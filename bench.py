@@ -302,6 +302,10 @@ def bench_queries(sf_dir: str) -> dict:
         "token_stats",
         "quality_scores",
         "lang_id",
+        "strip_boilerplate",
+        "inverted_index",
+        "repetition_stats",
+        "redact_pii",
         "window_cumsum",
         "broadcast_join_agg",
         "groupby_lineitem",
