@@ -581,6 +581,38 @@ def q_redact_pii(sf_dir: str):
     )
 
 
+def q_decontaminate_flags(sf_dir: str):
+    """GPT-3/PaLM-style eval-set decontamination: flag corpus docs
+    sharing any word 5-gram with the eval slice (doc_id%50==0).  The
+    eval n-gram set is exact strings, broadcast once via ray.put."""
+    from cex_crawler_ray.stages.decontam import (
+        eval_ngram_set,
+        flag_contaminated,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    def only_eval(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((ids % 50) == 0))
+
+    eval_ds = docs.map_batches(only_eval, batch_format="pyarrow")
+    grams = eval_ngram_set(eval_ds, n=5)
+    return flag_contaminated(docs, grams, n=5)
+
+
+def q_length_band(sf_dir: str):
+    """Exact p10-p90 length band filter: combiner-pattern (value,
+    count) histogram -> driver cut values -> streaming filter."""
+    from cex_crawler_ray.stages.order_filter import length_band_filter
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return length_band_filter(docs, lo_frac=0.1, hi_frac=0.9)
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate clusters: verified exact-dup pairs -> connected
     components (min-label propagation); cluster_id = smallest doc_id
@@ -1419,6 +1451,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "repetition_stats": q_repetition_stats,
         "redact_pii": q_redact_pii,
+        "decontaminate_flags": q_decontaminate_flags,
+        "length_band": q_length_band,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "knn_topk": q_knn_topk,
         "knn_lsh": q_knn_lsh,
@@ -1668,6 +1702,40 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(t1,
          '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
 FROM em
+""",
+        "decontaminate_flags": """
+WITH lists AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                        x -> lower(x)) AS l
+  FROM documents
+),
+ev AS (SELECT l FROM lists WHERE doc_id % 50 = 0),
+evg AS (
+  SELECT DISTINCT array_to_string(list_slice(l, i, i + 4), ' ') AS g
+  FROM ev, LATERAL unnest(range(1, len(l) - 3)) AS t(i)
+  WHERE len(l) >= 5
+),
+cg AS (
+  SELECT doc_id, array_to_string(list_slice(l, i, i + 4), ' ') AS g
+  FROM lists, LATERAL unnest(range(1, len(l) - 3)) AS t(i)
+  WHERE len(l) >= 5
+),
+hit AS (
+  SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM evg)
+)
+SELECT l.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM lists l LEFT JOIN hit h ON l.doc_id = h.doc_id
+""",
+        "length_band": """
+WITH s AS (SELECT doc_id, length(text) AS v FROM documents),
+n AS (SELECT COUNT(*) AS cnt FROM s),
+lo AS (SELECT v FROM s ORDER BY v
+       OFFSET (SELECT CAST(ceil(0.1 * cnt) AS BIGINT) - 1 FROM n) LIMIT 1),
+hi AS (SELECT v FROM s ORDER BY v
+       OFFSET (SELECT CAST(ceil(0.9 * cnt) AS BIGINT) - 1 FROM n) LIMIT 1)
+SELECT doc_id, CAST(v AS BIGINT) AS n_chars FROM s
+WHERE v >= (SELECT v FROM lo) AND v <= (SELECT v FROM hi)
 """,
         # connected components over the verified exact-dup pair graph:
         # the recursive CTE computes min-reachable-id per node — the
