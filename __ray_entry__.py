@@ -613,6 +613,80 @@ def q_length_band(sf_dir: str):
     return length_band_filter(docs, lo_frac=0.1, hi_frac=0.9)
 
 
+def _curation_corpus(sf_dir: str):
+    """documents + PII on the first line + boilerplate footer lines —
+    the combined injected corpus for the curation_v2 oracle."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        texts = np.asarray(batch["text"].to_pylist(), dtype=object)
+        m5 = (ids % 5) == 0
+        texts[m5] = texts[m5] + np.asarray(
+            [f" Contact: user{i}@mail.example.com now" for i in ids[m5]],
+            dtype=object,
+        )
+        m6 = (ids % 6) == 0
+        texts[m6] = texts[m6] + " Call +1-555-0199 today"
+        m3 = (ids % 3) == 0
+        texts[m3] = texts[m3] + ("\n" + _FOOTER_1)
+        m4 = (ids % 4) == 0
+        texts[m4] = texts[m4] + ("\n" + _FOOTER_2)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(list(texts), pa.string()),
+            }
+        )
+
+    return docs.map_batches(inject, batch_format="pyarrow")
+
+
+def q_curation_v2(sf_dir: str):
+    """Flagship curation composition: strip boilerplate -> redact PII
+    -> Gopher repetition filter -> eval-set decontamination, one
+    streaming pipeline with one end-to-end SQL oracle."""
+    from cex_crawler_ray.pipelines.curation import curate
+
+    corpus = _curation_corpus(sf_dir)
+    raw = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def only_eval(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((ids % 50) == 0))
+
+    eval_ds = raw.map_batches(only_eval, batch_format="pyarrow")
+    return curate(corpus, eval_ds, min_docs=3, ngram_n=5)
+
+
+def q_training_shards(sf_dir: str):
+    """Hash-sharded training output: Knuth multiplicative shard tag
+    (no shuffle) -> hive-partitioned write -> read-back summary.
+    Exercises the shard write/read round-trip in the correctness
+    gate."""
+    import shutil
+    import tempfile
+
+    from cex_crawler_ray.stages.shard import (
+        shard_summary,
+        write_training_shards,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out_dir = tempfile.mkdtemp(prefix="cex_shards_")
+    try:
+        write_training_shards(docs, out_dir, num_shards=16)
+        return shard_summary(out_dir).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate clusters: verified exact-dup pairs -> connected
     components (min-label propagation); cluster_id = smallest doc_id
@@ -1453,6 +1527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": q_redact_pii,
         "decontaminate_flags": q_decontaminate_flags,
         "length_band": q_length_band,
+        "training_shards": q_training_shards,
+        "curation_v2": q_curation_v2,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "knn_topk": q_knn_topk,
         "knn_lsh": q_knn_lsh,
@@ -1736,6 +1812,122 @@ hi AS (SELECT v FROM s ORDER BY v
        OFFSET (SELECT CAST(ceil(0.9 * cnt) AS BIGINT) - 1 FROM n) LIMIT 1)
 SELECT doc_id, CAST(v AS BIGINT) AS n_chars FROM s
 WHERE v >= (SELECT v FROM lo) AND v <= (SELECT v FROM hi)
+""",
+        "training_shards": """
+SELECT CAST((doc_id * 2654435761) % 4294967296 % 16 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1
+""",
+        # the full curation composition: the CTE chain is the four
+        # per-stage oracles spliced end to end over the combined
+        # injected corpus (PII on line 1, footers after)
+        "curation_v2": """
+WITH corpus AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+            THEN ' Contact: user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com now' ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+            THEN ' Call +1-555-0199 today' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || 'Subscribe to our newsletter for updates.'
+            ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+            THEN chr(10) || '(c) 2024 Example Corp. All rights reserved.'
+            ELSE '' END
+         AS text
+  FROM documents
+),
+lns AS (
+  SELECT doc_id,
+         unnest(split(text, chr(10))) AS line,
+         unnest(range(1, len(split(text, chr(10))) + 1)) AS i
+  FROM corpus
+),
+paras AS (
+  SELECT DISTINCT doc_id, trim(line, ' ' || chr(9)) AS paragraph
+  FROM lns WHERE trim(line, ' ' || chr(9)) <> ''
+),
+boiler AS (
+  SELECT paragraph FROM paras GROUP BY paragraph HAVING COUNT(*) >= 3
+),
+kept AS (
+  SELECT doc_id, line, i FROM lns
+  WHERE trim(line, ' ' || chr(9)) = ''
+     OR trim(line, ' ' || chr(9)) NOT IN (SELECT paragraph FROM boiler)
+),
+stripped AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+  FROM kept GROUP BY doc_id
+  HAVING count(*) FILTER (WHERE trim(line, ' ' || chr(9)) <> '') > 0
+),
+em AS (
+  SELECT doc_id,
+         regexp_replace(text,
+           '[A-Za-z0-9_.]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+',
+           '<EMAIL>', 'g') AS t1,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9_.]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+')) AS BIGINT)
+           AS n_emails
+  FROM stripped
+),
+red AS (
+  SELECT doc_id,
+         regexp_replace(t1, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}',
+                        '<PHONE>', 'g') AS text,
+         n_emails,
+         CAST(len(regexp_extract_all(t1,
+           '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+  FROM em
+),
+lists AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                        x -> lower(x)) AS l
+  FROM red
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS i
+  FROM lists
+),
+wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+tw AS (SELECT doc_id, MAX(c) AS top_w, SUM(c) AS n_words
+       FROM wc GROUP BY doc_id),
+big AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+tb AS (SELECT doc_id, MAX(c) AS top_b, SUM(c) AS n_big
+       FROM bc GROUP BY doc_id),
+rep AS (
+  SELECT t.doc_id FROM tw t LEFT JOIN tb b ON t.doc_id = b.doc_id
+  WHERE CAST(t.top_w AS DOUBLE) / t.n_words <= 0.20
+    AND COALESCE(CAST(b.top_b AS DOUBLE) / b.n_big, 0.0) <= 0.18
+),
+evlists AS (
+  SELECT list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                        x -> lower(x)) AS l
+  FROM documents WHERE doc_id % 50 = 0
+),
+evg AS (
+  SELECT DISTINCT array_to_string(list_slice(l, i, i + 4), ' ') AS g
+  FROM evlists, LATERAL unnest(range(1, len(l) - 3)) AS t(i)
+  WHERE len(l) >= 5
+),
+cg AS (
+  SELECT doc_id, array_to_string(list_slice(l, i, i + 4), ' ') AS g
+  FROM lists, LATERAL unnest(range(1, len(l) - 3)) AS t(i)
+  WHERE len(l) >= 5
+),
+hit AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM evg))
+SELECT r.doc_id, r.text, r.n_emails, r.n_phones
+FROM red r
+JOIN rep ON r.doc_id = rep.doc_id
+LEFT JOIN hit h ON r.doc_id = h.doc_id
+WHERE h.doc_id IS NULL
 """,
         # connected components over the verified exact-dup pair graph:
         # the recursive CTE computes min-reachable-id per node — the

@@ -302,6 +302,7 @@ def bench_queries(sf_dir: str) -> dict:
         "token_stats",
         "quality_scores",
         "lang_id",
+        "curation_v2",
         "strip_boilerplate",
         "inverted_index",
         "repetition_stats",
