@@ -687,6 +687,28 @@ def q_training_shards(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_pack_index(sf_dir: str):
+    """Sequence-packing index: distributed two-pass prefix sum of
+    whitespace token counts in doc_id order; example_id = offset //
+    seq_len."""
+    from cex_crawler_ray.stages.pack import pack_index
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pack_index(docs, seq_len=256, bucket=64)
+
+
+def q_normalize_text(sf_dir: str):
+    """C4-style text normalization over the footer-injected corpus
+    (newlines collapse; pure content function)."""
+    from cex_crawler_ray.stages.textstats import normalize_text
+
+    return _boiler_corpus(sf_dir).map_batches(
+        normalize_text, batch_format="pyarrow"
+    )
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate clusters: verified exact-dup pairs -> connected
     components (min-label propagation); cluster_id = smallest doc_id
@@ -1529,6 +1551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_band": q_length_band,
         "training_shards": q_training_shards,
         "curation_v2": q_curation_v2,
+        "pack_index": q_pack_index,
+        "normalize_text": q_normalize_text,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "knn_topk": q_knn_topk,
         "knn_lsh": q_knn_lsh,
@@ -1928,6 +1952,30 @@ FROM red r
 JOIN rep ON r.doc_id = rep.doc_id
 LEFT JOIN hit h ON r.doc_id = h.doc_id
 WHERE h.doc_id IS NULL
+""",
+        "pack_index": r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM s
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 256 AS example_id
+FROM c
+""",
+        "normalize_text": _BOILER_CTE
+        + r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[ \t\r\n\f\v]+', ' ', 'g'), ' ')
+         AS text
+FROM corpus
 """,
         # connected components over the verified exact-dup pair graph:
         # the recursive CTE computes min-reachable-id per node — the

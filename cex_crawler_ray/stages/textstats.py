@@ -171,6 +171,22 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("rep_keep", pa.array(keep_c, pa.bool_()))
 
 
+# explicit ASCII whitespace class (RE2 and Python agree on it, unlike
+# Python's unicode-aware \s)
+_ASCII_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+
+
+def normalize_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """C4-style normalization: lowercase, collapse ASCII whitespace
+    runs to single spaces, strip outer spaces."""
+    texts = batch[text_col].to_pylist()
+    out_t = [
+        _ASCII_WS_RE.sub(" ", t.lower()).strip(" ") for t in texts
+    ]
+    out = batch.drop_columns([text_col])
+    return out.append_column(text_col, pa.array(out_t, pa.string()))
+
+
 # PII patterns: RE2-compatible (DuckDB regexp_replace twin uses the
 # identical pattern strings — keep them subset-syntax: no lookaround)
 PII_EMAIL_PAT = r"[A-Za-z0-9_.]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+"

@@ -73,6 +73,13 @@ def test_repetition_single_word_doc():
     assert out["rep_keep"].to_pylist() == [False]  # top_word_frac 1.0
 
 
+def test_normalize_text_collapses_ascii_ws():
+    out = textstats.normalize_text(
+        _t(["  Hello\t\tWORLD \n next\r\nline  ", "", "x"])
+    )
+    assert out["text"].to_pylist() == ["hello world next line", "", "x"]
+
+
 def test_redact_pii_counts_and_order():
     out = textstats.redact_pii(
         _t(
