@@ -845,6 +845,143 @@ def q_blob_meta(sf_dir: str):
     )
 
 
+def q_image_decode_stats(sf_dir: str):
+    """REAL image decode (pure-numpy PPM, functions/codecs.py): each
+    doc synthesizes a deterministic P6 payload (dims + constant pixel
+    value derived from doc_id) inside map_batches, and the decoder
+    recovers width/height/mean — closed-form checkable in SQL."""
+    from cex_crawler_ray.functions.codecs import decode_image, encode_ppm
+    from cex_crawler_ray.stages.multimodal import BlobFeatureStage
+
+    def to_ppm(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = [
+            encode_ppm(
+                np.full(
+                    (8 + (i // 16) % 16, 8 + i % 16, 3),
+                    i % 256,
+                    dtype=np.uint8,
+                )
+            )
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    stage = BlobFeatureStage(decode=decode_image)  # REAL PPM decode
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(to_ppm, batch_format="pyarrow")
+        .map_batches(stage.__call__, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(
+                ["doc_id", "n_bytes", "width", "height", "mean_value"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_audio_decode_stats(sf_dir: str):
+    """REAL WAV decode (stdlib wave + numpy): deterministic PCM
+    payloads (constant amplitude, length keyed to doc_id) -> sample
+    rate / duration / RMS, all closed-form in SQL."""
+    from cex_crawler_ray.functions.codecs import encode_wav
+    from cex_crawler_ray.stages.multimodal import AudioFeatureStage
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = [
+            encode_wav(
+                np.full(100 + i % 400, i % 700 - 350, dtype=np.int16),
+                sample_rate=8000,
+            )
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    stage = AudioFeatureStage()
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(to_wav, batch_format="pyarrow")
+        .map_batches(stage.__call__, batch_format="pyarrow")
+    )
+
+
+def q_video_frame_sample(sf_dir: str):
+    """REAL video frame sampling (YUV4MPEG2 header arithmetic +
+    slicing): each doc synthesizes a y4m clip whose frame count and
+    per-frame luma are doc_id-derived; FrameSampleStage picks 4 evenly
+    spaced frames and a decode pass recovers each frame's mean luma —
+    so the oracle verifies WHICH source frames were sampled."""
+    from cex_crawler_ray.functions.codecs import (
+        encode_y4m,
+        extract_frames_y4m,
+        y4m_info,
+    )
+    from cex_crawler_ray.stages.multimodal import FrameSampleStage
+
+    def to_y4m(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            total = 2 + i % 6
+            frames = np.stack(
+                [
+                    np.full((8, 8), (i + j * 7) % 256, dtype=np.uint8)
+                    for j in range(total)
+                ]
+            )
+            payloads.append(encode_y4m(frames, fps=30))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    def luma_mean(batch: pa.Table) -> pa.Table:
+        means = []
+        for fb in batch["frame"].to_pylist():
+            info = y4m_info(fb)
+            y = np.frombuffer(
+                fb[fb.index(b"FRAME\n") + 6 :],
+                dtype=np.uint8,
+                count=info["width"] * info["height"],
+            )
+            means.append(float(y.astype(np.float64).mean()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "frame_idx": batch["frame_idx"],
+                "frame_ts_ms": batch["frame_ts_ms"],
+                "mean_y": pa.array(means, pa.float64()),
+            }
+        )
+
+    stage = FrameSampleStage(
+        num_frames=4, extract_frames=extract_frames_y4m
+    )
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(to_y4m, batch_format="pyarrow")
+        .map_batches(stage.__call__, batch_format="pyarrow")
+        .map_batches(luma_mean, batch_format="pyarrow")
+    )
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HyperLogLog distinct-user estimate (mergeable sketch, no
     shuffle).  No SQL oracle: approximate by construction (DuckDB's
@@ -1566,6 +1703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_bounds": q_winnow_bounds,
         "blob_meta": q_blob_meta,
+        "image_decode_stats": q_image_decode_stats,
+        "audio_decode_stats": q_audio_decode_stats,
+        "video_frame_sample": q_video_frame_sample,
         "approx_distinct_users": q_approx_distinct_users,
         "exact_distinct_users": q_exact_distinct_users,
         "hash_sample": q_hash_sample,
@@ -2171,6 +2311,54 @@ FROM documents
 SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        sha256(text) AS sha256
 FROM documents
+""",
+        # REAL-decode multimodal oracles: payloads are pure functions
+        # of doc_id (constant-pixel P6 / constant-amplitude PCM /
+        # per-frame constant luma y4m), so every decoded feature has a
+        # closed form.  P6 header is "P6\n{w} {h}\n255\n" -> 9 chars +
+        # digits of w and h; WAV rms of a constant |a| is exactly |a|;
+        # frame sampler picks src = min(j*total//4, total-1) at 30 fps.
+        "image_decode_stats": """
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 16                 AS width,
+         8 + (doc_id // 16) % 16         AS height,
+         doc_id % 256                    AS v
+  FROM documents
+)
+SELECT doc_id,
+       CAST(9 + length(CAST(width AS VARCHAR))
+              + length(CAST(height AS VARCHAR))
+              + width * height * 3 AS BIGINT) AS n_bytes,
+       CAST(width AS INT)  AS width,
+       CAST(height AS INT) AS height,
+       CAST(v AS DOUBLE) / 255.0 AS mean_value
+FROM dims
+""",
+        "audio_decode_stats": """
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT)    AS n_channels,
+       CAST(100 + doc_id % 400 AS BIGINT) AS n_samples,
+       CAST((100 + doc_id % 400) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(abs(doc_id % 700 - 350) AS DOUBLE) AS rms
+FROM documents
+""",
+        "video_frame_sample": """
+WITH clips AS (
+  SELECT doc_id, 2 + doc_id % 6 AS total FROM documents
+),
+samp AS (
+  SELECT c.doc_id, c.total, j.frame_idx,
+         least(j.frame_idx * c.total // 4, c.total - 1) AS src
+  FROM clips c
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS frame_idx) j
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(src * 1000 // 30 AS BIGINT) AS frame_ts_ms,
+       CAST((doc_id + src * 7) % 256 AS DOUBLE) AS mean_y
+FROM samp
 """,
         "hash_sample": """
 SELECT doc_id, length(text) AS n_chars

@@ -1,0 +1,321 @@
+"""Real decode kernels for the multimodal stages — pure numpy/stdlib.
+
+The container has no PIL/libvips/ffmpeg, so the general JPEG/PNG/MP4
+case stays injectable (``real_decode_image`` raises for those), but the
+*uncompressed* public formats are decodable with nothing but numpy and
+the standard library, and those decoders are implemented here for real:
+
+- **PPM / PGM (Netpbm P6/P5)** — binary RGB / grayscale raster
+  (https://netpbm.sourceforge.net/doc/ppm.html).
+- **BMP (Windows BITMAPINFOHEADER, 24-bit uncompressed)** — the only
+  BMP layout a data pipeline should ever synthesize itself.
+- **WAV (RIFF PCM)** — via the stdlib ``wave`` module + numpy.
+- **YUV4MPEG2 (.y4m)** — ffmpeg's uncompressed video interchange
+  format: a text header then ``FRAME\\n`` + planar YUV per frame;
+  frame sampling is header arithmetic + buffer slicing.
+
+These plug into the stages in ``stages/multimodal.py``
+(``BlobFeatureStage(decode=decode_image)``,
+``ResizeStage(resize=resize_image)``,
+``FrameSampleStage(extract_frames=extract_frames_y4m)``) and replace
+the round-2 NotImplementedError placeholders for the formats above.
+
+Reference parity note: the reference crawler has no image/audio path —
+these stages are the training-data-pipeline extension the task brief
+asks for; formats and layouts follow only the public specs cited above.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import wave
+
+import numpy as np
+
+# ---------------------------------------------------------------- PPM/PGM
+
+_PNM_HEADER_RE = re.compile(
+    rb"^(P[56])[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*"
+    rb"(\d+)[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]"
+)
+
+
+def decode_pnm(payload: bytes) -> dict:
+    """Decode a binary PPM (P6, RGB) or PGM (P5, gray) image.
+
+    Returns ``{"width", "height", "channels", "mean_value"}`` with
+    ``mean_value`` the mean sample value scaled to [0, 1]."""
+    m = _PNM_HEADER_RE.match(payload)
+    if not m:
+        raise ValueError("not a binary PPM/PGM (P6/P5) payload")
+    magic, w, h, maxval = (
+        m.group(1),
+        int(m.group(2)),
+        int(m.group(3)),
+        int(m.group(4)),
+    )
+    channels = 3 if magic == b"P6" else 1
+    if maxval <= 0 or maxval > 65535:
+        raise ValueError(f"bad PNM maxval {maxval}")
+    dtype = np.uint8 if maxval < 256 else ">u2"
+    body = payload[m.end() :]
+    n = w * h * channels
+    px = np.frombuffer(body, dtype=dtype, count=n)
+    if px.size < n:
+        raise ValueError("truncated PNM body")
+    return {
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "mean_value": float(px.astype(np.float64).mean() / maxval),
+    }
+
+
+def pnm_pixels(payload: bytes) -> np.ndarray:
+    """(H, W, C) uint8 array of a binary P6/P5 payload (maxval<256)."""
+    m = _PNM_HEADER_RE.match(payload)
+    if not m:
+        raise ValueError("not a binary PPM/PGM (P6/P5) payload")
+    magic, w, h, maxval = (
+        m.group(1),
+        int(m.group(2)),
+        int(m.group(3)),
+        int(m.group(4)),
+    )
+    if maxval >= 256:
+        raise ValueError("16-bit PNM resize unsupported")
+    c = 3 if magic == b"P6" else 1
+    n = w * h * c
+    px = np.frombuffer(payload[m.end() :], dtype=np.uint8, count=n)
+    if px.size < n:
+        raise ValueError("truncated PNM body")
+    return px.reshape(h, w, c)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(H, W, 3|1) uint8 -> binary P6/P5 payload."""
+    h, w, c = pixels.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+# -------------------------------------------------------------------- BMP
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER).
+
+    Rows are bottom-up, 4-byte aligned; mean is over BGR samples."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("BMP core-header variant unsupported")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP (got bpp={bpp})")
+    height = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=height * stride, offset=data_off
+    ).reshape(height, stride)
+    px = rows[:, : w * 3]
+    return {
+        "width": w,
+        "height": height,
+        "channels": 3,
+        "mean_value": float(px.astype(np.float64).mean() / 255.0),
+    }
+
+
+# ----------------------------------------------------------------- images
+
+_UNSUPPORTED_MAGICS = {
+    b"\xff\xd8": "JPEG",
+    b"\x89P": "PNG",
+    b"GI": "GIF",
+    b"RI": "RIFF (WEBP/AVI)",
+}
+
+
+def decode_image(payload: bytes) -> dict:
+    """Sniff + decode PPM/PGM/BMP; raise for compressed formats.
+
+    The stage contract (``BlobFeatureStage``) consumes
+    ``width/height/mean_value``; ``channels`` rides along."""
+    p = payload or b""
+    if p[:2] in (b"P6", b"P5"):
+        return decode_pnm(p)
+    if p[:2] == b"BM":
+        return decode_bmp(p)
+    name = _UNSUPPORTED_MAGICS.get(p[:2], "unknown")
+    raise ValueError(
+        f"unsupported image format ({name}): only uncompressed PPM/PGM/"
+        "BMP decode without an image library; inject decode= for others"
+    )
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resize of a P6/P5 payload -> P6/P5 bytes.
+
+    Nearest-neighbor with pixel-center sampling (the classic
+    ``floor((i + 0.5) * src / dst)`` grid) — fully vectorized."""
+    src = pnm_pixels(payload)
+    sh, sw = src.shape[:2]
+    ys = np.minimum(
+        ((np.arange(height) + 0.5) * sh / height).astype(np.int64), sh - 1
+    )
+    xs = np.minimum(
+        ((np.arange(width) + 0.5) * sw / width).astype(np.int64), sw - 1
+    )
+    return encode_ppm(np.ascontiguousarray(src[ys][:, xs]))
+
+
+# -------------------------------------------------------------------- WAV
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a RIFF PCM WAV via stdlib ``wave``: rate, channels,
+    sample count, duration, and integer RMS over int16 samples."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        rate = f.getframerate()
+        nch = f.getnchannels()
+        width = f.getsampwidth()
+        nframes = f.getnframes()
+        raw = f.readframes(nframes)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif width == 1:  # 8-bit WAV is unsigned, offset-128
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+    return {
+        "sample_rate": rate,
+        "n_channels": nch,
+        "n_samples": nframes,
+        "duration_ms": nframes * 1000 // rate if rate else 0,
+        "rms": rms,
+    }
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000, n_channels: int = 1
+) -> bytes:
+    """int16 samples -> RIFF PCM WAV bytes (test/synthesis helper)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(n_channels)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+# -------------------------------------------------------------------- Y4M
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+_Y4M_SUBSAMPLE_DENOM = {
+    b"420": 4,  # chroma planes are W/2 x H/2 -> frame = Y * 3/2
+    b"420jpeg": 4,
+    b"420paldv": 4,
+    b"422": 2,
+    b"444": 1,
+}
+
+
+def _y4m_header(payload: bytes) -> tuple[int, int, int, int, int]:
+    """-> (width, height, frame_bytes, fps_num/den as ms-per-frame*1e3
+    pair folded, header_end)."""
+    end = payload.find(b"\n")
+    if not payload.startswith(_Y4M_MAGIC) or end < 0:
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fn, fd = 30, 1
+    colorspace = b"420"
+    for tok in payload[len(_Y4M_MAGIC) : end].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fn, fd = int(num), int(den)
+        elif tag == b"C":
+            colorspace = val
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    denom = _Y4M_SUBSAMPLE_DENOM.get(colorspace)
+    if denom is None:
+        raise ValueError(f"unsupported Y4M colorspace {colorspace!r}")
+    y = w * h
+    frame_bytes = y + 2 * (y // denom)
+    return w, h, frame_bytes, fn, fd, end + 1
+
+
+def y4m_info(payload: bytes) -> dict:
+    """Header + frame-count metadata without touching pixel data
+    beyond arithmetic (the scale path: count = buffer length / stride)."""
+    w, h, fb, fn, fd, off = _y4m_header(payload)
+    stride = len(b"FRAME\n") + fb
+    n_frames = max(0, (len(payload) - off)) // stride
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": n_frames,
+        "fps_num": fn,
+        "fps_den": fd,
+        "frame_bytes": fb,
+    }
+
+
+def extract_frames_y4m(payload: bytes, num_frames: int):
+    """Real frame sampler: evenly sample ``num_frames`` frames from a
+    YUV4MPEG2 stream; each emitted frame is re-wrapped as a standalone
+    single-frame .y4m (self-describing for a downstream vision stage).
+    Returns ``[(ts_ms, frame_bytes), ...]`` — the ``FrameSampleStage``
+    ``extract_frames=`` contract."""
+    w, h, fb, fn, fd, off = _y4m_header(payload)
+    marker = b"FRAME\n"
+    stride = len(marker) + fb
+    total = (len(payload) - off) // stride
+    if total <= 0:
+        return []
+    idxs = np.minimum(
+        (np.arange(num_frames) * total) // num_frames, total - 1
+    )
+    hdr = payload[:off]
+    out = []
+    for i in idxs:
+        start = off + int(i) * stride
+        if payload[start : start + len(marker)] != marker:
+            raise ValueError(f"Y4M frame marker missing at frame {i}")
+        body = payload[start : start + stride]
+        ts_ms = int(i) * 1000 * fd // fn
+        out.append((ts_ms, hdr + body))
+    return out
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: int = 30, colorspace: str = "C420"
+) -> bytes:
+    """(N, H, W) uint8 luma frames -> 4:2:0 Y4M bytes with flat-gray
+    chroma (test/synthesis helper)."""
+    n, h, w = frames.shape
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 {colorspace}\n".encode()
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    parts = [hdr]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(frames[i].tobytes())
+        parts.append(chroma)
+        parts.append(chroma)
+    return b"".join(parts)

@@ -1,11 +1,13 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
 Images/audio/video ride through the engine as ``binary`` columns with
-metadata, processed by actor-pool ``map_batches`` stages.  The decode
-libraries are not in this container, so the decode kernel is STUBBED
-(deterministic fake behind ``decode=`` or a clear NotImplementedError);
-the Ray-side plumbing — schema, batch sizing, actor signature, output
-layout — is real and tested.
+metadata, processed by actor-pool ``map_batches`` stages.  Decode is
+REAL for the uncompressed public formats — PPM/PGM/BMP images, RIFF
+PCM WAV audio, YUV4MPEG2 video (pure numpy/stdlib kernels in
+``functions/codecs.py``); compressed formats (JPEG/PNG/MP4) need
+libraries not in this container, so each stage keeps an injectable
+kernel (``decode=`` / ``resize=`` / ``extract_frames=``) plus a
+deterministic fake for plumbing tests.
 
 Batch-size note: binary payloads dominate block size; callers should
 pass small ``batch_size`` (e.g. 64) so batch x concurrency fits the
@@ -20,11 +22,14 @@ import pyarrow as pa
 
 
 def real_decode_image(payload: bytes):
-    """Placeholder for a real decoder (PIL/libvips — not installed)."""
-    raise NotImplementedError(
-        "image decode requires an image library not present in this "
-        "container; inject a decode= callable into BlobFeatureStage"
-    )
+    """Real decoder for the uncompressed public formats (PPM/PGM/BMP),
+    implemented in pure numpy (``functions/codecs.py``).  Compressed
+    formats (JPEG/PNG/…) still need an image library not present in
+    this container — ``decode_image`` raises ValueError for those;
+    inject a decode= callable into BlobFeatureStage to handle them."""
+    from ..functions.codecs import decode_image
+
+    return decode_image(payload)
 
 
 def _fake_decode(payload: bytes) -> dict:
@@ -79,13 +84,15 @@ class BlobFeatureStage:
 
 
 def real_extract_frames(payload: bytes, num_frames: int):
-    """Placeholder for a real frame sampler (ffmpeg/pyav — not
-    installed)."""
-    raise NotImplementedError(
-        "video decode requires a codec library not present in this "
-        "container; inject an extract_frames= callable into "
-        "FrameSampleStage"
-    )
+    """Real frame sampler for YUV4MPEG2 (.y4m) uncompressed video —
+    header arithmetic + buffer slicing, no codec library
+    (``functions/codecs.py``).  Compressed containers (MP4/WebM) still
+    need ffmpeg/pyav — ``extract_frames_y4m`` raises ValueError for
+    those; inject extract_frames= into FrameSampleStage to handle
+    them."""
+    from ..functions.codecs import extract_frames_y4m
+
+    return extract_frames_y4m(payload, num_frames)
 
 
 def _fake_extract_frames(payload: bytes, num_frames: int):
@@ -152,11 +159,12 @@ class FrameSampleStage:
 
 
 def real_resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Placeholder for a real resizer (PIL/libvips — not installed)."""
-    raise NotImplementedError(
-        "image resize requires an image library not present in this "
-        "container; inject a resize= callable into ResizeStage"
-    )
+    """Real nearest-neighbor resize for PPM/PGM payloads (pure numpy,
+    ``functions/codecs.py``); raises ValueError for compressed formats
+    — inject a resize= callable into ResizeStage for those."""
+    from ..functions.codecs import resize_image
+
+    return resize_image(payload, width, height)
 
 
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -205,6 +213,47 @@ class ResizeStage:
                     [hashlib.sha256(b).hexdigest() for b in out],
                     pa.string(),
                 ),
+            }
+        )
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: (id, WAV blob) -> audio features.
+
+    Output: ``(id, sample_rate: int32, n_channels: int32,
+    n_samples: int64, duration_ms: int64, rms: float64)``.  The decode
+    kernel defaults to the REAL stdlib/numpy WAV decoder
+    (``functions/codecs.decode_wav``); inject ``decode=`` for
+    compressed audio (mp3/flac need libraries absent here)."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id", decode=None):
+        from ..functions.codecs import decode_wav
+
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.decode = decode if decode is not None else decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = [
+            self.decode(p or b"")
+            for p in batch[self.payload_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "sample_rate": pa.array(
+                    [m["sample_rate"] for m in metas], pa.int32()
+                ),
+                "n_channels": pa.array(
+                    [m["n_channels"] for m in metas], pa.int32()
+                ),
+                "n_samples": pa.array(
+                    [m["n_samples"] for m in metas], pa.int64()
+                ),
+                "duration_ms": pa.array(
+                    [m["duration_ms"] for m in metas], pa.int64()
+                ),
+                "rms": pa.array([m["rms"] for m in metas], pa.float64()),
             }
         )
 

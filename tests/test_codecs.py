@@ -1,0 +1,209 @@
+"""Real decode kernels (functions/codecs.py): PPM/PGM/BMP, WAV, Y4M."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cex_crawler_ray.functions import codecs
+from cex_crawler_ray.stages.multimodal import (
+    AudioFeatureStage,
+    BlobFeatureStage,
+    FrameSampleStage,
+    ResizeStage,
+    real_decode_image,
+    real_extract_frames,
+    real_resize_image,
+)
+
+
+def _ppm(w, h, value):
+    px = np.full((h, w, 3), value, dtype=np.uint8)
+    return codecs.encode_ppm(px)
+
+
+def _bmp24(w, h, value):
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = value
+    body = rows.tobytes()
+    off = 54
+    hdr = (
+        b"BM"
+        + (off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return hdr + body
+
+
+# ------------------------------------------------------------------ images
+
+
+def test_ppm_roundtrip_decode():
+    meta = codecs.decode_image(_ppm(10, 6, 51))
+    assert (meta["width"], meta["height"], meta["channels"]) == (10, 6, 3)
+    assert meta["mean_value"] == pytest.approx(51 / 255)
+
+
+def test_pgm_decode():
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    meta = codecs.decode_image(codecs.encode_ppm(px))
+    assert (meta["width"], meta["height"], meta["channels"]) == (4, 4, 1)
+    assert meta["mean_value"] == pytest.approx(7.5 / 255)
+
+
+def test_ppm_comment_header():
+    payload = b"P6\n# a comment\n3 2\n255\n" + bytes(3 * 2 * 3)
+    meta = codecs.decode_pnm(payload)
+    assert (meta["width"], meta["height"]) == (3, 2)
+
+
+def test_bmp_decode_row_padding():
+    # w=3 -> 9 data bytes padded to 12 per row; padding must not skew mean
+    meta = codecs.decode_image(_bmp24(3, 2, 100))
+    assert (meta["width"], meta["height"]) == (3, 2)
+    assert meta["mean_value"] == pytest.approx(100 / 255)
+
+
+def test_decode_image_rejects_compressed():
+    with pytest.raises(ValueError, match="JPEG"):
+        codecs.decode_image(b"\xff\xd8\xff\xe0rest")
+    with pytest.raises(ValueError):
+        real_decode_image(b"\x89PNG\r\n")
+
+
+def test_resize_nearest_downsample():
+    # 4x4 quadrant image -> 2x2 picks one pixel per quadrant
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:2, 2:] = 50
+    px[2:, :2] = 100
+    px[2:, 2:] = 150
+    out = codecs.pnm_pixels(real_resize_image(codecs.encode_ppm(px), 2, 2))
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0, 0] == 0 and out[0, 1, 0] == 50
+    assert out[1, 0, 0] == 100 and out[1, 1, 0] == 150
+
+
+def test_resize_upsample_dims():
+    out = codecs.pnm_pixels(codecs.resize_image(_ppm(2, 2, 7), 5, 3))
+    assert out.shape == (3, 5, 3)
+    assert (out == 7).all()
+
+
+# ------------------------------------------------------------------- audio
+
+
+def test_wav_decode_constant_amplitude():
+    wav = codecs.encode_wav(
+        np.full(400, -300, dtype=np.int16), sample_rate=8000
+    )
+    meta = codecs.decode_wav(wav)
+    assert meta["sample_rate"] == 8000
+    assert meta["n_channels"] == 1
+    assert meta["n_samples"] == 400
+    assert meta["duration_ms"] == 50
+    assert meta["rms"] == 300.0
+
+
+def test_wav_decode_empty():
+    meta = codecs.decode_wav(codecs.encode_wav(np.zeros(0, np.int16)))
+    assert meta["n_samples"] == 0 and meta["rms"] == 0.0
+
+
+# ------------------------------------------------------------------- video
+
+
+def _y4m(n_frames, w=8, h=8):
+    frames = np.stack(
+        [np.full((h, w), i * 10, dtype=np.uint8) for i in range(n_frames)]
+    )
+    return codecs.encode_y4m(frames, fps=30)
+
+
+def test_y4m_info_and_sampling():
+    payload = _y4m(6)
+    info = codecs.y4m_info(payload)
+    assert info["n_frames"] == 6
+    assert (info["width"], info["height"]) == (8, 8)
+    frames = real_extract_frames(payload, 4)
+    assert len(frames) == 4
+    # even sampling: source frames 0,1,3,4 at 30 fps
+    assert [ts for ts, _ in frames] == [0, 33, 100, 133]
+    # each emitted frame is itself a decodable single-frame y4m
+    for k, (_, fb) in enumerate(frames):
+        sub = codecs.y4m_info(fb)
+        assert sub["n_frames"] == 1
+        src = [0, 1, 3, 4][k]
+        y = np.frombuffer(
+            fb[fb.index(b"FRAME\n") + 6 :][:64], dtype=np.uint8
+        )
+        assert (y == src * 10).all()
+
+
+def test_y4m_more_samples_than_frames():
+    frames = codecs.extract_frames_y4m(_y4m(2), 4)
+    assert [ts for ts, _ in frames] == [0, 0, 33, 33]
+
+
+def test_y4m_rejects_other_payloads():
+    with pytest.raises(ValueError):
+        codecs.extract_frames_y4m(b"\x00\x00\x00 ftypisom", 4)
+
+
+# ------------------------------------------- stages with real kernels
+
+
+def _blob_table(payloads):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def test_blob_feature_stage_real_decode():
+    stage = BlobFeatureStage(decode=codecs.decode_image)
+    out = stage(_blob_table([_ppm(5, 4, 20), _bmp24(3, 2, 200)]))
+    assert out["width"].to_pylist() == [5, 3]
+    assert out["height"].to_pylist() == [4, 2]
+    assert out["mean_value"].to_pylist() == pytest.approx(
+        [20 / 255, 200 / 255]
+    )
+
+
+def test_resize_stage_real_kernel():
+    stage = ResizeStage(width=3, height=3, resize=codecs.resize_image)
+    out = stage(_blob_table([_ppm(6, 6, 9)]))
+    px = codecs.pnm_pixels(out["resized"][0].as_py())
+    assert px.shape == (3, 3, 3) and (px == 9).all()
+
+
+def test_frame_sample_stage_real_y4m():
+    stage = FrameSampleStage(
+        num_frames=3, extract_frames=codecs.extract_frames_y4m
+    )
+    out = stage(_blob_table([_y4m(6), _y4m(3)]))
+    assert out.num_rows == 6
+    assert out["frame_idx"].to_pylist() == [0, 1, 2, 0, 1, 2]
+    assert out["frame_ts_ms"].to_pylist() == [0, 66, 133, 0, 33, 66]
+
+
+def test_audio_feature_stage_real_wav():
+    stage = AudioFeatureStage()
+    wavs = [
+        codecs.encode_wav(np.full(160, 25, np.int16), 16000),
+        codecs.encode_wav(np.zeros(80, np.int16), 8000),
+    ]
+    out = stage(_blob_table(wavs))
+    assert out["sample_rate"].to_pylist() == [16000, 8000]
+    assert out["duration_ms"].to_pylist() == [10, 10]
+    assert out["rms"].to_pylist() == [25.0, 0.0]

@@ -137,10 +137,12 @@ def test_blob_feature_stage(ray_session):
     assert out.loc[out["doc_id"] == 3, "sha256"].iloc[0] == expect
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_rejects_compressed_formats():
+    # real decode exists for PPM/PGM/BMP (tests/test_codecs.py); the
+    # compressed formats still refuse rather than fake silently
     from cex_crawler_ray.stages.multimodal import real_decode_image
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="PNG"):
         real_decode_image(b"\x89PNG")
 
 
@@ -173,10 +175,11 @@ def test_frame_sample_stage(ray_session):
     for _, r in g.iterrows():
         assert hashlib.sha256(r["frame"]).hexdigest() == r["frame_sha256"]
         assert r["frame"] == bytes([3]) * 30  # even slicing, deterministic
-    # the honest stub refuses rather than fakes silently
+    # the real sampler decodes y4m (tests/test_codecs.py) and refuses
+    # anything else rather than faking silently
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         real_extract_frames(b"x", 4)
 
 
