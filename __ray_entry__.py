@@ -1415,6 +1415,64 @@ def q_tumbling_window(sf_dir: str):
     )
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact substring-level dedup (Lee et al. 2021): token spans
+    covered by non-first duplicated 8-token windows, over the injected-
+    duplicate corpus.  One content-keyed all-to-all (the gram shuffle)
+    + a per-doc vectorized island merge; nothing on the driver."""
+    from cex_crawler_ray.stages.substr_dedup import dup_spans
+
+    return dup_spans(_dedup_corpus(sf_dir), k=8)
+
+
+def q_lead_user(sf_dir: str):
+    """Globally-ordered LEAD without a global sort (beyond-reference):
+    next user_id over the (ts, event_id) event order, computed as
+    coarse time-bucket ``map_groups`` + a broadcast bucket-boundary map
+    (one row per hour bucket on the driver — the pack.py prefix-sum
+    shape, never per-event driver state)."""
+    from cex_crawler_ray.stages.window import lead_lag
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return lead_lag(ds, kind="lead")
+
+
+def q_pagerank_nodes(sf_dir: str):
+    """Fixed-point integer PageRank (damping 0.85, 5 iterations) over
+    the session-handoff graph — distinct (user -> next user) edges from
+    the globally-ordered LEAD.  Integer micro-rank units + exact floor
+    divisions make the result bit-reproducible at any partition count,
+    which is what lets a SQL oracle hash-match an iterative graph
+    algorithm exactly.  Beyond-reference: the reference engine has no
+    graph analytics; a crawler at scale ranks hosts/pages with exactly
+    this to prioritize its frontier."""
+    import pyarrow.compute as pc
+
+    from cex_crawler_ray.stages.window import lead_lag, pagerank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    led = lead_lag(ds, kind="lead")
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch["user_id"]
+        dst = batch["lead_user_id"]
+        keep = pc.and_(dst.is_valid(), pc.not_equal(src, dst))
+        t = batch.filter(keep)
+        return pa.table({"src": t["user_id"], "dst": t["lead_user_id"]})
+
+    edges = (
+        led.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .drop_columns(["count()"])
+    )
+    return pagerank(edges)
+
+
 _TIERS = [
     (0, 1_000, "micro"),
     (1_000, 5_000, "small"),
@@ -1719,10 +1777,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tumbling_window": q_tumbling_window,
+        "dup_spans": q_dup_spans,
+        "lead_user": q_lead_user,
+        "pagerank_nodes": q_pagerank_nodes,
         "groupby_lineitem": q_groupby_lineitem,
         "topk_orders": q_topk_orders,
         "topk_per_group": q_topk_per_group,
     }
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
+    """Unrolled-CTE DuckDB PageRank, bit-identical to
+    ``cex_crawler_ray.stages.window.pagerank`` — both sides use int64
+    micro-rank units and exact floor divisions, so summation order
+    cannot perturb a single bit (the same trick as the cents-scaled
+    SUM oracles)."""
+    parts = [
+        f"""
+WITH ev AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (ORDER BY ts, event_id) AS dst
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM ev
+  WHERE dst IS NOT NULL AND dst <> src
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (
+  SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r
+  FROM nodes
+)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+r{k} AS (
+  SELECT n.node,
+         CAST((15 * {scale}) // (100 * (SELECT n FROM nn)) AS BIGINT)
+         + COALESCE(s.c, 0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((85 * p.r) // (100 * deg.d)) AS BIGINT) AS c
+    FROM edges e
+    JOIN r{k - 1} p ON e.src = p.node
+    JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, CAST(r AS BIGINT) AS pr_rank FROM r{iters}\n"
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2432,6 +2541,58 @@ SELECT user_id,
          AS sum_cents
 FROM events GROUP BY user_id, window_start
 """,
+        "dup_spans": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+lists AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                        x -> lower(x)) AS l
+  FROM corpus
+),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(list_slice(l, i, i + 7), ' ') AS g
+  FROM lists, LATERAL unnest(range(1, len(l) - 6)) AS t(i)
+  WHERE len(l) >= 8
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM w
+  ) WHERE rn > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NULL
+                   OR pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM marked
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS gid
+  FROM isl
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 7 AS BIGINT) AS span_end
+FROM grp GROUP BY doc_id, gid
+""",
+        "lead_user": """
+SELECT event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       user_id,
+       LEAD(user_id) OVER (ORDER BY ts, event_id) AS lead_user_id
+FROM events
+""",
+        "pagerank_nodes": _pagerank_sql(),
         "range_join": """
 SELECT e.event_id, t.tier
 FROM (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents

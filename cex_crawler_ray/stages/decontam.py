@@ -54,7 +54,10 @@ def eval_ngram_set(
     )
     merged: set = set()
     for p in parts:
-        merged.update(p["g"].to_pylist())
+        # blocks that were empty upstream can surface with an empty
+        # schema (no "g" column) — nothing to merge from those
+        if "g" in p.schema.names:
+            merged.update(p["g"].to_pylist())
     return frozenset(merged)
 
 

@@ -1,0 +1,427 @@
+r"""Globally-ordered window operators (LEAD/LAG) and fixed-point
+PageRank over an edge Dataset.
+
+The reference engine has no window or graph analytics at all — its
+closest analog is the per-site "previous announcement" bookkeeping
+(reference ``exchange/base_scraper.py`` seen-URL set).  A web-scale
+crawler needs both: LEAD/LAG over a globally time-ordered event stream
+(session handoffs, inter-arrival gaps) and link-graph centrality to
+prioritize the frontier.
+
+``lead_lag`` — LEAD/LAG over a global (ts, tiebreak) order WITHOUT a
+global sort.  Same two-pass shape as ``stages/pack.py``'s distributed
+prefix sum:
+
+1. pass 1 (combiner): per-batch, per COARSE time bucket, keep only the
+   first+last row (by order key).  The groupby shuffle carries two rows
+   per (batch, bucket); only one merged first/last row per bucket
+   reaches the driver (10^10 events / hourly buckets ≈ 10^5 rows),
+   which builds the bucket -> neighbor-bucket-boundary map.
+2. pass 2: ``groupby(bucket).map_groups`` — within-bucket vectorized
+   shift plus the broadcast neighbor boundary value for the edge row.
+
+No per-event state ever reaches the driver; bucket granularity is the
+partition key, so skewed hours degrade to bigger groups, not hot keys.
+
+``pagerank`` — damping-0.85 PageRank in *integer fixed point* (ranks
+are int64 micro-units, contributions are exact floor divisions), which
+makes the result bit-reproducible regardless of summation order — the
+same property the repo's cents-scaled SUM oracles rely on — so an
+unrolled-CTE DuckDB oracle can hash-match it exactly.  Below
+``driver_max_edges`` the (src, dst) int64 pairs are solved vectorized
+on the driver (same threshold-switch as ``CC_DRIVER_MAX_PAIRS``);
+above it each iteration is one co-partition hash join (static
+edges+outdeg table x current ranks) and one coarse-partition sum —
+the label-propagation shape of ``connected_components``.  Dangling
+nodes follow the standard simplification (their mass is dropped, the
+0.15 teleport keeps ranks positive).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from .dedup import _coarse_group_apply
+from .join import hash_join
+
+# one hour in microseconds — the default coarse order bucket
+DEFAULT_BUCKET_US = 3_600_000_000
+
+
+def _order_key_us(batch: pa.Table, ts_col: str) -> np.ndarray:
+    ts = batch[ts_col].combine_chunks()
+    if pa.types.is_timestamp(ts.type):
+        ts = ts.cast(pa.timestamp("us"))
+    return ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def lead_lag(
+    ds: "ray.data.Dataset",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "user_id",
+    kind: str = "lead",
+    bucket_us: int = DEFAULT_BUCKET_US,
+    out_col: str | None = None,
+) -> "ray.data.Dataset":
+    """LEAD/LAG of ``value_col`` over the global (ts, tiebreak) order.
+
+    Returns columns ``(tiebreak_col, ts_us, value_col, out_col)`` —
+    ``out_col`` (default ``{kind}_{value_col}``) is null for the last
+    (lead) / first (lag) row of the stream.
+    """
+    if kind not in ("lead", "lag"):
+        raise ValueError(kind)
+    out = out_col or f"{kind}_{value_col}"
+
+    # pass 1: per-bucket first & last row -> tiny driver table
+    def boundary_partial(batch: pa.Table) -> pa.Table:
+        us = _order_key_us(batch, ts_col)
+        tie = batch[tiebreak_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        val = batch[value_col].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        bkt = us // bucket_us
+        order = np.lexsort((tie, us, bkt))
+        bkt_s = bkt[order]
+        first = np.concatenate(([True], bkt_s[1:] != bkt_s[:-1]))
+        last = np.concatenate((bkt_s[1:] != bkt_s[:-1], [True]))
+        keep = order[first | last]
+        return pa.table(
+            {
+                "bkt": pa.array(bkt[keep], pa.int64()),
+                "us": pa.array(us[keep], pa.int64()),
+                "tie": pa.array(tie[keep], pa.int64()),
+                "val": pa.array(val[keep], pa.int64()),
+            }
+        )
+
+    def boundary_merge(group: pa.Table) -> pa.Table:
+        us = group["us"].to_numpy(zero_copy_only=False)
+        tie = group["tie"].to_numpy(zero_copy_only=False)
+        val = group["val"].to_numpy(zero_copy_only=False)
+        bkt = group["bkt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, us, bkt))
+        bkt_s = bkt[order]
+        first = np.concatenate(([True], bkt_s[1:] != bkt_s[:-1]))
+        last = np.concatenate((bkt_s[1:] != bkt_s[:-1], [True]))
+        # flags aligned to the kept rows (sorted order within the group)
+        kf = first[first | last]
+        kl = last[first | last]
+        return pa.table(
+            {
+                "bkt": pa.array(bkt_s[first | last], pa.int64()),
+                "us": pa.array(us[order][first | last], pa.int64()),
+                "tie": pa.array(tie[order][first | last], pa.int64()),
+                "val": pa.array(val[order][first | last], pa.int64()),
+                "is_first": pa.array(kf, pa.bool_()),
+                "is_last": pa.array(kl, pa.bool_()),
+            }
+        )
+
+    bounds_tbl = pa.concat_tables(
+        ray.get(
+            _coarse_group_apply(
+                ds.map_batches(boundary_partial, batch_format="pyarrow"),
+                "bkt",
+                boundary_merge,
+                num_parts=64,
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    b_bkt = bounds_tbl["bkt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b_val = bounds_tbl["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b_first = bounds_tbl["is_first"].to_numpy(zero_copy_only=False)
+    b_last = bounds_tbl["is_last"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b_bkt, kind="stable")
+    # present buckets, ascending; each contributes its first-row value
+    # (lead neighbor for the previous bucket) and last-row value (lag
+    # neighbor for the next bucket)
+    firsts_b = b_bkt[order][b_first[order]]
+    firsts_v = b_val[order][b_first[order]]
+    lasts_b = b_bkt[order][b_last[order]]
+    lasts_v = b_val[order][b_last[order]]
+    # neighbor map: for bucket k (present), lead boundary = first value
+    # of the NEXT present bucket; lag boundary = last value of the
+    # PREVIOUS present bucket
+    nb: dict[int, int | None] = {}
+    if kind == "lead":
+        for i in range(len(lasts_b)):
+            nb[int(lasts_b[i])] = (
+                int(firsts_v[i + 1]) if i + 1 < len(firsts_b) else None
+            )
+    else:
+        for i in range(len(firsts_b)):
+            nb[int(firsts_b[i])] = (
+                int(lasts_v[i - 1]) if i > 0 else None
+            )
+    bcast = ray.put(nb)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        us = _order_key_us(batch, ts_col)
+        return pa.table(
+            {
+                tiebreak_col: batch[tiebreak_col]
+                .combine_chunks()
+                .cast(pa.int64()),
+                "ts_us": pa.array(us, pa.int64()),
+                value_col: batch[value_col]
+                .combine_chunks()
+                .cast(pa.int64()),
+                "bkt": pa.array(us // bucket_us, pa.int64()),
+            }
+        )
+
+    def within(group: pa.Table) -> pa.Table:
+        nbm = ray.get(bcast)
+        us = group["ts_us"].to_numpy(zero_copy_only=False)
+        tie = group[tiebreak_col].to_numpy(zero_copy_only=False)
+        val = group[value_col].to_numpy(zero_copy_only=False)
+        bkt = group["bkt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, us, bkt))
+        us, tie, val, bkt = us[order], tie[order], val[order], bkt[order]
+        shifted = np.empty(len(val), dtype=object)
+        # bucket run boundaries within this (coarse-partition) group
+        new_run = np.concatenate(([True], bkt[1:] != bkt[:-1]))
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.concatenate((run_starts[1:], [len(val)]))
+        for s, e in zip(run_starts, run_ends):
+            if kind == "lead":
+                shifted[s : e - 1] = val[s + 1 : e]
+                shifted[e - 1] = nbm.get(int(bkt[s]))
+            else:
+                shifted[s + 1 : e] = val[s : e - 1]
+                shifted[s] = nbm.get(int(bkt[s]))
+        return pa.table(
+            {
+                tiebreak_col: pa.array(tie, pa.int64()),
+                "ts_us": pa.array(us, pa.int64()),
+                value_col: pa.array(val, pa.int64()),
+                out: pa.array(list(shifted), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(
+            lambda g: within(g), batch_format="pyarrow"
+        )
+    )
+
+
+# ---------------------------------------------------------------- pagerank
+
+PR_SCALE = 1_000_000_000_000  # int64 micro-rank units
+PR_DRIVER_MAX_EDGES = 200_000
+
+
+def _pr_driver(
+    src: np.ndarray, dst: np.ndarray, iters: int, scale: int
+) -> pa.Table:
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    outdeg = np.bincount(si, minlength=n).astype(np.int64)
+    base = (15 * scale) // (100 * n)
+    rank = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(iters):
+        contrib = (85 * rank[si]) // (100 * outdeg[si])
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, di, contrib)
+        rank = base + acc
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "pr_rank": pa.array(rank, pa.int64()),
+        }
+    )
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    scale: int = PR_SCALE,
+    num_parts: int = 64,
+    driver_max_edges: int | None = None,
+) -> "ray.data.Dataset":
+    """Fixed-point integer PageRank (damping 0.85) over a distinct
+    directed edge Dataset.  Returns ``(node, pr_rank)`` int64 rows, one
+    per node appearing in any edge.  Bit-reproducible at any partition
+    count: ranks are int64 and every contribution is an exact floor
+    division, so summation order cannot change the result.
+    """
+    if driver_max_edges is None:
+        driver_max_edges = PR_DRIVER_MAX_EDGES
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "pr_rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if n_edges <= driver_max_edges:
+        tbl = pa.concat_tables(
+            ray.get(edges.to_arrow_refs()), promote_options="default"
+        )
+        return ray.data.from_arrow(
+            _pr_driver(
+                tbl[src_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                tbl[dst_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                iters,
+                scale,
+            )
+        )
+
+    # ---- distributed path: static (src, dst, outdeg) x iterated ranks
+    def to_sd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch[src_col].combine_chunks().cast(pa.int64()),
+                "dst": batch[dst_col].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    e = edges.map_batches(to_sd, batch_format="pyarrow")
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    batch["src"].to_numpy(zero_copy_only=False),
+                    batch["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        ).astype(np.int64)
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    def node_merge(g: pa.Table) -> pa.Table:
+        u = np.unique(g["node"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    nodes_ds = _coarse_group_apply(
+        e.map_batches(node_partial, batch_format="pyarrow"),
+        "node",
+        node_merge,
+        num_parts,
+    ).materialize()
+    n = nodes_ds.count()
+    base = (15 * scale) // (100 * n)
+    init = scale // n
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            batch["src"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "node": pa.array(u.astype(np.int64), pa.int64()),
+                "deg": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def deg_merge(g: pa.Table) -> pa.Table:
+        t = g.group_by("node").aggregate([("deg", "sum")])
+        return pa.table(
+            {
+                "node": t["node"].combine_chunks().cast(pa.int64()),
+                "deg": t["deg_sum"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    deg_ds = _coarse_group_apply(
+        e.map_batches(deg_partial, batch_format="pyarrow"),
+        "node",
+        deg_merge,
+        num_parts,
+    )
+    # static per-edge outdeg table — joined once, reused every iteration
+    e_deg = hash_join(
+        e, deg_ds, left_key="src", right_key="node", num_parts=num_parts
+    ).materialize()
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "pr_rank": pa.array(
+                    np.full(batch.num_rows, init, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ranks = nodes_ds.map_batches(init_rank, batch_format="pyarrow")
+    zero_rows = nodes_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "c": pa.array(
+                    np.zeros(b.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def sum_by_node(g: pa.Table) -> pa.Table:
+        t = g.group_by("node").aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "node": t["node"].combine_chunks().cast(pa.int64()),
+                "c": t["c_sum"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        joined = hash_join(
+            e_deg,
+            ranks,
+            left_key="src",
+            right_key="node",
+            num_parts=num_parts,
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            r = batch["pr_rank"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            d = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "node": batch["dst"].combine_chunks().cast(pa.int64()),
+                    "c": pa.array((85 * r) // (100 * d), pa.int64()),
+                }
+            )
+
+        msgs = joined.map_batches(contrib, batch_format="pyarrow")
+        summed = _coarse_group_apply(
+            zero_rows.union(msgs), "node", sum_by_node, num_parts
+        )
+        ranks = summed.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "pr_rank": pc.add(
+                        b["c"].combine_chunks().cast(pa.int64()),
+                        pa.scalar(base, pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return ranks

@@ -1,0 +1,90 @@
+"""Exact substring-level dedup (Lee et al. 2021 style)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+def _corpus(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+def _reference_spans(rows, k):
+    """Brute-force: mark every non-first k-gram occurrence, merge."""
+    import re
+
+    word = re.compile(r"[A-Za-z0-9_]+")
+    occ = {}
+    for d, t in sorted(rows):
+        toks = [w.lower() for w in word.findall(t)]
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i : i + k])
+            occ.setdefault(g, []).append((d, i + 1))
+    marked = {}
+    for g, lst in occ.items():
+        for d, p in sorted(lst)[1:]:
+            marked.setdefault(d, set()).add(p)
+    spans = set()
+    for d, ps in marked.items():
+        ps = sorted(ps)
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p > prev + k:
+                spans.add((d, start, prev + k - 1))
+                start = p
+            prev = p
+        spans.add((d, start, prev + k - 1))
+    return spans
+
+
+ROWS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    # doc 2 repeats doc 1's first 8 tokens then diverges
+    (2, "alpha beta gamma delta epsilon zeta eta theta NEW words here"),
+    # doc 3 is a full copy of doc 1
+    (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    # doc 4 shares nothing
+    (4, "one two three four five six seven eight nine ten eleven"),
+    # doc 5 repeats doc 4's window twice internally
+    (5, "one two three four five six seven eight one two three four"
+        " five six seven eight"),
+]
+
+
+@pytest.mark.parametrize("k", [4, 8])
+def test_dup_spans_matches_bruteforce(ray_session, k):
+    from cex_crawler_ray.stages.substr_dedup import dup_spans
+
+    got = dup_spans(_corpus(ROWS), k=k).to_pandas()
+    got_set = set(
+        zip(got["doc_id"], got["span_start"], got["span_end"])
+    )
+    assert got_set == _reference_spans(ROWS, k)
+
+
+def test_dup_spans_no_dups_empty(ray_session):
+    from cex_crawler_ray.stages.substr_dedup import dup_spans
+
+    rows = [(1, "a b c d e f g h"), (2, "p q r s t u v w")]
+    got = dup_spans(_corpus(rows), k=8).to_pandas()
+    assert len(got) == 0
+
+
+def test_first_occurrence_kept_smallest_doc(ray_session):
+    """The (smallest doc_id, pos) copy is never marked."""
+    from cex_crawler_ray.stages.substr_dedup import dup_spans
+
+    rows = [(10, "x1 x2 x3 x4 x5 x6 x7 x8"), (2, "x1 x2 x3 x4 x5 x6 x7 x8")]
+    got = dup_spans(_corpus(rows), k=8).to_pandas()
+    assert got["doc_id"].tolist() == [10]
+    assert got["span_start"].tolist() == [1]
+    assert got["span_end"].tolist() == [8]

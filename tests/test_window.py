@@ -1,0 +1,133 @@
+"""Distributed LEAD/LAG and fixed-point PageRank."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from tests.conftest import SF_TINY
+
+
+def _events_ds(sf_dir):
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"],
+    )
+
+
+def _duck_lead(sf_dir, kind="lead"):
+    fn = "LEAD" if kind == "lead" else "LAG"
+    return duckdb.sql(
+        f"""
+        SELECT event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               user_id,
+               {fn}(user_id) OVER (ORDER BY ts, event_id) AS x
+        FROM '{sf_dir}/events.parquet'
+        ORDER BY event_id
+        """
+    ).arrow()
+
+
+@pytest.mark.parametrize("kind", ["lead", "lag"])
+def test_lead_lag_matches_duckdb(ray_session, kind):
+    from cex_crawler_ray.stages.window import lead_lag
+
+    got = (
+        lead_lag(_events_ds(SF_TINY), kind=kind)
+        .sort("event_id")
+        .to_pandas()
+    )
+    want = _duck_lead(SF_TINY, kind).to_pandas()
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert (got["ts_us"].to_numpy() == want["ts_us"].to_numpy()).all()
+    g = got[f"{kind}_user_id"].to_numpy()
+    w = want["x"].to_numpy()
+    assert ((g == w) | (np.isnan(g.astype(float)) & np.isnan(w.astype(float)))).all()
+
+
+def test_lead_tiny_buckets_cross_boundaries(ray_session):
+    """1-minute buckets force nearly every lead across a bucket edge."""
+    from cex_crawler_ray.stages.window import lead_lag
+
+    got = (
+        lead_lag(_events_ds(SF_TINY), bucket_us=60_000_000)
+        .sort("event_id")
+        .to_pandas()
+    )
+    want = _duck_lead(SF_TINY).to_pandas()
+    g = got["lead_user_id"].to_numpy()
+    w = want["x"].to_numpy()
+    assert ((g == w) | (np.isnan(g.astype(float)) & np.isnan(w.astype(float)))).all()
+
+
+def _pr_reference(edges, iters=5, scale=10**12):
+    src = np.array([a for a, _ in edges], dtype=np.int64)
+    dst = np.array([b for _, b in edges], dtype=np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    outdeg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+    base = (15 * scale) // (100 * len(nodes))
+    rank = np.full(len(nodes), scale // len(nodes), dtype=np.int64)
+    for _ in range(iters):
+        contrib = (85 * rank[si]) // (100 * outdeg[si])
+        acc = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(acc, di, contrib)
+        rank = base + acc
+    return dict(zip(nodes.tolist(), rank.tolist()))
+
+
+def _edges_ds(edges):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    ).repartition(4)
+
+
+EDGES = [
+    (1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1), (6, 1), (2, 1),
+    (7, 8), (8, 7), (9, 7),
+]
+
+
+def test_pagerank_driver_matches_reference(ray_session):
+    from cex_crawler_ray.stages.window import pagerank
+
+    got = pagerank(_edges_ds(EDGES)).to_pandas()
+    want = _pr_reference(EDGES)
+    assert dict(zip(got["node"], got["pr_rank"])) == want
+
+
+def test_pagerank_distributed_equals_driver(ray_session):
+    from cex_crawler_ray.stages.window import pagerank
+
+    drv = pagerank(_edges_ds(EDGES)).to_pandas().sort_values("node")
+    dist = (
+        pagerank(_edges_ds(EDGES), driver_max_edges=0, num_parts=8)
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert (drv["node"].to_numpy() == dist["node"].to_numpy()).all()
+    assert (drv["pr_rank"].to_numpy() == dist["pr_rank"].to_numpy()).all()
+
+
+def test_pagerank_mass_conserved_bound(ray_session):
+    from cex_crawler_ray.stages.window import pagerank, PR_SCALE
+
+    got = pagerank(_edges_ds(EDGES)).to_pandas()
+    assert (got["pr_rank"] > 0).all()
+    assert got["pr_rank"].sum() <= PR_SCALE
+
+
+def test_pagerank_empty(ray_session):
+    from cex_crawler_ray.stages.window import pagerank
+
+    got = pagerank(_edges_ds([])).to_pandas()
+    assert len(got) == 0
