@@ -1415,6 +1415,31 @@ def q_tumbling_window(sf_dir: str):
     )
 
 
+def q_resample_rates(sf_dir: str):
+    """Temperature-resampling rate table (alpha=0.5): per-language doc
+    count + keep rate in integer ppm (floor(1e6*sqrt(c_min/c_s))) —
+    the mBERT/XLM-R domain-rebalancing rule, frozen to fixed point so
+    SQL hash-matches it exactly.  The only shuffle is one row per
+    source."""
+    from cex_crawler_ray.stages.mixing import source_rates
+
+    return source_rates(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]), group_col="lang"
+    )
+
+
+def q_temperature_sample(sf_dir: str):
+    """Deterministic temperature-resampled corpus (alpha=0.5): keep a
+    doc iff its md5(text) u32 prefix falls under its source's ppm rate.
+    Broadcast rate map + stateless filter — the corpus never shuffles."""
+    from cex_crawler_ray.stages.mixing import temperature_sample
+
+    return temperature_sample(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "text"]),
+        group_col="lang",
+    )
+
+
 def q_dup_spans(sf_dir: str):
     """Exact substring-level dedup (Lee et al. 2021): token spans
     covered by non-first duplicated 8-token windows, over the injected-
@@ -1777,6 +1802,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tumbling_window": q_tumbling_window,
+        "resample_rates": q_resample_rates,
+        "temperature_sample": q_temperature_sample,
         "dup_spans": q_dup_spans,
         "lead_user": q_lead_user,
         "pagerank_nodes": q_pagerank_nodes,
@@ -2540,6 +2567,30 @@ SELECT user_id,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS sum_cents
 FROM events GROUP BY user_id, window_start
+""",
+        "resample_rates": """
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+           GROUP BY lang),
+m AS (SELECT MIN(n_docs) AS nmin FROM c)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(floor(1000000 * sqrt(
+              CAST((SELECT nmin FROM m) AS DOUBLE) / n_docs))
+            AS BIGINT) AS rate_ppm
+FROM c
+""",
+        "temperature_sample": """
+WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+           GROUP BY lang),
+m AS (SELECT MIN(n_docs) AS nmin FROM c),
+r AS (SELECT lang,
+             CAST(floor(1000000 * sqrt(
+                    CAST((SELECT nmin FROM m) AS DOUBLE) / n_docs))
+                  AS BIGINT) AS rate_ppm
+      FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) * 1000000
+      < r.rate_ppm * 4294967296
 """,
         "dup_spans": """
 WITH corpus AS (
