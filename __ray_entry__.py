@@ -1415,6 +1415,72 @@ def q_tumbling_window(sf_dir: str):
     )
 
 
+def _hh_stream(sf_dir: str):
+    """Skewed key stream for the heavy-hitter operators: every event's
+    user_id, with users ``% 37 == 0`` replicated x25 (deterministic,
+    reconstructed identically by the SQL oracle — the events table's
+    raw user distribution is near-uniform by construction)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+
+    def rep(batch: pa.Table) -> pa.Table:
+        v = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = np.where(v % 37 == 0, 25, 1)
+        return pa.table(
+            {"user_id": pa.array(np.repeat(v, reps), pa.int64())}
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+_HH_K = 16
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact phi-heavy hitters (true count > N/(k+1)) via the standard
+    two-pass sketch plan: pass 1 is a Misra-Gries summary (<= k+1
+    counter rows per batch through the shuffle — the raw stream never
+    leaves its batch) whose output is a GUARANTEED superset of the
+    heavy keys; pass 2 exactly counts ONLY those <= k candidate keys
+    (broadcast membership + partial counts) and filters by the true
+    threshold.  Deterministic output regardless of batch boundaries,
+    so it oracles exactly — while the heavy lifting stays sketch-sized."""
+    from cex_crawler_ray.stages.sketch import (
+        exact_key_counts,
+        mg_heavy_hitters,
+    )
+
+    stream = _hh_stream(sf_dir)
+    cand, delta_total, n_total = mg_heavy_hitters(
+        stream, "user_id", k=_HH_K
+    )
+    cand_keys = np.sort(
+        cand["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    bcast = ray.put(cand_keys)
+
+    def only_cands(batch: pa.Table) -> pa.Table:
+        v = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"user_id": pa.array(v[np.isin(v, ray.get(bcast))], pa.int64())}
+        )
+
+    counts = exact_key_counts(
+        stream.map_batches(only_cands, batch_format="pyarrow"), "user_id"
+    )
+    keys = counts["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    heavy = n * (_HH_K + 1) > n_total
+    order = np.argsort(keys[heavy])
+    return pa.table(
+        {
+            "user_id": pa.array(keys[heavy][order], pa.int64()),
+            "true_count": pa.array(n[heavy][order], pa.int64()),
+        }
+    )
+
+
 def q_resample_rates(sf_dir: str):
     """Temperature-resampling rate table (alpha=0.5): per-language doc
     count + keep rate in integer ppm (floor(1e6*sqrt(c_min/c_s))) —
@@ -1802,6 +1868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tumbling_window": q_tumbling_window,
+        "heavy_hitters": q_heavy_hitters,
         "resample_rates": q_resample_rates,
         "temperature_sample": q_temperature_sample,
         "dup_spans": q_dup_spans,
@@ -2567,6 +2634,18 @@ SELECT user_id,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS sum_cents
 FROM events GROUP BY user_id, window_start
+""",
+        "heavy_hitters": """
+WITH s AS (
+  SELECT user_id FROM events
+  UNION ALL
+  SELECT e.user_id FROM events e, LATERAL unnest(range(1, 25)) t(i)
+  WHERE e.user_id % 37 = 0
+),
+n AS (SELECT COUNT(*) AS total FROM s),
+c AS (SELECT user_id, COUNT(*) AS true_count FROM s GROUP BY user_id)
+SELECT user_id, CAST(true_count AS BIGINT) AS true_count
+FROM c WHERE true_count * 17 > (SELECT total FROM n)
 """,
         "resample_rates": """
 WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents

@@ -208,3 +208,117 @@ def approx_group_quantile(
         num_parts=32,
     )
     return out
+
+
+# ------------------------------------------------------- heavy hitters
+def _mg_truncate(keys: "np.ndarray", counts: "np.ndarray", k: int):
+    """Misra-Gries truncation: keep at most k counters by subtracting
+    the (k+1)-th largest count from everything.  Returns (keys, counts,
+    delta) — delta is the decrement applied (this summary's
+    contribution to the global underestimate bound)."""
+    if len(keys) <= k:
+        return keys, counts, 0
+    thresh = int(
+        np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    )
+    keep = counts > thresh
+    return keys[keep], counts[keep] - thresh, thresh
+
+
+def mg_heavy_hitters(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: int = 16,
+) -> tuple[pa.Table, int, int]:
+    """Misra-Gries heavy hitters over an int64 key stream (Misra &
+    Gries 1982; mergeability per Agarwal et al. 2012 "Mergeable
+    Summaries").
+
+    Returns ``(table, delta_total, n_total)``: at most ``k``
+    (key, est_count)
+    rows, est_count an UNDERESTIMATE of the true count by at most
+    ``delta_total`` — and every key whose true count exceeds
+    ``delta_total`` (itself <= N/(k+1)) is GUARANTEED present.
+
+    Scale shape: each batch reduces to <= k+1 counter rows (the +1 is
+    a reserved delta row, key = -1), the groupby shuffle carries only
+    those, and the merged table (<= blocks x k rows) is truncated once
+    more on the driver.  The raw stream never leaves its batch and
+    nothing unbounded reaches the driver.
+    """
+    DELTA_KEY = -1  # caller keys must be >= 0
+    TOTAL_KEY = -2  # carries the stream length through the same groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        u, c = np.unique(v, return_counts=True)
+        u, c, delta = _mg_truncate(u, c.astype(np.int64), k)
+        return pa.table(
+            {
+                "key": pa.array(
+                    np.concatenate([u, [DELTA_KEY, TOTAL_KEY]]), pa.int64()
+                ),
+                "cnt": pa.array(
+                    np.concatenate([c, [delta, len(v)]]), pa.int64()
+                ),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .sum("cnt")
+    )
+    tbl = pa.concat_tables(
+        ray.get(merged.to_arrow_refs()), promote_options="default"
+    ).rename_columns(["key", "cnt"])
+    keys = tbl["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnts = tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_delta = keys == DELTA_KEY
+    is_total = keys == TOTAL_KEY
+    delta_total = int(cnts[is_delta].sum()) if is_delta.any() else 0
+    n_total = int(cnts[is_total].sum()) if is_total.any() else 0
+    real = ~(is_delta | is_total)
+    keys, cnts = keys[real], cnts[real]
+    keys, cnts, d2 = _mg_truncate(keys, cnts, k)
+    delta_total += d2
+    order = np.lexsort((keys, -cnts))
+    out = pa.table(
+        {
+            "key": pa.array(keys[order], pa.int64()),
+            "est_count": pa.array(cnts[order], pa.int64()),
+        }
+    )
+    return out, delta_total, n_total
+
+
+def exact_key_counts(ds: "ray.data.Dataset", col: str) -> pa.Table:
+    """Exact (key, n) counts — partial ``np.unique`` per batch, then a
+    groupby carrying one row per (batch, key).  The heavy hitters'
+    oracle companion."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .sum("n")
+    )
+    return pa.concat_tables(
+        ray.get(merged.to_arrow_refs()), promote_options="default"
+    ).rename_columns(["key", "n"])
