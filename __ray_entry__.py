@@ -1516,6 +1516,16 @@ def q_dup_spans(sf_dir: str):
     return dup_spans(_dedup_corpus(sf_dir), k=8)
 
 
+def q_strip_dup_spans(sf_dir: str):
+    """The full Lee-et-al substring-dedup rewrite: drop every
+    non-first duplicated 8-token span from each doc's token stream.
+    Spans and docs co-partition on doc_id; the corpus text crosses the
+    exchange exactly once."""
+    from cex_crawler_ray.stages.substr_dedup import strip_dup_spans
+
+    return strip_dup_spans(_dedup_corpus(sf_dir), k=8)
+
+
 def q_lead_user(sf_dir: str):
     """Globally-ordered LEAD without a global sort (beyond-reference):
     next user_id over the (ts, event_id) event order, computed as
@@ -1872,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_rates": q_resample_rates,
         "temperature_sample": q_temperature_sample,
         "dup_spans": q_dup_spans,
+        "strip_dup_spans": q_strip_dup_spans,
         "lead_user": q_lead_user,
         "pagerank_nodes": q_pagerank_nodes,
         "groupby_lineitem": q_groupby_lineitem,
@@ -2714,6 +2725,75 @@ grp AS (
 SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
        CAST(MAX(pos) + 7 AS BIGINT) AS span_end
 FROM grp GROUP BY doc_id, gid
+""",
+        "strip_dup_spans": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+lists AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                        x -> lower(x)) AS l
+  FROM corpus
+),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(list_slice(l, i, i + 7), ' ') AS g
+  FROM lists, LATERAL unnest(range(1, len(l) - 6)) AS t(i)
+  WHERE len(l) >= 8
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM w
+  ) WHERE rn > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NULL
+                   OR pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM marked
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS gid
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+  FROM grp GROUP BY doc_id, gid
+),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, l[i] AS tok
+  FROM lists, LATERAL unnest(range(1, len(l) + 1)) AS t(i)
+),
+dropped AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM tok t JOIN spans s
+    ON t.doc_id = s.doc_id
+   AND t.pos BETWEEN s.span_start AND s.span_end
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t LEFT JOIN dropped d
+    ON t.doc_id = d.doc_id AND t.pos = d.pos
+  WHERE d.pos IS NULL
+)
+SELECT c.doc_id,
+       COALESCE(kk.txt, '') AS text_deduped,
+       CAST(COALESCE(dd.n_removed, 0) AS BIGINT) AS n_removed
+FROM corpus c
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+           FROM kept GROUP BY doc_id) kk ON c.doc_id = kk.doc_id
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n_removed
+           FROM dropped GROUP BY doc_id) dd ON c.doc_id = dd.doc_id
 """,
         "lead_user": """
 SELECT event_id,

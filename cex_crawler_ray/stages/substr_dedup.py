@@ -146,3 +146,88 @@ def dup_spans(
         )
 
     return _coarse_group_apply(marks, "doc_id", islands, num_parts)
+
+
+def strip_dup_spans(
+    ds: "ray.data.Dataset",
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """The full Lee-et-al rewrite: remove every duplicated span (the
+    non-first occurrences found by ``dup_spans``) from each document's
+    token stream.
+
+    Returns (doc_id, text_deduped, n_removed) — ``text_deduped`` is the
+    space-joined lowercase kept tokens (the canonical normalized form;
+    original whitespace is not preserved, same as the tokenized
+    training stream this feeds), ``n_removed`` the dropped token count.
+
+    Shuffle shape: spans (two int64s per span) and documents are
+    co-partitioned on ``doc_id`` with one union + coarse groupby — the
+    corpus text crosses the exchange exactly once, which is the same
+    cost as any keyed rewrite; nothing reaches the driver.
+    """
+    spans = dup_spans(
+        ds, k=k, text_col=text_col, id_col=id_col, num_parts=num_parts
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "text": batch[text_col].combine_chunks().cast(pa.string()),
+                "span_start": pa.array([None] * n, pa.int64()),
+                "span_end": pa.array([None] * n, pa.int64()),
+            }
+        )
+
+    def span_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array([None] * n, pa.string()),
+                "span_start": batch["span_start"],
+                "span_end": batch["span_end"],
+            }
+        )
+
+    unioned = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        spans.map_batches(span_rows, batch_format="pyarrow")
+    )
+
+    def apply(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        is_doc = df["text"].notna()
+        span_map: dict = {}
+        for d, s, e in zip(
+            df.loc[~is_doc, "doc_id"],
+            df.loc[~is_doc, "span_start"],
+            df.loc[~is_doc, "span_end"],
+        ):
+            span_map.setdefault(int(d), []).append((int(s), int(e)))
+        out_id: list[int] = []
+        out_text: list[str] = []
+        out_removed: list[int] = []
+        for d, t in zip(df.loc[is_doc, "doc_id"], df.loc[is_doc, "text"]):
+            toks = [w.lower() for w in _WORD_RE.findall(t)]
+            mask = np.ones(len(toks), dtype=bool)
+            for s, e in span_map.get(int(d), []):
+                mask[s - 1 : e] = False  # spans are 1-based inclusive
+            out_id.append(int(d))
+            out_text.append(
+                " ".join(tok for tok, m in zip(toks, mask) if m)
+            )
+            out_removed.append(int((~mask).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "text_deduped": pa.array(out_text, pa.string()),
+                "n_removed": pa.array(out_removed, pa.int64()),
+            }
+        )
+
+    return _coarse_group_apply(unioned, "doc_id", apply, num_parts)

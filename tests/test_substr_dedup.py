@@ -88,3 +88,43 @@ def test_first_occurrence_kept_smallest_doc(ray_session):
     assert got["doc_id"].tolist() == [10]
     assert got["span_start"].tolist() == [1]
     assert got["span_end"].tolist() == [8]
+
+
+def test_strip_dup_spans_removes_marked_tokens(ray_session):
+    from cex_crawler_ray.stages.substr_dedup import dup_spans, strip_dup_spans
+
+    k = 8
+    got = (
+        strip_dup_spans(_corpus(ROWS), k=k)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    spans = _reference_spans(ROWS, k)
+    import re
+
+    word = re.compile(r"[A-Za-z0-9_]+")
+    for d, t in ROWS:
+        toks = [w.lower() for w in word.findall(t)]
+        mask = [True] * len(toks)
+        for sd, s, e in spans:
+            if sd == d:
+                for i in range(s - 1, e):
+                    mask[i] = False
+        want = " ".join(tok for tok, m in zip(toks, mask) if m)
+        assert got.loc[d, "text_deduped"] == want, d
+        assert got.loc[d, "n_removed"] == mask.count(False)
+    # doc 3 (full copy of doc 1) must be emptied entirely
+    assert got.loc[3, "text_deduped"] == ""
+
+
+def test_strip_noop_corpus_passthrough(ray_session):
+    from cex_crawler_ray.stages.substr_dedup import strip_dup_spans
+
+    rows = [(1, "Alpha beta GAMMA delta e f g h"), (2, "p q r s t u v w")]
+    got = strip_dup_spans(_corpus(rows), k=8).to_pandas()
+    assert sorted(got["text_deduped"]) == [
+        "alpha beta gamma delta e f g h",
+        "p q r s t u v w",
+    ]
+    assert (got["n_removed"] == 0).all()
