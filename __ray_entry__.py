@@ -1415,6 +1415,45 @@ def q_tumbling_window(sf_dir: str):
     )
 
 
+_SEMI_CUTOFF = "2000-06-01"
+
+
+def _semi_anti(sf_dir: str, anti: bool):
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from cex_crawler_ray.stages.join import semi_anti_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    # predicate pushdown: only recent orders' custkeys leave the read
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate")
+        >= pc.strptime(_SEMI_CUTOFF, format="%Y-%m-%d", unit="us"),
+    )
+    return semi_anti_join(
+        cust, orders, left_key="c_custkey", right_key="o_custkey", anti=anti
+    )
+
+
+def q_semi_join_customers(sf_dir: str):
+    """SEMI join: customers with at least one order since the cutoff.
+    Right side is filtered at the read (predicate pushdown) and reduced
+    to distinct keys per batch before the shuffle — the Dataset-native
+    form of the crawl's seen-set admission check."""
+    return _semi_anti(sf_dir, anti=False)
+
+
+def q_anti_join_customers(sf_dir: str):
+    """ANTI join: customers with NO order since the cutoff (the
+    frontier-admission shape: keep only keys absent on the right)."""
+    return _semi_anti(sf_dir, anti=True)
+
+
 def _hh_stream(sf_dir: str):
     """Skewed key stream for the heavy-hitter operators: every event's
     user_id, with users ``% 37 == 0`` replicated x25 (deterministic,
@@ -1878,6 +1917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tumbling_window": q_tumbling_window,
+        "semi_join_customers": q_semi_join_customers,
+        "anti_join_customers": q_anti_join_customers,
         "heavy_hitters": q_heavy_hitters,
         "resample_rates": q_resample_rates,
         "temperature_sample": q_temperature_sample,
@@ -2645,6 +2686,16 @@ SELECT user_id,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS sum_cents
 FROM events GROUP BY user_id, window_start
+""",
+        "semi_join_customers": """
+SELECT c_custkey, c_name, c_nationkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+""",
+        "anti_join_customers": """
+SELECT c_custkey, c_name, c_nationkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-06-01')
 """,
         "heavy_hitters": """
 WITH s AS (

@@ -307,6 +307,10 @@ def bench_queries(sf_dir: str) -> dict:
         "inverted_index",
         "repetition_stats",
         "redact_pii",
+        "dup_spans",
+        "heavy_hitters",
+        "pagerank_nodes",
+        "temperature_sample",
         "window_cumsum",
         "broadcast_join_agg",
         "groupby_lineitem",

@@ -270,3 +270,87 @@ def sessionize(
         )
 
     return events.groupby(user_col).map_groups(sess, batch_format="pandas")
+
+
+def semi_anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    num_parts: int = 64,
+    anti: bool = False,
+) -> "ray.data.Dataset":
+    """Co-partitioned SEMI (``anti=False``) / ANTI (``anti=True``) join
+    on integer keys: left rows kept iff their key does / does not
+    appear on the right.
+
+    Narrower than ``hash_join``: the right side is reduced to DISTINCT
+    keys per batch before the shuffle (one int64 column, no padding),
+    so the exchange carries the full left side plus right keys only —
+    the same shape as the crawl's frontier-admission anti-join against
+    the seen set (``state/seen_filter.py``), expressed as a Dataset op.
+    """
+    lschema = left.schema()
+    lcols = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    assert left_key in lcols
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        k = (
+            batch[left_key]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64, copy=False)
+        )
+        part = pa.array(
+            (
+                (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_parts)
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        return batch.append_column("__part", part).append_column(
+            "__side", pa.array(["l"] * batch.num_rows, pa.string())
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = np.unique(
+            batch[right_key]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        part = pa.array(
+            (
+                (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                % np.uint64(num_parts)
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        arrays = []
+        for c in lcols:
+            if c == left_key:
+                arrays.append(pa.array(k, pa.int64()))
+            else:
+                arrays.append(pa.nulls(len(k), ltypes[c]))
+        out = pa.Table.from_arrays(arrays, names=lcols)
+        return out.append_column("__part", part).append_column(
+            "__side", pa.array(["r"] * len(k), pa.string())
+        )
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    int_l = {c: "int64" for c in lcols if pa.types.is_integer(ltypes[c])}
+
+    def filter_part(df: pd.DataFrame) -> pd.DataFrame:
+        lp = df[df["__side"] == "l"][lcols].astype(int_l)
+        rk = df.loc[df["__side"] == "r", left_key].to_numpy(dtype=np.int64)
+        mask = np.isin(lp[left_key].to_numpy(dtype=np.int64), rk)
+        if anti:
+            mask = ~mask
+        return lp[mask]
+
+    return tagged.groupby("__part").map_groups(
+        filter_part, batch_format="pandas"
+    )

@@ -131,3 +131,25 @@ def test_pagerank_empty(ray_session):
 
     got = pagerank(_edges_ds([])).to_pandas()
     assert len(got) == 0
+
+
+def test_semi_anti_join_partition(ray_session):
+    from cex_crawler_ray.stages.join import semi_anti_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "v": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+            }
+        )
+    ).repartition(3)
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, 2, 4, 9], pa.int64())})
+    ).repartition(2)
+    semi = semi_anti_join(left, right, "k", "rk").to_pandas()
+    anti = semi_anti_join(left, right, "k", "rk", anti=True).to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    assert sorted(anti["k"]) == [1, 3, 5]
+    assert sorted(semi["v"]) == ["b", "d"]
+    assert semi["k"].dtype.kind in "iu"
