@@ -1415,6 +1415,28 @@ def q_tumbling_window(sf_dir: str):
     )
 
 
+def q_sliding_window(sf_dir: str):
+    """Trailing 1-hour event-time window sum per user (SQL RANGE-frame
+    semantics: equal timestamps are peers).  Coarse-partitioned on the
+    key; per-key vectorized prefix-sum + two searchsorted calls; the
+    shuffle carries four int64 columns only."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import trailing_window_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["cents"] = _cents(df["value"])
+        return df[["event_id", "ts", "user_id", "cents"]]
+
+    return trailing_window_sum(ds.map_batches(prep, batch_format="pandas"))
+
+
 _SEMI_CUTOFF = "2000-06-01"
 
 
@@ -1917,6 +1939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
         "semi_join_customers": q_semi_join_customers,
         "anti_join_customers": q_anti_join_customers,
         "heavy_hitters": q_heavy_hitters,
@@ -2686,6 +2709,14 @@ SELECT user_id,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS sum_cents
 FROM events GROUP BY user_id, window_start
+""",
+        "sliding_window": """
+SELECT event_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS trail_cents
+FROM events
 """,
         "semi_join_customers": """
 SELECT c_custkey, c_name, c_nationkey FROM customer c

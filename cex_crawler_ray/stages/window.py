@@ -425,3 +425,78 @@ def pagerank(
         ).materialize()
 
     return ranks
+
+
+def trailing_window_sum(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    id_col: str = "event_id",
+    window_us: int = 3_600_000_000,
+    num_parts: int = 32,
+    out_col: str = "trail_cents",
+) -> "ray.data.Dataset":
+    """Sliding event-time window: per key, the sum of ``cents_col``
+    over rows whose timestamp lies in ``[ts - window, ts]`` — SQL
+    ``RANGE BETWEEN <window> PRECEDING AND CURRENT ROW`` semantics
+    (equal-timestamp rows are peers: they all see the full peer group).
+
+    Coarse-partitioned on the key (the tumbling-window shape), then a
+    vectorized per-key two-pointer: prefix sums + two ``searchsorted``
+    calls per key segment.  The shuffle carries (id, key, ts, cents)
+    int64 rows only; within a partition everything is numpy.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                key_col: batch[key_col].combine_chunks().cast(pa.int64()),
+                "ts_us": pa.array(
+                    _order_key_us(batch, ts_col), pa.int64()
+                ),
+                cents_col: batch[cents_col]
+                .combine_chunks()
+                .cast(pa.int64()),
+            }
+        )
+
+    def windowed(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        us = group["ts_us"].to_numpy(zero_copy_only=False)
+        cents = group[cents_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, us, keys))
+        ids, keys, us, cents = (
+            ids[order],
+            keys[order],
+            us[order],
+            cents[order],
+        )
+        out = np.zeros(len(ids), dtype=np.int64)
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        seg_ends = np.concatenate((seg_starts[1:], [len(ids)]))
+        for s, e in zip(seg_starts, seg_ends):
+            t = us[s:e]
+            csum = np.concatenate(([0], np.cumsum(cents[s:e])))
+            lo = np.searchsorted(t, t - window_us, side="left")
+            hi = np.searchsorted(t, t, side="right")
+            out[s:e] = csum[hi] - csum[lo]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                out_col: pa.array(out, pa.int64()),
+            }
+        )
+
+    from .dedup import _coarse_group_apply
+
+    return _coarse_group_apply(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        key_col,
+        windowed,
+        num_parts,
+    )

@@ -153,3 +153,37 @@ def test_semi_anti_join_partition(ray_session):
     assert sorted(anti["k"]) == [1, 3, 5]
     assert sorted(semi["v"]) == ["b", "d"]
     assert semi["k"].dtype.kind in "iu"
+
+
+def test_trailing_window_sum_peers_and_boundaries(ray_session):
+    from cex_crawler_ray.stages.window import trailing_window_sum
+
+    H = 3_600_000_000
+    rows = [
+        # (event_id, ts_us, user, cents)
+        (1, 0, 7, 10),
+        (2, H // 2, 7, 20),        # within 1h of e1
+        (3, H, 7, 40),             # exactly 1h after e1 -> includes e1
+        (4, 3 * H, 7, 80),         # alone
+        (5, 3 * H, 7, 160),        # peer of e4: both see 240
+        (6, 0, 9, 1),              # other user untouched
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "cents": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = (
+        trailing_window_sum(ds)
+        .to_pandas()
+        .set_index("event_id")["trail_cents"]
+        .to_dict()
+    )
+    assert got == {1: 10, 2: 30, 3: 70, 4: 240, 5: 240, 6: 1}
