@@ -663,6 +663,34 @@ def q_curation_v2(sf_dir: str):
     return curate(corpus, eval_ds, min_docs=3, ngram_n=5)
 
 
+def q_curation_v3(sf_dir: str):
+    """Curation v3 = v2 (boilerplate -> PII -> repetition ->
+    decontam) -> substring-span dedup (Lee et al.) -> sequence-packing
+    index: the complete modern training-data recipe as ONE streaming
+    composition, oracle-gated end to end.  Output is the pack table
+    (doc_id, n_tokens, start_offset, example_id) over the deduped
+    token stream."""
+    from cex_crawler_ray.pipelines.curation import curate
+    from cex_crawler_ray.stages.pack import pack_index
+    from cex_crawler_ray.stages.substr_dedup import strip_dup_spans
+
+    corpus = _curation_corpus(sf_dir)
+    raw = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def only_eval(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((ids % 50) == 0))
+
+    eval_ds = raw.map_batches(only_eval, batch_format="pyarrow")
+    cur = curate(corpus, eval_ds, min_docs=3, ngram_n=5)
+    deduped = strip_dup_spans(
+        cur.select_columns(["doc_id", "text"]), k=8
+    )
+    return pack_index(deduped, seq_len=256, text_col="text_deduped")
+
+
 def q_training_shards(sf_dir: str):
     """Hash-sharded training output: Knuth multiplicative shard tag
     (no shuffle) -> hive-partitioned write -> read-back summary.
@@ -1908,6 +1936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_band": q_length_band,
         "training_shards": q_training_shards,
         "curation_v2": q_curation_v2,
+        "curation_v3": q_curation_v3,
         "pack_index": q_pack_index,
         "normalize_text": q_normalize_text,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1953,6 +1982,205 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": q_topk_orders,
         "topk_per_group": q_topk_per_group,
     }
+
+
+_CURATION_V2_CTES = """
+WITH corpus AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+            THEN ' Contact: user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com now' ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+            THEN ' Call +1-555-0199 today' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || 'Subscribe to our newsletter for updates.'
+            ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+            THEN chr(10) || '(c) 2024 Example Corp. All rights reserved.'
+            ELSE '' END
+         AS text
+  FROM documents
+),
+lns AS (
+  SELECT doc_id,
+         unnest(split(text, chr(10))) AS line,
+         unnest(range(1, len(split(text, chr(10))) + 1)) AS i
+  FROM corpus
+),
+paras AS (
+  SELECT DISTINCT doc_id, trim(line, ' ' || chr(9)) AS paragraph
+  FROM lns WHERE trim(line, ' ' || chr(9)) <> ''
+),
+boiler AS (
+  SELECT paragraph FROM paras GROUP BY paragraph HAVING COUNT(*) >= 3
+),
+kept AS (
+  SELECT doc_id, line, i FROM lns
+  WHERE trim(line, ' ' || chr(9)) = ''
+     OR trim(line, ' ' || chr(9)) NOT IN (SELECT paragraph FROM boiler)
+),
+stripped AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+  FROM kept GROUP BY doc_id
+  HAVING count(*) FILTER (WHERE trim(line, ' ' || chr(9)) <> '') > 0
+),
+em AS (
+  SELECT doc_id,
+         regexp_replace(text,
+           '[A-Za-z0-9_.]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+',
+           '<EMAIL>', 'g') AS t1,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9_.]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+')) AS BIGINT)
+           AS n_emails
+  FROM stripped
+),
+red AS (
+  SELECT doc_id,
+         regexp_replace(t1, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}',
+                        '<PHONE>', 'g') AS text,
+         n_emails,
+         CAST(len(regexp_extract_all(t1,
+           '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+  FROM em
+),
+lists AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                        x -> lower(x)) AS l
+  FROM red
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS i
+  FROM lists
+),
+wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+tw AS (SELECT doc_id, MAX(c) AS top_w, SUM(c) AS n_words
+       FROM wc GROUP BY doc_id),
+big AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+tb AS (SELECT doc_id, MAX(c) AS top_b, SUM(c) AS n_big
+       FROM bc GROUP BY doc_id),
+rep AS (
+  SELECT t.doc_id FROM tw t LEFT JOIN tb b ON t.doc_id = b.doc_id
+  WHERE CAST(t.top_w AS DOUBLE) / t.n_words <= 0.20
+    AND COALESCE(CAST(b.top_b AS DOUBLE) / b.n_big, 0.0) <= 0.18
+),
+evlists AS (
+  SELECT list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                        x -> lower(x)) AS l
+  FROM documents WHERE doc_id % 50 = 0
+),
+evg AS (
+  SELECT DISTINCT array_to_string(list_slice(l, i, i + 4), ' ') AS g
+  FROM evlists, LATERAL unnest(range(1, len(l) - 3)) AS t(i)
+  WHERE len(l) >= 5
+),
+cg AS (
+  SELECT doc_id, array_to_string(list_slice(l, i, i + 4), ' ') AS g
+  FROM lists, LATERAL unnest(range(1, len(l) - 3)) AS t(i)
+  WHERE len(l) >= 5
+),
+hit AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM evg))
+"""
+
+_CURATION_V2_FINAL = r"""
+SELECT r.doc_id, r.text, r.n_emails, r.n_phones
+FROM red r
+JOIN rep ON r.doc_id = rep.doc_id
+LEFT JOIN hit h ON r.doc_id = h.doc_id
+WHERE h.doc_id IS NULL
+"""
+
+_CURATION_V3_TAIL = r"""
+,
+cur AS (
+  SELECT r.doc_id, r.text
+  FROM red r
+  JOIN rep ON r.doc_id = rep.doc_id
+  LEFT JOIN hit h ON r.doc_id = h.doc_id
+  WHERE h.doc_id IS NULL
+),
+l2 AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                        x -> lower(x)) AS l
+  FROM cur
+),
+w2 AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(list_slice(l, i, i + 7), ' ') AS g
+  FROM l2, LATERAL unnest(range(1, len(l) - 6)) AS t(i)
+  WHERE len(l) >= 8
+),
+m2 AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM w2
+  ) WHERE rn > 1
+),
+i2 AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NULL
+                   OR pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM m2
+),
+g2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS gid
+  FROM i2
+),
+sp2 AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+  FROM g2 GROUP BY doc_id, gid
+),
+t2 AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, l[i] AS tok
+  FROM l2, LATERAL unnest(range(1, len(l) + 1)) AS t(i)
+),
+d2 AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM t2 t JOIN sp2 s
+    ON t.doc_id = s.doc_id
+   AND t.pos BETWEEN s.span_start AND s.span_end
+),
+k2 AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM t2 t LEFT JOIN d2 d
+    ON t.doc_id = d.doc_id AND t.pos = d.pos
+  WHERE d.pos IS NULL
+),
+ded AS (
+  SELECT c.doc_id, COALESCE(kk.txt, '') AS text
+  FROM cur c
+  LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+             FROM k2 GROUP BY doc_id) kk ON c.doc_id = kk.doc_id
+),
+s3 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+           AS n_tokens
+  FROM ded
+),
+c3 AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM s3
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 256 AS example_id
+FROM c3
+"""
 
 
 def _pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
@@ -2264,113 +2492,8 @@ FROM documents GROUP BY 1
         # the full curation composition: the CTE chain is the four
         # per-stage oracles spliced end to end over the combined
         # injected corpus (PII on line 1, footers after)
-        "curation_v2": """
-WITH corpus AS (
-  SELECT doc_id,
-         text
-         || CASE WHEN doc_id % 5 = 0
-            THEN ' Contact: user' || CAST(doc_id AS VARCHAR)
-                 || '@mail.example.com now' ELSE '' END
-         || CASE WHEN doc_id % 6 = 0
-            THEN ' Call +1-555-0199 today' ELSE '' END
-         || CASE WHEN doc_id % 3 = 0
-            THEN chr(10) || 'Subscribe to our newsletter for updates.'
-            ELSE '' END
-         || CASE WHEN doc_id % 4 = 0
-            THEN chr(10) || '(c) 2024 Example Corp. All rights reserved.'
-            ELSE '' END
-         AS text
-  FROM documents
-),
-lns AS (
-  SELECT doc_id,
-         unnest(split(text, chr(10))) AS line,
-         unnest(range(1, len(split(text, chr(10))) + 1)) AS i
-  FROM corpus
-),
-paras AS (
-  SELECT DISTINCT doc_id, trim(line, ' ' || chr(9)) AS paragraph
-  FROM lns WHERE trim(line, ' ' || chr(9)) <> ''
-),
-boiler AS (
-  SELECT paragraph FROM paras GROUP BY paragraph HAVING COUNT(*) >= 3
-),
-kept AS (
-  SELECT doc_id, line, i FROM lns
-  WHERE trim(line, ' ' || chr(9)) = ''
-     OR trim(line, ' ' || chr(9)) NOT IN (SELECT paragraph FROM boiler)
-),
-stripped AS (
-  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
-  FROM kept GROUP BY doc_id
-  HAVING count(*) FILTER (WHERE trim(line, ' ' || chr(9)) <> '') > 0
-),
-em AS (
-  SELECT doc_id,
-         regexp_replace(text,
-           '[A-Za-z0-9_.]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+',
-           '<EMAIL>', 'g') AS t1,
-         CAST(len(regexp_extract_all(text,
-           '[A-Za-z0-9_.]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+')) AS BIGINT)
-           AS n_emails
-  FROM stripped
-),
-red AS (
-  SELECT doc_id,
-         regexp_replace(t1, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}',
-                        '<PHONE>', 'g') AS text,
-         n_emails,
-         CAST(len(regexp_extract_all(t1,
-           '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
-  FROM em
-),
-lists AS (
-  SELECT doc_id,
-         list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
-                        x -> lower(x)) AS l
-  FROM red
-),
-toks AS (
-  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS i
-  FROM lists
-),
-wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
-tw AS (SELECT doc_id, MAX(c) AS top_w, SUM(c) AS n_words
-       FROM wc GROUP BY doc_id),
-big AS (
-  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-),
-bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
-tb AS (SELECT doc_id, MAX(c) AS top_b, SUM(c) AS n_big
-       FROM bc GROUP BY doc_id),
-rep AS (
-  SELECT t.doc_id FROM tw t LEFT JOIN tb b ON t.doc_id = b.doc_id
-  WHERE CAST(t.top_w AS DOUBLE) / t.n_words <= 0.20
-    AND COALESCE(CAST(b.top_b AS DOUBLE) / b.n_big, 0.0) <= 0.18
-),
-evlists AS (
-  SELECT list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
-                        x -> lower(x)) AS l
-  FROM documents WHERE doc_id % 50 = 0
-),
-evg AS (
-  SELECT DISTINCT array_to_string(list_slice(l, i, i + 4), ' ') AS g
-  FROM evlists, LATERAL unnest(range(1, len(l) - 3)) AS t(i)
-  WHERE len(l) >= 5
-),
-cg AS (
-  SELECT doc_id, array_to_string(list_slice(l, i, i + 4), ' ') AS g
-  FROM lists, LATERAL unnest(range(1, len(l) - 3)) AS t(i)
-  WHERE len(l) >= 5
-),
-hit AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM evg))
-SELECT r.doc_id, r.text, r.n_emails, r.n_phones
-FROM red r
-JOIN rep ON r.doc_id = rep.doc_id
-LEFT JOIN hit h ON r.doc_id = h.doc_id
-WHERE h.doc_id IS NULL
-""",
+        "curation_v2": _CURATION_V2_CTES + _CURATION_V2_FINAL,
+        "curation_v3": _CURATION_V2_CTES + _CURATION_V3_TAIL,
         "pack_index": r"""
 WITH s AS (
   SELECT doc_id,
