@@ -663,6 +663,19 @@ def q_curation_v2(sf_dir: str):
     return curate(corpus, eval_ds, min_docs=3, ngram_n=5)
 
 
+def q_ngram_counts(sf_dir: str):
+    """Corpus bigram occurrence counts with min-count pruning (KenLM-
+    style LM prep).  Combiner pattern: one row per distinct gram per
+    batch through the shuffle."""
+    from cex_crawler_ray.stages.tfidf import ngram_counts
+
+    return ngram_counts(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        n=2,
+        min_count=2,
+    )
+
+
 def q_curation_v3(sf_dir: str):
     """Curation v3 = v2 (boilerplate -> PII -> repetition ->
     decontam) -> substring-span dedup (Lee et al.) -> sequence-packing
@@ -1937,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shards": q_training_shards,
         "curation_v2": q_curation_v2,
         "curation_v3": q_curation_v3,
+        "ngram_counts": q_ngram_counts,
         "pack_index": q_pack_index,
         "normalize_text": q_normalize_text,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -2494,6 +2508,20 @@ FROM documents GROUP BY 1
         # injected corpus (PII on line 1, footers after)
         "curation_v2": _CURATION_V2_CTES + _CURATION_V2_FINAL,
         "curation_v3": _CURATION_V2_CTES + _CURATION_V3_TAIL,
+        "ngram_counts": """
+WITH lists AS (
+  SELECT list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                        x -> lower(x)) AS l
+  FROM documents
+),
+g AS (
+  SELECT array_to_string(list_slice(l, i, i + 1), ' ') AS gram
+  FROM lists, LATERAL unnest(range(1, len(l))) AS t(i)
+  WHERE len(l) >= 2
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY gram HAVING COUNT(*) >= 2
+""",
         "pack_index": r"""
 WITH s AS (
   SELECT doc_id,

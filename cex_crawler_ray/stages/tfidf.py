@@ -26,6 +26,7 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -206,3 +207,57 @@ def rarest_token_per_doc(
         )
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def ngram_counts(
+    ds: "ray.data.Dataset",
+    n: int = 2,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Corpus word n-gram OCCURRENCE counts with count pruning — the
+    KenLM-style LM-prep table.
+
+    Combiner pattern: each batch counts its n-grams locally (a Counter
+    over the batch's token stream, one row per DISTINCT gram per batch
+    through the shuffle), then a groupby-sum and a count filter.  The
+    pruned table is the output; nothing reaches the driver.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            toks = [w.lower() for w in _WORD_RE.findall(t)]
+            for i in range(len(toks) - n + 1):
+                c[" ".join(toks[i : i + n])] += 1
+        return pa.table(
+            {
+                "gram": pa.array(list(c.keys()), pa.string()),
+                "n_occurrences": pa.array(
+                    list(c.values()), pa.int64()
+                ),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .sum("n_occurrences")
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        t = batch.rename_columns(["gram", "n_occurrences"])
+        keep = pc.greater_equal(
+            t["n_occurrences"], pa.scalar(min_count, t["n_occurrences"].type)
+        )
+        out = t.filter(keep)
+        return pa.table(
+            {
+                "gram": out["gram"],
+                "n_occurrences": out["n_occurrences"]
+                .combine_chunks()
+                .cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(prune, batch_format="pyarrow")
