@@ -81,6 +81,19 @@ class CrawlConfig:
     # generation instead of Σ rounds' worth.  The manifest-named paths
     # are always kept, so crash-resume is unaffected.
     auto_compact: bool = True
+    # Rank-aware round capacity: when a cluster's total fetch capacity
+    # per round is smaller than Σ per-host politeness budgets, cap the
+    # round at ``round_fetch_cap`` fetches, allocated to hosts by
+    # descending ``host_ranks`` score (e.g. PageRank over the host link
+    # graph — ``rank_hosts``); ties fall back to the deterministic
+    # (priority, discovered_ts, url_hash) slot order.  Capped-out rows
+    # are DEFERRED, not dropped — they re-enter the next round's
+    # frontier like any politeness-deferred row.  None -> uncapped
+    # (default, golden-tested behavior unchanged).  Only supported on
+    # the in-memory schedule path; combining with a frontier above
+    # ``driver_schedule_max_rows`` raises.
+    round_fetch_cap: int | None = None
+    host_ranks: dict = field(default_factory=dict)
 
 
 # A url matching this is PROVABLY a fixed point of ``canonicalize``:
@@ -252,6 +265,95 @@ def _schedule_driver(tbl: pa.Table, budgets: dict, default_tokens: int) -> pa.Ta
     return tbl.append_column(
         "fetch_slot", pa.array(slots, pa.int32())
     ).append_column("scheduled", pa.array(scheduled))
+
+
+def rank_hosts(
+    edges_ds, src_col: str = "src_host", dst_col: str = "dst_host"
+) -> dict:
+    """Host centrality scores for ``CrawlConfig.host_ranks``: fixed-
+    point PageRank (``stages/window.pagerank``) over a host-level link
+    graph.  Hosts are hashed to int64 node ids inside the workers; the
+    name map is the DISTINCT host set (small by construction — hosts,
+    not urls), collected via per-batch dedup partials.  Returns
+    {host: pr_rank} with higher = more central."""
+    from ..stages.dedup import _hash64
+    from ..stages.window import pagerank
+
+    mask = (1 << 62) - 1
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_pylist()
+        d = batch[dst_col].to_pylist()
+        return pa.table(
+            {
+                "src": pa.array(
+                    [_hash64(x) & mask for x in s], pa.int64()
+                ),
+                "dst": pa.array(
+                    [_hash64(x) & mask for x in d], pa.int64()
+                ),
+            }
+        )
+
+    ids = edges_ds.map_batches(to_ids, batch_format="pyarrow")
+    pr_tbl = pa.concat_tables(
+        ray.get(pagerank(ids).to_arrow_refs()), promote_options="default"
+    )
+    rank_by_node = dict(
+        zip(pr_tbl["node"].to_pylist(), pr_tbl["pr_rank"].to_pylist())
+    )
+
+    def distinct_hosts(batch: pa.Table) -> pa.Table:
+        names = sorted(
+            set(batch[src_col].to_pylist())
+            | set(batch[dst_col].to_pylist())
+        )
+        return pa.table({"host": pa.array(names, pa.string())})
+
+    out: dict = {}
+    for row in edges_ds.map_batches(
+        distinct_hosts, batch_format="pyarrow"
+    ).take_all():
+        h = row["host"]
+        node = _hash64(h) & mask
+        if node in rank_by_node:
+            out[h] = int(rank_by_node[node])
+    return out
+
+
+def _apply_round_cap(
+    sched_tbl: pa.Table, host_ranks: dict, cap: int
+) -> pa.Table:
+    """Keep only the top-``cap`` scheduled rows, ordered by descending
+    host rank then the deterministic slot order; the rest flip to
+    ``scheduled = False`` and flow into the round's deferred set."""
+    sched = sched_tbl["scheduled"].to_numpy(zero_copy_only=False).copy()
+    idx = np.flatnonzero(sched)
+    if len(idx) <= cap:
+        return sched_tbl
+    hosts = sched_tbl["host"].to_pylist()
+    neg_rank = np.asarray(
+        [-int(host_ranks.get(hosts[i], 0)) for i in idx], dtype=np.int64
+    )
+    prio = sched_tbl["priority"].to_numpy(zero_copy_only=False)[idx]
+    ts = (
+        sched_tbl["discovered_ts"]
+        .combine_chunks()
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)[idx]
+    )
+    uh = (
+        sched_tbl["url_hash"]
+        .combine_chunks()
+        .cast(pa.uint64())
+        .to_numpy(zero_copy_only=False)[idx]
+    )
+    order = np.lexsort((uh, ts, prio, neg_rank))
+    sched[idx[order[cap:]]] = False
+    col = sched_tbl.schema.get_field_index("scheduled")
+    return sched_tbl.set_column(
+        col, "scheduled", pa.array(sched, pa.bool_())
+    )
 
 
 def _schedule(
@@ -1176,6 +1278,13 @@ def run_crawl(
                 break
         m = RoundMetrics(round_no=k, frontier_in=n_front)
 
+        if distributed and cfg.round_fetch_cap is not None:
+            raise ValueError(
+                "round_fetch_cap is only supported on the in-memory "
+                "schedule path (frontier <= driver_schedule_max_rows); "
+                "the distributed path's worker-local precut has no "
+                "global cap stage yet"
+            )
         if distributed:
             # robots + politeness fully in workers; losers written back
             # to disk by the tasks that gated them; the driver sees only
@@ -1237,6 +1346,10 @@ def run_crawl(
 
             # 2. politeness schedule on frontier metadata
             scheduled_tbl = _schedule(allowed_tbl, budgets, default_tokens)
+            if cfg.round_fetch_cap is not None:
+                scheduled_tbl = _apply_round_cap(
+                    scheduled_tbl, cfg.host_ranks, cfg.round_fetch_cap
+                )
             sched_mask = scheduled_tbl["scheduled"]
             to_fetch = scheduled_tbl.filter(sched_mask).drop_columns(
                 ["scheduled"]
