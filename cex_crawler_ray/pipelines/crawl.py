@@ -89,9 +89,10 @@ class CrawlConfig:
     # (priority, discovered_ts, url_hash) slot order.  Capped-out rows
     # are DEFERRED, not dropped — they re-enter the next round's
     # frontier like any politeness-deferred row.  None -> uncapped
-    # (default, golden-tested behavior unchanged).  Only supported on
-    # the in-memory schedule path; combining with a frontier above
-    # ``driver_schedule_max_rows`` raises.
+    # (default, golden-tested behavior unchanged).  On the distributed
+    # path the cut runs as per-host slot quotas computed from the
+    # scheduled slice's metadata columns (exact — see ``_cap_quotas``),
+    # with losers worker-written to the deferred dir.
     round_fetch_cap: int | None = None
     host_ranks: dict = field(default_factory=dict)
 
@@ -583,6 +584,64 @@ def _write_deferred(t: pa.Table, deferred_dir: str, prefix: str) -> None:
     _pq.write_table(
         t, os.path.join(deferred_dir, f"{prefix}-{digest}.parquet")
     )
+
+
+def _cap_quotas(meta: pa.Table, host_ranks: dict, cap: int):
+    """Global rank-aware cut -> per-host scheduled-slot quotas.
+
+    Within a host the scheduled rows are slot-ordered by the SAME keys
+    the global cut sorts on, so whatever the cross-host interleaving,
+    each host's kept set is a prefix of its slots — {host: quota} fully
+    describes the exact global top-``cap``.  Returns None when under
+    capacity (no cut needed)."""
+    n = meta.num_rows
+    if n <= cap:
+        return None
+    hosts = meta["host"].to_pylist()
+    neg_rank = np.asarray(
+        [-int(host_ranks.get(h, 0)) for h in hosts], dtype=np.int64
+    )
+    prio = meta["priority"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = meta["discovered_ts"].to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    uh = (
+        meta["url_hash"]
+        .combine_chunks()
+        .cast(pa.uint64())
+        .to_numpy(zero_copy_only=False)
+    )
+    order = np.lexsort((uh, ts, prio, neg_rank))
+    from collections import Counter
+
+    kept = Counter(hosts[i] for i in order[:cap])
+    return dict(kept)
+
+
+def _cap_filter_fn(quota_ref, deferred_dir: str):
+    """map_batches stage: keep ``fetch_slot < quota[host]``; losers are
+    deferred in place (content-named, idempotent under task retry)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        q = ray.get(quota_ref)
+        hosts = batch["host"].to_pylist()
+        slots = batch["fetch_slot"].to_numpy(zero_copy_only=False)
+        keep = np.asarray(
+            [s < q.get(h, 0) for h, s in zip(hosts, slots)], dtype=bool
+        )
+        if not keep.all():
+            _write_deferred(
+                batch.filter(pa.array(~keep)).drop_columns(
+                    ["fetch_slot"]
+                ),
+                deferred_dir,
+                "cap",
+            )
+        return batch.filter(pa.array(keep))
+
+    return fn
 
 
 def _gate_precut_fn(policy_ref, deferred_dir: str, num_parts: int = 64):
@@ -1278,13 +1337,6 @@ def run_crawl(
                 break
         m = RoundMetrics(round_no=k, frontier_in=n_front)
 
-        if distributed and cfg.round_fetch_cap is not None:
-            raise ValueError(
-                "round_fetch_cap is only supported on the in-memory "
-                "schedule path (frontier <= driver_schedule_max_rows); "
-                "the distributed path's worker-local precut has no "
-                "global cap stage yet"
-            )
         if distributed:
             # robots + politeness fully in workers; losers written back
             # to disk by the tasks that gated them; the driver sees only
@@ -1311,6 +1363,26 @@ def run_crawl(
                     batch_format="pyarrow",
                 )
             )
+            if cfg.round_fetch_cap is not None:
+                # exact global rank-aware cut, distributed: materialize
+                # the scheduled slice (≤ Σ tokens — the round's fetch
+                # budget, which the fetch pins anyway), pull ONLY its
+                # metadata columns to compute per-host slot quotas, and
+                # filter in the workers with losers deferred in place.
+                sched_ds = sched_ds.materialize()
+                meta = _to_table(
+                    sched_ds.select_columns(
+                        ["host", "priority", "discovered_ts", "url_hash"]
+                    )
+                )
+                quotas = _cap_quotas(
+                    meta, cfg.host_ranks, cfg.round_fetch_cap
+                )
+                if quotas is not None:
+                    sched_ds = sched_ds.map_batches(
+                        _cap_filter_fn(ray.put(quotas), deferred_dir),
+                        batch_format="pyarrow",
+                    )
             if cfg.fetch_fn is None:
                 # FUSED round: the scheduled slice streams straight into
                 # the bucket-keyed fetch inside the SAME execution —

@@ -140,3 +140,49 @@ def test_capped_crawl_defers_not_drops(ray_session, tmp_path):
     cu = set(capped.fetched_table()["url"].to_pylist())
     uu = set(uncapped.fetched_table()["url"].to_pylist())
     assert cu == uu
+
+
+def test_capped_crawl_distributed_matches_driver(ray_session, tmp_path):
+    """The distributed-path cap (per-host slot quotas) must produce the
+    IDENTICAL capped crawl as the in-memory path: same per-round
+    scheduled counts, same fetched set."""
+    from cex_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from cex_crawler_ray.sources.page_store import PageStore
+    from cex_crawler_ray.sources.pages import (
+        pages_from_documents,
+        robots_rules,
+        seeds_for_sources,
+        sources_in,
+    )
+    from cex_crawler_ray.stages.extract import profiles_for_sources
+    from cex_crawler_ray.state.politeness import RobotsPolicy
+
+    ps = PageStore(str(tmp_path / "ps"), num_buckets=4)
+    ps.write(pages_from_documents(SF_TINY))
+    src = sources_in(SF_TINY)
+    policy = RobotsPolicy(disallow=robots_rules(src), default_delay_ms=500)
+    common = dict(
+        max_rounds=8,
+        profiles=profiles_for_sources(src),
+        as_of_hk="2024-03-08 09:00:00",
+        offset_days=7,
+        round_fetch_cap=40,
+        host_ranks={"src1.test": 50, "src2.test": 10},
+        seen_shards=4,
+    )
+
+    mem = run_crawl(
+        ps, seeds_for_sources(src), policy, CrawlConfig(**common)
+    )
+    dist = run_crawl(
+        ps,
+        seeds_for_sources(src),
+        policy,
+        CrawlConfig(driver_schedule_max_rows=0, **common),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    mem_urls = sorted(mem.fetched_table()["url"].to_pylist())
+    dist_urls = sorted(dist.fetched_table()["url"].to_pylist())
+    assert mem_urls == dist_urls
+    for m in dist.metrics:
+        assert m.scheduled <= 40
