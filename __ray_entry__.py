@@ -1456,6 +1456,27 @@ def q_tumbling_window(sf_dir: str):
     )
 
 
+def q_global_p90(sf_dir: str):
+    """Exact global 90th percentile of event value (integer cents)
+    WITHOUT a global sort: two-pass histogram descent (distributed
+    selection) — pass 1's shuffle carries (bucket, count) partials,
+    pass 2 exactly counts one bucket's distinct values."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.sketch import exact_global_quantile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+
+    def to_cents(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"cents": _cents(df["value"])})
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+    v = exact_global_quantile(cents, col="cents", q=0.9)
+    return pa.table({"p90_cents": pa.array([v], pa.int64())})
+
+
 def q_sliding_window(sf_dir: str):
     """Trailing 1-hour event-time window sum per user (SQL RANGE-frame
     semantics: equal timestamps are peers).  Coarse-partitioned on the
@@ -1982,6 +2003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tumbling_window": q_tumbling_window,
+        "global_p90": q_global_p90,
         "sliding_window": q_sliding_window,
         "semi_join_customers": q_semi_join_customers,
         "anti_join_customers": q_anti_join_customers,
@@ -2860,6 +2882,11 @@ SELECT user_id,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS sum_cents
 FROM events GROUP BY user_id, window_start
+""",
+        "global_p90": """
+SELECT quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9)
+         AS p90_cents
+FROM events
 """,
         "sliding_window": """
 SELECT event_id,

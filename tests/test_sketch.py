@@ -134,3 +134,35 @@ def test_bottom_k_quantile_merge_and_accuracy(ray_session):
     ds2 = _ray.data.from_items(rows, override_num_blocks=16)
     out2 = approx_group_quantile(ds2, "g", "v", "id", q=0.5, k=512).to_pandas()
     assert out2["approx_quantile"].iloc[0] == first
+
+
+def test_exact_global_quantile_matches_duckdb_conventions(ray_session):
+    """Histogram-descent selection == DuckDB quantile_disc across odd /
+    even n, negative values, heavy ties and several q."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from cex_crawler_ray.stages.sketch import exact_global_quantile
+
+    rng = np.random.RandomState(11)
+    cases = [
+        rng.randint(-1000, 70000, size=997),
+        rng.randint(-5, 5, size=1000),          # heavy ties, negatives
+        np.arange(10, dtype=np.int64),          # tiny n
+        rng.randint(0, 2**30, size=2048),       # wide range, many buckets
+    ]
+    for vals in cases:
+        ds = ray.data.from_arrow(
+            pa.table({"cents": pa.array(vals.astype(np.int64), pa.int64())})
+        ).repartition(4)
+        for q in (0.1, 0.25, 0.5, 0.9, 0.91, 0.99):
+            got = exact_global_quantile(ds, col="cents", q=q)
+            want = duckdb.sql(
+                f"SELECT quantile_disc(c, {q}) FROM "
+                "(SELECT unnest($v) AS c)",
+                params={"v": vals.tolist()},
+            ).fetchone()[0]
+            assert got == want, (q, got, want, len(vals))
