@@ -1456,6 +1456,17 @@ def q_tumbling_window(sf_dir: str):
     )
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weight-proportional deterministic sample (priority sampling,
+    k=50, weight = n_chars): per-batch partial top-k, mergeable final —
+    the corpus never shuffles and at most k rows leave any batch."""
+    from cex_crawler_ray.stages.mixing import weighted_priority_sample
+
+    return weighted_priority_sample(
+        _docs(sf_dir).select_columns(["doc_id", "text", "n_chars"]), k=50
+    )
+
+
 def q_global_p90(sf_dir: str):
     """Exact global 90th percentile of event value (integer cents)
     WITHOUT a global sort: two-pass histogram descent (distributed
@@ -2003,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tumbling_window": q_tumbling_window,
+        "weighted_sample": q_weighted_sample,
         "global_p90": q_global_p90,
         "sliding_window": q_sliding_window,
         "semi_join_customers": q_semi_join_customers,
@@ -2882,6 +2894,14 @@ SELECT user_id,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS sum_cents
 FROM events GROUP BY user_id, window_start
+""",
+        "weighted_sample": """
+SELECT doc_id, CAST(w AS BIGINT) AS weight FROM (
+  SELECT doc_id, GREATEST(n_chars, 1) AS w,
+         CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+              AS DOUBLE) / GREATEST(n_chars, 1) AS pri
+  FROM documents
+) ORDER BY pri, doc_id LIMIT 50
 """,
         "global_p90": """
 SELECT quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9)

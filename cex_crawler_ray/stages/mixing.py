@@ -117,3 +117,81 @@ def temperature_sample(
         )
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_priority_sample(
+    ds: "ray.data.Dataset",
+    k: int = 50,
+    weight_col: str = "n_chars",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Deterministic weight-proportional sample of ``k`` rows (priority
+    sampling, Duffield-Lund-Thorup 2007): rank every doc by
+    ``u / w`` where ``u`` is its md5-u32 content prefix and ``w`` its
+    weight (longer/better docs sample more often), keep the k smallest.
+
+    Determinism contract: the priority is ONE IEEE double division —
+    correctly rounded identically by numpy and DuckDB — with doc_id as
+    the tie-break, so the sampled set hash-matches SQL exactly.
+
+    Scale shape: per-batch partial top-k (each batch ships at most k
+    rows), final top-k over <= k x blocks rows on the driver — the
+    standard mergeable top-k; the corpus never shuffles.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(
+            batch[weight_col].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            ),
+            1,
+        )
+        u = np.asarray(
+            [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                for t in batch[text_col].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        pri = u.astype(np.float64) / w.astype(np.float64)
+        order = np.lexsort((ids, pri))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "weight": pa.array(w[order], pa.int64()),
+                "pri": pa.array(pri[order], pa.float64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                ds.map_batches(partial, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if t.num_rows and id_col in t.schema.names
+        ]
+        or [
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.int64()),
+                    "pri": pa.array([], pa.float64()),
+                }
+            )
+        ],
+        promote_options="default",
+    )
+    ids = parts[id_col].to_numpy(zero_copy_only=False)
+    w = parts["weight"].to_numpy(zero_copy_only=False)
+    pri = parts["pri"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, pri))[:k]
+    return pa.table(
+        {
+            id_col: pa.array(ids[order], pa.int64()),
+            "weight": pa.array(w[order], pa.int64()),
+        }
+    )

@@ -74,3 +74,48 @@ def test_single_source_keeps_everything(ray_session):
     rows = [(i, "only", f"doc {i}") for i in range(10)]
     got = temperature_sample(_corpus(rows)).to_pandas()
     assert len(got) == 10
+
+
+def test_weighted_sample_partition_invariant(ray_session):
+    from cex_crawler_ray.stages.mixing import weighted_priority_sample
+
+    rows = [(i, f"document number {i} body", 10 + (i * 7) % 90)
+            for i in range(200)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    outs = []
+    for parts in (1, 3, 11):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = weighted_priority_sample(ds, k=20)
+        outs.append(list(zip(got["doc_id"].to_pylist(),
+                             got["weight"].to_pylist())))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 20
+
+
+def test_weighted_sample_favors_heavy_rows(ray_session):
+    """Weight-proportional inclusion: rows with 100x the weight should
+    dominate the sample."""
+    import hashlib as _hl
+
+    from cex_crawler_ray.stages.mixing import weighted_priority_sample
+
+    rows = [(i, f"unique text {i}", 10000 if i < 100 else 100)
+            for i in range(1000)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    ).repartition(4)
+    got = weighted_priority_sample(ds, k=50)
+    heavy = sum(1 for d in got["doc_id"].to_pylist() if d < 100)
+    assert heavy >= 35  # 100 heavy rows at 100x weight dominate
