@@ -1456,6 +1456,57 @@ def q_tumbling_window(sf_dir: str):
     )
 
 
+def q_rollup_orders(sf_dir: str):
+    """ROLLUP aggregate: (status, priority) -> (status) -> grand total
+    in ONE shuffle — the coarser levels are re-aggregated from the
+    finest level's (tiny) cell table, never from the raw rows."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "o_orderpriority": df["o_orderpriority"],
+                "cents": _cents(df["o_totalprice"]),
+            }
+        ).groupby(["o_orderstatus", "o_orderpriority"], as_index=False)
+        return g.agg(n_rows=("cents", "size"), sum_cents=("cents", "sum"))
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .sum(["n_rows", "sum_cents"])
+        .to_pandas()
+    )
+    cells = cells.rename(
+        columns={"sum(n_rows)": "n_rows", "sum(sum_cents)": "sum_cents"}
+    )
+    lvl1 = cells.groupby("o_orderstatus", as_index=False).agg(
+        n_rows=("n_rows", "sum"), sum_cents=("sum_cents", "sum")
+    )
+    lvl1["o_orderpriority"] = None
+    total = pd.DataFrame(
+        {
+            "o_orderstatus": [None],
+            "o_orderpriority": [None],
+            "n_rows": [cells["n_rows"].sum()],
+            "sum_cents": [cells["sum_cents"].sum()],
+        }
+    )
+
+    out = pd.concat([cells, lvl1, total], ignore_index=True)[
+        ["o_orderstatus", "o_orderpriority", "n_rows", "sum_cents"]
+    ]
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out
+
+
 def q_weighted_sample(sf_dir: str):
     """Weight-proportional deterministic sample (priority sampling,
     k=50, weight = n_chars): per-batch partial top-k, mergeable final —
@@ -2014,6 +2065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "tumbling_window": q_tumbling_window,
+        "rollup_orders": q_rollup_orders,
         "weighted_sample": q_weighted_sample,
         "global_p90": q_global_p90,
         "sliding_window": q_sliding_window,
@@ -2894,6 +2946,14 @@ SELECT user_id,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS sum_cents
 FROM events GROUP BY user_id, window_start
+""",
+        "rollup_orders": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """,
         "weighted_sample": """
 SELECT doc_id, CAST(w AS BIGINT) AS weight FROM (
