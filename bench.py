@@ -308,6 +308,7 @@ def bench_queries(sf_dir: str) -> dict:
         "repetition_stats",
         "redact_pii",
         "dup_spans",
+        "curation_v3",
         "heavy_hitters",
         "pagerank_nodes",
         "temperature_sample",
