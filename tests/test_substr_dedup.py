@@ -118,6 +118,34 @@ def test_strip_dup_spans_removes_marked_tokens(ray_session):
     assert got.loc[3, "text_deduped"] == ""
 
 
+@pytest.mark.parametrize("k", [4, 8])
+def test_hash_and_string_carry_modes_equal(ray_session, k):
+    """The vectorized 128-bit rolling-hash carry (scale default) and
+    the gram-string carry (zero-collision oracle mode) must produce
+    identical span sets — on the crafted corpus AND a randomized one
+    with heavy cross-document repetition."""
+    import random
+
+    from cex_crawler_ray.stages.substr_dedup import dup_spans
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = list(ROWS)
+    base = " ".join(rng.choice(vocab) for _ in range(40))
+    for d in range(100, 140):
+        prefix = " ".join(rng.choice(vocab) for _ in range(rng.randrange(12)))
+        cut = rng.randrange(0, 30)
+        rows.append((d, (prefix + " " + base[cut * 3 :]).strip()))
+
+    for corpus_rows in (ROWS, rows):
+        a = dup_spans(_corpus(corpus_rows), k=k, carry="hash").to_pandas()
+        b = dup_spans(_corpus(corpus_rows), k=k, carry="string").to_pandas()
+        key = ["doc_id", "span_start", "span_end"]
+        assert set(map(tuple, a[key].values.tolist())) == set(
+            map(tuple, b[key].values.tolist())
+        )
+
+
 def test_strip_noop_corpus_passthrough(ray_session):
     from cex_crawler_ray.stages.substr_dedup import strip_dup_spans
 
