@@ -1987,6 +1987,235 @@ def q_winnow_bounds(sf_dir: str):
     )
 
 
+def q_cube_orders(sf_dir: str):
+    """CUBE aggregate: all four grouping sets of (status, priority) in
+    ONE shuffle — like ``q_rollup_orders``, every coarser level is
+    re-aggregated from the finest level's tiny cell table."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "o_orderpriority": df["o_orderpriority"],
+                "cents": _cents(df["o_totalprice"]),
+            }
+        ).groupby(["o_orderstatus", "o_orderpriority"], as_index=False)
+        return g.agg(n_rows=("cents", "size"), sum_cents=("cents", "sum"))
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .sum(["n_rows", "sum_cents"])
+        .to_pandas()
+    )
+    cells = cells.rename(
+        columns={"sum(n_rows)": "n_rows", "sum(sum_cents)": "sum_cents"}
+    )
+    by_status = cells.groupby("o_orderstatus", as_index=False).agg(
+        n_rows=("n_rows", "sum"), sum_cents=("sum_cents", "sum")
+    )
+    by_status["o_orderpriority"] = None
+    by_prio = cells.groupby("o_orderpriority", as_index=False).agg(
+        n_rows=("n_rows", "sum"), sum_cents=("sum_cents", "sum")
+    )
+    by_prio["o_orderstatus"] = None
+    total = pd.DataFrame(
+        {
+            "o_orderstatus": [None],
+            "o_orderpriority": [None],
+            "n_rows": [cells["n_rows"].sum()],
+            "sum_cents": [cells["sum_cents"].sum()],
+        }
+    )
+    out = pd.concat([cells, by_status, by_prio, total], ignore_index=True)[
+        ["o_orderstatus", "o_orderpriority", "n_rows", "sum_cents"]
+    ]
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out
+
+
+def q_global_p90_cont(sf_dir: str):
+    """INTERPOLATED global 90th percentile (SQL quantile_cont, type-7)
+    without a global sort: one histogram pass + at most two in-bucket
+    counts locate the two straddling order statistics."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.sketch import exact_global_quantile_cont
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+
+    def to_cents(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"cents": _cents(df["value"])})
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+    v = exact_global_quantile_cont(cents, col="cents", q=0.9)
+    # report in centi-cents so the interpolated fraction stays integral
+    x = v * 100.0
+    out = int(np.sign(x) * np.floor(np.abs(x) + 0.5))
+    return pa.table({"p90_centicents": pa.array([out], pa.int64())})
+
+
+def q_ntile_events(sf_dir: str):
+    """NTILE(4) per user over (ts, event_id) order: coarse key
+    partition, vectorized remainder-rule tile arithmetic inside."""
+    from cex_crawler_ray.stages.window import ntile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return ntile(ds, n_tiles=4)
+
+
+def q_interval_join(sf_dir: str):
+    """OVERLAPPING interval join: every event matched to ALL 2.5-hour
+    windows (hourly starts — each ts hits 2-3 of them) containing it.
+    The range table is deterministic arithmetic shared with the SQL
+    oracle; broadcast once, big side never shuffles."""
+    from cex_crawler_ray.stages.join import interval_join_broadcast
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+
+    i = np.arange(20_000, dtype=np.int64)
+    base = 1_704_067_200  # epoch of 2024-01-01 00:00:00 UTC
+    ranges = pa.table(
+        {
+            "range_id": pa.array(i, pa.int64()),
+            "lo": pa.array((base + i * 3600) * 1_000_000, pa.int64()),
+            "hi": pa.array(
+                (base + i * 3600 + 9000) * 1_000_000, pa.int64()
+            ),
+        }
+    )
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts_us": ts.cast(pa.int64()),
+            }
+        )
+
+    events = ds.map_batches(to_us, batch_format="pyarrow")
+    return interval_join_broadcast(events, ranges)
+
+
+def q_corr_returnflag(sf_dir: str):
+    """Per-group Pearson correlation of quantity vs extended price via
+    the sufficient-statistics combiner (6 float sums per (batch, key)
+    through the shuffle), reported in 1e-4 fixed point."""
+    from cex_crawler_ray.stages.stats import group_corr
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    tbl = group_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+    x = tbl["corr"].to_numpy(zero_copy_only=False) * 10_000.0
+    e4 = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    return pa.table(
+        {
+            "l_returnflag": tbl["l_returnflag"],
+            "corr_e4": pa.array(e4, pa.int64()),
+        }
+    )
+
+
+def q_intersect_buyers(sf_dir: str):
+    """Set INTERSECT as a distributed op: rich customers (unique keys
+    by construction) SEMI-joined against order custkeys — the right
+    side is reduced to distinct keys per batch before its key-only
+    shuffle."""
+    import pyarrow.compute as _pc
+
+    from cex_crawler_ray.stages.join import semi_anti_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda b: b.filter(
+            _pc.greater(b["c_acctbal"], pa.scalar(5000.0))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    out = semi_anti_join(cust, orders, "c_custkey", "o_custkey")
+    return out.map_batches(
+        lambda b: b.rename_columns(["custkey"]), batch_format="pyarrow"
+    )
+
+
+def q_except_nonbuyers(sf_dir: str):
+    """Set EXCEPT: DISTINCT ordering customers minus the rich ones —
+    a per-batch unique + coarse-partition dedupe builds the distinct
+    left side (one int64 column through the shuffle), then the ANTI
+    join drops keys present on the right."""
+    import pyarrow.compute as _pc
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+    from cex_crawler_ray.stages.join import semi_anti_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def batch_unique(b: pa.Table) -> pa.Table:
+        u = np.unique(b["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(u, pa.int64())})
+
+    def part_unique(part: pa.Table) -> pa.Table:
+        u = np.unique(part["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(u, pa.int64())})
+
+    buyers = _coarse_group_apply(
+        orders.map_batches(batch_unique, batch_format="pyarrow"),
+        "o_custkey",
+        part_unique,
+    )
+    rich = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).map_batches(
+        lambda b: b.filter(
+            _pc.greater(b["c_acctbal"], pa.scalar(5000.0))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    out = semi_anti_join(buyers, rich, "o_custkey", "c_custkey", anti=True)
+    return out.map_batches(
+        lambda b: b.rename_columns(["custkey"]), batch_format="pyarrow"
+    )
+
+
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Typo-tolerant vocabulary matching: distinct part-name pairs at
+    Levenshtein distance 1 via FastSS deletion-neighborhood blocking
+    (linear fan-out per value, never all-pairs), bucket-verified with
+    a real banded edit-distance kernel."""
+    from cex_crawler_ray.stages.fuzzy import edit1_pairs
+
+    names = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    )
+    out = edit1_pairs(names, "p_name")
+    return out.map_batches(
+        lambda b: b.rename_columns(["name_a", "name_b"]),
+        batch_format="pyarrow",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2066,6 +2295,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "tumbling_window": q_tumbling_window,
         "rollup_orders": q_rollup_orders,
+        "cube_orders": q_cube_orders,
+        "global_p90_cont": q_global_p90_cont,
+        "ntile_events": q_ntile_events,
+        "interval_join": q_interval_join,
+        "corr_returnflag": q_corr_returnflag,
+        "intersect_buyers": q_intersect_buyers,
+        "except_nonbuyers": q_except_nonbuyers,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "weighted_sample": q_weighted_sample,
         "global_p90": q_global_p90,
         "sliding_window": q_sliding_window,
@@ -2954,6 +3191,60 @@ SELECT o_orderstatus, o_orderpriority,
          AS sum_cents
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+        "cube_orders": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+        "global_p90_cont": """
+SELECT CAST(round(
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) * 100
+       ) AS BIGINT) AS p90_centicents
+FROM events
+""",
+        "ntile_events": """
+SELECT event_id,
+       CAST(NTILE(4) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS tile
+FROM events
+""",
+        "interval_join": """
+WITH r AS (
+  SELECT CAST(i AS BIGINT) AS range_id,
+         (1704067200 + i * 3600) * 1000000 AS lo_us,
+         (1704067200 + i * 3600 + 9000) * 1000000 AS hi_us
+  FROM range(0, 20000) t(i)
+)
+SELECT e.event_id, r.range_id
+FROM events e JOIN r
+  ON epoch_us(e.ts) >= r.lo_us AND epoch_us(e.ts) <= r.hi_us
+""",
+        "corr_returnflag": """
+SELECT l_returnflag,
+       CAST(round(corr(l_quantity, l_extendedprice) * 10000) AS BIGINT)
+         AS corr_e4
+FROM lineitem
+GROUP BY l_returnflag
+""",
+        "intersect_buyers": """
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey FROM orders
+""",
+        "except_nonbuyers": """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+""",
+        "fuzzy_name_pairs": """
+WITH d AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b
+FROM d a JOIN d b
+  ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) = 1
 """,
         "weighted_sample": """
 SELECT doc_id, CAST(w AS BIGINT) AS weight FROM (

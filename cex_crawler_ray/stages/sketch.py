@@ -402,3 +402,88 @@ def exact_global_quantile(
     v, c2 = v[order], c2[order]
     cum2 = np.cumsum(c2)
     return int(v[int(np.searchsorted(cum2, rank_in_bucket + 1))])
+
+
+def exact_global_quantile_cont(
+    ds: "ray.data.Dataset",
+    col: str = "cents",
+    q: float = 0.5,
+    shift: int = 16,
+) -> float:
+    """EXACT interpolated global quantile (SQL ``quantile_cont`` /
+    numpy ``linear``, type-7): h = q*(n-1); result interpolates the
+    floor(h)-th and ceil(h)-th order statistics.
+
+    Both order statistics come from ONE histogram pass (the same
+    two-pass histogram descent as ``exact_global_quantile``) plus one
+    filtered in-bucket count per distinct target bucket — at most two
+    extra scans, usually one.  The interpolation arithmetic mirrors
+    the engines' double semantics (h and the blend computed in IEEE
+    double), pinned to DuckDB by a convention-probe pytest.
+    """
+    import math
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b, c = np.unique(v >> shift, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("cnt")
+    )
+    tbl = pa.concat_tables(
+        ray.get(merged.to_arrow_refs()), promote_options="default"
+    ).rename_columns(["bucket", "cnt"])
+    b = tbl["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(b)
+    b, c = b[order], c[order]
+    n = int(c.sum())
+    if n == 0:
+        raise ValueError("empty input")
+    h = q * (n - 1)
+    rank_lo = int(math.floor(h))
+    rank_hi = int(math.ceil(h))
+    cum = np.cumsum(c)
+
+    def order_stat(rank: int) -> int:
+        bi = int(np.searchsorted(cum, rank + 1))
+        target_bucket = int(b[bi])
+        rank_in_bucket = rank - (int(cum[bi - 1]) if bi > 0 else 0)
+
+        def in_bucket(batch: pa.Table) -> pa.Table:
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = v[(v >> shift) == target_bucket]
+            u, cc = np.unique(v, return_counts=True)
+            return pa.table(
+                {
+                    "val": pa.array(u, pa.int64()),
+                    "cnt": pa.array(cc.astype(np.int64), pa.int64()),
+                }
+            )
+
+        merged2 = (
+            ds.map_batches(in_bucket, batch_format="pyarrow")
+            .groupby("val")
+            .sum("cnt")
+        )
+        t2 = pa.concat_tables(
+            ray.get(merged2.to_arrow_refs()), promote_options="default"
+        ).rename_columns(["val", "cnt"])
+        v = t2["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = t2["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o2 = np.argsort(v)
+        v, c2 = v[o2], c2[o2]
+        cum2 = np.cumsum(c2)
+        return int(v[int(np.searchsorted(cum2, rank_in_bucket + 1))])
+
+    x_lo = order_stat(rank_lo)
+    x_hi = x_lo if rank_hi == rank_lo else order_stat(rank_hi)
+    return x_lo + (h - rank_lo) * (x_hi - x_lo)

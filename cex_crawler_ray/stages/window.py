@@ -500,3 +500,74 @@ def trailing_window_sum(
         windowed,
         num_parts,
     )
+
+
+def ntile(
+    ds: "ray.data.Dataset",
+    n_tiles: int = 4,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_parts: int = 32,
+    out_col: str = "tile",
+) -> "ray.data.Dataset":
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY ts, id)``: rows
+    of each key split into ``n_tiles`` contiguous groups, the first
+    ``n mod n_tiles`` groups one row larger (the standard remainder
+    rule).
+
+    Same coarse key partition as ``trailing_window_sum``; within a
+    partition the tile index is pure arithmetic on the per-key row
+    index (vectorized — no per-row Python), and the shuffle carries
+    (id, key, ts) int64 rows only.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                key_col: batch[key_col].combine_chunks().cast(pa.int64()),
+                "ts_us": pa.array(
+                    _order_key_us(batch, ts_col), pa.int64()
+                ),
+            }
+        )
+
+    def tiles(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        us = group["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, us, keys))
+        ids, keys, us = ids[order], keys[order], us[order]
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        seg_lens = np.diff(np.concatenate((seg_starts, [len(ids)])))
+        # per-row index within its key segment, vectorized
+        idx = np.arange(len(ids), dtype=np.int64) - np.repeat(
+            seg_starts, seg_lens
+        )
+        n = np.repeat(seg_lens, seg_lens).astype(np.int64)
+        big = n % n_tiles                   # tiles that get an extra row
+        size_lo = n // n_tiles              # base tile size (may be 0)
+        size_hi = size_lo + 1
+        cut = big * size_hi                 # rows covered by the big tiles
+        in_big = idx < cut
+        # size_lo can be 0 only when every row is in a big tile
+        safe_lo = np.maximum(size_lo, 1)
+        tile = np.where(
+            in_big, idx // size_hi, big + (idx - cut) // safe_lo
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                out_col: pa.array(tile + 1, pa.int64()),
+            }
+        )
+
+    return _coarse_group_apply(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        key_col,
+        tiles,
+        num_parts,
+    )

@@ -1,0 +1,205 @@
+"""Round-3 additions: CUBE, quantile_cont, NTILE, interval join,
+group corr, set ops, FastSS edit-distance pairs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+# ------------------------------------------------------------- ntile
+@pytest.mark.parametrize("n_rows", [1, 2, 3, 4, 5, 7, 8, 9, 13])
+def test_ntile_matches_duckdb_remainder_rule(ray_session, n_rows):
+    import duckdb
+
+    from cex_crawler_ray.stages.window import ntile
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n_rows), pa.int64()),
+            "user_id": pa.array([1] * n_rows, pa.int64()),
+            "ts": pa.array(
+                np.arange(n_rows, dtype="int64"), pa.timestamp("us")
+            ),
+        }
+    )
+    got = (
+        ntile(ray.data.from_arrow(tbl), n_tiles=4)
+        .to_pandas()
+        .sort_values("event_id")["tile"]
+        .tolist()
+    )
+    want = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            "SELECT NTILE(4) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) FROM tbl ORDER BY event_id"
+        )
+        .fetchall()
+    ]
+    assert got == want
+
+
+def test_ntile_multi_user(ray_session):
+    from cex_crawler_ray.stages.window import ntile
+
+    rows = []
+    for u in range(5):
+        for i in range(u + 3):
+            rows.append((u * 100 + i, u, i))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                np.array([r[2] for r in rows], "int64"),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    got = ntile(ray.data.from_arrow(tbl), n_tiles=3).to_pandas()
+    # every user's tiles are 1..min(3, n) and sizes differ by <= 1
+    df = got.copy()
+    df["user"] = df["event_id"] // 100
+    for _, g in df.groupby("user"):
+        sizes = g["tile"].value_counts()
+        assert sizes.max() - sizes.min() <= 1
+        assert set(sizes.index) == set(range(1, min(3, len(g)) + 1))
+
+
+# ---------------------------------------------------- quantile_cont
+@pytest.mark.parametrize("n", [4, 5, 7, 10, 997, 1000])
+@pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.9, 1.0])
+def test_quantile_cont_matches_duckdb(ray_session, n, q):
+    import duckdb
+
+    from cex_crawler_ray.stages.sketch import exact_global_quantile_cont
+
+    rng = np.random.RandomState(n)
+    vals = rng.randint(0, 1_000_000, size=n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"cents": pa.array(vals)}))
+    got = exact_global_quantile_cont(ds, col="cents", q=q)
+    want = (
+        duckdb.connect()
+        .execute(f"SELECT quantile_cont(c, {q}) FROM (SELECT UNNEST(?) c)",
+                 [vals.tolist()])
+        .fetchone()[0]
+    )
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+# ------------------------------------------------------ interval join
+def test_interval_join_bruteforce(ray_session):
+    from cex_crawler_ray.stages.join import interval_join_broadcast
+
+    rng = np.random.RandomState(3)
+    n_ranges, n_events = 40, 500
+    lo = rng.randint(0, 10_000, n_ranges).astype(np.int64)
+    width = rng.randint(1, 3_000, n_ranges).astype(np.int64)
+    hi = lo + width
+    ranges = pa.table(
+        {
+            "range_id": pa.array(np.arange(n_ranges, dtype=np.int64)),
+            "lo": pa.array(lo),
+            "hi": pa.array(hi),
+        }
+    )
+    ts = rng.randint(0, 13_000, n_events).astype(np.int64)
+    events = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_events, dtype=np.int64)),
+            "ts_us": pa.array(ts),
+        }
+    )
+    got = interval_join_broadcast(
+        ray.data.from_arrow(events).repartition(4), ranges
+    ).to_pandas()
+    got_set = set(zip(got["event_id"], got["range_id"]))
+    want = {
+        (e, r)
+        for e in range(n_events)
+        for r in range(n_ranges)
+        if lo[r] <= ts[e] <= hi[r]
+    }
+    assert got_set == want
+    assert len(got) == len(want)  # no duplicate emissions
+
+
+# --------------------------------------------------------- group corr
+def test_group_corr_matches_numpy(ray_session):
+    from cex_crawler_ray.stages.stats import group_corr
+
+    rng = np.random.RandomState(11)
+    key = rng.randint(0, 3, 3000)
+    x = rng.normal(size=3000)
+    y = 0.3 * x + rng.normal(size=3000)
+    tbl = pa.table(
+        {
+            "k": pa.array(key, pa.int64()),
+            "x": pa.array(x),
+            "y": pa.array(y),
+        }
+    )
+    got = group_corr(
+        ray.data.from_arrow(tbl).repartition(8), "k", "x", "y"
+    ).to_pandas().set_index("k")["corr"]
+    for g in range(3):
+        m = key == g
+        want = np.corrcoef(x[m], y[m])[0, 1]
+        assert got.loc[g] == pytest.approx(want, abs=1e-9)
+
+
+def test_group_corr_zero_variance_null(ray_session):
+    from cex_crawler_ray.stages.stats import group_corr
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "x": pa.array([2.0, 2.0, 2.0]),
+            "y": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    got = group_corr(ray.data.from_arrow(tbl), "k", "x", "y")
+    assert np.isnan(got["corr"].to_numpy(zero_copy_only=False)[0])
+
+
+# ------------------------------------------------------------- fuzzy
+def test_edit1_within_kernel():
+    from cex_crawler_ray.stages.fuzzy import edit1_within
+
+    assert edit1_within("abc", "abc")
+    assert edit1_within("abc", "abd")      # substitution
+    assert edit1_within("abc", "abcd")     # insertion at end
+    assert edit1_within("abc", "xabc")     # insertion at front
+    assert edit1_within("abc", "ac")       # deletion
+    assert not edit1_within("abc", "abXY")
+    assert not edit1_within("abc", "xbd")
+    assert not edit1_within("", "ab")
+    assert edit1_within("", "a")
+
+
+def test_edit1_pairs_bruteforce(ray_session):
+    from cex_crawler_ray.stages.fuzzy import edit1_pairs, edit1_within
+
+    vocab = [
+        "cold plate", "old plate", "bold plate", "cold plates",
+        "hot gear", "hot bear", "hot gears", "unrelated thing",
+        "a", "b", "ab",
+    ]
+    # duplicate values across batches must not duplicate pairs
+    vals = vocab * 3
+    ds = ray.data.from_arrow(
+        pa.table({"p_name": pa.array(vals, pa.string())})
+    ).repartition(4)
+    got = edit1_pairs(ds, "p_name").to_pandas()
+    got_set = set(zip(got["val_a"], got["val_b"]))
+    want = {
+        (a, b)
+        for i, a in enumerate(sorted(set(vocab)))
+        for b in sorted(set(vocab))[i + 1 :]
+        if a != b and edit1_within(a, b)
+    }
+    assert got_set == want
+    assert len(got) == len(want)
