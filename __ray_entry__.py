@@ -2216,6 +2216,125 @@ def q_fuzzy_name_pairs(sf_dir: str):
     )
 
 
+def q_value_histogram(sf_dir: str):
+    """Fixed-width global value histogram (10-dollar buckets): the
+    combiner pattern — per-batch bucket counts/sums, one tiny keyed
+    shuffle, no row ever leaves its batch."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        cents = _cents(df["value"])
+        bucket = np.floor_divide(cents, 1000)
+        g = pd.DataFrame({"bucket": bucket, "cnt": 1, "sum_cents": cents})
+        return g.groupby("bucket", as_index=False).sum()
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .sum(["cnt", "sum_cents"])
+        .to_pandas()
+    )
+    merged.columns = ["bucket", "n_rows", "sum_cents"]
+    merged["n_rows"] = merged["n_rows"].astype("int64")
+    merged["sum_cents"] = merged["sum_cents"].astype("int64")
+    return merged
+
+
+def q_group_mode(sf_dir: str):
+    """Per-user modal event type (deterministic tie-break: smallest
+    type among max counts).  Combiner: (user, type, count) partials
+    shuffle once; the argmax is a vectorized sort-and-first inside a
+    coarse user partition."""
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(df):
+        import pandas as pd
+
+        g = pd.DataFrame(
+            {"user_id": df["user_id"], "event_type": df["event_type"]}
+        ).groupby(["user_id", "event_type"], as_index=False)
+        return g.size().rename(columns={"size": "cnt"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "event_type"])
+        .sum("cnt")
+    )
+
+    def argmax(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        df.columns = ["user_id", "event_type", "cnt"]
+        df = df.sort_values(
+            ["user_id", "cnt", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = df.drop_duplicates(subset=["user_id"], keep="first")
+        return pa.table(
+            {
+                "user_id": pa.array(top["user_id"], pa.int64()),
+                "mode_type": pa.array(top["event_type"], pa.string()),
+                "n_events": pa.array(top["cnt"], pa.int64()),
+            }
+        )
+
+    return _coarse_group_apply(counts, "user_id", argmax)
+
+
+def q_group_p90_cont(sf_dir: str):
+    """Per-group INTERPOLATED 90th percentile (quantile_cont per
+    event_type), reported in centi-cents so the interpolated fraction
+    stays integral.  Same exact-order-stat shape as q_group_median;
+    the per-key data fits a worker (documented assumption — the
+    global variant uses histogram descent instead)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def p90(df: "pd.DataFrame") -> "pd.DataFrame":
+        cents = np.sort(_cents(df["value"]))
+        n = len(cents)
+        h = 0.9 * (n - 1)
+        lo = int(np.floor(h))
+        hi = int(np.ceil(h))
+        v = cents[lo] + (h - lo) * (cents[hi] - cents[lo])
+        x = v * 100.0
+        out = int(np.sign(x) * np.floor(np.abs(x) + 0.5))
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "p90_centicents": [out],
+                "n": [n],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(p90, batch_format="pandas")
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Collocation extraction (Church & Hanks 1990): top-20 bigrams by
+    pointwise mutual information among those occurring >= 5 times.
+    All counts flow through combiner shuffles; unigram counts attach
+    to bigram halves by co-partitioned string-hash join."""
+    from cex_crawler_ray.stages.tfidf import pmi_bigrams
+
+    return pmi_bigrams(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        min_count=5,
+        top_k=20,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2303,6 +2422,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_buyers": q_intersect_buyers,
         "except_nonbuyers": q_except_nonbuyers,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "value_histogram": q_value_histogram,
+        "group_mode": q_group_mode,
+        "group_p90_cont": q_group_p90_cont,
+        "pmi_bigrams": q_pmi_bigrams,
         "weighted_sample": q_weighted_sample,
         "global_p90": q_global_p90,
         "sliding_window": q_sliding_window,
@@ -3245,6 +3368,67 @@ WITH d AS (SELECT DISTINCT p_name FROM part)
 SELECT a.p_name AS name_a, b.p_name AS name_b
 FROM d a JOIN d b
   ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) = 1
+""",
+        "value_histogram": """
+WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+SELECT CAST(floor(cents / 1000.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM c GROUP BY 1
+""",
+        "group_mode": """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS n_events
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+)
+WHERE rn = 1
+""",
+        "group_p90_cont": """
+SELECT event_type,
+       CAST(round(
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) * 100
+       ) AS BIGINT) AS p90_centicents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+        "pmi_bigrams": """
+WITH lists AS (
+  SELECT list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                        x -> lower(x)) AS l
+  FROM documents
+),
+uni AS (
+  SELECT u.w AS word, COUNT(*) AS c
+  FROM lists, LATERAL unnest(l) AS u(w)
+  GROUP BY 1
+),
+tot AS (
+  SELECT SUM(len(l)) AS t1,
+         SUM(CASE WHEN len(l) >= 2 THEN len(l) - 1 ELSE 0 END) AS t2
+  FROM lists
+),
+big AS (
+  SELECT array_to_string(list_slice(l, i, i + 1), ' ') AS gram,
+         COUNT(*) AS cxy
+  FROM lists, LATERAL unnest(range(1, len(l))) AS t(i)
+  WHERE len(l) >= 2
+  GROUP BY 1 HAVING COUNT(*) >= 5
+)
+SELECT gram, CAST(cxy AS BIGINT) AS n_occurrences,
+       CAST(round(ln(
+         (CAST(cxy AS DOUBLE) * t1 * t1) /
+         (CAST(t2 AS DOUBLE) * u1.c * u2.c)
+       ) * 10000) AS BIGINT) AS pmi_e4
+FROM big CROSS JOIN tot
+JOIN uni u1 ON u1.word = split_part(gram, ' ', 1)
+JOIN uni u2 ON u2.word = split_part(gram, ' ', 2)
+ORDER BY pmi_e4 DESC, gram
+LIMIT 20
 """,
         "weighted_sample": """
 SELECT doc_id, CAST(w AS BIGINT) AS weight FROM (

@@ -261,3 +261,189 @@ def ngram_counts(
         )
 
     return merged.map_batches(prune, batch_format="pyarrow")
+
+
+def pmi_bigrams(
+    ds: "ray.data.Dataset",
+    min_count: int = 5,
+    top_k: int = 20,
+    text_col: str = "text",
+    num_parts: int = 64,
+) -> pa.Table:
+    """Top-k collocations by pointwise mutual information (Church &
+    Hanks 1990): PMI(x,y) = ln( p(xy) / (p(x)p(y)) ) over word bigrams
+    occurring at least ``min_count`` times.
+
+    Everything is combiner-shaped:
+
+    1. bigram and unigram count tables via ``ngram_counts`` (one row
+       per distinct gram per batch through each shuffle);
+    2. corpus totals (T1 tokens, T2 bigram windows) via a 2-int
+       combiner;
+    3. unigram counts attach to each surviving bigram's two halves by
+       a CO-PARTITIONED string-hash join (bigram half-rows and
+       unigram rows bucketed by word hash — no vocabulary broadcast,
+       no driver dict);
+    4. per-partition PMI + partial top-k; only ``num_parts * k``
+       candidate rows reach the driver for the final cut.
+
+    Returned as (gram, n_occurrences, pmi_e4) ordered by
+    (pmi_e4 desc, gram) — fixed-point 1e-4 so an SQL oracle
+    hash-matches the float math.
+    """
+    from .dedup import _coarse_group_apply, _hash64
+
+    big = ngram_counts(ds, n=2, min_count=min_count, text_col=text_col)
+    uni = ngram_counts(ds, n=1, min_count=1, text_col=text_col)
+
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        n_tok = 0
+        n_big = 0
+        for t in batch[text_col].to_pylist():
+            k = len(_WORD_RE.findall(t))
+            n_tok += k
+            n_big += max(k - 1, 0)
+        return pa.table(
+            {
+                "n_tok": pa.array([n_tok], pa.int64()),
+                "n_big": pa.array([n_big], pa.int64()),
+            }
+        )
+
+    tot = (
+        ds.map_batches(totals_partial, batch_format="pyarrow")
+        .sum(["n_tok", "n_big"])
+    )
+    t1 = float(tot["sum(n_tok)"])
+    t2 = float(tot["sum(n_big)"])
+
+    # ---- half-rows: one row per (bigram, position) keyed by the word
+    def halves(batch: pa.Table) -> pa.Table:
+        grams = batch["gram"].to_pylist()
+        cxy = batch["n_occurrences"].to_pylist()
+        words: list[str] = []
+        out_gram: list[str] = []
+        out_pos: list[int] = []
+        out_cxy: list[int] = []
+        for g, c in zip(grams, cxy):
+            w1, w2 = g.split(" ", 1)
+            words.extend((w1, w2))
+            out_gram.extend((g, g))
+            out_pos.extend((1, 2))
+            out_cxy.extend((c, c))
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "word_hash": pa.array(
+                    [_hash64(w) for w in words], pa.uint64()
+                ),
+                "gram": pa.array(out_gram, pa.string()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "c_xy": pa.array(out_cxy, pa.int64()),
+                "c_w": pa.array([None] * len(words), pa.int64()),
+            }
+        )
+
+    def uni_rows(batch: pa.Table) -> pa.Table:
+        t = batch.rename_columns(["word", "c"])
+        words = t["word"].to_pylist()
+        n = len(words)
+        return pa.table(
+            {
+                "word": t["word"],
+                "word_hash": pa.array(
+                    [_hash64(w) for w in words], pa.uint64()
+                ),
+                "gram": pa.array([None] * n, pa.string()),
+                "pos": pa.array([None] * n, pa.int64()),
+                "c_xy": pa.array([None] * n, pa.int64()),
+                "c_w": t["c"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    unioned = big.map_batches(halves, batch_format="pyarrow").union(
+        uni.map_batches(uni_rows, batch_format="pyarrow")
+    )
+
+    def attach(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        is_uni = df["gram"].isna()
+        wmap = dict(
+            zip(df.loc[is_uni, "word"], df.loc[is_uni, "c_w"])
+        )
+        h = df.loc[~is_uni].copy()
+        # every bigram half exists in the unigram table by construction
+        h["c_w"] = h["word"].map(wmap).astype("int64")
+        h["pos"] = h["pos"].astype("int64")
+        h["c_xy"] = h["c_xy"].astype("int64")
+        return pa.Table.from_pandas(
+            h[["gram", "pos", "c_xy", "c_w"]], preserve_index=False
+        )
+
+    attached = _coarse_group_apply(unioned, "word_hash", attach, num_parts)
+
+    # ---- regroup by gram: combine the two halves, PMI, partial top-k
+    def add_gram_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "gram_hash",
+            pa.array(
+                [_hash64(g) for g in batch["gram"].to_pylist()],
+                pa.uint64(),
+            ),
+        )
+
+    def pmi_part(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        p1 = df[df["pos"] == 1].set_index("gram")
+        p2 = df[df["pos"] == 2].set_index("gram")
+        m = p1.join(p2, lsuffix="_1", rsuffix="_2", how="inner")
+        cxy = m["c_xy_1"].to_numpy(dtype=np.float64)
+        cx = m["c_w_1"].to_numpy(dtype=np.float64)
+        cy = m["c_w_2"].to_numpy(dtype=np.float64)
+        pmi = np.log((cxy * t1 * t1) / (t2 * cx * cy))
+        x = pmi * 10_000.0
+        e4 = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        out = pa.table(
+            {
+                "gram": pa.array(m.index.to_list(), pa.string()),
+                "n_occurrences": pa.array(
+                    m["c_xy_1"].astype("int64"), pa.int64()
+                ),
+                "pmi_e4": pa.array(e4, pa.int64()),
+            }
+        )
+        # partial top-k: at most k rows leave each partition
+        idx = sorted(
+            range(out.num_rows),
+            key=lambda i: (-e4[i], out["gram"][i].as_py()),
+        )[:top_k]
+        return out.take(pa.array(idx, pa.int64()))
+
+    cand = _coarse_group_apply(
+        attached.map_batches(add_gram_hash, batch_format="pyarrow"),
+        "gram_hash",
+        pmi_part,
+        num_parts,
+    )
+    blocks = [
+        t
+        if isinstance(t, pa.Table)
+        else pa.Table.from_pandas(t, preserve_index=False)
+        for t in ray.get(cand.to_arrow_refs())
+    ]
+    final = pa.concat_tables(
+        [t for t in blocks if t.num_rows]
+        or [
+            pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                    "pmi_e4": pa.array([], pa.int64()),
+                }
+            )
+        ]
+    )
+    df = final.to_pandas().sort_values(
+        ["pmi_e4", "gram"], ascending=[False, True], kind="mergesort"
+    )[:top_k]
+    return pa.Table.from_pandas(df, preserve_index=False)
