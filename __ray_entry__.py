@@ -2335,6 +2335,32 @@ def q_pmi_bigrams(sf_dir: str):
     )
 
 
+def q_triangle_count(sf_dir: str):
+    """Exact global triangle count of the (undirected) session-handoff
+    graph via degree-ordered wedge checking (Suri & Vassilvitskii
+    2011) — same edge derivation as q_pagerank_nodes."""
+    import pyarrow.compute as pc
+
+    from cex_crawler_ray.stages.graph import triangle_count
+    from cex_crawler_ray.stages.window import lead_lag
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    led = lead_lag(ds, kind="lead")
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch["user_id"]
+        dst = batch["lead_user_id"]
+        keep = pc.and_(dst.is_valid(), pc.not_equal(src, dst))
+        t = batch.filter(keep)
+        return pa.table({"src": t["user_id"], "dst": t["lead_user_id"]})
+
+    edges = led.map_batches(to_edges, batch_format="pyarrow")
+    n = triangle_count(edges)
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2426,6 +2452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_mode": q_group_mode,
         "group_p90_cont": q_group_p90_cont,
         "pmi_bigrams": q_pmi_bigrams,
+        "triangle_count": q_triangle_count,
         "weighted_sample": q_weighted_sample,
         "global_p90": q_global_p90,
         "sliding_window": q_sliding_window,
@@ -3618,6 +3645,21 @@ SELECT event_id,
 FROM events
 """,
         "pagerank_nodes": _pagerank_sql(),
+        "triangle_count": """
+WITH ev AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (ORDER BY ts, event_id) AS dst
+  FROM events
+),
+ed AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ev WHERE dst IS NOT NULL AND dst <> src
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM ed e1
+JOIN ed e2 ON e2.a = e1.b
+JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
         "range_join": """
 SELECT e.event_id, t.tier
 FROM (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents

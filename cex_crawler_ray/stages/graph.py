@@ -253,3 +253,195 @@ def dedup_keep_best(
 
     aug = joined.map_batches(with_ck, batch_format="pyarrow")
     return _coarse_group_apply(aug, "ck", _best_per_cluster, num_parts)
+
+
+def triangle_count(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_parts: int = 64,
+) -> int:
+    """EXACT global triangle count via degree-ordered wedge checking
+    (the MapReduce classic: Suri & Vassilvitskii 2011, "Counting
+    Triangles and the Curse of the Last Reducer").
+
+    1. canonicalize to distinct UNDIRECTED edges (a < b) — coarse
+       hash-partition dedupe, int64-only shuffle;
+    2. degree table (combiner counts), broadcast SORTED via
+       ``ray.put`` — node-count-sized, fine to ~10^8 nodes; beyond
+       that the orientation lookup becomes two co-partition joins;
+    3. orient every edge from its (degree, id)-smaller endpoint — each
+       triangle then has exactly ONE wedge-closing orientation, and a
+       node emits at most O(arboricity) out-neighbors, which kills the
+       hub-wedge explosion (the "last reducer" of the naive version);
+    4. group oriented edges by source, emit ordered wedges (v, w);
+       union with the oriented edge set keyed by the SAME (v, w) pair
+       hash; a coarse-partition vectorized membership intersect counts
+       closed wedges.  Only (pair-hash, v, w) int64 rows shuffle.
+    """
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        key = (
+            a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + b.astype(np.uint64)
+        )
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "ekey": pa.array(key, pa.uint64()),
+            }
+        )
+
+    def dedupe(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates(subset=["a", "b"])
+        return pa.Table.from_pandas(
+            df[["a", "b"]], preserve_index=False
+        )
+
+    und = _coarse_group_apply(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        "ekey",
+        dedupe,
+        num_parts,
+    ).materialize()  # consumed three times below (degrees, orient, wedges)
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [
+                batch["a"].to_numpy(zero_copy_only=False),
+                batch["b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(u, pa.int64()),
+                "d": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    deg_tbl = (
+        und.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .sum("d")
+        .to_pandas()
+    )
+    deg_tbl.columns = ["node", "d"]
+    nodes = deg_tbl["node"].to_numpy()
+    degs = deg_tbl["d"].to_numpy()
+    order = np.argsort(nodes)
+    deg_ref = ray.put((nodes[order], degs[order]))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        ns, ds_ = ray.get(deg_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        da = ds_[np.searchsorted(ns, a)]
+        db = ds_[np.searchsorted(ns, b)]
+        # orient from (deg, id)-smaller endpoint
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    oriented = und.map_batches(orient, batch_format="pyarrow")
+
+    _PK = np.uint64(0x9E3779B97F4A7C15)
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        key = u.astype(np.uint64) * _PK + v.astype(np.uint64)
+        return pa.table(
+            {
+                "pkey": pa.array(key, pa.uint64()),
+                "x": pa.array(u, pa.int64()),
+                "y": pa.array(v, pa.int64()),
+                "is_edge": pa.array(
+                    np.ones(len(u), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def wedge_rows(part: pa.Table) -> pa.Table:
+        # part holds all out-edges of a coarse set of sources; wedges
+        # are ordered out-neighbor pairs per source, vectorized per
+        # source segment
+        u = part["u"].to_numpy(zero_copy_only=False)
+        v = part["v"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((v, u))
+        u, v = u[o], v[o]
+        xs: list[np.ndarray] = []
+        ys: list[np.ndarray] = []
+        starts = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(u)]))
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, k=1)
+            nb = v[s:e]
+            x, y = nb[i], nb[j]
+            # wedge (x, y) must follow the same orientation order the
+            # closing edge would have: (deg, id)-sorted.  Out-neighbor
+            # lists are in id order; re-orient by degree.
+            xs.append(x)
+            ys.append(y)
+        if not xs:
+            return pa.table(
+                {
+                    "pkey": pa.array([], pa.uint64()),
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.int64()),
+                }
+            )
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        ns, ds_ = ray.get(deg_ref)
+        dx = ds_[np.searchsorted(ns, x)]
+        dy = ds_[np.searchsorted(ns, y)]
+        swap = (dy < dx) | ((dy == dx) & (y < x))
+        x2 = np.where(swap, y, x)
+        y2 = np.where(swap, x, y)
+        key = x2.astype(np.uint64) * _PK + y2.astype(np.uint64)
+        return pa.table(
+            {
+                "pkey": pa.array(key, pa.uint64()),
+                "x": pa.array(x2, pa.int64()),
+                "y": pa.array(y2, pa.int64()),
+                "is_edge": pa.array(np.zeros(len(x2), np.int64), pa.int64()),
+            }
+        )
+
+    wedges = _coarse_group_apply(oriented, "u", wedge_rows, num_parts)
+    unioned = oriented.map_batches(edge_rows, batch_format="pyarrow").union(
+        wedges
+    )
+
+    def count_closed(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        e = df[df["is_edge"] == 1][["x", "y"]]
+        w = df[df["is_edge"] == 0][["x", "y"]]
+        if len(e) == 0 or len(w) == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        n = len(w.merge(e, on=["x", "y"], how="inner"))
+        return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+    counted = _coarse_group_apply(unioned, "pkey", count_closed, num_parts)
+    total = counted.sum("n")
+    return int(total["sum(n)"] if isinstance(total, dict) else total)

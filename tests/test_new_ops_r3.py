@@ -203,3 +203,41 @@ def test_edit1_pairs_bruteforce(ray_session):
     }
     assert got_set == want
     assert len(got) == len(want)
+
+
+# --------------------------------------------------------- triangles
+def test_triangle_count_bruteforce(ray_session):
+    from itertools import combinations
+
+    from cex_crawler_ray.stages.graph import triangle_count
+
+    rng = np.random.RandomState(5)
+    n_nodes, n_edges = 30, 120
+    src = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.randint(0, n_nodes, n_edges).astype(np.int64)
+    edges = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    got = triangle_count(
+        ray.data.from_arrow(edges).repartition(5)
+    )
+    und = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(
+        1
+        for a, b, c in combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    assert got == want and want > 0
+
+
+def test_triangle_count_known_graph(ray_session):
+    from cex_crawler_ray.stages.graph import triangle_count
+
+    # two triangles sharing an edge + a pendant vertex: K4 minus one
+    # edge has exactly 2 triangles
+    src = np.array([1, 2, 1, 3, 2, 2, 4], np.int64)
+    dst = np.array([2, 3, 3, 4, 4, 1, 5], np.int64)  # dup edge 1-2 too
+    edges = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    assert triangle_count(ray.data.from_arrow(edges)) == 2
