@@ -2335,6 +2335,27 @@ def q_pmi_bigrams(sf_dir: str):
     )
 
 
+def q_knn_pq(sf_dir: str):
+    """PQ-indexed approximate top-k (Jégou et al. 2011): 8-byte ADC
+    codes shortlist, exact re-rank (no SQL oracle: approximate by
+    construction; guarded by q_knn_pq_top50_guard + recall pytest)."""
+    from cex_crawler_ray.stages.similarity import knn_pq
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qvec = _query_vec(sf_dir)
+    return knn_pq(emb, qvec[None, :], k=10)
+
+
+def q_knn_pq_top50_guard(sf_dir: str):
+    from cex_crawler_ray.stages.similarity import knn_pq
+
+    return _knn_top50_guard(
+        sf_dir, lambda emb, q: knn_pq(emb, q[None, :], k=10)
+    )
+
+
 def q_triangle_count(sf_dir: str):
     """Exact global triangle count of the (undirected) session-handoff
     graph via degree-ordered wedge checking (Suri & Vassilvitskii
@@ -2453,6 +2474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_p90_cont": q_group_p90_cont,
         "pmi_bigrams": q_pmi_bigrams,
         "triangle_count": q_triangle_count,
+        "knn_pq": q_knn_pq,
+        "knn_pq_top50_guard": q_knn_pq_top50_guard,
         "weighted_sample": q_weighted_sample,
         "global_p90": q_global_p90,
         "sliding_window": q_sliding_window,
@@ -3099,6 +3122,10 @@ SELECT CAST(10 AS BIGINT) AS n_returned,
        CAST(0 AS BIGINT) AS n_outside_top50
 """,
         "knn_ivf_top50_guard": """
+SELECT CAST(10 AS BIGINT) AS n_returned,
+       CAST(0 AS BIGINT) AS n_outside_top50
+""",
+        "knn_pq_top50_guard": """
 SELECT CAST(10 AS BIGINT) AS n_returned,
        CAST(0 AS BIGINT) AS n_outside_top50
 """,

@@ -14,6 +14,11 @@
   its ``nprobe`` nearest lists and exact-reranks only those.  The
   standard billion-scale ANN layout (FAISS-style), partitionable by
   list id.
+* ``knn_pq``: product quantization (Jégou et al. 2011) — per-subspace
+  codebooks trained on a hash-mod sample, corpus encoded to m uint8
+  codes per vector (~64x smaller), asymmetric-distance shortlist +
+  exact re-rank.  The memory-bound billion-scale path; composes with
+  IVF partitioning in the standard IVF-PQ layout.
 """
 
 from __future__ import annotations
@@ -561,3 +566,223 @@ def knn_ivf_ds(
 
     cand = corpus.map_batches(partial, batch_format="pyarrow")
     return _reduce_topk_per_query(cand, k)
+
+
+# ------------------------------------------------------------------ PQ
+def train_pq_codebooks(
+    ds,
+    m: int = 4,
+    ksub: int = 32,
+    sample_mod: int = 1,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace codebooks for product quantization (Jégou et al.
+    2011, "Product Quantization for Nearest Neighbor Search").
+
+    Vectors are L2-normalized and split into ``m`` contiguous
+    subspaces; each gets a deterministic k-means codebook of ``ksub``
+    centroids trained on a hash-mod sample (``vec_id % sample_mod ==
+    0``) — index training is driver-sized BY DESIGN (the standard ANN
+    recipe: train on a bounded sample, encode the full corpus
+    distributed).  Returns (m, ksub, dsub) float64.
+    """
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = col_to_numpy(batch[id_col], np.int64)
+        return batch.filter(pa.array(ids % sample_mod == 0))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    sample = _norm_rows(
+        np.stack([np.asarray(r[emb_col], np.float64) for r in rows])
+    )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub), np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        # subspace vectors are NOT renormalized — k-means on raw
+        # subvectors, distance = plain L2 (argmin ||x - c||)
+        rng = np.random.RandomState(11 + j)
+        cent = sub[
+            rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)
+        ].copy()
+        for _ in range(iters):
+            d2 = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * (sub @ cent.T)
+                + (cent * cent).sum(1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        if len(cent) < ksub:  # tiny corpus: pad with repeats
+            cent = np.vstack([cent] * (ksub // len(cent) + 1))[:ksub]
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    ds,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Encode the corpus to (vec_id, codes list<uint8>) — m bytes per
+    vector (dim x 8 bytes -> m bytes; 128x smaller at dim=64, m=4).
+    One distributed pass against the broadcast codebooks."""
+    m, ksub, dsub = codebooks.shape
+    books_ref = ray.put(codebooks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        mat = _norm_rows(stack_list_column(batch[emb_col]))
+        n = mat.shape[0]
+        codes = np.empty((n, m), np.uint8)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            cent = books[j]
+            d2 = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * (sub @ cent.T)
+                + (cent * cent).sum(1)[None, :]
+            )
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "codes": pa.array(
+                    list(codes), pa.list_(pa.uint8(), m)
+                ),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def knn_pq(
+    ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 32,
+    shortlist_mult: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """PQ-indexed approximate top-k with exact re-rank: asymmetric
+    distance computation (ADC) over m-byte codes builds a shortlist of
+    ``shortlist_mult * k`` candidates per query, then one filtered
+    corpus scan exact-reranks just those — the billion-scale memory
+    layout (codes are ~100x smaller than the vectors, so the scan
+    stage reads bytes, not floats).
+
+    Returns (query_idx, rank, vec_id), rank 1..k, ties (sim desc,
+    id asc) — same contract as ``knn_brute_force``.
+    """
+    qm = _norm_rows(
+        np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    )
+    books = train_pq_codebooks(
+        ds, m=m, ksub=ksub, id_col=id_col, emb_col=emb_col
+    )
+    codes_ds = pq_encode(ds, books, id_col=id_col, emb_col=emb_col)
+
+    # per-query LUT[j, c] = q_j . c_{j,c}: approx inner product of the
+    # normalized query with a reconstructed vector is the LUT sum
+    dsub = books.shape[2]
+    luts = np.empty((len(qm), m, ksub), np.float64)
+    for j in range(m):
+        luts[:, j, :] = qm[:, j * dsub : (j + 1) * dsub] @ books[j].T
+    lut_ref = ray.put(luts)
+    n_short = shortlist_mult * k
+
+    def adc_partial(batch: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref)
+        ids = col_to_numpy(batch[id_col], np.int64)
+        codes = stack_list_column(batch["codes"]).astype(np.int64)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(lt.shape[0]):
+            sims = lt[qi, np.arange(m)[None, :], codes].sum(axis=1)
+            kk = min(n_short, len(sims))
+            part = np.lexsort((ids, -sims))[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[part].tolist())
+            out_sim.extend(sims[part].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    cand = codes_ds.map_batches(adc_partial, batch_format="pyarrow").take_all()
+    # driver shortlist: n_short per query after the global ADC merge
+    best: dict = {}
+    for r in cand:
+        best.setdefault(r["query_idx"], []).append((r["sim"], r["vec_id"]))
+    shortlist: dict = {
+        qi: set(
+            vid
+            for _, vid in heapq.nsmallest(
+                n_short, rows, key=lambda t: (-t[0], t[1])
+            )
+        )
+        for qi, rows in best.items()
+    }
+    all_ids = np.array(
+        sorted(set().union(*shortlist.values())) if shortlist else [],
+        np.int64,
+    )
+    ids_ref = ray.put(all_ids)
+    q_ref = ray.put(qm)
+
+    def rerank(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = col_to_numpy(batch[id_col], np.int64)
+        if len(wanted):
+            pos = np.searchsorted(wanted, ids)
+            pos[pos >= len(wanted)] = 0
+            mask = wanted[pos] == ids
+        else:
+            mask = np.zeros(len(ids), bool)
+        t = batch.filter(pa.array(mask))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        sids = col_to_numpy(t[id_col], np.int64)
+        mat = _norm_rows(stack_list_column(t[emb_col]))
+        qs = ray.get(q_ref)
+        sims = qs @ mat.T
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(qs)):
+            out_q.extend([qi] * len(sids))
+            out_id.extend(sids.tolist())
+            out_sim.extend(sims[qi].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    exact = ds.map_batches(rerank, batch_format="pyarrow").take_all()
+    # keep only each query's own shortlist, then exact top-k
+    rows = [
+        r
+        for r in exact
+        if r["vec_id"] in shortlist.get(r["query_idx"], ())
+    ]
+    return _merge_topk(rows, k)

@@ -241,3 +241,40 @@ def test_triangle_count_known_graph(ray_session):
     dst = np.array([2, 3, 3, 4, 4, 1, 5], np.int64)  # dup edge 1-2 too
     edges = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
     assert triangle_count(ray.data.from_arrow(edges)) == 2
+
+
+# ---------------------------------------------------------------- PQ
+def test_knn_pq_recall_vs_bruteforce(ray_session):
+    from cex_crawler_ray.stages.similarity import knn_brute_force, knn_pq
+
+    sf = "/root/testdata/sf0.01"
+    emb = ray.data.read_parquet(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    first = emb.take(3)
+    q = np.stack([np.asarray(r["embedding"], np.float64) for r in first])
+    exact = knn_brute_force(emb, q, k=10).to_pandas()
+    approx = knn_pq(emb, q, k=10).to_pandas()
+    for qi in range(3):
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        assert len(a) == 10
+        assert len(e & a) / 10 >= 0.8, (qi, len(e & a))
+
+
+def test_pq_codes_are_m_bytes(ray_session):
+    from cex_crawler_ray.stages.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    books = train_pq_codebooks(emb, m=4, ksub=16)
+    assert books.shape[0] == 4 and books.shape[1] == 16
+    codes = pq_encode(emb, books).take(5)
+    for r in codes:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 16 for c in r["codes"])
