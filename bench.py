@@ -318,6 +318,12 @@ def bench_queries(sf_dir: str) -> dict:
         "topk_orders",
         "hk_timestamps",
         "report_spot_grouped",
+        "triangle_count",
+        "interval_join",
+        "ntile_events",
+        "pmi_bigrams",
+        "knn_pq",
+        "fuzzy_name_pairs",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row
