@@ -2382,6 +2382,105 @@ def q_triangle_count(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact per-group COUNT(DISTINCT) with VALUE-HASH SALTING — the
+    skew pattern: a hot event_type's distinct work spreads over 16
+    salt reducers (same value -> same salt keeps local counts exact);
+    stage 2 sums <= 16 partials per key."""
+    from cex_crawler_ray.stages.skew import salted_group_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return salted_group_distinct(ds, "event_type", "user_id")
+
+
+def q_label_centroid_sums(sf_dir: str):
+    """Per-label embedding centroid in EXACT fixed point: values are
+    scaled to 1e-6 ints, summed per (label, dim) with the combiner
+    pattern — order-free integer sums make the distributed result
+    hash-identical to SQL.  Centroid = sum_e6 / n downstream."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        from cex_crawler_ray.stages.similarity import stack_list_column
+
+        m = stack_list_column(batch["embedding"])
+        # float32 storage -> promote to float64 BEFORE scaling, exactly
+        # as SQL engines promote REAL to DOUBLE in arithmetic; scaling
+        # in float32 shifts ~0.1% of values across the .5 boundary
+        x = m.astype(np.float64) * 1_000_000.0
+        e6 = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        labels = batch["label"].to_pylist()
+        n, dim = e6.shape
+        df = pd.DataFrame(
+            {
+                "label": np.repeat(np.asarray(labels, object), dim),
+                "dim_idx": np.tile(
+                    np.arange(1, dim + 1, dtype=np.int64), n
+                ),
+                "sum_e6": e6.ravel(),
+                "n": np.ones(n * dim, np.int64),
+            }
+        )
+        return df.groupby(["label", "dim_idx"], as_index=False).sum()
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim_idx"])
+        .sum(["sum_e6", "n"])
+        .to_pandas()
+    )
+    merged.columns = ["label", "dim_idx", "sum_e6", "n"]
+    merged["sum_e6"] = merged["sum_e6"].astype("int64")
+    merged["n"] = merged["n"].astype("int64")
+    return merged
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust outlier detection: |value - median| > 3 * MAD — TWO
+    exact histogram-descent passes (median of cents, then median of
+    absolute deviations) and one streaming filter; nothing but
+    (bucket, count) partials ever reaches the driver."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.sketch import exact_global_quantile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def to_cents(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"event_id": df["event_id"], "cents": _cents(df["value"])}
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+    med = exact_global_quantile(cents, col="cents", q=0.5)
+
+    def to_dev(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "cents": np.abs(df["cents"].to_numpy() - med),
+            }
+        )
+
+    devs = cents.map_batches(to_dev, batch_format="pandas")
+    mad = exact_global_quantile(devs, col="cents", q=0.5)
+    thresh = 3 * mad
+
+    def keep_outliers(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df[df["cents"] > thresh]
+        return pd.DataFrame({"event_id": out["event_id"]})
+
+    return devs.map_batches(keep_outliers, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2476,6 +2575,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q_triangle_count,
         "knn_pq": q_knn_pq,
         "knn_pq_top50_guard": q_knn_pq_top50_guard,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "label_centroid_sums": q_label_centroid_sums,
+        "mad_outliers": q_mad_outliers,
         "weighted_sample": q_weighted_sample,
         "global_p90": q_global_p90,
         "sliding_window": q_sliding_window,
@@ -3128,6 +3230,30 @@ SELECT CAST(10 AS BIGINT) AS n_returned,
         "knn_pq_top50_guard": """
 SELECT CAST(10 AS BIGINT) AS n_returned,
        CAST(0 AS BIGINT) AS n_outside_top50
+""",
+        "distinct_users_per_type": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+""",
+        "label_centroid_sums": """
+SELECT label, CAST(t.i AS BIGINT) AS dim_idx,
+       CAST(SUM(CAST(round(CAST(list_extract(embedding, t.i) AS DOUBLE)
+                           * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY label, t.i
+""",
+        "mad_outliers": """
+WITH c AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (SELECT quantile_disc(cents, 0.5) AS med FROM c),
+d AS (
+  SELECT event_id, abs(cents - (SELECT med FROM m)) AS dev FROM c
+),
+mad AS (SELECT quantile_disc(dev, 0.5) AS mad FROM d)
+SELECT event_id FROM d WHERE dev > 3 * (SELECT mad FROM mad)
 """,
         # winnowing bounds from text-length window arithmetic (k=8,
         # window=4): lo/hi computed in SQL, ok asserted Ray-side

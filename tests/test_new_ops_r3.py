@@ -278,3 +278,40 @@ def test_pq_codes_are_m_bytes(ray_session):
     for r in codes:
         assert len(r["codes"]) == 4
         assert all(0 <= c < 16 for c in r["codes"])
+
+
+# ---------------------------------------------------------- skew salting
+def test_salted_group_distinct_hot_key(ray_session):
+    """A 90%-hot key must still count exactly; values shared across
+    batches must not double-count."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.skew import salted_group_distinct
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.9, "hot", "cold")
+    vals = rng.integers(0, 500, n)  # heavy repetition across batches
+    df = pd.DataFrame({"k": keys, "v": vals})
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = (
+        salted_group_distinct(ds, "k", "v")
+        .to_pandas()
+        .set_index("k")["n_distinct"]
+        .to_dict()
+    )
+    want = df.groupby("k")["v"].nunique().to_dict()
+    assert got == want
+
+
+def test_salted_group_distinct_salt_count(ray_session):
+    """Per-salt partials: each key contributes at most ``salts`` rows
+    to the final sum exchange (the skew guarantee)."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.skew import salted_group_distinct
+
+    df = pd.DataFrame({"k": ["a"] * 1000, "v": np.arange(1000)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = salted_group_distinct(ds, "k", "v", salts=4).to_pandas()
+    assert out["n_distinct"].tolist() == [1000]
