@@ -2481,6 +2481,67 @@ def q_mad_outliers(sf_dir: str):
     return devs.map_batches(keep_outliers, batch_format="pandas")
 
 
+def q_kmeans_step(sf_dir: str):
+    """One Lloyd k-means step (k=4, seeds = vec_id 0..3): assignment by
+    nearest centroid + per-(cluster, dim) fixed-point sufficient stats.
+    The full E+partial-M step is SQL-checkable because sums are exact
+    1e-6 integers and ties break on lowest cluster id."""
+    from cex_crawler_ray.stages.cluster import (
+        kmeans_step_stats,
+        seed_centroids,
+    )
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = seed_centroids(f"{sf_dir}/embeddings.parquet", k=4)
+    return kmeans_step_stats(emb, cent)
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Full distributed k-means (k=8, 2 Lloyd iterations from the
+    deterministic vec_id<8 seeds) then assignment — the SemDeDup-style
+    cluster step.  Fixed-point centroid updates make the ITERATIVE
+    algorithm batching-invariant, so even this is oracle-backed: the
+    SQL twin unrolls both iterations as CTEs."""
+    from cex_crawler_ray.stages.cluster import (
+        kmeans_assign,
+        kmeans_fit,
+        seed_centroids,
+    )
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent = seed_centroids(f"{sf_dir}/embeddings.parquet", k=8)
+    fitted = kmeans_fit(emb, cent, iters=2)
+    return kmeans_assign(emb, fitted)
+
+
+def q_bigram_logprob(sf_dir: str):
+    """CCNet-style LM quality scores: per-doc mean bigram
+    log-probability under the corpus's own unsmoothed bigram model —
+    three combiner shuffles + two co-partitioned hash joins."""
+    from cex_crawler_ray.stages.tfidf import bigram_logprob_scores
+
+    return bigram_logprob_scores(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
+def q_zscore_events(sf_dir: str):
+    """Per-group z-score normalization of event values: combiner
+    sufficient stats, broadcast (mean, std) per key, row-wise numpy
+    apply; the corpus never shuffles."""
+    from cex_crawler_ray.stages.stats import group_zscore
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return group_zscore(ds, "event_type", "value", "event_id")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2578,6 +2639,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": q_distinct_users_per_type,
         "label_centroid_sums": q_label_centroid_sums,
         "mad_outliers": q_mad_outliers,
+        "kmeans_step": q_kmeans_step,
+        "kmeans_clusters": q_kmeans_clusters,
+        "bigram_logprob": q_bigram_logprob,
+        "zscore_events": q_zscore_events,
         "weighted_sample": q_weighted_sample,
         "global_p90": q_global_p90,
         "sliding_window": q_sliding_window,
@@ -3242,6 +3307,119 @@ SELECT label, CAST(t.i AS BIGINT) AS dim_idx,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)
 GROUP BY label, t.i
+""",
+        "kmeans_step": """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < 4),
+a1 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT emb.vec_id, emb.e, c0.cid,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY list_distance(emb.e, c0.c), c0.cid) AS rn
+    FROM emb CROSS JOIN c0) WHERE rn = 1
+)
+SELECT CAST(cid AS BIGINT) AS cluster, CAST(t.i AS BIGINT) AS dim_idx,
+       CAST(SUM(CAST(round(e[t.i] * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_e6,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM a1, LATERAL unnest(range(1, len(e) + 1)) AS t(i)
+GROUP BY cid, t.i
+""",
+        "kmeans_clusters": """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT emb.vec_id, emb.e, c0.cid,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY list_distance(emb.e, c0.c), c0.cid) AS rn
+    FROM emb CROSS JOIN c0) WHERE rn = 1
+),
+s1 AS (
+  SELECT cid, t.i AS i,
+         SUM(CAST(round(e[t.i] * 1000000) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM a1, LATERAL unnest(range(1, len(e) + 1)) AS t(i)
+  GROUP BY cid, t.i
+),
+c1 AS (
+  SELECT c0.cid, COALESCE(u.c, c0.c) AS c
+  FROM c0 LEFT JOIN (
+    SELECT cid, list(s / 1000000.0 / n ORDER BY i) AS c
+    FROM s1 GROUP BY cid) u USING (cid)
+),
+a2 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT emb.vec_id, emb.e, c1.cid,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY list_distance(emb.e, c1.c), c1.cid) AS rn
+    FROM emb CROSS JOIN c1) WHERE rn = 1
+),
+s2 AS (
+  SELECT cid, t.i AS i,
+         SUM(CAST(round(e[t.i] * 1000000) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM a2, LATERAL unnest(range(1, len(e) + 1)) AS t(i)
+  GROUP BY cid, t.i
+),
+c2 AS (
+  SELECT c1.cid, COALESCE(u.c, c1.c) AS c
+  FROM c1 LEFT JOIN (
+    SELECT cid, list(s / 1000000.0 / n ORDER BY i) AS c
+    FROM s2 GROUP BY cid) u USING (cid)
+)
+SELECT emb.vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+  SELECT emb.vec_id AS vid, c2.cid,
+         row_number() OVER (
+           PARTITION BY emb.vec_id
+           ORDER BY list_distance(emb.e, c2.c), c2.cid) AS rn
+  FROM emb CROSS JOIN c2) a3
+JOIN emb ON emb.vec_id = a3.vid
+WHERE rn = 1
+""",
+        "bigram_logprob": """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                        x -> lower(x)) AS l
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, l[t.i] AS w1, l[t.i] || ' ' || l[t.i + 1] AS gram
+  FROM toks, LATERAL unnest(range(1, len(l))) AS t(i)
+),
+cb AS (SELECT gram, COUNT(*) AS c2 FROM pos GROUP BY gram),
+cu AS (
+  SELECT w AS word, COUNT(*) AS c1
+  FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w
+),
+sc AS (
+  SELECT p.doc_id, ln(CAST(cb.c2 AS DOUBLE) / cu.c1) AS lp
+  FROM pos p JOIN cb USING (gram) JOIN cu ON cu.word = p.w1
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(round(SUM(lp) / COUNT(*) * 10000) AS BIGINT) AS logprob_e4
+FROM sc GROUP BY doc_id
+""",
+        "zscore_events": """
+WITH s AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(value) AS sx, SUM(value * value) AS sxx
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CAST(round(CASE WHEN sxx / n - (sx / n) * (sx / n) > 0
+                  THEN (e.value - sx / n)
+                       / sqrt(sxx / n - (sx / n) * (sx / n)) * 100
+                  ELSE 0 END) AS BIGINT) AS z_e2
+FROM events e JOIN s USING (event_type)
 """,
         "mad_outliers": """
 WITH c AS (

@@ -76,3 +76,72 @@ def group_corr(
         }
     )
     return out
+
+
+def group_zscore(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    id_col: str,
+) -> "ray.data.Dataset":
+    """Per-group z-score normalization — the feature-scaling pass a
+    training pipeline runs before mixing heterogeneous sources.
+
+    Two streaming passes over the SAME lazy input:
+
+    1. combiner: per-batch (key, n, Σx, Σx²) float64 partials through
+       one tiny keyed shuffle — one row per (batch, key);
+    2. the per-key (mean, std) table (one row per key) is broadcast via
+       ``ray.put`` and applied row-wise with numpy; the corpus itself
+       never shuffles.
+
+    std is population (σ = sqrt(Σx²/n - mean²)), matching the explicit
+    SQL formula in the oracle so both sides share float behavior.
+    Output z is 1e-2 fixed point; zero-variance groups yield z_e2=0.
+    """
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        x = df[val_col].astype(np.float64)
+        g = pd.DataFrame(
+            {
+                key_col: df[key_col],
+                "n": np.ones(len(df), np.float64),
+                "sx": x,
+                "sxx": x * x,
+            }
+        ).groupby(key_col, as_index=False)
+        return g.sum()
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .sum(["n", "sx", "sxx"])
+        .to_pandas()
+    )
+    merged.columns = [key_col, "n", "sx", "sxx"]
+    n = merged["n"].to_numpy()
+    mean = merged["sx"].to_numpy() / n
+    var = merged["sxx"].to_numpy() / n - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+    stats_ref = ray.put(
+        {
+            k: (m, s)
+            for k, m, s in zip(merged[key_col], mean, std)
+        }
+    )
+
+    def apply_z(df: "pd.DataFrame") -> "pd.DataFrame":
+        st = ray.get(stats_ref)
+        keys = df[key_col].to_numpy()
+        mu = np.fromiter((st[k][0] for k in keys), np.float64, len(keys))
+        sd = np.fromiter((st[k][1] for k in keys), np.float64, len(keys))
+        x = df[val_col].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0, (x - mu) / sd, 0.0)
+        v = z * 100.0
+        e2 = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        return pd.DataFrame(
+            {id_col: df[id_col], key_col: df[key_col], "z_e2": e2}
+        )
+
+    return ds.map_batches(apply_z, batch_format="pandas")

@@ -447,3 +447,197 @@ def pmi_bigrams(
         ["pmi_e4", "gram"], ascending=[False, True], kind="mergesort"
     )[:top_k]
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def bigram_logprob_scores(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Per-document mean bigram log-probability — the CCNet-style
+    LM-perplexity quality filter (Wenzek et al. 2020), with the corpus
+    itself as the language model: score(doc) = mean over bigram
+    positions of ln( c(w1 w2) / c(w1) ), unsmoothed MLE (every doc's
+    bigrams are in the corpus counts, so probabilities are never 0).
+
+    Scale shape — three combiner shuffles and two CO-PARTITIONED
+    string-hash joins, no vocabulary broadcast, no driver dict:
+
+    1. corpus bigram / unigram count tables (``ngram_counts``: one row
+       per distinct gram per batch through each shuffle);
+    2. per-doc DISTINCT bigram rows (doc_id, w1, gram, m) — m is the
+       within-doc multiplicity, so a 100-copy bigram in one doc is ONE
+       row;
+    3. bigram counts attach by gram-hash co-partition; first-word
+       counts attach by word-hash co-partition;
+    4. per-doc partial sums (sum m*ln(c2/c1), sum m) through one tiny
+       keyed shuffle; fixed-point 1e-4 output so a SQL oracle
+       hash-matches.
+
+    Returns (doc_id, n_bigrams, logprob_e4); docs with < 2 tokens have
+    no bigrams and are absent (JOIN semantics, matching the oracle).
+    """
+    from .dedup import _coarse_group_apply, _hash64
+
+    cb = ngram_counts(ds, n=2, min_count=1, text_col=text_col)
+    cu = ngram_counts(ds, n=1, min_count=1, text_col=text_col)
+
+    # ---- per-doc bigram multiplicity rows
+    def doc_bigrams(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        w1s: list[str] = []
+        grams: list[str] = []
+        ms: list[int] = []
+        for did, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            toks = [w.lower() for w in _WORD_RE.findall(t)]
+            c: Counter = Counter(
+                zip(toks[:-1], toks[1:])
+            )
+            for (a, b), m in c.items():
+                ids.append(did)
+                w1s.append(a)
+                grams.append(a + " " + b)
+                ms.append(m)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "w1": pa.array(w1s, pa.string()),
+                "gram": pa.array(grams, pa.string()),
+                "m": pa.array(ms, pa.int64()),
+            }
+        )
+
+    doc_rows = ds.map_batches(doc_bigrams, batch_format="pyarrow")
+
+    # ---- join 1: attach c2 by gram hash (union + co-partition apply)
+    def doc_side1(batch: pa.Table) -> pa.Table:
+        grams = batch["gram"].to_pylist()
+        return pa.table(
+            {
+                "key_hash": pa.array(
+                    [_hash64(g) for g in grams], pa.uint64()
+                ),
+                id_col: batch[id_col],
+                "w1": batch["w1"],
+                "gram": batch["gram"],
+                "m": batch["m"],
+                "c": pa.array([None] * len(grams), pa.int64()),
+            }
+        )
+
+    def count_side1(batch: pa.Table) -> pa.Table:
+        t = batch
+        grams = t["gram"].to_pylist()
+        n = len(grams)
+        return pa.table(
+            {
+                "key_hash": pa.array(
+                    [_hash64(g) for g in grams], pa.uint64()
+                ),
+                id_col: pa.array([None] * n, pa.int64()),
+                "w1": pa.array([None] * n, pa.string()),
+                "gram": t["gram"],
+                "m": pa.array([None] * n, pa.int64()),
+                "c": t["n_occurrences"],
+            }
+        )
+
+    def attach1(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        is_count = df[id_col].isna()
+        cmap = dict(zip(df.loc[is_count, "gram"], df.loc[is_count, "c"]))
+        h = df.loc[~is_count].copy()
+        h["c2"] = h["gram"].map(cmap).astype("int64")
+        h[id_col] = h[id_col].astype("int64")
+        h["m"] = h["m"].astype("int64")
+        return pa.Table.from_pandas(
+            h[[id_col, "w1", "m", "c2"]], preserve_index=False
+        )
+
+    u1 = doc_rows.map_batches(doc_side1, batch_format="pyarrow").union(
+        cb.map_batches(count_side1, batch_format="pyarrow")
+    )
+    with_c2 = _coarse_group_apply(u1, "key_hash", attach1, num_parts)
+
+    # ---- join 2: attach c1 by first-word hash
+    def doc_side2(batch: pa.Table) -> pa.Table:
+        words = batch["w1"].to_pylist()
+        return pa.table(
+            {
+                "key_hash": pa.array(
+                    [_hash64(w) for w in words], pa.uint64()
+                ),
+                id_col: batch[id_col],
+                "w1": batch["w1"],
+                "m": batch["m"],
+                "c2": batch["c2"],
+                "c": pa.array([None] * len(words), pa.int64()),
+            }
+        )
+
+    def count_side2(batch: pa.Table) -> pa.Table:
+        t = batch
+        words = t["gram"].to_pylist()
+        n = len(words)
+        return pa.table(
+            {
+                "key_hash": pa.array(
+                    [_hash64(w) for w in words], pa.uint64()
+                ),
+                id_col: pa.array([None] * n, pa.int64()),
+                "w1": t["gram"],
+                "m": pa.array([None] * n, pa.int64()),
+                "c2": pa.array([None] * n, pa.int64()),
+                "c": t["n_occurrences"],
+            }
+        )
+
+    def attach2(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part.to_pandas()
+        is_count = df[id_col].isna()
+        cmap = dict(zip(df.loc[is_count, "w1"], df.loc[is_count, "c"]))
+        h = df.loc[~is_count]
+        if not len(h):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "nb": pa.array([], pa.int64()),
+                }
+            )
+        c1 = h["w1"].map(cmap).to_numpy(np.float64)
+        c2 = h["c2"].to_numpy(np.float64)
+        m = h["m"].to_numpy(np.float64)
+        lp = m * np.log(c2 / c1)
+        out = pd.DataFrame(
+            {id_col: h[id_col].astype("int64"), "s": lp, "nb": h["m"].astype("int64")}
+        ).groupby(id_col, as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    u2 = with_c2.map_batches(doc_side2, batch_format="pyarrow").union(
+        cu.map_batches(count_side2, batch_format="pyarrow")
+    )
+    partials = _coarse_group_apply(u2, "key_hash", attach2, num_parts)
+
+    merged = partials.groupby(id_col).sum(["s", "nb"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.rename_columns([id_col, "s", "nb"])
+        s = np.asarray(t["s"].to_pandas(), np.float64)
+        nb = np.asarray(t["nb"].to_pandas(), np.float64)
+        x = s / nb * 10_000.0
+        e4 = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                "n_bigrams": t["nb"].combine_chunks().cast(pa.int64()),
+                "logprob_e4": pa.array(e4, pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

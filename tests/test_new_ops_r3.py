@@ -315,3 +315,122 @@ def test_salted_group_distinct_salt_count(ray_session):
     ds = ray.data.from_pandas(df).repartition(4)
     out = salted_group_distinct(ds, "k", "v", salts=4).to_pandas()
     assert out["n_distinct"].tolist() == [1000]
+
+
+# ---------------------------------------------------------------- kmeans
+def test_kmeans_matches_numpy_reference(ray_session):
+    """Fixed-point Lloyd must equal a single-process numpy run exactly,
+    regardless of batching."""
+    from cex_crawler_ray.stages.cluster import (
+        _assign,
+        _round_e6,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d, k = 400, 8, 3
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(m), pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    cent0 = m[:k].astype(np.float64)
+
+    # numpy reference with the same fixed-point update
+    cent = cent0.copy()
+    x64 = m.astype(np.float64)
+    for _ in range(4):
+        a = _assign(x64, cent)
+        e6 = _round_e6(x64)
+        for c in range(k):
+            mask = a == c
+            if mask.any():
+                cent[c] = e6[mask].sum(axis=0) / 1e6 / mask.sum()
+    want = _assign(x64, cent)
+
+    fitted = kmeans_fit(ds, cent0, iters=4)
+    np.testing.assert_allclose(fitted, cent, rtol=0, atol=0)
+    got = (
+        kmeans_assign(ds, fitted)
+        .to_pandas()
+        .sort_values("vec_id")["cluster"]
+        .to_numpy()
+    )
+    assert (got == want).all()
+
+
+def test_kmeans_inertia_decreases(ray_session):
+    from cex_crawler_ray.stages.cluster import (
+        kmeans_fit,
+        kmeans_inertia,
+        seed_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = f"{sf}/embeddings.parquet"
+    emb = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    c0 = seed_centroids(path, k=4)
+    i0 = kmeans_inertia(emb, c0)
+    c2 = kmeans_fit(emb, c0, iters=2)
+    i2 = kmeans_inertia(emb, c2)
+    assert i2 <= i0
+
+
+# ------------------------------------------------------------- bigram LM
+def test_bigram_logprob_hand_case(ray_session):
+    """'a b a b' : c(a b)=2 (two docs x1), c(b a)=1... verify against a
+    direct computation on a 3-doc corpus."""
+    import math
+
+    from cex_crawler_ray.stages.tfidf import bigram_logprob_scores
+
+    docs = ["a b c", "a b", "c"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    out = (
+        bigram_logprob_scores(ray.data.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # corpus: c(a)=2 c(b)=2 c(c)=2 ; c('a b')=2 c('b c')=1
+    lp_ab = math.log(2 / 2)
+    lp_bc = math.log(1 / 2)
+    want0 = round((lp_ab + lp_bc) / 2 * 10000)
+    want1 = round(lp_ab * 10000)
+    assert list(out.index) == [0, 1]  # doc 2 has no bigrams
+    assert out.loc[0, "logprob_e4"] == want0
+    assert out.loc[0, "n_bigrams"] == 2
+    assert out.loc[1, "logprob_e4"] == want1
+
+
+# ---------------------------------------------------------------- zscore
+def test_group_zscore_sums_to_zero(ray_session):
+    """Within each group, z-scores sum to ~0 and std ~1."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.stats import group_zscore
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(3000, dtype=np.int64),
+            "g": rng.choice(["x", "y"], 3000),
+            "v": rng.normal(10, 3, 3000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = group_zscore(ds, "g", "v", "id").to_pandas()
+    for g, grp in out.groupby("g"):
+        z = grp["z_e2"].to_numpy() / 100.0
+        assert abs(z.mean()) < 0.01
+        assert abs(z.std() - 1.0) < 0.02
