@@ -217,6 +217,39 @@ def _with_injected_dups(ds, id_col: str, mod: int):
     return ds.map_batches(shifted, batch_format="pyarrow")
 
 
+def _emb_near_corpus(sf_dir: str):
+    """Embedding corpus with injected NEAR-duplicates: every
+    ``vec_id % 10 == 0`` row gains a copy (id + 1_000_000) whose FIRST
+    dimension is zeroed — cosine to the original is
+    sqrt(1 - v0^2/|v|^2) ~ 0.99, and the perturbation is exact float
+    math a SQL oracle reproduces bit-for-bit
+    (``list_prepend(0.0, e[2:])``)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def shifted(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mask = (ids % 10) == 0
+        dup = batch.filter(pa.array(mask))
+        embs = dup["embedding"].to_pylist()
+        for e in embs:
+            e[0] = 0.0
+        dup = pa.table(
+            {
+                "vec_id": pa.array(ids[mask] + 1_000_000, pa.int64()),
+                "embedding": pa.array(
+                    embs, pa.list_(pa.float32())
+                ),
+            }
+        )
+        return pa.concat_tables(
+            [batch.select(["vec_id", "embedding"]), dup]
+        )
+
+    return ds.map_batches(shifted, batch_format="pyarrow")
+
+
 def _dedup_corpus(sf_dir: str):
     return _with_injected_dups(
         ray.data.read_parquet(
@@ -2529,6 +2562,33 @@ def q_bigram_logprob(sf_dir: str):
     )
 
 
+def q_semdedup_pairs(sf_dir: str):
+    """SemDeDup: within-cluster cosine>=0.95 pairs over the
+    near-duplicate-injected corpus; clusters from the deterministic
+    k=8 seeds so the SQL twin is one assignment CTE.  The quadratic
+    step runs only inside a cluster (the method's own scale
+    contract)."""
+    from cex_crawler_ray.stages.cluster import (
+        seed_centroids,
+        semdedup_pairs,
+    )
+
+    cent = seed_centroids(f"{sf_dir}/embeddings.parquet", k=8)
+    return semdedup_pairs(_emb_near_corpus(sf_dir), cent, tau=0.95)
+
+
+def q_semdedup_keep(sf_dir: str):
+    """SemDeDup pruned corpus: keep vectors with no lower-id
+    near-duplicate in their cluster."""
+    from cex_crawler_ray.stages.cluster import (
+        seed_centroids,
+        semdedup_keep,
+    )
+
+    cent = seed_centroids(f"{sf_dir}/embeddings.parquet", k=8)
+    return semdedup_keep(_emb_near_corpus(sf_dir), cent, tau=0.95)
+
+
 def q_zscore_events(sf_dir: str):
     """Per-group z-score normalization of event values: combiner
     sufficient stats, broadcast (mean, std) per key, row-wise numpy
@@ -2642,6 +2702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_step": q_kmeans_step,
         "kmeans_clusters": q_kmeans_clusters,
         "bigram_logprob": q_bigram_logprob,
+        "semdedup_pairs": q_semdedup_pairs,
+        "semdedup_keep": q_semdedup_keep,
         "zscore_events": q_zscore_events,
         "weighted_sample": q_weighted_sample,
         "global_p90": q_global_p90,
@@ -3407,6 +3469,57 @@ sc AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(round(SUM(lp) / COUNT(*) * 10000) AS BIGINT) AS logprob_e4
 FROM sc GROUP BY doc_id
+""",
+        "semdedup_pairs": """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+aug AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, list_prepend(0.0, e[2:]) FROM base
+  WHERE vec_id % 10 = 0
+),
+c0 AS (SELECT vec_id AS cid, e AS c FROM base WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT aug.vec_id, aug.e, c0.cid,
+           row_number() OVER (
+             PARTITION BY aug.vec_id
+             ORDER BY list_distance(aug.e, c0.c), c0.cid) AS rn
+    FROM aug CROSS JOIN c0) WHERE rn = 1
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       CAST(a.cid AS BIGINT) AS cluster,
+       CAST(round(list_cosine_similarity(a.e, b.e) * 1000000)
+            AS BIGINT) AS cos_e6
+FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+""",
+        "semdedup_keep": """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+aug AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, list_prepend(0.0, e[2:]) FROM base
+  WHERE vec_id % 10 = 0
+),
+c0 AS (SELECT vec_id AS cid, e AS c FROM base WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT aug.vec_id, aug.e, c0.cid,
+           row_number() OVER (
+             PARTITION BY aug.vec_id
+             ORDER BY list_distance(aug.e, c0.c), c0.cid) AS rn
+    FROM aug CROSS JOIN c0) WHERE rn = 1
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a1
+WHERE vec_id NOT IN (
+  SELECT b.vec_id FROM a1 a
+  JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.e, b.e) >= 0.95)
 """,
         "zscore_events": """
 WITH s AS (

@@ -199,3 +199,152 @@ def kmeans_inertia(
 
     agg = ds.map_batches(partial, batch_format="pyarrow").sum("sse")
     return float(agg["sum(sse)"] if isinstance(agg, dict) else agg)
+
+
+def semdedup_pairs(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs =
+    vectors in the SAME k-means cluster with cosine >= tau.
+
+    This is the method's own scale contract: k is chosen so clusters
+    fit a worker (corpus/k vectors each), and the quadratic step runs
+    only WITHIN a cluster — one coarse-partitioned groupby where each
+    group does a vectorized normalized matmul.  The exchange carries
+    (id, cluster, embedding) once; pairs leave as (id_a, id_b, cos_e6).
+    """
+    from .dedup import _coarse_group_apply
+    from .similarity import stack_list_column
+
+    ref = ray.put(np.ascontiguousarray(centroids, np.float64))
+
+    def label(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = stack_list_column(batch[emb_col]).astype(np.float64)
+        a = _assign(m, c).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(a, pa.int64()),
+                emb_col: batch[emb_col],
+            }
+        )
+
+    labeled = ds.map_batches(label, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas()
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_cl: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for cl, grp in df.groupby("cluster"):
+            ids = grp[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = np.stack(
+                [np.asarray(v, np.float64) for v in grp[emb_col]]
+            )[order]
+            norms = np.sqrt((m * m).sum(axis=1))
+            cos = (m @ m.T) / np.outer(norms, norms)
+            ia, ib = np.nonzero(np.triu(cos >= tau, k=1))
+            if not len(ia):
+                continue
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+            out_cl.append(np.full(len(ia), cl, np.int64))
+            v = cos[ia, ib] * 1_000_000.0
+            out_c.append(
+                (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+            )
+        if not out_a:
+            return pa.table(
+                {
+                    "vec_id_a": pa.array([], pa.int64()),
+                    "vec_id_b": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "cos_e6": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "vec_id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "vec_id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cluster": pa.array(np.concatenate(out_cl), pa.int64()),
+                "cos_e6": pa.array(np.concatenate(out_c), pa.int64()),
+            }
+        )
+
+    return _coarse_group_apply(labeled, "cluster", pairs, num_parts)
+
+
+def semdedup_keep(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """The SemDeDup pruned corpus: drop every vector that has a
+    LOWER-id near-duplicate in its cluster (keep-min-id semantics, a
+    deterministic one-pass stand-in for connected-component picking).
+    Returns (vec_id, cluster) of the keep set."""
+    from .dedup import _coarse_group_apply
+    from .similarity import stack_list_column
+
+    ref = ray.put(np.ascontiguousarray(centroids, np.float64))
+
+    def label(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = stack_list_column(batch[emb_col]).astype(np.float64)
+        a = _assign(m, c).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(a, pa.int64()),
+                emb_col: batch[emb_col],
+            }
+        )
+
+    labeled = ds.map_batches(label, batch_format="pyarrow")
+
+    def keep(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        ids_out: list[np.ndarray] = []
+        cl_out: list[np.ndarray] = []
+        for cl, grp in df.groupby("cluster"):
+            ids = grp[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = np.stack(
+                [np.asarray(v, np.float64) for v in grp[emb_col]]
+            )[order]
+            norms = np.sqrt((m * m).sum(axis=1))
+            cos = (m @ m.T) / np.outer(norms, norms)
+            # drop i if any j < i (sorted by id) has cos >= tau
+            dup = (np.triu(cos >= tau, k=1)).any(axis=0)
+            ids_keep = ids[~dup]
+            ids_out.append(ids_keep)
+            cl_out.append(np.full(len(ids_keep), cl, np.int64))
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.concatenate(ids_out) if ids_out else [],
+                    pa.int64(),
+                ),
+                "cluster": pa.array(
+                    np.concatenate(cl_out) if cl_out else [],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _coarse_group_apply(labeled, "cluster", keep, num_parts)

@@ -434,3 +434,29 @@ def test_group_zscore_sums_to_zero(ray_session):
         z = grp["z_e2"].to_numpy() / 100.0
         assert abs(z.mean()) < 0.01
         assert abs(z.std() - 1.0) < 0.02
+
+
+# -------------------------------------------------------------- semdedup
+def test_semdedup_finds_injected_near_dups(ray_session):
+    """A zero-first-dim copy must pair with its original when both land
+    in the same cluster; keep-set drops exactly the b-sides."""
+    from cex_crawler_ray.stages.cluster import (
+        seed_centroids,
+        semdedup_keep,
+        semdedup_pairs,
+    )
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    cent = seed_centroids(f"{sf}/embeddings.parquet", k=4)
+    corpus = E._emb_near_corpus(sf)
+    pairs = semdedup_pairs(corpus, cent, tau=0.95).to_pandas()
+    assert len(pairs) > 0
+    # every pair is (original, its shifted copy) at cos ~0.99
+    assert (pairs["vec_id_b"] - pairs["vec_id_a"] == 1_000_000).all()
+    assert (pairs["cos_e6"] >= 950_000).all()
+    kept = semdedup_keep(corpus, cent, tau=0.95).to_pandas()
+    dropped = set(pairs["vec_id_b"])
+    assert dropped.isdisjoint(set(kept["vec_id"]))
+    n_total = corpus.count()
+    assert len(kept) == n_total - len(dropped)
