@@ -2589,6 +2589,49 @@ def q_semdedup_keep(sf_dir: str):
     return semdedup_keep(_emb_near_corpus(sf_dir), cent, tau=0.95)
 
 
+def q_dense_rank_events(sf_dir: str):
+    """DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value) —
+    coarse key partition + one vectorized lexsort per partition."""
+    from cex_crawler_ray.stages.window import dense_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return dense_rank(ds, "event_type", "value", "event_id")
+
+
+def q_left_join_customers(sf_dir: str):
+    """LEFT OUTER join customer -> orders (orderless customers kept,
+    order key coalesced to -1): one co-partition shuffle, local pandas
+    merge per partition."""
+    from cex_crawler_ray.stages.join import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    )
+    joined = hash_join(
+        cust, orders, "c_custkey", "o_custkey", how="left"
+    )
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "o_orderkey": df["o_orderkey"]
+                .fillna(-1)
+                .astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def q_zscore_events(sf_dir: str):
     """Per-group z-score normalization of event values: combiner
     sufficient stats, broadcast (mean, std) per key, row-wise numpy
@@ -2704,6 +2747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": q_bigram_logprob,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_keep": q_semdedup_keep,
+        "dense_rank_events": q_dense_rank_events,
+        "left_join_customers": q_left_join_customers,
         "zscore_events": q_zscore_events,
         "weighted_sample": q_weighted_sample,
         "global_p90": q_global_p90,
@@ -3469,6 +3514,17 @@ sc AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(round(SUM(lp) / COUNT(*) * 10000) AS BIGINT) AS logprob_e4
 FROM sc GROUP BY doc_id
+""",
+        "dense_rank_events": """
+SELECT event_id, event_type,
+       CAST(DENSE_RANK() OVER (
+         PARTITION BY event_type ORDER BY value) AS BIGINT) AS rnk
+FROM events
+""",
+        "left_join_customers": """
+SELECT c.c_custkey,
+       CAST(COALESCE(o.o_orderkey, -1) AS BIGINT) AS o_orderkey
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 """,
         "semdedup_pairs": """
 WITH base AS (

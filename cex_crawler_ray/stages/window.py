@@ -571,3 +571,68 @@ def ntile(
         tiles,
         num_parts,
     )
+
+
+def dense_rank(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    num_parts: int = 32,
+    out_col: str = "rnk",
+) -> "ray.data.Dataset":
+    """SQL ``DENSE_RANK() OVER (PARTITION BY key ORDER BY val)`` —
+    ties share a rank, no gaps.
+
+    Coarse key-hash partition (each key wholly inside one partition),
+    then fully vectorized within the partition: one lexsort, segment
+    boundaries by key, rank = running count of value CHANGES inside
+    the segment.  The shuffle carries (id, key, val) only.
+    """
+    from .dedup import _hash64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                key_col: batch[key_col],
+                val_col: batch[val_col],
+                "_kh": pa.array(
+                    [_hash64(str(k)) for k in keys], pa.uint64()
+                ),
+            }
+        )
+
+    def rank_part(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        kh = group["_kh"].to_numpy(zero_copy_only=False)
+        vals = group[val_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, kh))
+        ids_o, kh_o, vals_o = ids[order], kh[order], vals[order]
+        new_seg = np.concatenate(([True], kh_o[1:] != kh_o[:-1]))
+        new_val = np.concatenate(([True], vals_o[1:] != vals_o[:-1]))
+        bump = (new_seg | new_val).astype(np.int64)
+        run = np.cumsum(bump)
+        # subtract the running total at each segment start so ranks
+        # restart at 1 per key
+        seg_starts = np.flatnonzero(new_seg)
+        seg_lens = np.diff(np.concatenate((seg_starts, [len(ids_o)])))
+        base = np.repeat(run[seg_starts] - 1, seg_lens)
+        keys_o = group[key_col].take(
+            pa.array(order, pa.int64())
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids_o, pa.int64()),
+                key_col: keys_o,
+                out_col: pa.array(run - base, pa.int64()),
+            }
+        )
+
+    return _coarse_group_apply(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        "_kh",
+        rank_part,
+        num_parts,
+    )
