@@ -324,6 +324,12 @@ def bench_queries(sf_dir: str) -> dict:
         "pmi_bigrams",
         "knn_pq",
         "fuzzy_name_pairs",
+        "kmeans_clusters",
+        "semdedup_pairs",
+        "bigram_logprob",
+        "distinct_users_per_type",
+        "mad_outliers",
+        "dense_rank_events",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row
