@@ -2589,6 +2589,17 @@ def q_semdedup_keep(sf_dir: str):
     return semdedup_keep(_emb_near_corpus(sf_dir), cent, tau=0.95)
 
 
+def q_props_k_extract(sf_dir: str):
+    """Flat JSON integer-field extraction from the event props column
+    via the vectorized Arrow regex kernel (no per-row json.loads)."""
+    from cex_crawler_ray.stages.stats import json_int_field
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+    return json_int_field(ds, "props", "k", "event_id", out_col="k")
+
+
 def q_dense_rank_events(sf_dir: str):
     """DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value) —
     coarse key partition + one vectorized lexsort per partition."""
@@ -2747,6 +2758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": q_bigram_logprob,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_keep": q_semdedup_keep,
+        "props_k_extract": q_props_k_extract,
         "dense_rank_events": q_dense_rank_events,
         "left_join_customers": q_left_join_customers,
         "zscore_events": q_zscore_events,
@@ -3514,6 +3526,11 @@ sc AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(round(SUM(lp) / COUNT(*) * 10000) AS BIGINT) AS logprob_e4
 FROM sc GROUP BY doc_id
+""",
+        "props_k_extract": """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
 """,
         "dense_rank_events": """
 SELECT event_id, event_type,

@@ -11,6 +11,8 @@ partial-aggregation shape as ``stages/sketch.py``.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -145,3 +147,34 @@ def group_zscore(
         )
 
     return ds.map_batches(apply_z, batch_format="pandas")
+
+
+def json_int_field(
+    ds: "ray.data.Dataset",
+    json_col: str,
+    field: str,
+    id_col: str,
+    out_col: str = "v",
+) -> "ray.data.Dataset":
+    """Extract a flat integer field from a JSON string column —
+    vectorized with the Arrow C++ regex kernel (``extract_regex``), no
+    per-row ``json.loads`` in the hot path.
+
+    Scope: FLAT unescaped fields (``{"k": 42, ...}``), the
+    event-properties shape; nested objects / escaped keys should route
+    through an actor-pool ``json.loads`` stage instead (the crawl's
+    ``__NEXT_DATA__`` extractor in ``functions/html_text.py`` is that
+    path).  Rows without the field yield null.
+    """
+    import pyarrow.compute as pc_
+
+    pattern = '"' + re.escape(field) + r'"\s*:\s*(?P<v>-?\d+)'
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ext = pc_.extract_regex(
+            batch[json_col].combine_chunks(), pattern
+        )
+        v = pc_.cast(pc_.struct_field(ext, "v"), pa.int64())
+        return pa.table({id_col: batch[id_col], out_col: v})
+
+    return ds.map_batches(extract, batch_format="pyarrow")

@@ -460,3 +460,30 @@ def test_semdedup_finds_injected_near_dups(ray_session):
     assert dropped.isdisjoint(set(kept["vec_id"]))
     n_total = corpus.count()
     assert len(kept) == n_total - len(dropped)
+
+
+# ------------------------------------------------------------ json field
+def test_json_int_field_edge_cases(ray_session):
+    from cex_crawler_ray.stages.stats import json_int_field
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "j": pa.array(
+                [
+                    '{"k": 42, "x": 1}',
+                    '{"x": 7}',            # field absent -> null
+                    '{"k": -5}',
+                    '{"kk": 9, "k":  8}',  # no partial-key match
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        json_int_field(ray.data.from_arrow(tbl), "j", "k", "id", "k")
+        .to_pandas()
+        .set_index("id")["k"]
+    )
+    assert out[1] == 42 and out[3] == -5 and out[4] == 8
+    assert out.isna()[2]
