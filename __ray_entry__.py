@@ -770,7 +770,9 @@ def q_pack_index(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return pack_index(docs, seq_len=256, bucket=64)
+    # bare column-pruned read: re-scanning is cheaper than an
+    # object-store copy
+    return pack_index(docs, seq_len=256, bucket=64, checkpoint_input=False)
 
 
 def q_normalize_text(sf_dir: str):

@@ -36,9 +36,21 @@ def pack_index(
     bucket: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
+    checkpoint_input: bool = True,
 ) -> "ray.data.Dataset":
     """(id, n_tokens, start_offset, example_id) with whitespace token
-    counts, offsets in doc_id order, example_id = offset // seq_len."""
+    counts, offsets in doc_id order, example_id = offset // seq_len.
+
+    The input is consumed TWICE (bucket token-count pass + the offset
+    emit pass), so by default it is checkpointed once up front — same
+    rationale as ``strip_dup_spans``: Ray Data re-runs a lazy graph
+    per consumer, which re-executes a long upstream chain (e.g. the
+    v3 curation composition, measured ~1.4x end-to-end) otherwise.
+    Pass ``checkpoint_input=False`` when the input is a bare parquet
+    read that is cheaper to re-scan than to copy into the object
+    store."""
+    if checkpoint_input:
+        ds = ds.materialize()
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
