@@ -85,6 +85,7 @@ def group_zscore(
     key_col: str,
     val_col: str,
     id_col: str,
+    checkpoint_input: bool = False,
 ) -> "ray.data.Dataset":
     """Per-group z-score normalization — the feature-scaling pass a
     training pipeline runs before mixing heterogeneous sources.
@@ -100,7 +101,13 @@ def group_zscore(
     std is population (σ = sqrt(Σx²/n - mean²)), matching the explicit
     SQL formula in the oracle so both sides share float behavior.
     Output z is 1e-2 fixed point; zero-variance groups yield z_e2=0.
+
+    The input is consumed twice (stats pass + apply pass); set
+    ``checkpoint_input=True`` when it is a long transform chain rather
+    than a bare parquet read (the ``pack_index`` rationale).
     """
+    if checkpoint_input:
+        ds = ds.materialize()
 
     def partial(df: "pd.DataFrame") -> "pd.DataFrame":
         x = df[val_col].astype(np.float64)
