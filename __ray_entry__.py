@@ -1395,6 +1395,96 @@ def q_hash_join_agg(sf_dir: str):
     )
 
 
+def q_skew_join_agg(sf_dir: str):
+    """Skew-aware join (hot keys broadcast, cold keys co-partition):
+    events x customer -> per-nation counts/sums.  Same semantics as
+    hash_join_agg; the Misra-Gries hot-key split is routing only."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.skew import skew_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = skew_join(
+        events, cust, "user_id", "c_custkey", hot_k=8, num_parts=32
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["value"])
+        g = pd.DataFrame(
+            {"c_nationkey": df["c_nationkey"], "cents": cents}
+        ).groupby("c_nationkey", as_index=False)
+        return g.agg(n_events=("cents", "size"), total_cents=("cents", "sum"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": [df["c_nationkey"].iloc[0]],
+                "n_events": [int(df["n_events"].sum())],
+                "total_cents": [int(df["total_cents"].sum())],
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_nationkey")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_bloom_join_agg(sf_dir: str):
+    """Bloom-filtered shuffle join: orders x (customers of one nation).
+    The broadcast bitmap drops ~96% of orders before the exchange; the
+    join itself removes Bloom false positives, so the result is exact."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.join import bloom_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).filter(lambda r: r["c_nationkey"] == 3)
+    joined = bloom_join(orders, cust, "o_custkey", "c_custkey", num_parts=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["o_totalprice"])
+        g = pd.DataFrame(
+            {"c_custkey": df["c_custkey"], "cents": cents}
+        ).groupby("c_custkey", as_index=False)
+        return g.agg(n_orders=("cents", "size"), total_cents=("cents", "sum"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": [df["c_custkey"].iloc[0]],
+                "n_orders": [int(df["n_orders"].sum())],
+                "total_cents": [int(df["total_cents"].sum())],
+            }
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_custkey")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_profile_orders(sf_dir: str):
+    """Warehouse-style table profile over four orders columns: exact
+    per-column n_rows / n_nulls / n_distinct / min / max."""
+    from cex_crawler_ray.stages.profile import profile_table
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    return profile_table(ds, cols)
+
+
 def q_sessionize(sf_dir: str):
     """Session windows (gap > 30 min starts a new session per user)."""
     from cex_crawler_ray.stages.join import sessionize
@@ -1594,6 +1684,59 @@ def q_sliding_window(sf_dir: str):
         return df[["event_id", "ts", "user_id", "cents"]]
 
     return trailing_window_sum(ds.map_batches(prep, batch_format="pandas"))
+
+
+def q_rows_window(sf_dir: str):
+    """ROWS-frame trailing sum (3 preceding + current) per user,
+    ordered by (ts, event_id).  Physical-row frame, not peers."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import rows_window_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["cents"] = _cents(df["value"])
+        return df[["event_id", "ts", "user_id", "cents"]]
+
+    return rows_window_sum(
+        ds.map_batches(prep, batch_format="pandas"), n_preceding=3
+    )
+
+
+def q_cume_dist_events(sf_dir: str):
+    """CUME_DIST as exact integer pair (n_le, n_key) per event within
+    its user partition, ordered by value cents."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import cume_dist_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["cents"] = _cents(df["value"])
+        return df[["event_id", "user_id", "cents"]]
+
+    return cume_dist_counts(ds.map_batches(prep, batch_format="pandas"))
+
+
+def q_tfidf_cosine_pairs(sf_dir: str):
+    """Sparse TF-IDF cosine similarity join over documents: pairs with
+    cosine >= 0.30 (1e-4 fixed-point weights -> exact int dots)."""
+    from cex_crawler_ray.stages.tfidf import tfidf_cosine_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_cosine_pairs(ds, tau_e4=3000, max_df_frac=0.2)
 
 
 _SEMI_CUTOFF = "2000-06-01"
@@ -2732,6 +2875,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_cumsum": q_window_cumsum,
         "broadcast_join_agg": q_broadcast_join_agg,
         "hash_join_agg": q_hash_join_agg,
+        "skew_join_agg": q_skew_join_agg,
+        "bloom_join_agg": q_bloom_join_agg,
+        "profile_orders": q_profile_orders,
+        "rows_window": q_rows_window,
+        "cume_dist_events": q_cume_dist_events,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -3822,6 +3971,54 @@ SELECT c.c_nationkey,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_nationkey
 """,
+        "skew_join_agg": """
+SELECT c.c_nationkey,
+       count(*) AS n_events,
+       CAST(SUM(CAST(round(e.value * 100) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+""",
+        "bloom_join_agg": """
+SELECT c.c_custkey,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_nationkey = 3
+GROUP BY c.c_custkey
+""",
+        "profile_orders": """
+WITH p AS (
+  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+         count(*) - count(o_orderkey) AS n_nulls,
+         count(DISTINCT o_orderkey) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+         count(DISTINCT o_custkey),
+         CAST(MIN(o_custkey) AS VARCHAR),
+         CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+         count(DISTINCT o_orderstatus),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+)
+SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       min_val, max_val
+FROM p ORDER BY col_name
+""",
         "sessionize": """
 SELECT event_id,
        CAST(SUM(new_s) OVER (
@@ -3995,6 +4192,61 @@ SELECT event_id,
          PARTITION BY user_id ORDER BY ts
          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
        AS BIGINT) AS trail_cents
+FROM events
+""",
+        "tfidf_cosine_pairs": """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+toks AS (
+  SELECT doc_id,
+         unnest(list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                               x -> lower(x))) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+keep AS (
+  SELECT tok, df FROM dfx, nn
+  WHERE df >= 2 AND df <= CAST(floor(0.2 * n) AS BIGINT)
+),
+w AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(round(tf.tf * ln(CAST(n.n AS DOUBLE) / k.df) * 10000)
+              AS BIGINT) AS w4
+  FROM tf JOIN keep k USING (tok), nn n
+),
+nrm AS (SELECT doc_id, CAST(SUM(w4 * w4) AS BIGINT) AS n2
+        FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.w4 * b.w4) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b,
+       CAST(round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)) * 10000)
+            AS BIGINT) AS cos_e4
+FROM dots d
+JOIN nrm na ON na.doc_id = d.doc_a
+JOIN nrm nb ON nb.doc_id = d.doc_b
+WHERE CAST(round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)) * 10000)
+           AS BIGINT) >= 3000
+""",
+        "rows_window": """
+SELECT event_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS rows_cents
+FROM events
+""",
+        "cume_dist_events": """
+SELECT event_id,
+       CAST(count(*) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(round(value * 100) AS BIGINT)
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS n_le,
+       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_key
 FROM events
 """,
         "semi_join_customers": """

@@ -330,6 +330,12 @@ def bench_queries(sf_dir: str) -> dict:
         "distinct_users_per_type",
         "mad_outliers",
         "dense_rank_events",
+        "skew_join_agg",
+        "bloom_join_agg",
+        "profile_orders",
+        "rows_window",
+        "cume_dist_events",
+        "tfidf_cosine_pairs",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row

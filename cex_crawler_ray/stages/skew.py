@@ -97,3 +97,98 @@ def salted_group_distinct(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def skew_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    hot_k: int = 32,
+    num_parts: int = 64,
+    checkpoint_left: bool = True,
+) -> "ray.data.Dataset":
+    """Skew-aware inner hash join on non-negative int64 keys.
+
+    The classic hot-key fix for shuffle joins: a plain co-partition
+    join sends EVERY row of a hot key to one reducer.  Here a
+    Misra-Gries pass over the left keys nominates up to ``hot_k``
+    candidates; the right-side rows for those keys (dimension-sized by
+    assumption: <= hot_k keys x right rows per key) are broadcast once
+    via ``ray.put`` and the left's hot rows join per batch with NO
+    shuffle, while cold rows take the normal co-partition path.
+
+    The MG candidate set varies with batch boundaries — that is a
+    ROUTING decision only: both paths compute the same inner join, so
+    the output row set is identical to ``hash_join`` regardless of
+    which keys go hot (and therefore oracles exactly).
+
+    ``checkpoint_left=True`` (default) materializes the left once
+    because it is consumed by both the MG pass and the join pass.
+    """
+    from .join import hash_join
+    from .sketch import mg_heavy_hitters
+
+    if checkpoint_left:
+        left = left.materialize()
+
+    mg_tbl, _, _ = mg_heavy_hitters(left, left_key, k=hot_k)
+    hot_keys = np.sort(
+        mg_tbl["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    if hot_keys.size == 0:
+        return hash_join(
+            left, right, left_key, right_key, num_parts=num_parts
+        )
+
+    def split_right(want_hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = (
+                batch[right_key]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            m = np.isin(k, hot_keys)
+            return batch.filter(pa.array(m if want_hot else ~m))
+
+        return fn
+
+    # dimension-sized by contract: <= hot_k keys' worth of right rows
+    hot_right_df = (
+        right.map_batches(split_right(True), batch_format="pyarrow")
+        .to_pandas()
+    )
+    if hot_right_df.shape[1] == 0:
+        # an all-filtered hot side loses its schema in to_pandas;
+        # rebuild the empty frame so the per-batch merge keeps columns
+        rs = right.schema()
+        hot_right_df = pa.schema(
+            list(zip(rs.names, rs.types))
+        ).empty_table().to_pandas()
+    hot_right_ref = ray.put(hot_right_df)
+
+    def hot_join(df: "pd.DataFrame") -> "pd.DataFrame":
+        k = df[left_key].to_numpy().astype(np.int64)
+        sub = df[np.isin(k, hot_keys)]
+        rp = ray.get(hot_right_ref)
+        return sub.merge(
+            rp, left_on=left_key, right_on=right_key, how="inner"
+        )
+
+    def cold_left(batch: pa.Table) -> pa.Table:
+        k = (
+            batch[left_key]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return batch.filter(pa.array(~np.isin(k, hot_keys)))
+
+    hot_out = left.map_batches(hot_join, batch_format="pandas")
+    cold_out = hash_join(
+        left.map_batches(cold_left, batch_format="pyarrow"),
+        right.map_batches(split_right(False), batch_format="pyarrow"),
+        left_key,
+        right_key,
+        num_parts=num_parts,
+    )
+    return hot_out.union(cold_out)

@@ -641,3 +641,282 @@ def bigram_logprob_scores(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def tfidf_cosine_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau_e4: int = 3000,
+    max_df_frac: float = 0.2,
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Sparse TF-IDF cosine similarity join: all document pairs with
+    cosine >= tau over tf*ln(N/df) vectors — the classic IR-side
+    near-dup/similarity operator complementing MinHash (token-set) and
+    embedding-cosine (dense) dedup.
+
+    Determinism contract: weights quantize to 1e-4 fixed point FIRST,
+    so every dot product and norm is exact int64 arithmetic — sums are
+    order-free and a SQL oracle hash-matches bit for bit.  The only
+    floats are one ln() per (token, df) and the final divide; both are
+    single IEEE ops on identical inputs.
+
+    Scale shape (no vocabulary broadcast, no driver dict):
+    1. tf rows (doc, token, tf) — one row per distinct token per doc;
+    2. df table by token-hash combiner; tokens with df < 2 can't form
+       pairs and df > max_df_frac*N are stopwords — both pruned (this
+       bounds every posting list by max_df);
+    3. weights attach by token-hash co-partition (union trick);
+    4. posting-list pair expansion per token inside each partition
+       (triu, <= max_df^2/2 per token), partial pair-dot sums per
+       partition, then ONE keyed shuffle on the packed pair key;
+    5. norms attach via two co-partition int hash joins.
+
+    Returns (doc_a, doc_b, cos_e4) with doc_a < doc_b.
+    """
+    from .dedup import _coarse_group_apply, _hash64
+    from .join import hash_join
+
+    ds = ds.materialize()  # consumed by count + tf pass
+    n_docs = ds.count()
+    max_df = int(max_df_frac * n_docs)
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        toks: list[str] = []
+        tfs: list[int] = []
+        for did, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            c: Counter = Counter(
+                w.lower() for w in _WORD_RE.findall(t)
+            )
+            ids.extend([did] * len(c))
+            toks.extend(c.keys())
+            tfs.extend(c.values())
+        # 63-bit mask: Ray groupby keys must be int64 (uint64 keys
+        # fall back to pickled-object columns)
+        h = [_hash64(t) & 0x7FFFFFFFFFFFFFFF for t in toks]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "tok_h": pa.array(h, pa.int64()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    tf_rows = ds.map_batches(
+        tf_partial, batch_format="pyarrow"
+    ).materialize()  # consumed by df pass + weight join
+
+    # ---- df by token hash (tf rows are distinct per (doc, token))
+    def df_partial(batch: pa.Table) -> pa.Table:
+        h = batch["tok_h"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "tok_h": pa.array(u, pa.int64()),
+                "df": pa.array(c, pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        tf_rows.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok_h")
+        .sum("df")
+    )
+
+    # ---- attach df by token-hash co-partition; quantized weights
+    def doc_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "tok_h": batch["tok_h"],
+                id_col: batch[id_col],
+                "tf": batch["tf"],
+                "df": pa.array([None] * n, pa.int64()),
+            }
+        )
+
+    def count_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "tok_h": batch["tok_h"],
+                id_col: pa.array([None] * n, pa.int64()),
+                "tf": pa.array([None] * n, pa.int64()),
+                "df": batch["sum(df)"],
+            }
+        )
+
+    def attach_w(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        is_cnt = df[id_col].isna()
+        dmap = df.loc[is_cnt].set_index("tok_h")["df"]
+        h = df.loc[~is_cnt].copy()
+        dfv = h["tok_h"].map(dmap).to_numpy(dtype=np.float64)
+        keep = (dfv >= 2) & (dfv <= max_df)
+        h = h.loc[keep]
+        dfv = dfv[keep]
+        w4 = np.round(
+            h["tf"].to_numpy(dtype=np.float64)
+            * np.log(float(n_docs) / dfv)
+            * 1e4
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    h[id_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "tok_h": pa.array(
+                    h["tok_h"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "w4": pa.array(w4, pa.int64()),
+            }
+        )
+
+    w_rows = _coarse_group_apply(
+        tf_rows.map_batches(doc_side, batch_format="pyarrow").union(
+            df_tbl.map_batches(count_side, batch_format="pyarrow")
+        ),
+        "tok_h",
+        attach_w,
+        num_parts,
+    ).materialize()  # consumed by norms + pair expansion
+
+    # ---- norms (exact int sums)
+    def norm_partial(batch: pa.Table) -> pa.Table:
+        d = batch[id_col].to_numpy(zero_copy_only=False)
+        w = batch["w4"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, w * w)
+        return pa.table(
+            {
+                id_col: pa.array(u, pa.int64()),
+                "n2": pa.array(s, pa.int64()),
+            }
+        )
+
+    norms = (
+        w_rows.map_batches(norm_partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .sum("n2")
+    )
+
+    # ---- pair-dot partials per token inside each token-hash partition
+    def pair_dots(part: pa.Table) -> pa.Table:
+        h = part["tok_h"].to_numpy(zero_copy_only=False)
+        d = part[id_col].to_numpy(zero_copy_only=False)
+        w = part["w4"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        h, d, w = h[order], d[order], w[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], h[1:] != h[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(h)]))
+        keys, dots = [], []
+        for s, e in zip(starts, ends):
+            L = e - s
+            if L < 2:
+                continue
+            ai, bj = np.triu_indices(L, k=1)
+            da, db = d[s + ai], d[s + bj]
+            keys.append(
+                (da.astype(np.uint64) << np.uint64(32))
+                | db.astype(np.uint64)
+            )
+            dots.append(w[s + ai] * w[s + bj])
+        if not keys:
+            return pa.table(
+                {
+                    "pk": pa.array([], pa.uint64()),
+                    "dot": pa.array([], pa.int64()),
+                }
+            )
+        pk = np.concatenate(keys)
+        dot = np.concatenate(dots)
+        # partition-local combine shrinks the pair shuffle
+        u, inv = np.unique(pk, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, dot)
+        return pa.table(
+            {
+                "pk": pa.array(u, pa.uint64()),
+                "dot": pa.array(s, pa.int64()),
+            }
+        )
+
+    pair_dot = (
+        _coarse_group_apply(w_rows, "tok_h", pair_dots, num_parts)
+        .groupby("pk")
+        .sum("dot")
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "doc_a": pa.array(
+                    (pk >> np.uint64(32)).astype(np.int64), pa.int64()
+                ),
+                "doc_b": pa.array(
+                    (pk & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "dot": batch["sum(dot)"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    pairs = pair_dot.map_batches(unpack, batch_format="pyarrow")
+
+    def norm_a(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": batch[id_col].combine_chunks().cast(pa.int64()),
+                "n2_a": batch["sum(n2)"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    def norm_b(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_b": batch[id_col].combine_chunks().cast(pa.int64()),
+                "n2_b": batch["sum(n2)"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    norms = norms.materialize()  # joined twice
+    with_a = hash_join(
+        pairs,
+        norms.map_batches(norm_a, batch_format="pyarrow"),
+        "doc_a",
+        "doc_a",
+        num_parts=min(num_parts, 16),
+    )
+    with_ab = hash_join(
+        with_a,
+        norms.map_batches(norm_b, batch_format="pyarrow"),
+        "doc_b",
+        "doc_b",
+        num_parts=min(num_parts, 16),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dot = batch["dot"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["n2_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["n2_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cos4 = np.round(dot / (np.sqrt(na) * np.sqrt(nb)) * 1e4).astype(
+            np.int64
+        )
+        out = pa.table(
+            {
+                "doc_a": batch["doc_a"].combine_chunks().cast(pa.int64()),
+                "doc_b": batch["doc_b"].combine_chunks().cast(pa.int64()),
+                "cos_e4": pa.array(cos4, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(cos4 >= tau_e4))
+
+    return with_ab.map_batches(finish, batch_format="pyarrow")

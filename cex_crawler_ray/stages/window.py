@@ -636,3 +636,140 @@ def dense_rank(
         rank_part,
         num_parts,
     )
+
+
+def rows_window_sum(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    id_col: str = "event_id",
+    n_preceding: int = 3,
+    num_parts: int = 32,
+    out_col: str = "rows_cents",
+) -> "ray.data.Dataset":
+    """ROWS-frame trailing sum: per key, ordered by (ts, id), the sum
+    of the current row and up to ``n_preceding`` physical predecessors
+    — SQL ``ROWS BETWEEN n PRECEDING AND CURRENT ROW``.  Unlike the
+    RANGE frame, peers do NOT share a value, so the (ts, id) order
+    must be total — id is the deterministic tiebreak.
+
+    Same shape as ``trailing_window_sum``: coarse key partition, per
+    key a prefix-sum difference at fixed lag; the shuffle carries four
+    int64 columns.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                key_col: batch[key_col].combine_chunks().cast(pa.int64()),
+                "ts_us": pa.array(
+                    _order_key_us(batch, ts_col), pa.int64()
+                ),
+                cents_col: batch[cents_col]
+                .combine_chunks()
+                .cast(pa.int64()),
+            }
+        )
+
+    def windowed(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        us = group["ts_us"].to_numpy(zero_copy_only=False)
+        cents = group[cents_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, us, keys))
+        ids, keys, cents = ids[order], keys[order], cents[order]
+        n = len(ids)
+        seg_starts_mask = np.concatenate(
+            ([True], keys[1:] != keys[:-1])
+        )
+        # index of each row's segment start, broadcast per run
+        starts = np.flatnonzero(seg_starts_mask)
+        lens = np.diff(np.concatenate((starts, [n])))
+        seg_start = np.repeat(starts, lens)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        idx = np.arange(n)
+        lo = np.maximum(seg_start, idx - n_preceding)
+        out = csum[idx + 1] - csum[lo]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                out_col: pa.array(out, pa.int64()),
+            }
+        )
+
+    from .dedup import _coarse_group_apply
+
+    return _coarse_group_apply(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        key_col,
+        windowed,
+        num_parts,
+    )
+
+
+def cume_dist_counts(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    val_col: str = "cents",
+    id_col: str = "event_id",
+    num_parts: int = 32,
+) -> "ray.data.Dataset":
+    """CUME_DIST as exact integers: per key, ``n_le`` = rows with
+    value <= mine (peers included) and ``n_key`` = partition size —
+    cume_dist = n_le / n_key without ever emitting a float (floats
+    don't hash stably across engines; the two ints carry the same
+    information exactly).
+
+    Coarse key partition, one lexsort, value-run boundaries give every
+    row its run's END position within the key segment — all numpy.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                key_col: batch[key_col].combine_chunks().cast(pa.int64()),
+                val_col: batch[val_col].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    def rank_part(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        vals = group[val_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, keys))
+        ids, keys, vals = ids[order], keys[order], vals[order]
+        n = len(ids)
+        new_seg = np.concatenate(([True], keys[1:] != keys[:-1]))
+        starts = np.flatnonzero(new_seg)
+        lens = np.diff(np.concatenate((starts, [n])))
+        seg_start = np.repeat(starts, lens)
+        n_key = np.repeat(lens, lens)
+        # a value RUN ends where the next (key, val) differs; every row
+        # in the run shares the run-end position -> n_le = end - start
+        run_bound = np.concatenate(
+            (new_seg[1:] | (vals[1:] != vals[:-1]), [True])
+        )
+        bound_idx = np.flatnonzero(run_bound)  # inclusive run ends
+        run_end = bound_idx[
+            np.searchsorted(bound_idx, np.arange(n), side="left")
+        ]
+        n_le = run_end + 1 - seg_start
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_le": pa.array(n_le, pa.int64()),
+                "n_key": pa.array(n_key, pa.int64()),
+            }
+        )
+
+    from .dedup import _coarse_group_apply
+
+    return _coarse_group_apply(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        key_col,
+        rank_part,
+        num_parts,
+    )

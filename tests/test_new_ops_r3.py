@@ -487,3 +487,154 @@ def test_json_int_field_edge_cases(ray_session):
     )
     assert out[1] == 42 and out[3] == -5 and out[4] == 8
     assert out.isna()[2]
+
+
+# ------------------------------------------------------------- skew join
+def test_skew_join_equals_hash_join(ray_session):
+    """A 70%-hot key corpus: skew_join's output row set must be
+    identical to the plain co-partition hash_join (hot-key routing is
+    not allowed to change the join semantics)."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.join import hash_join
+    from cex_crawler_ray.stages.skew import skew_join
+
+    rng = np.random.default_rng(11)
+    n = 5_000
+    keys = np.where(rng.random(n) < 0.7, 3, rng.integers(0, 200, n))
+    left = pd.DataFrame({"k": keys.astype(np.int64), "x": np.arange(n)})
+    right = pd.DataFrame(
+        {"rk": np.arange(200, dtype=np.int64), "y": np.arange(200) * 10}
+    )
+    lds = ray.data.from_pandas(left).repartition(6)
+    rds = ray.data.from_pandas(right).repartition(2)
+
+    got = (
+        skew_join(lds, rds, "k", "rk", hot_k=4, num_parts=8)
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)[["k", "x", "rk", "y"]]
+    )
+    want = (
+        hash_join(lds, rds, "k", "rk", num_parts=8)
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)[["k", "x", "rk", "y"]]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )
+    # the hot key must actually be present and fully joined
+    assert (got["k"] == 3).sum() == (keys == 3).sum()
+
+
+def test_skew_join_no_hot_keys_degenerate(ray_session):
+    """Uniform keys: whatever MG nominates, output equals the plain
+    join; empty-hot-side plumbing must not break the union schema."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.join import hash_join
+    from cex_crawler_ray.stages.skew import skew_join
+
+    left = pd.DataFrame(
+        {"k": np.arange(100, dtype=np.int64), "x": np.arange(100)}
+    )
+    right = pd.DataFrame(
+        {"rk": np.arange(0, 100, 2, dtype=np.int64), "y": np.arange(50)}
+    )
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right)
+    got = (
+        skew_join(lds, rds, "k", "rk", hot_k=4, num_parts=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)[["k", "x", "rk", "y"]]
+    )
+    want = (
+        hash_join(lds, rds, "k", "rk", num_parts=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)[["k", "x", "rk", "y"]]
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+# ------------------------------------------------------------ bloom join
+def test_bloom_probe_rejects_absent_keys(ray_session):
+    """The bitmap must accept every build key and reject almost all
+    absent keys (false-positive rate well under the 2% design point)."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.join import (
+        bloom_probe_mask,
+        build_key_bloom,
+    )
+
+    present = np.arange(0, 50_000, 2, dtype=np.int64)  # 25k even keys
+    ds = ray.data.from_pandas(pd.DataFrame({"k": present})).repartition(4)
+    bm = build_key_bloom(ds, "k", n_bits=1 << 20, k=4)
+    assert bloom_probe_mask(present, bm, 1 << 20, 4).all()
+    absent = np.arange(1, 50_000, 2, dtype=np.int64)
+    fp = bloom_probe_mask(absent, bm, 1 << 20, 4).mean()
+    assert fp < 0.02, fp
+
+
+def test_bloom_join_equals_hash_join(ray_session):
+    """Bloom prefilter is reduction only: output must equal the plain
+    co-partition join bit for bit."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.join import bloom_join, hash_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10_000, 20_000).astype(np.int64),
+            "x": np.arange(20_000),
+        }
+    )
+    right = pd.DataFrame(
+        {"rk": np.arange(0, 10_000, 100, dtype=np.int64), "y": np.arange(100)}
+    )  # 1% selective
+    lds = ray.data.from_pandas(left).repartition(6)
+    rds = ray.data.from_pandas(right)
+    got = (
+        bloom_join(lds, rds, "k", "rk", num_parts=8)
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)[["k", "x", "rk", "y"]]
+    )
+    want = (
+        hash_join(lds, rds, "k", "rk", num_parts=8)
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)[["k", "x", "rk", "y"]]
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+# -------------------------------------------------------------- profiler
+def test_profile_table_nulls_and_types(ray_session):
+    """Nulls excluded from min/max/distinct but counted; int min/max
+    numeric (10 > 9 despite '10' < '9'); batching-invariant."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.profile import profile_table
+
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 9, 10, None, 2, 10], pa.int64()),
+            "s": pa.array(["b", None, "a", "c", "a", None], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = profile_table(ds, ["a", "s"]).set_index("col_name")
+    assert out.loc["a", "n_rows"] == 6
+    assert out.loc["a", "n_nulls"] == 1
+    assert out.loc["a", "n_distinct"] == 4
+    assert out.loc["a", "min_val"] == "1"
+    assert out.loc["a", "max_val"] == "10"
+    assert out.loc["s", "n_nulls"] == 2
+    assert out.loc["s", "n_distinct"] == 3
+    assert out.loc["s", "min_val"] == "a"
+    assert out.loc["s", "max_val"] == "c"

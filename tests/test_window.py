@@ -187,3 +187,54 @@ def test_trailing_window_sum_peers_and_boundaries(ray_session):
         .to_dict()
     )
     assert got == {1: 10, 2: 30, 3: 70, 4: 240, 5: 240, 6: 1}
+
+
+def test_rows_window_sum_hand_case(ray_session):
+    """ROWS frame counts physical rows, not peers: equal timestamps
+    still window separately (tiebreak by id)."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import rows_window_sum
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [7, 7, 7, 7, 7],
+            "ts": pd.to_datetime(
+                ["2024-01-01"] * 2 + ["2024-01-02"] * 3
+            ),
+            "cents": [10, 20, 30, 40, 50],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (
+        rows_window_sum(ds, n_preceding=1)
+        .to_pandas()
+        .sort_values("event_id")["rows_cents"]
+        .tolist()
+    )
+    assert out == [10, 30, 50, 70, 90]
+
+
+def test_cume_dist_counts_ties(ray_session):
+    """Peers (equal values) all see the full peer group in n_le."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import cume_dist_counts
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 10],
+            "user_id": [7, 7, 7, 7, 8],
+            "cents": [5, 5, 3, 9, 1],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (
+        cume_dist_counts(ds)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_le"].tolist() == [3, 3, 1, 4, 1]
+    assert out["n_key"].tolist() == [4, 4, 4, 4, 1]
