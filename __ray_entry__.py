@@ -1736,7 +1736,9 @@ def q_tfidf_cosine_pairs(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return tfidf_cosine_pairs(ds, tau_e4=3000, max_df_frac=0.2)
+    return tfidf_cosine_pairs(
+        ds, tau_e4=3000, max_df_frac=0.2, max_df_abs=1000
+    )
 
 
 _SEMI_CUTOFF = "2000-06-01"
@@ -2214,6 +2216,157 @@ def q_cube_orders(sf_dir: str):
     out = pd.concat([cells, by_status, by_prio, total], ignore_index=True)[
         ["o_orderstatus", "o_orderpriority", "n_rows", "sum_cents"]
     ]
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out
+
+
+_PHASH_GROUPS = 25
+
+
+def q_image_phash_pairs(sf_dir: str):
+    """Perceptual-hash image dedup: each doc synthesizes a deterministic
+    gradient PPM whose pattern depends only on doc_id % 25, so images
+    are near-dup iff same group (cross-group pHash hamming measured
+    >= 18, threshold 3) — the pair set is closed-form checkable in SQL
+    while the pipeline itself is the real decode -> pHash -> banded
+    hamming machinery."""
+    from cex_crawler_ray.functions.codecs import encode_ppm
+    from cex_crawler_ray.stages.multimodal import image_phash_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def to_ppm(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for i in batch["doc_id"].to_pylist():
+            g = i % _PHASH_GROUPS
+            y, x = np.indices((48, 48))
+            v = (
+                (x * (3 + 2 * (g % 5)) + y * (5 + 2 * (g // 5)) + g * 17)
+                % 256
+            ).astype(np.uint8)
+            payloads.append(encode_ppm(np.stack([v, v, v], axis=2)))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    pages = ds.map_batches(to_ppm, batch_format="pyarrow")
+    return image_phash_pairs(pages, max_hamming=3)
+
+
+def _afp_mix(v: int) -> int:
+    v = (v ^ (v >> 16)) * 0x45D9F3B % (1 << 32)
+    v = (v ^ (v >> 16)) * 0x45D9F3B % (1 << 32)
+    return v ^ (v >> 16)
+
+
+def q_audio_fp_pairs(sf_dir: str):
+    """Audio fingerprint dedup: each doc synthesizes a deterministic
+    WAV whose 65-window energy envelope depends only on doc_id % 25
+    (hash-mixed window levels; cross-group fingerprint hamming
+    measured >= 22, threshold 3) — pair set closed-form in SQL, the
+    pipeline is the real decode -> fingerprint -> banded hamming."""
+    from cex_crawler_ray.functions.codecs import encode_wav
+    from cex_crawler_ray.stages.multimodal import audio_fp_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        n = 16000
+        t = np.arange(n)
+        w = (t * 65) // n
+        payloads = []
+        for i in batch["doc_id"].to_pylist():
+            g = i % _PHASH_GROUPS
+            lv = np.array(
+                [
+                    _afp_mix(wi * 2654435761 + g * 40503) % 64 + 1
+                    for wi in range(65)
+                ]
+            )
+            sig = (((t % 13) - 6) * lv[w] * 500) // 6
+            payloads.append(
+                encode_wav(
+                    np.clip(sig, -32768, 32767).astype(np.int16)
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    pages = ds.map_batches(to_wav, batch_format="pyarrow")
+    return audio_fp_pairs(pages, max_hamming=3)
+
+
+def q_grouping_sets_orders(sf_dir: str):
+    """GROUPING SETS ((status, priority), (status, year), (year)) in
+    ONE shuffle: the finest cell table (status, priority, year) is the
+    least common refinement of every requested set, so each set is a
+    re-aggregation of the tiny cell table — the general mechanism
+    rollup and cube are special cases of."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"],
+                "o_orderpriority": df["o_orderpriority"],
+                "o_year": df["o_orderdate"].dt.year.astype("int64"),
+                "cents": _cents(df["o_totalprice"]),
+            }
+        ).groupby(
+            ["o_orderstatus", "o_orderpriority", "o_year"], as_index=False
+        )
+        return g.agg(n_rows=("cents", "size"), sum_cents=("cents", "sum"))
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["o_orderstatus", "o_orderpriority", "o_year"])
+        .sum(["n_rows", "sum_cents"])
+        .to_pandas()
+        .rename(
+            columns={"sum(n_rows)": "n_rows", "sum(sum_cents)": "sum_cents"}
+        )
+    )
+    all_cols = ["o_orderstatus", "o_orderpriority", "o_year"]
+    sets = [
+        ("o_orderstatus", "o_orderpriority"),
+        ("o_orderstatus", "o_year"),
+        ("o_year",),
+    ]
+    outs = []
+    for s in sets:
+        part = cells.groupby(list(s), as_index=False).agg(
+            n_rows=("n_rows", "sum"), sum_cents=("sum_cents", "sum")
+        )
+        for c in all_cols:
+            if c not in s:
+                part[c] = None
+        outs.append(part)
+    out = pd.concat(outs, ignore_index=True)[
+        all_cols + ["n_rows", "sum_cents"]
+    ]
+    # o_year is absent in set 1 -> nullable; a nullable int column
+    # round-trips differently per engine (float64 + NaN vs Int64 + NA),
+    # so emit it as a string key like the other grouping columns
+    out["o_year"] = out["o_year"].map(
+        lambda v: None if pd.isna(v) else str(int(v))
+    )
     out["n_rows"] = out["n_rows"].astype("int64")
     out["sum_cents"] = out["sum_cents"].astype("int64")
     return out
@@ -2887,6 +3040,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": q_tumbling_window,
         "rollup_orders": q_rollup_orders,
         "cube_orders": q_cube_orders,
+        "grouping_sets_orders": q_grouping_sets_orders,
+        "image_phash_pairs": q_image_phash_pairs,
+        "audio_fp_pairs": q_audio_fp_pairs,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -4066,6 +4222,33 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """,
+        "image_phash_pairs": """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id
+ AND a.doc_id % 25 = b.doc_id % 25
+""",
+        "audio_fp_pairs": """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id
+ AND a.doc_id % 25 = b.doc_id % 25
+""",
+        "grouping_sets_orders": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderstatus, o_orderpriority),
+  (o_orderstatus, CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR)),
+  (CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR))
+)
+""",
         "global_p90_cont": """
 SELECT CAST(round(
          quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) * 100
@@ -4206,7 +4389,8 @@ tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
 dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
 keep AS (
   SELECT tok, df FROM dfx, nn
-  WHERE df >= 2 AND df <= CAST(floor(0.2 * n) AS BIGINT)
+  WHERE df >= 2
+    AND df <= LEAST(CAST(floor(0.2 * n) AS BIGINT), 1000)
 ),
 w AS (
   SELECT tf.doc_id, tf.tok,

@@ -336,6 +336,9 @@ def bench_queries(sf_dir: str) -> dict:
         "rows_window",
         "cume_dist_events",
         "tfidf_cosine_pairs",
+        "grouping_sets_orders",
+        "image_phash_pairs",
+        "audio_fp_pairs",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row

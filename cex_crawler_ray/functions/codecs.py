@@ -319,3 +319,90 @@ def encode_y4m(
         parts.append(chroma)
         parts.append(chroma)
     return b"".join(parts)
+
+
+# ---------------------------------------------------------- perceptual hash
+_PHASH_N = 32  # downsample edge
+_PHASH_SCALE = 1 << 15  # fixed-point DCT coefficient scale
+
+
+def dct_matrix_fixed(n: int = _PHASH_N) -> np.ndarray:
+    """DCT-II basis quantized to 1/2^15 fixed point (int64).
+
+    Integer matmuls make the whole pHash pipeline exact int arithmetic:
+    bit-identical on every worker, platform and BLAS — a float DCT's
+    last-ulp variation could flip a sign bit right at the median split.
+    """
+    u = np.arange(n, dtype=np.float64)[:, None]
+    x = np.arange(n, dtype=np.float64)[None, :]
+    c = np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    return np.round(c * _PHASH_SCALE).astype(np.int64)
+
+
+def phash64(pixels: np.ndarray, dct: np.ndarray | None = None) -> int:
+    """64-bit perceptual hash of an (H, W, C) uint8 image.
+
+    Classic pHash shape: integer luma -> nearest-neighbor 32x32 ->
+    fixed-point 2D DCT -> 8x8 low-frequency block -> bit = coefficient
+    strictly above the block median.  All-integer, so deterministic.
+    """
+    if dct is None:
+        dct = dct_matrix_fixed()
+    n = dct.shape[0]
+    px = pixels.astype(np.int64)
+    if px.ndim == 3 and px.shape[2] == 3:
+        g = (
+            299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+        ) // 1000
+    else:
+        g = px.reshape(px.shape[0], px.shape[1], -1)[:, :, 0]
+    h, w = g.shape
+    yi = (np.arange(n) * h) // n
+    xi = (np.arange(n) * w) // n
+    small = g[yi][:, xi]
+    t = dct @ small @ dct.T  # |t| <= 32 * 2^15 * 255 * 32 * 2^15 ~ 2^48
+    low = t[:8, :8].ravel()
+    med = np.median(low)
+    bits = low > med
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out
+
+
+# ---------------------------------------------------------- audio fingerprint
+def audio_fingerprint64(payload: bytes) -> int:
+    """64-bit energy-delta fingerprint of a PCM WAV payload.
+
+    Haitsma-Kalker-style sign fingerprint reduced to the time domain:
+    split samples into 65 equal windows, integer energy per window
+    (sum of |sample|, int64), bit i = energy[i+1] > energy[i].
+    All-integer -> bit-identical everywhere; invariant to constant
+    amplitude scaling (both sides of every comparison scale together)
+    and robust to small local edits (one window flips <= 2 bits).
+    """
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        width = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    if width == 2:
+        x = np.abs(np.frombuffer(raw, dtype="<i2").astype(np.int64))
+    elif width == 1:
+        x = np.abs(
+            np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+        )
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    n = x.size
+    if n < 65:
+        x = np.pad(x, (0, 65 - n))
+        n = 65
+    edges = (np.arange(66) * n) // 65
+    csum = np.concatenate(([0], np.cumsum(x)))
+    e = csum[edges[1:]] - csum[edges[:-1]]
+    bits = e[1:] > e[:-1]
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out

@@ -666,15 +666,23 @@ class SimHasher:
         )
 
 
-def simhash_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
-    """Near-dup candidates: block on 4x16-bit simhash bands (any pair
-    within hamming distance <= 3 of a 64-bit hash agrees on at least one
-    of 4 bands), verify hamming distance inside buckets."""
+def hamming_band_pairs(
+    sig_ds,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+):
+    """All id pairs whose 64-bit signatures are within ``max_hamming``
+    (<= 3): block on 4x16-bit bands (pigeonhole: hamming <= 3 pairs
+    agree on at least one band), verify popcount inside buckets.
+    Shared by simhash text dedup and perceptual-hash image dedup —
+    anything that reduces an item to a 64-bit locality-sensitive sig.
+    """
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, keys, sigs = [], [], []
         for i, s in zip(
-            batch[id_col].to_pylist(), batch["simhash"].to_pylist()
+            batch[id_col].to_pylist(), batch[sig_col].to_pylist()
         ):
             for b in range(4):
                 ids.append(i)
@@ -684,7 +692,7 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
             {
                 id_col: pa.array(ids, pa.int64()),
                 "band_key": pa.array(keys, pa.int64()),
-                "simhash": pa.array(sigs, pa.uint64()),
+                sig_col: pa.array(sigs, pa.uint64()),
             }
         )
 
@@ -694,7 +702,7 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
         for _, grp in df.groupby("band_key", sort=False):
             if len(grp) < 2:
                 continue
-            rows = sorted(set(zip(grp[id_col], grp["simhash"])))
+            rows = sorted(set(zip(grp[id_col], grp[sig_col])))
             for i in range(len(rows)):
                 for j in range(i + 1, len(rows)):
                     d = int(int(rows[i][1]) ^ int(rows[j][1])).bit_count()
@@ -710,19 +718,29 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
             }
         )
 
+    cand = _coarse_group_apply(
+        sig_ds.map_batches(explode, batch_format="pyarrow"),
+        "band_key",
+        pairs_in_part,
+    )
+    return _distinct_pairs(cand)
+
+
+def simhash_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
+    """Near-dup candidates: block on 4x16-bit simhash bands (any pair
+    within hamming distance <= 3 of a 64-bit hash agrees on at least one
+    of 4 bands), verify hamming distance inside buckets."""
     sh_cfg = (5, text_col, id_col)
 
     def signatures(batch: pa.Table) -> pa.Table:
         return _global_simhasher(sh_cfg)(batch)
 
-    cand = _coarse_group_apply(
-        ds.map_batches(signatures, batch_format="pyarrow").map_batches(
-            explode, batch_format="pyarrow"
-        ),
-        "band_key",
-        pairs_in_part,
+    return hamming_band_pairs(
+        ds.map_batches(signatures, batch_format="pyarrow"),
+        id_col=id_col,
+        sig_col="simhash",
+        max_hamming=max_hamming,
     )
-    return _distinct_pairs(cand)
 
 
 # ------------------------------------------------------------ embedding

@@ -271,3 +271,133 @@ def blob_meta_basic(batch: pa.Table, payload_col="payload", id_col="doc_id") -> 
             ),
         }
     )
+
+
+class PhashStage:
+    """Actor-pool stage: (id, image payload) -> 64-bit perceptual hash.
+
+    The fixed-point DCT basis is built ONCE per actor in ``__init__``
+    (the codec-load analog); ``__call__`` hashes a batch.  Default
+    pixel source is the pure-numpy PNM decoder; inject ``pixels_fn``
+    for other formats (BMP via ``codecs.decode_bmp`` raw rows, or a
+    real PIL decode outside this container).
+    """
+
+    def __init__(
+        self,
+        payload_col: str = "payload",
+        id_col: str = "doc_id",
+        pixels_fn=None,
+    ):
+        from ..functions.codecs import dct_matrix_fixed, pnm_pixels
+
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.pixels = pixels_fn if pixels_fn is not None else pnm_pixels
+        self.dct = dct_matrix_fixed()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import phash64
+
+        hashes = [
+            phash64(self.pixels(p), self.dct)
+            for p in batch[self.payload_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col]
+                .combine_chunks()
+                .cast(pa.int64()),
+                "phash": pa.array(hashes, pa.uint64()),
+            }
+        )
+
+
+def image_phash_pairs(
+    ds: "ray.data.Dataset",
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    pixels_fn=None,
+    concurrency=(1, 8),
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Near-duplicate image pairs by perceptual hash: decode ->
+    all-integer pHash per image (actor pool) -> banded hamming pairing
+    (shared `hamming_band_pairs` machinery with simhash text dedup).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming <=
+    ``max_hamming``.  The image payloads never shuffle — only (id,
+    64-bit sig) rows leave the hashing stage.
+    """
+    from .dedup import hamming_band_pairs
+
+    sigs = ds.map_batches(
+        PhashStage,
+        fn_constructor_kwargs={
+            "payload_col": payload_col,
+            "id_col": id_col,
+            "pixels_fn": pixels_fn,
+        },
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+    return hamming_band_pairs(
+        sigs, id_col=id_col, sig_col="phash", max_hamming=max_hamming
+    )
+
+
+class AudioFingerprintStage:
+    """Actor-pool stage: (id, WAV payload) -> 64-bit energy-delta
+    fingerprint (`codecs.audio_fingerprint64`).  Stateless beyond the
+    codec import, but kept an actor class so a real acoustic model
+    slots into ``__init__`` unchanged."""
+
+    def __init__(self, payload_col: str = "payload", id_col: str = "doc_id", fp_fn=None):
+        from ..functions.codecs import audio_fingerprint64
+
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.fp = fp_fn if fp_fn is not None else audio_fingerprint64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self.fp(p) for p in batch[self.payload_col].to_pylist()]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col]
+                .combine_chunks()
+                .cast(pa.int64()),
+                "afp": pa.array(fps, pa.uint64()),
+            }
+        )
+
+
+def audio_fp_pairs(
+    ds: "ray.data.Dataset",
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    fp_fn=None,
+    concurrency=(1, 8),
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Near-duplicate audio pairs: WAV decode -> all-integer
+    energy-delta fingerprint (actor pool) -> the same banded hamming
+    pairing as simhash/pHash.  Payloads never shuffle."""
+    from .dedup import hamming_band_pairs
+
+    sigs = ds.map_batches(
+        AudioFingerprintStage,
+        fn_constructor_kwargs={
+            "payload_col": payload_col,
+            "id_col": id_col,
+            "fp_fn": fp_fn,
+        },
+        batch_size=batch_size,
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+    return hamming_band_pairs(
+        sigs, id_col=id_col, sig_col="afp", max_hamming=max_hamming
+    )

@@ -649,7 +649,9 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     tau_e4: int = 3000,
     max_df_frac: float = 0.2,
+    max_df_abs: int | None = None,
     num_parts: int = 64,
+    broadcast_max_norms: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Sparse TF-IDF cosine similarity join: all document pairs with
     cosine >= tau over tf*ln(N/df) vectors — the classic IR-side
@@ -681,6 +683,11 @@ def tfidf_cosine_pairs(
     ds = ds.materialize()  # consumed by count + tf pass
     n_docs = ds.count()
     max_df = int(max_df_frac * n_docs)
+    if max_df_abs is not None:
+        # absolute posting-list cap: pair expansion is O(df^2) per
+        # token, so an uncapped frac bound explodes quadratically with
+        # corpus size — the standard prefix-filtering stopword prune
+        max_df = min(max_df, max_df_abs)
 
     def tf_partial(batch: pa.Table) -> pa.Table:
         ids: list[int] = []
@@ -871,6 +878,45 @@ def tfidf_cosine_pairs(
 
     pairs = pair_dot.map_batches(unpack, batch_format="pyarrow")
 
+    if n_docs <= broadcast_max_norms:
+        # norm table is doc-count-sized; below the threshold broadcast
+        # it once (sorted id + n2 arrays, searchsorted probe) instead
+        # of paying two shuffle joins — same switch pattern as the
+        # dedup pair-verify path
+        nt = norms.to_pandas()
+        ids = nt[id_col].to_numpy(dtype=np.int64)
+        n2 = nt["sum(n2)"].to_numpy(dtype=np.int64)
+        o = np.argsort(ids)
+        norm_ref = ray.put((ids[o], n2[o]))
+
+        def finish_bcast(batch: pa.Table) -> pa.Table:
+            sids, sn2 = ray.get(norm_ref)
+            da = batch["doc_a"].to_numpy(zero_copy_only=False)
+            db = batch["doc_b"].to_numpy(zero_copy_only=False)
+            dot = batch["dot"].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            na = sn2[np.searchsorted(sids, da)].astype(np.float64)
+            nb = sn2[np.searchsorted(sids, db)].astype(np.float64)
+            cos4 = np.round(
+                dot / (np.sqrt(na) * np.sqrt(nb)) * 1e4
+            ).astype(np.int64)
+            out = pa.table(
+                {
+                    "doc_a": pa.array(da, pa.int64()),
+                    "doc_b": pa.array(db, pa.int64()),
+                    "cos_e4": pa.array(cos4, pa.int64()),
+                }
+            )
+            return out.filter(pa.array(cos4 >= tau_e4))
+
+        return pairs.map_batches(finish_bcast, batch_format="pyarrow")
+
+    # join path: checkpoint resolves the schema for hash_join (lazy
+    # chains off a groupby can report schema=None when the probe block
+    # is empty); the pair table is candidate-bounded anyway
+    pairs = pairs.materialize()
+
     def norm_a(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -894,7 +940,7 @@ def tfidf_cosine_pairs(
         "doc_a",
         "doc_a",
         num_parts=min(num_parts, 16),
-    )
+    ).materialize()  # schema checkpoint for the second join (see above)
     with_ab = hash_join(
         with_a,
         norms.map_batches(norm_b, batch_format="pyarrow"),

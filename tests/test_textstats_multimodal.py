@@ -214,3 +214,82 @@ def test_resize_stage_deterministic_and_injectable(ray_session):
     ).to_pandas().sort_values("doc_id")
     # default width 224 -> custom kernel returns p[:224 % 16 + 1] = p[:1]
     assert upper["resized"].iloc[2] == bytes([2])
+
+
+def test_phash_pairs_perceptual(ray_session):
+    """Identical images pair at hamming 0; a single-pixel edit still
+    pairs (perceptual robustness); unrelated patterns don't pair."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.functions.codecs import encode_ppm
+    from cex_crawler_ray.stages.multimodal import image_phash_pairs
+
+    def grad(fx, fy, phase):
+        y, x = np.indices((40, 40))
+        v = ((x * fx + y * fy + phase) % 256).astype(np.uint8)
+        return np.stack([v, v, v], axis=2)
+
+    base = grad(3, 7, 0)
+    tweaked = base.copy()
+    tweaked[4, 4] = [250, 250, 250]
+    other = grad(11, 5, 90)
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "payload": [
+                encode_ppm(base),
+                encode_ppm(base),
+                encode_ppm(tweaked),
+                encode_ppm(other),
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = image_phash_pairs(ds, max_hamming=3, concurrency=2).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+    assert out.set_index(["id_a", "id_b"]).loc[(1, 2), "hamming"] == 0
+
+
+def test_audio_fp_pairs_robustness(ray_session):
+    """Identical audio pairs at hamming 0; amplitude-halved and
+    locally-zeroed copies still pair; a different envelope doesn't."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.functions.codecs import encode_wav
+    from cex_crawler_ray.stages.multimodal import audio_fp_pairs
+
+    rng = np.random.default_rng(3)
+    n = 8000
+    t = np.arange(n)
+    w = (t * 65) // n
+
+    def tone(levels):
+        sig = (((t % 13) - 6) * levels[w] * 500) // 6
+        return np.clip(sig, -32768, 32767).astype(np.int16)
+
+    la = rng.integers(1, 64, 65)
+    lb = rng.integers(1, 64, 65)
+    base = tone(la)
+    halved = (base.astype(np.int32) // 2).astype(np.int16)
+    edited = base.copy()
+    edited[100:150] = 0
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "payload": [
+                encode_wav(base),
+                encode_wav(halved),
+                encode_wav(edited),
+                encode_wav(tone(lb)),
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = audio_fp_pairs(ds, max_hamming=3, concurrency=2).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)

@@ -97,3 +97,36 @@ def test_tfidf_cosine_pairs_hand_case(ray_session):
     # identical docs (1, 4) must be exactly cosine 1
     row = out[(out["doc_a"] == 1) & (out["doc_b"] == 4)]
     assert row["cos_e4"].iloc[0] == 10000
+
+
+def test_tfidf_cosine_paths_equal(ray_session):
+    """Broadcast-norm fast path and the co-partition join path must
+    produce identical pairs (threshold forced both ways)."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.tfidf import tfidf_cosine_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(12)),
+            "text": [
+                f"shared tokens alpha beta {'x' * (i % 3)} tail{i % 4}"
+                for i in range(12)
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+
+    def run(bmax):
+        return (
+            tfidf_cosine_pairs(
+                ds, tau_e4=1000, max_df_frac=0.9, broadcast_max_norms=bmax
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run(10**9), run(0)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert len(a) > 0
