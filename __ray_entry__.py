@@ -2308,6 +2308,79 @@ def q_audio_fp_pairs(sf_dir: str):
     return audio_fp_pairs(pages, max_hamming=3)
 
 
+_BANNED_PHRASES = ("slow query", "dup", "spark window", "merge part")
+
+
+def q_banned_phrases(sf_dir: str):
+    """Policy phrase filter: per doc, how many of 4 banned literal
+    phrases occur (substring).  One vectorized Arrow kernel pass per
+    phrase; the phrase list broadcasts as a plain closure constant."""
+    from cex_crawler_ray.stages.textstats import banned_phrase_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        lambda b: banned_phrase_counts(b, _BANNED_PHRASES),
+        batch_format="pyarrow",
+    )
+
+
+def q_token_entropy(sf_dir: str):
+    """Per-doc token-distribution Shannon entropy (1e-4 fixed point) —
+    the repetitiveness quality signal."""
+    from cex_crawler_ray.stages.textstats import token_entropy_e4
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(token_entropy_e4, batch_format="pyarrow")
+
+
+def q_winsorized_sum(sf_dir: str):
+    """Winsorized per-type sums: clip value cents at the exact global
+    p05/p95 (two histogram-descent passes, no sort) then one combiner
+    groupby — the robust-aggregate composition."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.sketch import exact_global_quantile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def to_cents(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "cents": _cents(df["value"])}
+        )
+
+    cents = ds.map_batches(to_cents, batch_format="pandas").materialize()
+    lo = exact_global_quantile(cents, col="cents", q=0.05)
+    hi = exact_global_quantile(cents, col="cents", q=0.95)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        c = df["cents"].clip(lo, hi)
+        g = pd.DataFrame({"event_type": df["event_type"], "c": c}).groupby(
+            "event_type", as_index=False
+        )
+        return g.agg(n=("c", "size"), wsum_cents=("c", "sum"))
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n": [int(df["n"].sum())],
+                "wsum_cents": [int(df["wsum_cents"].sum())],
+            }
+        )
+
+    return (
+        cents.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q_grouping_sets_orders(sf_dir: str):
     """GROUPING SETS ((status, priority), (status, year), (year)) in
     ONE shuffle: the finest cell table (status, priority, year) is the
@@ -3043,6 +3116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets_orders": q_grouping_sets_orders,
         "image_phash_pairs": q_image_phash_pairs,
         "audio_fp_pairs": q_audio_fp_pairs,
+        "banned_phrases": q_banned_phrases,
+        "token_entropy": q_token_entropy,
+        "winsorized_sum": q_winsorized_sum,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -4235,6 +4311,45 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM documents a JOIN documents b
   ON a.doc_id < b.doc_id
  AND a.doc_id % 25 = b.doc_id % 25
+""",
+        "banned_phrases": """
+SELECT doc_id,
+       CAST(CAST(contains(text, 'slow query') AS INT)
+          + CAST(contains(text, 'dup') AS INT)
+          + CAST(contains(text, 'spark window') AS INT)
+          + CAST(contains(text, 'merge part') AS INT) AS BIGINT)
+         AS n_banned
+FROM documents
+""",
+        "token_entropy": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                               x -> lower(x))) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+tot AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS t,
+               SUM(c * ln(CAST(c AS DOUBLE))) AS s
+        FROM tf GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(tot.t, 0) AS BIGINT) AS n_tok,
+       CAST(COALESCE(round((ln(tot.t) - tot.s / tot.t) * 10000), 0)
+            AS BIGINT) AS entropy_e4
+FROM documents d LEFT JOIN tot ON tot.doc_id = d.doc_id
+""",
+        "winsorized_sum": """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+q AS (SELECT quantile_disc(cents, 0.05) AS lo,
+             quantile_disc(cents, 0.95) AS hi
+      FROM c)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(LEAST(GREATEST(cents, q.lo), q.hi)) AS BIGINT)
+         AS wsum_cents
+FROM c, q GROUP BY event_type
 """,
         "grouping_sets_orders": """
 SELECT o_orderstatus, o_orderpriority,

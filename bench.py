@@ -339,6 +339,9 @@ def bench_queries(sf_dir: str) -> dict:
         "grouping_sets_orders",
         "image_phash_pairs",
         "audio_fp_pairs",
+        "banned_phrases",
+        "token_entropy",
+        "winsorized_sum",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row

@@ -256,3 +256,70 @@ def winnow_stage(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column(
         "fingerprints", pa.array(fps, pa.list_(pa.uint64()))
     )
+
+
+_PHRASE_WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+
+
+def banned_phrase_counts(
+    batch: pa.Table,
+    phrases: tuple,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """(id, n_banned): how many of the given literal phrases occur in
+    each document (substring semantics, case-sensitive — the policy
+    filter every curation pipeline runs before training).  Vectorized:
+    one ``pyarrow.compute.match_substring`` kernel pass per phrase,
+    summed as int8 columns — no per-row Python."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    total = np.zeros(n, dtype=np.int64)
+    col = batch[text_col]
+    for p in phrases:
+        m = pc.match_substring(col, p)
+        total += (
+            m.combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    return pa.table(
+        {
+            id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+            "n_banned": pa.array(total, pa.int64()),
+        }
+    )
+
+
+def token_entropy_e4(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-doc Shannon entropy of the token distribution, 1e-4 fixed
+    point: H = ln(T) - sum(c*ln c)/T over token counts c (nats).
+    The natural "repetitiveness" quality signal — a doc that repeats
+    one token has H=0, a uniform vocabulary maximizes H."""
+    import numpy as np
+    from collections import Counter
+
+    ids = batch[id_col].to_pylist()
+    out_ids, ents, ntoks = [], [], []
+    for did, t in zip(ids, batch[text_col].to_pylist()):
+        toks = [w.lower() for w in _PHRASE_WORD_RE.findall(t)]
+        T = len(toks)
+        out_ids.append(did)
+        ntoks.append(T)
+        if T == 0:
+            ents.append(0)
+            continue
+        c = np.array(list(Counter(toks).values()), dtype=np.float64)
+        h = np.log(float(T)) - float((c * np.log(c)).sum()) / float(T)
+        ents.append(int(np.round(h * 1e4)))
+    return pa.table(
+        {
+            id_col: pa.array(out_ids, pa.int64()),
+            "n_tok": pa.array(ntoks, pa.int64()),
+            "entropy_e4": pa.array(ents, pa.int64()),
+        }
+    )

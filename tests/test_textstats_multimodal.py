@@ -293,3 +293,50 @@ def test_audio_fp_pairs_robustness(ray_session):
     pairs = set(zip(out["id_a"], out["id_b"]))
     assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_banned_phrase_counts_hand(ray_session):
+    import pandas as pd
+
+    from cex_crawler_ray.stages.textstats import banned_phrase_counts
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["bad word here", "clean text", "bad word bad word x2"],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = (
+        ds.map_batches(
+            lambda b: banned_phrase_counts(b, ("bad word", "x2")),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # counts distinct phrases present, not occurrences
+    assert out["n_banned"].tolist() == [1, 0, 2]
+
+
+def test_token_entropy_extremes(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.textstats import token_entropy_e4
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["same same same same", "a b c d", ""],
+        }
+    )
+    out = (
+        ray.data.from_pandas(df)
+        .map_batches(token_entropy_e4, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "entropy_e4"] == 0  # one repeated token
+    assert out.loc[2, "entropy_e4"] == int(round(np.log(4) * 1e4))
+    assert out.loc[3, "entropy_e4"] == 0 and out.loc[3, "n_tok"] == 0
