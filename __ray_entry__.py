@@ -2381,6 +2381,92 @@ def q_winsorized_sum(sf_dir: str):
     )
 
 
+def q_corr_matrix(sf_dir: str):
+    """One-pass pairwise Pearson correlations of four lineitem
+    measures (quantity units, whole-dollar price, discount/tax cents),
+    1e-6 fixed point from exact integer sufficient stats."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.stats import corr_matrix_e6
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def units(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                # floor(x+0.5) = SQL round() half-away semantics; pandas
+                # .round() is half-even and diverges on *.50 prices
+                "qty": np.floor(
+                    df["l_quantity"].to_numpy(dtype=np.float64) + 0.5
+                ).astype("int64"),
+                "price_usd": np.floor(
+                    df["l_extendedprice"].to_numpy(dtype=np.float64) + 0.5
+                ).astype("int64"),
+                "disc_c": _cents(df["l_discount"]),
+                "tax_c": _cents(df["l_tax"]),
+            }
+        )
+
+    return corr_matrix_e6(
+        ds.map_batches(units, batch_format="pandas"),
+        ["qty", "price_usd", "disc_c", "tax_c"],
+    )
+
+
+def q_incremental_group_sums(sf_dir: str):
+    """Materialized-view maintenance: per-type (n, sum cents) state
+    built by TWO incremental updates (events split by event_id parity)
+    — the result must equal a from-scratch groupby, which is exactly
+    what the oracle computes."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.state.incr_agg import update_group_sums
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def prep(parity: int):
+        def fn(df: "pd.DataFrame") -> "pd.DataFrame":
+            sub = df[df["event_id"] % 2 == parity]
+            return pd.DataFrame(
+                {
+                    "event_type": sub["event_type"],
+                    "cents": _cents(sub["value"]),
+                }
+            )
+
+        return fn
+
+    state_dir = tempfile.mkdtemp(prefix="incr_agg_", dir="/tmp")
+    try:
+        update_group_sums(
+            state_dir,
+            ds.map_batches(prep(0), batch_format="pandas"),
+            "event_type",
+            "cents",
+        )
+        final = update_group_sums(
+            state_dir,
+            ds.map_batches(prep(1), batch_format="pandas"),
+            "event_type",
+            "cents",
+        )
+        out = final.to_pandas().rename(columns={"sum_val": "sum_cents"})
+        out["n"] = out["n"].astype("int64")
+        out["sum_cents"] = out["sum_cents"].astype("int64")
+        return out[["event_type", "n", "sum_cents"]]
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def q_grouping_sets_orders(sf_dir: str):
     """GROUPING SETS ((status, priority), (status, year), (year)) in
     ONE shuffle: the finest cell table (status, priority, year) is the
@@ -3119,6 +3205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "banned_phrases": q_banned_phrases,
         "token_entropy": q_token_entropy,
         "winsorized_sum": q_winsorized_sum,
+        "corr_matrix": q_corr_matrix,
+        "incremental_group_sums": q_incremental_group_sums,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -4338,6 +4426,13 @@ SELECT d.doc_id,
             AS BIGINT) AS entropy_e4
 FROM documents d LEFT JOIN tot ON tot.doc_id = d.doc_id
 """,
+        "incremental_group_sums": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY event_type
+""",
         "winsorized_sum": """
 WITH c AS (SELECT event_type,
                   CAST(round(value * 100) AS BIGINT) AS cents
@@ -4350,6 +4445,74 @@ SELECT event_type,
        CAST(SUM(LEAST(GREATEST(cents, q.lo), q.hi)) AS BIGINT)
          AS wsum_cents
 FROM c, q GROUP BY event_type
+""",
+        "corr_matrix": """
+WITH u AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice) AS BIGINT) AS price_usd,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         SUM(CAST(qty AS HUGEINT)) AS s0,
+         SUM(CAST(qty AS HUGEINT) * qty) AS ss0,
+         SUM(CAST(price_usd AS HUGEINT)) AS s1,
+         SUM(CAST(price_usd AS HUGEINT) * price_usd) AS ss1,
+         SUM(CAST(disc_c AS HUGEINT)) AS s2,
+         SUM(CAST(disc_c AS HUGEINT) * disc_c) AS ss2,
+         SUM(CAST(tax_c AS HUGEINT)) AS s3,
+         SUM(CAST(tax_c AS HUGEINT) * tax_c) AS ss3,
+         SUM(CAST(qty AS HUGEINT) * price_usd) AS sp01,
+         SUM(CAST(qty AS HUGEINT) * disc_c) AS sp02,
+         SUM(CAST(qty AS HUGEINT) * tax_c) AS sp03,
+         SUM(CAST(price_usd AS HUGEINT) * disc_c) AS sp12,
+         SUM(CAST(price_usd AS HUGEINT) * tax_c) AS sp13,
+         SUM(CAST(disc_c AS HUGEINT) * tax_c) AS sp23
+  FROM u
+)
+SELECT 'qty' AS col_a, 'price_usd' AS col_b,
+       CAST(round(CAST(n*sp01 - s0*s1 AS DOUBLE) /
+            (sqrt(CAST(n*ss0 - s0*s0 AS DOUBLE))
+             * sqrt(CAST(n*ss1 - s1*s1 AS DOUBLE))) * 1000000)
+            AS BIGINT) AS corr_e6
+FROM s
+UNION ALL
+SELECT 'qty' AS col_a, 'disc_c' AS col_b,
+       CAST(round(CAST(n*sp02 - s0*s2 AS DOUBLE) /
+            (sqrt(CAST(n*ss0 - s0*s0 AS DOUBLE))
+             * sqrt(CAST(n*ss2 - s2*s2 AS DOUBLE))) * 1000000)
+            AS BIGINT) AS corr_e6
+FROM s
+UNION ALL
+SELECT 'qty' AS col_a, 'tax_c' AS col_b,
+       CAST(round(CAST(n*sp03 - s0*s3 AS DOUBLE) /
+            (sqrt(CAST(n*ss0 - s0*s0 AS DOUBLE))
+             * sqrt(CAST(n*ss3 - s3*s3 AS DOUBLE))) * 1000000)
+            AS BIGINT) AS corr_e6
+FROM s
+UNION ALL
+SELECT 'price_usd' AS col_a, 'disc_c' AS col_b,
+       CAST(round(CAST(n*sp12 - s1*s2 AS DOUBLE) /
+            (sqrt(CAST(n*ss1 - s1*s1 AS DOUBLE))
+             * sqrt(CAST(n*ss2 - s2*s2 AS DOUBLE))) * 1000000)
+            AS BIGINT) AS corr_e6
+FROM s
+UNION ALL
+SELECT 'price_usd' AS col_a, 'tax_c' AS col_b,
+       CAST(round(CAST(n*sp13 - s1*s3 AS DOUBLE) /
+            (sqrt(CAST(n*ss1 - s1*s1 AS DOUBLE))
+             * sqrt(CAST(n*ss3 - s3*s3 AS DOUBLE))) * 1000000)
+            AS BIGINT) AS corr_e6
+FROM s
+UNION ALL
+SELECT 'disc_c' AS col_a, 'tax_c' AS col_b,
+       CAST(round(CAST(n*sp23 - s2*s3 AS DOUBLE) /
+            (sqrt(CAST(n*ss2 - s2*s2 AS DOUBLE))
+             * sqrt(CAST(n*ss3 - s3*s3 AS DOUBLE))) * 1000000)
+            AS BIGINT) AS corr_e6
+FROM s
 """,
         "grouping_sets_orders": """
 SELECT o_orderstatus, o_orderpriority,

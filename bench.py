@@ -342,6 +342,8 @@ def bench_queries(sf_dir: str) -> dict:
         "banned_phrases",
         "token_entropy",
         "winsorized_sum",
+        "corr_matrix",
+        "incremental_group_sums",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row

@@ -185,3 +185,78 @@ def json_int_field(
         return pa.table({id_col: batch[id_col], out_col: v})
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def corr_matrix_e6(
+    ds: "ray.data.Dataset",
+    cols: list,
+) -> "pd.DataFrame":
+    """All pairwise Pearson correlations of integer columns in ONE
+    pass, 1e-6 fixed point — exactly.
+
+    Each batch reduces to a single row of integer sufficient stats
+    (n, Σx per column, Σxy per ordered pair); the merged sums are
+    EXACT (int64 on the wire, Python bigints for the n·Σxy products,
+    which overflow int64 at corpus scale), so both engines derive the
+    corr from identical integers and the only floats are one sqrt and
+    one divide — unlike a float-accumulated corr, batching order can't
+    move the result.
+
+    Returns a tiny DataFrame (col_a, col_b, corr_e6), a < b in ``cols``
+    order.
+
+    Range contract: the CALLER picks units so that
+    ``n_rows * max(|x|)^2 < 2^63`` — the partial/merged sums ride int64
+    Arrow columns (the driver-side products are bigint-exact).  At
+    1e12-row scale, switch the accumulators to the hi/lo int64 carry
+    pattern used by substr_dedup's 128-bit rolling hash.
+    """
+    import math
+
+    k = len(cols)
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        vals = [df[c].to_numpy(dtype=np.int64) for c in cols]
+        row = {"n": np.int64(len(df))}
+        for i, c in enumerate(cols):
+            row[f"s_{i}"] = vals[i].sum()
+            row[f"ss_{i}"] = (vals[i] * vals[i]).sum()
+        for i, j in pairs:
+            row[f"sp_{i}_{j}"] = (vals[i] * vals[j]).sum()
+        return pd.DataFrame([row])
+
+    stat_cols = (
+        ["n"]
+        + [f"s_{i}" for i in range(k)]
+        + [f"ss_{i}" for i in range(k)]
+        + [f"sp_{i}_{j}" for i, j in pairs]
+    )
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .sum(stat_cols)
+    )
+    # ray .sum over a whole dataset returns a dict of python ints
+    get = lambda name: int(merged[f"sum({name})"])
+    n = get("n")
+    out = []
+    for i, j in pairs:
+        sx, sy = get(f"s_{i}"), get(f"s_{j}")
+        sxx, syy, sxy = get(f"ss_{i}"), get(f"ss_{j}"), get(f"sp_{i}_{j}")
+        cov = n * sxy - sx * sy  # exact bigint
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            e6 = None
+        else:
+            e6 = int(
+                round(
+                    float(cov)
+                    / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+                    * 1e6
+                )
+            )
+        out.append((cols[i], cols[j], e6))
+    res = pd.DataFrame(out, columns=["col_a", "col_b", "corr_e6"])
+    res["corr_e6"] = res["corr_e6"].astype("int64")
+    return res
