@@ -2467,6 +2467,28 @@ def q_incremental_group_sums(sf_dir: str):
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
+def q_global_row_number(sf_dir: str):
+    """Global ROW_NUMBER over (value cents, event_id) with NO global
+    sort: bucket counts -> broadcast prefix offsets -> within-bucket
+    exact ranks."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import global_row_number
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"event_id": df["event_id"], "cents": _cents(df["value"])}
+        )
+
+    return global_row_number(
+        ds.map_batches(prep, batch_format="pandas"), bucket_width=64
+    )
+
+
 def q_grouping_sets_orders(sf_dir: str):
     """GROUPING SETS ((status, priority), (status, year), (year)) in
     ONE shuffle: the finest cell table (status, priority, year) is the
@@ -3207,6 +3229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_sum": q_winsorized_sum,
         "corr_matrix": q_corr_matrix,
         "incremental_group_sums": q_incremental_group_sums,
+        "global_row_number": q_global_row_number,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -4425,6 +4448,13 @@ SELECT d.doc_id,
        CAST(COALESCE(round((ln(tot.t) - tot.s / tot.t) * 10000), 0)
             AS BIGINT) AS entropy_e4
 FROM documents d LEFT JOIN tot ON tot.doc_id = d.doc_id
+""",
+        "global_row_number": """
+SELECT event_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+       AS BIGINT) AS rn
+FROM events
 """,
         "incremental_group_sums": """
 SELECT event_type,

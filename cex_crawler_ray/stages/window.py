@@ -773,3 +773,117 @@ def cume_dist_counts(
         rank_part,
         num_parts,
     )
+
+
+def global_row_number(
+    ds: "ray.data.Dataset",
+    val_col: str = "cents",
+    id_col: str = "event_id",
+    bucket_width: int = 1 << 10,
+    num_parts: int = 32,
+    out_col: str = "rn",
+) -> "ray.data.Dataset":
+    """SQL ``ROW_NUMBER() OVER (ORDER BY val, id)`` — a GLOBAL rank —
+    without a global sort and without the driver seeing rows.
+
+    Two passes over (id, val) int64 rows:
+    1. per-block counts per ORDERED value bucket (val // width) — a
+       combiner groupby whose result (one row per bucket) comes to the
+       driver, where the exclusive prefix sum gives each bucket its
+       global offset (broadcast via ``ray.put``);
+    2. co-partition by bucket; a bucket's rows land whole in one
+       partition, so its internal (val, id) lexsort positions are
+       exact; rank = bucket offset + local position.
+
+    The shuffle carries (id, val, bucket) only; driver state is one
+    int per non-empty bucket.  Pick ``bucket_width`` so value range /
+    width ~ 1e4-1e6 buckets.
+    """
+    from .dedup import _coarse_group_apply
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                val_col: pa.array(v, pa.int64()),
+                # floor division keeps bucket order == value order for
+                # negatives too
+                "_bkt": pa.array(v // bucket_width, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        b = batch["_bkt"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "_bkt": pa.array(u, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    counts = (
+        tagged.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("_bkt")
+        .sum("c")
+        .to_pandas()
+        .sort_values("_bkt")
+    )
+    bkts = counts["_bkt"].to_numpy(dtype=np.int64)
+    if bkts.size == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    out_col: pa.array([], pa.int64()),
+                }
+            )
+        )
+    c = counts["sum(c)"].to_numpy(dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(c)[:-1]))
+    off_ref = ray.put((bkts, offsets))
+
+    def rank_part(group: pa.Table) -> pa.Table:
+        sb, so = ray.get(off_ref)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        v = group[val_col].to_numpy(zero_copy_only=False)
+        b = group["_bkt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, v, b))
+        ids_o, b_o = ids[order], b[order]
+        new_b = np.concatenate(([True], b_o[1:] != b_o[:-1]))
+        starts = np.flatnonzero(new_b)
+        lens = np.diff(np.concatenate((starts, [len(ids_o)])))
+        local = np.arange(len(ids_o)) - np.repeat(starts, lens)
+        base = so[np.searchsorted(sb, b_o)]
+        return pa.table(
+            {
+                id_col: pa.array(ids_o, pa.int64()),
+                out_col: pa.array(base + local + 1, pa.int64()),
+            }
+        )
+
+    # bucket ints can be negative; offset into non-negative space for
+    # the coarse partitioner's uint cast
+    def shift(batch: pa.Table) -> pa.Table:
+        b = batch["_bkt"].to_numpy(zero_copy_only=False)
+        return batch.set_column(
+            batch.column_names.index("_bkt"),
+            "_bkt",
+            pa.array(b - int(bkts.min()), pa.int64()),
+        )
+
+    shifted = tagged.map_batches(shift, batch_format="pyarrow")
+
+    def rank_part_shifted(group: pa.Table) -> pa.Table:
+        b = group["_bkt"].to_numpy(zero_copy_only=False) + int(bkts.min())
+        g2 = group.set_column(
+            group.column_names.index("_bkt"), "_bkt", pa.array(b, pa.int64())
+        )
+        return rank_part(g2)
+
+    return _coarse_group_apply(
+        shifted, "_bkt", rank_part_shifted, num_parts
+    )

@@ -238,3 +238,31 @@ def test_cume_dist_counts_ties(ray_session):
     )
     assert out["n_le"].tolist() == [3, 3, 1, 4, 1]
     assert out["n_key"].tolist() == [4, 4, 4, 4, 1]
+
+
+def test_global_row_number_negatives_and_ties(ray_session):
+    """Negative values bucket-order correctly (floor division) and tied
+    values break by id; result equals pandas rank over (v, id)."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import global_row_number
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(2000),
+            "cents": rng.integers(-5000, 5000, 2000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (
+        global_row_number(ds, bucket_width=128)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["cents", "event_id"]).reset_index()
+    want["rn"] = np.arange(1, len(want) + 1)
+    want = want.sort_values("event_id")["rn"].reset_index(drop=True)
+    assert got["rn"].astype("int64").equals(want.astype("int64"))
