@@ -2489,6 +2489,89 @@ def q_global_row_number(sf_dir: str):
     )
 
 
+def q_gaps_islands(sf_dir: str):
+    """Gaps-and-islands: each event opens an interval [ts, ts +
+    round(value*100) seconds]; overlapping/touching intervals merge per
+    user via a partition-local running-max scan (one hash shuffle on
+    user_id)."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import merge_intervals
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        s_us = df["ts"].astype("datetime64[us]").astype("int64")
+        dur_us = _cents(df["value"]) * 1_000_000
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "s_us": s_us,
+                "e_us": s_us + dur_us,
+            }
+        )
+
+    return merge_intervals(ds.map_batches(prep, batch_format="pandas"))
+
+
+def q_funnel_counts(sf_dir: str):
+    """Strict-order funnel view -> click -> purchase: users completing
+    each step strictly after the previous step's first completion."""
+    from cex_crawler_ray.stages.sequence import funnel_counts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return funnel_counts(events, ["view", "click", "purchase"])
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Retention matrix: distinct users per (first-activity-day cohort,
+    day offset); per-user-partition local dedup bounds the shuffle to
+    one row per (user, active day)."""
+    from cex_crawler_ray.stages.sequence import retention_cohorts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return retention_cohorts(events)
+
+
+def q_table_diff(sf_dir: str):
+    """CDC-style keyed diff of two order snapshots (the reference's
+    recrawl-and-compare loop as a real operator): old = orders minus
+    keys %97==0, new = orders minus keys %101==0 with price bumped 1%
+    on keys %89==0; emit added/removed/changed rows only."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.diff import table_diff
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def snap_old(df: "pd.DataFrame") -> "pd.DataFrame":
+        k = df["o_orderkey"].astype("int64")
+        out = pd.DataFrame({"o_orderkey": k, "cents": _cents(df["o_totalprice"])})
+        return out[(k % 97 != 0).to_numpy()]
+
+    def snap_new(df: "pd.DataFrame") -> "pd.DataFrame":
+        k = df["o_orderkey"].astype("int64")
+        cents = _cents(df["o_totalprice"])
+        bump = (cents + (cents // 100)) * (k % 89 == 0).to_numpy() + cents * (
+            k % 89 != 0
+        ).to_numpy()
+        out = pd.DataFrame({"o_orderkey": k, "cents": bump})
+        return out[(k % 101 != 0).to_numpy()]
+
+    old = orders.map_batches(snap_old, batch_format="pandas")
+    new = orders.map_batches(snap_new, batch_format="pandas")
+    return table_diff(old, new, key_col="o_orderkey", val_col="cents")
+
+
 def q_grouping_sets_orders(sf_dir: str):
     """GROUPING SETS ((status, priority), (status, year), (year)) in
     ONE shuffle: the finest cell table (status, priority, year) is the
@@ -3230,6 +3313,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_matrix": q_corr_matrix,
         "incremental_group_sums": q_incremental_group_sums,
         "global_row_number": q_global_row_number,
+        "gaps_islands": q_gaps_islands,
+        "funnel_counts": q_funnel_counts,
+        "retention_cohorts": q_retention_cohorts,
+        "table_diff": q_table_diff,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -4455,6 +4542,88 @@ SELECT event_id,
          ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
        AS BIGINT) AS rn
 FROM events
+""",
+        "gaps_islands": """
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS s_us,
+         CAST(epoch_us(ts) AS BIGINT)
+           + CAST(round(value * 100) AS BIGINT) * 1000000 AS e_us
+  FROM events
+), m AS (
+  SELECT user_id, event_id, s_us, e_us,
+         CASE WHEN s_us <= max(e_us) OVER (
+                PARTITION BY user_id ORDER BY s_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS new_i
+  FROM iv
+), g AS (
+  SELECT user_id, s_us, e_us,
+         SUM(new_i) OVER (
+           PARTITION BY user_id ORDER BY s_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(island AS BIGINT) AS island_id,
+       CAST(min(s_us) AS BIGINT) AS island_start_us,
+       CAST(max(e_us) AS BIGINT) AS island_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, island
+""",
+        "funnel_counts": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+       CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 1, 'click', count(*) FROM s2
+UNION ALL
+SELECT 2, 'purchase', count(*) FROM s3
+""",
+        "retention_cohorts": """
+WITH f AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS d0
+  FROM events GROUP BY user_id
+)
+SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', f.d0, date_trunc('day', e.ts)) AS BIGINT)
+         AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN f ON f.user_id = e.user_id
+GROUP BY 1, 2
+""",
+        "table_diff": """
+WITH old AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 97 <> 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0
+              THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                   + CAST(round(o_totalprice * 100) AS BIGINT) // 100
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 101 <> 0
+)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       CAST(COALESCE(old.cents, -1) AS BIGINT) AS old_val,
+       CAST(COALESCE(new.cents, -1) AS BIGINT) AS new_val
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+   OR old.cents <> new.cents
 """,
         "incremental_group_sums": """
 SELECT event_type,

@@ -1,0 +1,133 @@
+r"""User-sequence analytics: ordered funnels and retention cohorts.
+
+The reference engine has no user analytics at all — its closest analog
+is the per-exchange announcement timeline it assembles for the report
+(reference ``collect_data.py`` report ordering).  A crawl/clickstream
+corpus at scale needs both classic sequence reductions:
+
+``funnel_counts`` — how many users completed step 1, step 1→2 (strictly
+after), step 1→2→3, … for an ordered list of event types.  One hash
+shuffle on the user key; inside a partition each step is a vectorized
+pandas pass (``groupby.min`` + a mapped lower bound), NO per-user loop.
+Only one tiny (step, count) row per (partition, step) leaves the
+partition, so the final aggregate is trivially small.
+
+``retention_cohorts`` — users grouped by their first-activity day
+(cohort), counted per (cohort_day, day_offset) of later activity.  A
+user belongs to exactly one cohort, so per-partition local dedup of
+(user, active-day) rows is exact; the shuffle carries one row per
+(user, active day), never raw events.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from .dedup import _coarse_group_apply
+
+
+def funnel_counts(
+    events: "ray.data.Dataset",
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Strict-order funnel: a user completes step k when an event of
+    type ``steps[k]`` exists STRICTLY AFTER their step k-1 completion
+    time (first-completion semantics).  Returns one row per step:
+    ``(step_idx, step, n_users)``.
+    """
+    import pandas as pd
+
+    def partial(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        counts = np.zeros(len(steps), dtype=np.int64)
+        if len(df):
+            # per-user completion time of the previous step; NaT = not
+            # yet in the funnel (step 0 has no lower bound)
+            bound = None
+            for k, step in enumerate(steps):
+                sub = df[df[type_col] == step]
+                if bound is not None:
+                    lb = sub[user_col].map(bound)
+                    sub = sub[lb.notna() & (sub[ts_col] > lb)]
+                done = sub.groupby(user_col, sort=False)[ts_col].min()
+                counts[k] = len(done)
+                if len(done) == 0:
+                    break
+                bound = done
+        return pa.table(
+            {
+                "step_idx": pa.array(np.arange(len(steps)), pa.int64()),
+                "step": pa.array(list(steps), pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    per_part = _coarse_group_apply(events, user_col, partial, num_parts)
+    # tiny final reduce: len(steps) rows per partition
+    agg = per_part.groupby(["step_idx", "step"]).sum("n")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "step_idx": batch["step_idx"].cast(pa.int64()),
+                "step": batch["step"],
+                "n_users": batch["sum(n)"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def retention_cohorts(
+    events: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Cohort retention: users bucketed by first-activity day; output
+    one row per ``(cohort_day, day_offset)`` with the distinct-user
+    count.  ``cohort_day`` is a '%Y-%m-%d' string, offsets in days.
+    """
+    import pandas as pd
+
+    def partial(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        if len(df) == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "cohort_day": pa.array([], pa.string()),
+                    "day_offset": pa.array([], pa.int64()),
+                }
+            )
+        day = df[ts_col].dt.floor("D")
+        d0 = day.groupby(df[user_col]).transform("min")
+        out = pd.DataFrame(
+            {
+                user_col: df[user_col],
+                "cohort_day": d0.dt.strftime("%Y-%m-%d"),
+                "day_offset": ((day - d0).dt.days).astype("int64"),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    per_user = _coarse_group_apply(events, user_col, partial, num_parts)
+    agg = per_user.groupby(["cohort_day", "day_offset"]).count()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_day": batch["cohort_day"],
+                "day_offset": batch["day_offset"].cast(pa.int64()),
+                "n_users": batch["count()"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

@@ -887,3 +887,70 @@ def global_row_number(
     return _coarse_group_apply(
         shifted, "_bkt", rank_part_shifted, num_parts
     )
+
+
+def merge_intervals(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    start_col: str = "s_us",
+    end_col: str = "e_us",
+    id_col: str = "event_id",
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Gaps-and-islands: merge overlapping/touching ``[s, e]`` intervals
+    per key into islands; one output row per island with its span and
+    member count.
+
+    Unlike ``sessionize`` (point events + gap threshold) the intervals
+    here have real durations, so island membership depends on the
+    RUNNING MAX of prior interval ends, not just the previous row: an
+    early long interval can swallow several later short ones.
+
+    Distribution: one hash shuffle on ``key_col`` (a key's intervals
+    land whole in one partition); inside the partition everything is
+    vectorized pandas — ``groupby.cummax`` for the running end, a
+    group-shift for the preceding-rows max, cumsum for island ids.
+    Skewed keys degrade to bigger groups, never hot single-row tasks.
+    Output is one row per island, so the result is strictly smaller
+    than the input — safe to feed downstream aggregates.
+    """
+    import pandas as pd
+
+    def islands(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        if len(df) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "island_id": pa.array([], pa.int64()),
+                    "island_start_us": pa.array([], pa.int64()),
+                    "island_end_us": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        df = df.sort_values([key_col, start_col, id_col], kind="mergesort")
+        g = df.groupby(key_col, sort=False)
+        # running max of interval ends over PRECEDING rows in the key
+        prev_max = g[end_col].cummax().groupby(df[key_col]).shift(1)
+        new_island = prev_max.isna() | (df[start_col] > prev_max)
+        df["island_id"] = new_island.astype("int64").groupby(df[key_col]).cumsum()
+        out = (
+            df.groupby([key_col, "island_id"], sort=False)
+            .agg(
+                island_start_us=(start_col, "min"),
+                island_end_us=(end_col, "max"),
+                n_events=(id_col, "size"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                key_col: pa.array(out[key_col], pa.int64()),
+                "island_id": pa.array(out["island_id"], pa.int64()),
+                "island_start_us": pa.array(out["island_start_us"], pa.int64()),
+                "island_end_us": pa.array(out["island_end_us"], pa.int64()),
+                "n_events": pa.array(out["n_events"], pa.int64()),
+            }
+        )
+
+    return _coarse_group_apply(ds, key_col, islands, num_parts)
