@@ -2572,6 +2572,112 @@ def q_table_diff(sf_dir: str):
     return table_diff(old, new, key_col="o_orderkey", val_col="cents")
 
 
+def q_bfs_levels(sf_dir: str):
+    """BFS hop distance (<= 6) from seed users (id % 50 == 0) over the
+    undirected session-handoff graph — the crawl-frontier-depth
+    operator; each round is one co-partition join + min-reduce."""
+    import pyarrow.compute as pc
+
+    from cex_crawler_ray.stages.graph import bfs_levels
+    from cex_crawler_ray.stages.window import lead_lag
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    led = lead_lag(ds, kind="lead")
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch["user_id"]
+        dst = batch["lead_user_id"]
+        keep = pc.and_(dst.is_valid(), pc.not_equal(src, dst))
+        t = batch.filter(keep)
+        s = t["user_id"].combine_chunks().cast(pa.int64())
+        d = t["lead_user_id"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays([s, d]),
+                "dst": pa.concat_arrays([d, s]),
+            }
+        )
+
+    edges = led.map_batches(to_edges, batch_format="pyarrow")
+
+    def to_seeds(batch: pa.Table) -> pa.Table:
+        u = (
+            batch["user_id"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"node": pa.array(u[u % 50 == 0], pa.int64())})
+
+    seeds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).map_batches(to_seeds, batch_format="pyarrow")
+    return bfs_levels(edges, seeds, max_hops=6)
+
+
+def q_sequence_pattern(sf_dir: str):
+    """MATCH_RECOGNIZE-lite: users whose time-ordered event-type string
+    (v/c/p/s/e) matches 'vv[ce]*pp' — two views leading to two purchases
+    with only clicks/errors between."""
+    from cex_crawler_ray.stages.sequence import sequence_pattern
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return sequence_pattern(
+        events,
+        pattern="vv[ce]*pp",
+        type_map={
+            "view": "v",
+            "click": "c",
+            "purchase": "p",
+            "signup": "s",
+            "error": "e",
+        },
+    )
+
+
+def q_copurchase_pairs(sf_dir: str):
+    """Market-basket pairs: unordered part pairs co-occurring in >= 2
+    orders, counted with a basket-local pre-count combiner."""
+    from cex_crawler_ray.stages.sequence import copurchase_pairs
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return copurchase_pairs(li, min_support=2)
+
+
+def q_ohlc_daily(sf_dir: str):
+    """Daily OHLC bars per event type: order-dependent first/last-value
+    aggregates made mergeable by carrying the extreme's (ts, id) order
+    key in the partial."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.stats import ohlc_daily
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "day": df["ts"].dt.strftime("%Y-%m-%d"),
+                "event_type": df["event_type"],
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "cents": _cents(df["value"]),
+            }
+        )
+
+    return ohlc_daily(ds.map_batches(prep, batch_format="pandas"))
+
+
 def q_grouping_sets_orders(sf_dir: str):
     """GROUPING SETS ((status, priority), (status, year), (year)) in
     ONE shuffle: the finest cell table (status, priority, year) is the
@@ -3317,6 +3423,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": q_funnel_counts,
         "retention_cohorts": q_retention_cohorts,
         "table_diff": q_table_diff,
+        "bfs_levels": q_bfs_levels,
+        "sequence_pattern": q_sequence_pattern,
+        "copurchase_pairs": q_copurchase_pairs,
+        "ohlc_daily": q_ohlc_daily,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -4602,6 +4712,80 @@ SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
        CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
 FROM events e JOIN f ON f.user_id = e.user_id
 GROUP BY 1, 2
+""",
+        "bfs_levels": """
+WITH RECURSIVE ev AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (ORDER BY ts, event_id) AS dst
+  FROM events
+),
+ed AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ev WHERE dst IS NOT NULL AND dst <> src
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM ev
+    WHERE dst IS NOT NULL AND dst <> src
+  )
+),
+seeds AS (
+  SELECT DISTINCT user_id AS node FROM events WHERE user_id % 50 = 0
+),
+bfs AS (
+  SELECT node, 0 AS lvl FROM seeds
+  UNION
+  SELECT ed.dst AS node, bfs.lvl + 1 AS lvl
+  FROM bfs JOIN ed ON ed.src = bfs.node
+  WHERE bfs.lvl < 6
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(min(lvl) AS BIGINT) AS level
+FROM bfs GROUP BY node
+""",
+        "sequence_pattern": """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(
+           CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                ELSE 'e' END,
+           '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(len(s) AS BIGINT) AS seq_len
+FROM seq WHERE regexp_matches(s, 'vv[ce]*pp')
+""",
+        "copurchase_pairs": """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT CAST(x.l_partkey AS BIGINT) AS item_a,
+       CAST(y.l_partkey AS BIGINT) AS item_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM b x JOIN b y
+  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
+        "ohlc_daily": """
+WITH t AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY date_trunc('day', ts), event_type
+           ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (
+           PARTITION BY date_trunc('day', ts), event_type
+           ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT day, event_type,
+       CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+         AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+         AS close_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY day, event_type
 """,
         "table_diff": """
 WITH old AS (

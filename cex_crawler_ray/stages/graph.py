@@ -445,3 +445,98 @@ def triangle_count(
     counted = _coarse_group_apply(unioned, "pkey", count_closed, num_parts)
     total = counted.sum("n")
     return int(total["sum(n)"] if isinstance(total, dict) else total)
+
+
+def bfs_levels(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    max_hops: int = 6,
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Exact BFS hop distance from a seed set over a directed edge
+    Dataset ``(src, dst)``, bounded at ``max_hops``.  Returns one row
+    ``(node, level)`` per node reachable within the bound (seeds at 0).
+
+    The crawl analog: frontier depth from the seed catalogs — how many
+    link hops a page is from any seed — which the reference encodes
+    implicitly in its hub -> article two-level loop (reference
+    ``collect_data.py`` round structure) and a general engine needs as
+    an operator.
+
+    Same distributed shape as ``connected_components``: levels live in
+    a (node, lvl) Dataset; each round is ONE co-partition hash join
+    (static edges x current levels) emitting ``(dst, lvl+1)`` messages,
+    then a coarse-partition min-reduce.  The loop stops early when the
+    level-sum fixpoints (no new node, no shorter path), so dense graphs
+    do fewer than ``max_hops`` rounds.  Only the int64 level-sum hits
+    the driver.
+    """
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"].cast(pa.int64()),
+                "lvl": pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    levels = _coarse_group_apply(
+        seeds.map_batches(seed_rows, batch_format="pyarrow"),
+        "node",
+        _min_lvl_by_node,
+        num_parts,
+    ).materialize()
+    if levels.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "level": pa.array([], pa.int64()),
+                }
+            )
+        )
+    prev_sum, prev_n = int(levels.sum("lvl")), levels.count()
+
+    for _ in range(max_hops):
+        joined = hash_join(
+            edges, levels, left_key="src", right_key="node",
+            num_parts=num_parts,
+        )
+
+        def msg(batch: pa.Table) -> pa.Table:
+            lv = batch["lvl"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": batch["dst"].cast(pa.int64()),
+                    "lvl": pa.array(lv + 1, pa.int64()),
+                }
+            )
+
+        msgs = joined.map_batches(msg, batch_format="pyarrow")
+        levels = _coarse_group_apply(
+            levels.union(msgs), "node", _min_lvl_by_node, num_parts
+        ).materialize()
+        cur_sum, cur_n = int(levels.sum("lvl")), levels.count()
+        if cur_sum == prev_sum and cur_n == prev_n:
+            break
+        prev_sum, prev_n = cur_sum, cur_n
+
+    def cap_and_rename(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch["lvl"], pa.scalar(max_hops))
+        t = batch.filter(keep)
+        return pa.table({"node": t["node"], "level": t["lvl"]})
+
+    return levels.map_batches(cap_and_rename, batch_format="pyarrow")
+
+
+def _min_lvl_by_node(tbl: pa.Table) -> pa.Table:
+    df = tbl.to_pandas()
+    out = df.groupby("node", sort=False)["lvl"].min().reset_index()
+    return pa.table(
+        {
+            "node": pa.array(out["node"], pa.int64()),
+            "lvl": pa.array(out["lvl"], pa.int64()),
+        }
+    )

@@ -131,3 +131,113 @@ def retention_cohorts(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def sequence_pattern(
+    events: "ray.data.Dataset",
+    pattern: str,
+    type_map: dict[str, str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """MATCH_RECOGNIZE-lite: encode each user's time-ordered event-type
+    sequence as a character string (``type_map``: event type -> one
+    char) and keep users whose sequence matches ``pattern`` (an
+    uncompiled regex, compiled once per task).
+
+    One hash shuffle on the user key; inside a partition the encode is
+    a vectorized ``map`` + ``groupby.agg(''.join)`` and the match is
+    pandas' C-looped ``str.contains``.  Output is one (user_id,
+    seq_len) row per matching user — bounded by the user count, never
+    the event count.
+    """
+    import re as _re
+
+    import pandas as pd
+
+    rx = _re.compile(pattern)
+
+    def match_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        if len(df) == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "seq_len": pa.array([], pa.int64()),
+                }
+            )
+        df = df.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        ch = df[type_col].map(type_map).fillna("?")
+        seq = ch.groupby(df[user_col]).agg("".join)
+        hit = seq[seq.str.contains(rx)]
+        return pa.table(
+            {
+                user_col: pa.array(
+                    hit.index.to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "seq_len": pa.array(
+                    hit.str.len().to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _coarse_group_apply(events, user_col, match_part, num_parts)
+
+
+def copurchase_pairs(
+    lineitem: "ray.data.Dataset",
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Market-basket pair counts: for every unordered pair of distinct
+    items appearing in the same order, count the co-occurring orders;
+    keep pairs with support >= ``min_support``.
+
+    Two-level combiner: partition by order key (a basket lands whole in
+    one partition), expand each basket's pairs with a vectorized
+    self-merge, pre-count LOCALLY, then one tiny (a, b, partial-n)
+    shuffle to the final sum.  Pair expansion is quadratic in basket
+    size but baskets are small (TPC-H <= 7 items); the local pre-count
+    is what keeps the exchange bounded by distinct pairs, not baskets.
+    """
+    import pandas as pd
+
+    def pair_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().drop_duplicates([order_col, item_col])
+        m = df.merge(df, on=order_col, suffixes=("_a", "_b"))
+        m = m[m[f"{item_col}_a"] < m[f"{item_col}_b"]]
+        loc = (
+            m.groupby([f"{item_col}_a", f"{item_col}_b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "item_a": pa.array(loc[f"{item_col}_a"], pa.int64()),
+                "item_b": pa.array(loc[f"{item_col}_b"], pa.int64()),
+                "n": pa.array(loc["n"], pa.int64()),
+            }
+        )
+
+    partials = _coarse_group_apply(lineitem, order_col, pair_part, num_parts)
+    agg = partials.groupby(["item_a", "item_b"]).sum("n")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch["sum(n)"].cast(pa.int64())
+        t = pa.table(
+            {
+                "item_a": batch["item_a"].cast(pa.int64()),
+                "item_b": batch["item_b"].cast(pa.int64()),
+                "n_orders": n,
+            }
+        )
+        return t.filter(pc.greater_equal(n, pa.scalar(min_support)))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

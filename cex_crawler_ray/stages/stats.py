@@ -260,3 +260,68 @@ def corr_matrix_e6(
     res = pd.DataFrame(out, columns=["col_a", "col_b", "corr_e6"])
     res["corr_e6"] = res["corr_e6"].astype("int64")
     return res
+
+
+def ohlc_daily(
+    ds: "ray.data.Dataset",
+    key_cols: list[str] = None,
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    val_col: str = "cents",
+) -> "ray.data.Dataset":
+    """OHLC bars per key: open/close are the values at the first/last
+    (ts, id) order position, high/low the extremes, plus a row count.
+
+    Order-dependent aggregates are NOT plain combiners, but they ARE
+    mergeable once the partial carries its extreme's order key: each
+    batch emits one row per key with (first-key ts/id/value, last-key
+    ts/id/value, min, max, count); the merge re-picks the extremes
+    lexicographically.  The shuffle carries one partial row per
+    (batch, key) — never events.
+    """
+    key_cols = key_cols or ["day", "event_type"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                columns=key_cols
+                + ["o_ts", "o_id", "o_v", "c_ts", "c_id", "c_v",
+                   "hi", "lo", "n"]
+            )
+        df = df.sort_values([*key_cols, ts_col, id_col], kind="mergesort")
+        g = df.groupby(key_cols, sort=False)
+        first = g.head(1).set_index(key_cols)
+        last = g.tail(1).set_index(key_cols)
+        agg = g.agg(
+            hi=(val_col, "max"), lo=(val_col, "min"), n=(val_col, "size")
+        )
+        out = pd.DataFrame(
+            {
+                "o_ts": first[ts_col], "o_id": first[id_col],
+                "o_v": first[val_col],
+                "c_ts": last[ts_col], "c_id": last[id_col],
+                "c_v": last[val_col],
+                "hi": agg["hi"], "lo": agg["lo"], "n": agg["n"],
+            }
+        ).reset_index()
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.sort_values(["o_ts", "o_id"], kind="mergesort").head(1)
+        c = df.sort_values(["c_ts", "c_id"], kind="mergesort").tail(1)
+        return pd.DataFrame(
+            {
+                **{k: o[k].to_numpy() for k in key_cols},
+                "open_cents": o["o_v"].to_numpy().astype("int64"),
+                "high_cents": [int(df["hi"].max())],
+                "low_cents": [int(df["lo"].min())],
+                "close_cents": c["c_v"].to_numpy().astype("int64"),
+                "n": [int(df["n"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key_cols)
+        .map_groups(merge, batch_format="pandas")
+    )

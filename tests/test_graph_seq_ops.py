@@ -1,0 +1,131 @@
+"""Unit tests: BFS levels, sequence pattern, co-purchase pairs, OHLC."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+
+def test_bfs_levels_path_graph(ray_session):
+    """Path 0-1-2-...-9 with seed 0: level == node index, capped at 6."""
+    from cex_crawler_ray.stages.graph import bfs_levels
+
+    src = list(range(9))
+    dst = list(range(1, 10))
+    edges = pd.DataFrame(
+        {"src": src + dst, "dst": dst + src}  # undirected
+    )
+    seeds = pd.DataFrame({"node": [0]})
+    out = (
+        bfs_levels(
+            ray.data.from_pandas(edges).repartition(3),
+            ray.data.from_pandas(seeds),
+            max_hops=6,
+            num_parts=4,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # nodes 7..9 are beyond 6 hops -> absent
+    assert out["node"].tolist() == list(range(7))
+    assert out["level"].tolist() == list(range(7))
+
+
+def test_bfs_levels_shorter_path_wins(ray_session):
+    """Two routes to node 3 (0-1-2-3 and 0-3): min level wins."""
+    from cex_crawler_ray.stages.graph import bfs_levels
+
+    e = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    edges = pd.DataFrame(
+        {
+            "src": [a for a, b in e] + [b for a, b in e],
+            "dst": [b for a, b in e] + [a for a, b in e],
+        }
+    )
+    out = (
+        bfs_levels(
+            ray.data.from_pandas(edges),
+            ray.data.from_pandas(pd.DataFrame({"node": [0]})),
+            max_hops=6,
+            num_parts=4,
+        )
+        .to_pandas()
+        .set_index("node")["level"]
+    )
+    assert out[3] == 1 and out[2] == 2
+
+
+def test_sequence_pattern_order_and_match(ray_session):
+    from cex_crawler_ray.stages.sequence import sequence_pattern
+
+    t = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 2],
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "event_type": [
+                "view", "click", "purchase",      # vcp -> matches v c* p
+                "purchase", "click", "view",      # pcv -> no
+            ],
+            "ts": [t, t + s, t + 2 * s] * 2,
+        }
+    )
+    out = sequence_pattern(
+        ray.data.from_pandas(df).repartition(2),
+        pattern="vc*p",
+        type_map={"view": "v", "click": "c", "purchase": "p"},
+        num_parts=4,
+    ).to_pandas()
+    assert out["user_id"].tolist() == [1]
+    assert out["seq_len"].tolist() == [3]
+
+
+def test_copurchase_pairs_support(ray_session):
+    from cex_crawler_ray.stages.sequence import copurchase_pairs
+
+    li = pd.DataFrame(
+        {
+            # order 1: {10, 20, 30}; order 2: {10, 20}; order 3: {10, 20}
+            # (10,20) support 3; (10,30)/(20,30) support 1; dup row ignored
+            "l_orderkey": [1, 1, 1, 1, 2, 2, 3, 3],
+            "l_partkey": [10, 20, 30, 10, 10, 20, 20, 10],
+        }
+    )
+    out = (
+        copurchase_pairs(
+            ray.data.from_pandas(li).repartition(3),
+            min_support=2,
+            num_parts=4,
+        )
+        .to_pandas()
+        .sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [[10, 20, 3]]
+
+
+def test_ohlc_merge_across_batches(ray_session):
+    """Partials from different batches must re-pick open/close by the
+    (ts, id) order key, not batch order."""
+    from cex_crawler_ray.stages.stats import ohlc_daily
+
+    df = pd.DataFrame(
+        {
+            "day": ["d1"] * 4,
+            "event_type": ["x"] * 4,
+            # rows deliberately out of time order across partitions
+            "ts_us": [30, 10, 40, 20],
+            "event_id": [3, 1, 4, 2],
+            "cents": [300, 100, 400, 200],
+        }
+    )
+    out = ohlc_daily(
+        ray.data.from_pandas(df).repartition(4)
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["open_cents"], r["close_cents"]) == (100, 400)
+    assert (r["high_cents"], r["low_cents"], r["n"]) == (400, 100, 4)
