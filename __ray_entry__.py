@@ -2678,6 +2678,309 @@ def q_ohlc_daily(sf_dir: str):
     return ohlc_daily(ds.map_batches(prep, batch_format="pandas"))
 
 
+def q_star_join_agg(sf_dir: str):
+    """TPC-H-Q5-shaped star join: fact x fact co-partition hash join
+    (lineitem x orders on orderkey) then TWO broadcast dimension hops
+    (customer -> nation name) and a partial-agg revenue rollup — the
+    canonical 'one big shuffle, dims broadcast' plan for 100 TB."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.join import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust_ref = ray.put(
+        dict(zip(cust["c_custkey"].tolist(), cust["c_nationkey"].tolist()))
+    )
+    nat_ref = ray.put(
+        dict(zip(nation["n_nationkey"].tolist(), nation["n_name"].tolist()))
+    )
+
+    def prep_li(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].astype("int64"),
+                "cents": _cents(df["l_extendedprice"]),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(prep_li, batch_format="pandas"),
+        orders,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        ck = ray.get(cust_ref)
+        nn = ray.get(nat_ref)
+        nation_name = df["o_custkey"].map(ck).map(nn)
+        g = pd.DataFrame(
+            {"nation": nation_name, "cents": df["cents"]}
+        ).groupby("nation", as_index=False)
+        return g.agg(n_items=("cents", "size"), revenue_cents=("cents", "sum"))
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "nation": [df["nation"].iloc[0]],
+                "n_items": [int(df["n_items"].sum())],
+                "revenue_cents": [int(df["revenue_cents"].sum())],
+            }
+        )
+
+    return partials.groupby("nation").map_groups(final, batch_format="pandas")
+
+
+def q_above_avg_orders(sf_dir: str):
+    """Correlated-subquery pattern (orders strictly above their
+    customer's average price) decorrelated into a combiner aggregate +
+    one co-partition join; the compare is exact-integer cross-multiply
+    (price*n > sum), no float averages."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "o_custkey": df["o_custkey"].astype("int64"),
+                "cents": _cents(df["o_totalprice"]),
+            }
+        )
+
+    o = orders.map_batches(prep, batch_format="pandas")
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("o_custkey", as_index=False)
+        return g.agg(sm=("cents", "sum"), c=("cents", "size"))
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "s_custkey": [int(df["o_custkey"].iloc[0])],
+                "sm": [int(df["sm"].sum())],
+                "c": [int(df["c"].sum())],
+            }
+        )
+
+    sums = (
+        o.map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+    joined = hash_join(o, sums, left_key="o_custkey", right_key="s_custkey")
+
+    def keep_above(df: "pd.DataFrame") -> "pd.DataFrame":
+        m = df["cents"] * df["c"] > df["sm"]
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"][m].astype("int64")})
+
+    return joined.map_batches(keep_above, batch_format="pandas")
+
+
+def q_melt_lineitem(sf_dir: str):
+    """UNPIVOT: each lineitem row expands to three (metric, cents)
+    rows — pure vectorized row expansion (np.tile/repeat), the shape
+    every long-format exporter needs; no shuffle at all."""
+    import numpy as np
+    import pandas as pd
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount",
+        ],
+    )
+    metrics = ["quantity", "extendedprice", "discount"]
+
+    def melt(df: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(df)
+        vals = np.concatenate(
+            [
+                _cents(df["l_quantity"]),
+                _cents(df["l_extendedprice"]),
+                _cents(df["l_discount"]),
+            ]
+        )
+        return pd.DataFrame(
+            {
+                "l_orderkey": np.tile(
+                    df["l_orderkey"].to_numpy(dtype=np.int64), 3
+                ),
+                "l_linenumber": np.tile(
+                    df["l_linenumber"].to_numpy(dtype=np.int64), 3
+                ),
+                "metric": np.repeat(np.array(metrics, dtype=object), n),
+                "cents": vals,
+            }
+        )
+
+    return li.map_batches(melt, batch_format="pandas")
+
+
+def q_embedding_norm_stats(sf_dir: str):
+    """List-column kernel: per-label count and exact integer sum of
+    squared milli-components — zero-copy Arrow list flatten +
+    np.add.reduceat, never a Python loop over vectors."""
+    import numpy as np
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        e3 = (np.sign(flat * 1000.0) * np.floor(np.abs(flat * 1000.0) + 0.5)).astype(
+            np.int64
+        )
+        ssq = np.add.reduceat(e3 * e3, offs[:-1])
+        # reduceat on an empty trailing list would misbehave; lists here
+        # are fixed 64-dim so offsets are strictly increasing
+        lbl = batch["label"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        import pandas as pd
+
+        g = (
+            pd.DataFrame({"label": lbl, "ssq": ssq})
+            .groupby("label", as_index=False)
+            .agg(n_vecs=("ssq", "size"), sum_ssq_e6=("ssq", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = emb.map_batches(partial, batch_format="pyarrow")
+
+    def final(df):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "label": [int(df["label"].iloc[0])],
+                "n_vecs": [int(df["n_vecs"].sum())],
+                "sum_ssq_e6": [int(df["sum_ssq_e6"].sum())],
+            }
+        )
+
+    return partials.groupby("label").map_groups(final, batch_format="pandas")
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """S10/K-analog for JSON-lines: worker-written JSONL shards ->
+    ray.data.read_json -> per-lang aggregate; exercises the JSON sink
+    AND source inside the correctness gate."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    out_dir = tempfile.mkdtemp(prefix="cex_jsonl_rt_")
+    try:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "source", "n_chars"],
+        )
+
+        def keep(df: "pd.DataFrame") -> "pd.DataFrame":
+            return df[(df["doc_id"] % 7 == 0).to_numpy()]
+
+        docs.map_batches(keep, batch_format="pandas").write_json(out_dir)
+        back = ray.data.read_json(out_dir)
+
+        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            g = df.groupby("lang", as_index=False)
+            return g.agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+
+        def final(df: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame(
+                {
+                    "lang": [df["lang"].iloc[0]],
+                    "n_docs": [int(df["n_docs"].sum())],
+                    "sum_chars": [int(df["sum_chars"].sum())],
+                }
+            )
+
+        return (
+            back.map_batches(partial, batch_format="pandas")
+            .groupby("lang")
+            .map_groups(final, batch_format="pandas")
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """S11/K4 CSV reader+writer through the gate: orders subset ->
+    worker-written CSV shards -> ray.data.read_csv -> keyed aggregate."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    out_dir = tempfile.mkdtemp(prefix="cex_csv_rt_")
+    try:
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        )
+
+        def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+            out = pd.DataFrame(
+                {
+                    "o_orderkey": df["o_orderkey"].astype("int64"),
+                    "o_orderstatus": df["o_orderstatus"],
+                    "cents": _cents(df["o_totalprice"]),
+                }
+            )
+            return out[(out["o_orderkey"] % 5 == 0).to_numpy()]
+
+        orders.map_batches(prep, batch_format="pandas").write_csv(out_dir)
+        back = ray.data.read_csv(out_dir)
+
+        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            g = df.groupby("o_orderstatus", as_index=False)
+            return g.agg(n_orders=("cents", "size"), total_cents=("cents", "sum"))
+
+        def final(df: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame(
+                {
+                    "o_orderstatus": [df["o_orderstatus"].iloc[0]],
+                    "n_orders": [int(df["n_orders"].sum())],
+                    "total_cents": [int(df["total_cents"].sum())],
+                }
+            )
+
+        return (
+            back.map_batches(partial, batch_format="pandas")
+            .groupby("o_orderstatus")
+            .map_groups(final, batch_format="pandas")
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_grouping_sets_orders(sf_dir: str):
     """GROUPING SETS ((status, priority), (status, year), (year)) in
     ONE shuffle: the finest cell table (status, priority, year) is the
@@ -3427,6 +3730,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
+        "star_join_agg": q_star_join_agg,
+        "above_avg_orders": q_above_avg_orders,
+        "melt_lineitem": q_melt_lineitem,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -4786,6 +5095,71 @@ SELECT day, event_type,
          AS close_cents,
        CAST(count(*) AS BIGINT) AS n
 FROM t GROUP BY day, event_type
+""",
+        "star_join_agg": """
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+        "above_avg_orders": """
+WITH s AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sm,
+         COUNT(*) AS c
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey
+FROM orders o JOIN s ON s.o_custkey = o.o_custkey
+WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * s.c > s.sm
+""",
+        "melt_lineitem": """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'quantity' AS metric,
+       CAST(round(l_quantity * 100) AS BIGINT) AS cents
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'extendedprice',
+       CAST(round(l_extendedprice * 100) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'discount',
+       CAST(round(l_discount * 100) AS BIGINT)
+FROM lineitem
+""",
+        "embedding_norm_stats": """
+WITH x AS (
+  SELECT label, vec_id, unnest(embedding) AS v FROM embeddings
+), r AS (
+  SELECT label, vec_id,
+         SUM(CAST(round(v * 1000) AS BIGINT)
+             * CAST(round(v * 1000) AS BIGINT)) AS ssq
+  FROM x GROUP BY label, vec_id
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(ssq) AS BIGINT) AS sum_ssq_e6
+FROM r GROUP BY label
+""",
+        "jsonl_roundtrip": """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 7 = 0
+GROUP BY lang
+""",
+        "csv_roundtrip": """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders WHERE o_orderkey % 5 = 0
+GROUP BY o_orderstatus
 """,
         "table_diff": """
 WITH old AS (
