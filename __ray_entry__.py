@@ -2981,6 +2981,210 @@ def q_csv_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_full_outer_join(sf_dir: str):
+    """FULL OUTER co-partition join: BUILDING-segment customers x
+    per-customer order aggregates; unmatched sides surface with -1
+    sentinels (one key shuffle, pandas outer merge per partition)."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.join import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def prep_cust(df: "pd.DataFrame") -> "pd.DataFrame":
+        m = df["c_mktsegment"] == "BUILDING"
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"][m].astype("int64"),
+                "acct_cents": _cents(df["c_acctbal"])[m.to_numpy()],
+            }
+        )
+
+    left = cust.map_batches(prep_cust, batch_format="pandas")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {
+                "s_custkey": df["o_custkey"].astype("int64"),
+                "cents": _cents(df["o_totalprice"]),
+            }
+        ).groupby("s_custkey", as_index=False)
+        return g.agg(n_orders=("cents", "size"), total_cents=("cents", "sum"))
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "s_custkey": [int(df["s_custkey"].iloc[0])],
+                "n_orders": [int(df["n_orders"].sum())],
+                "total_cents": [int(df["total_cents"].sum())],
+            }
+        )
+
+    right = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("s_custkey")
+        .map_groups(merge, batch_format="pandas")
+    )
+    joined = hash_join(
+        left, right, left_key="c_custkey", right_key="s_custkey", how="outer"
+    )
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        ck = df["c_custkey"].fillna(df["s_custkey"]).astype("int64")
+        return pd.DataFrame(
+            {
+                "custkey": ck,
+                "acct_cents": df["acct_cents"].fillna(-1).astype("int64"),
+                "n_orders": df["n_orders"].fillna(-1).astype("int64"),
+                "total_cents": df["total_cents"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_bitwise_agg(sf_dir: str):
+    """BIT_AND / BIT_OR / BIT_XOR aggregates per event type — an
+    associative-combiner family SQL engines ship that reduces per batch
+    with np.bitwise_*.reduce; one tiny row per (batch, key)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("event_type")["event_id"]
+        return pd.DataFrame(
+            {
+                "b_and": g.agg(
+                    lambda s: np.bitwise_and.reduce(s.to_numpy(dtype=np.int64))
+                ),
+                "b_or": g.agg(
+                    lambda s: np.bitwise_or.reduce(s.to_numpy(dtype=np.int64))
+                ),
+                "b_xor": g.agg(
+                    lambda s: np.bitwise_xor.reduce(s.to_numpy(dtype=np.int64))
+                ),
+            }
+        ).reset_index()
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "b_and": [
+                    int(np.bitwise_and.reduce(df["b_and"].to_numpy(dtype=np.int64)))
+                ],
+                "b_or": [
+                    int(np.bitwise_or.reduce(df["b_or"].to_numpy(dtype=np.int64)))
+                ],
+                "b_xor": [
+                    int(np.bitwise_xor.reduce(df["b_xor"].to_numpy(dtype=np.int64)))
+                ],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_chunk_documents(sf_dir: str):
+    """Training-data chunk planner: overlapping 500-char windows at
+    stride 400 per document — vectorized np.repeat flat expansion from
+    n_chars arithmetic alone (no text copied, no shuffle); the layout
+    every context-window packer consumes."""
+    import numpy as np
+    import pandas as pd
+
+    CHUNK, STRIDE = 500, 400
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def chunks(df: "pd.DataFrame") -> "pd.DataFrame":
+        nc = df["n_chars"].to_numpy(dtype=np.int64)
+        did = df["doc_id"].to_numpy(dtype=np.int64)
+        n_chunks = 1 + np.maximum(0, -(-(nc - CHUNK) // STRIDE))
+        idx = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_chunks)[:-1])), n_chunks
+        )
+        did_r = np.repeat(did, n_chunks)
+        nc_r = np.repeat(nc, n_chunks)
+        start = idx * STRIDE
+        return pd.DataFrame(
+            {
+                "doc_id": did_r,
+                "chunk_idx": idx,
+                "chunk_start": start,
+                "chunk_len": np.minimum(CHUNK, nc_r - start),
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pandas")
+
+
+def q_fill_missing_days(sf_dir: str):
+    """Date-spine gap filling: per (day, event_type) counts densified
+    to EVERY day in the observed range with zero fill.  The count is a
+    distributed combiner; the spine cross-join runs on the aggregate
+    result (days x types — inherently small at any corpus size)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {"day": df["ts"].dt.floor("D"), "event_type": df["event_type"]}
+        ).groupby(["day", "event_type"], as_index=False)
+        return g.agg(n=("event_type", "size"))
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "day": [df["day"].iloc[0]],
+                "event_type": [df["event_type"].iloc[0]],
+                "n": [int(df["n"].sum())],
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["day", "event_type"])
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    days = pd.date_range(counts["day"].min(), counts["day"].max(), freq="D")
+    types = sorted(counts["event_type"].unique())
+    spine = pd.MultiIndex.from_product(
+        [days, types], names=["day", "event_type"]
+    ).to_frame(index=False)
+    out = spine.merge(counts, on=["day", "event_type"], how="left")
+    return pd.DataFrame(
+        {
+            "day": out["day"].dt.strftime("%Y-%m-%d"),
+            "event_type": out["event_type"],
+            "n_events": out["n"].fillna(0).astype("int64"),
+        }
+    )
+
+
 def q_grouping_sets_orders(sf_dir: str):
     """GROUPING SETS ((status, priority), (status, year), (year)) in
     ONE shuffle: the finest cell table (status, priority, year) is the
@@ -3736,6 +3940,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_stats": q_embedding_norm_stats,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
+        "full_outer_join": q_full_outer_join,
+        "bitwise_agg": q_bitwise_agg,
+        "chunk_documents": q_chunk_documents,
+        "fill_missing_days": q_fill_missing_days,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -5160,6 +5368,60 @@ SELECT o_orderstatus,
             AS BIGINT) AS total_cents
 FROM orders WHERE o_orderkey % 5 = 0
 GROUP BY o_orderstatus
+""",
+        "full_outer_join": """
+WITH l AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+), r AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS total_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(COALESCE(l.c_custkey, r.o_custkey) AS BIGINT) AS custkey,
+       CAST(COALESCE(l.acct_cents, -1) AS BIGINT) AS acct_cents,
+       CAST(COALESCE(r.n_orders, -1) AS BIGINT) AS n_orders,
+       CAST(COALESCE(r.total_cents, -1) AS BIGINT) AS total_cents
+FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey
+""",
+        "bitwise_agg": """
+SELECT event_type,
+       CAST(bit_and(event_id) AS BIGINT) AS b_and,
+       CAST(bit_or(event_id) AS BIGINT) AS b_or,
+       CAST(bit_xor(event_id) AS BIGINT) AS b_xor
+FROM events GROUP BY event_type
+""",
+        "chunk_documents": """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         unnest(range(0, 1 + GREATEST(0,
+           CAST(ceil((n_chars - 500) / 400.0) AS BIGINT)))) AS chunk_idx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 400 AS BIGINT) AS chunk_start,
+       CAST(LEAST(500, n_chars - chunk_idx * 400) AS BIGINT) AS chunk_len
+FROM c
+""",
+        "fill_missing_days": """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM c
+), days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM span
+), types AS (
+  SELECT DISTINCT event_type FROM events
+)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       types.event_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM days CROSS JOIN types
+LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
 """,
         "table_diff": """
 WITH old AS (

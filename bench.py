@@ -344,6 +344,22 @@ def bench_queries(sf_dir: str) -> dict:
         "winsorized_sum",
         "corr_matrix",
         "incremental_group_sums",
+        "global_row_number",
+        "gaps_islands",
+        "funnel_counts",
+        "retention_cohorts",
+        "table_diff",
+        "bfs_levels",
+        "sequence_pattern",
+        "copurchase_pairs",
+        "ohlc_daily",
+        "star_join_agg",
+        "above_avg_orders",
+        "melt_lineitem",
+        "embedding_norm_stats",
+        "full_outer_join",
+        "chunk_documents",
+        "fill_missing_days",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row
