@@ -3185,6 +3185,187 @@ def q_fill_missing_days(sf_dir: str):
     )
 
 
+def q_rolling_distinct_users(sf_dir: str):
+    """Rolling 7-day COUNT(DISTINCT user) per day — the hard windowed
+    distinct: (user, day) dedup -> x7 target-day flat expansion ->
+    second dedup -> per-day count, every stage partitioned by user so
+    the exchanges carry (user, day) pairs only."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def to_days(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": (
+                    df["ts"].dt.floor("D").astype("datetime64[us]").astype("int64")
+                    // 86_400_000_000
+                ),
+            }
+        ).drop_duplicates()
+
+    ud = ds.map_batches(to_days, batch_format="pandas")
+    lo = int(ud.min("day"))
+    hi = int(ud.max("day"))
+
+    def expand(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().drop_duplicates()
+        u = np.repeat(df["user_id"].to_numpy(dtype=np.int64), 7)
+        t = np.repeat(df["day"].to_numpy(dtype=np.int64), 7) + np.tile(
+            np.arange(7, dtype=np.int64), len(df)
+        )
+        keep = t <= hi
+        out = (
+            pd.DataFrame({"user_id": u[keep], "day": t[keep]})
+            .drop_duplicates()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def count_partial(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().drop_duplicates()
+        g = df.groupby("day", as_index=False).agg(n=("user_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # expand within user partitions (dedup is exact there), then count
+    expanded = _coarse_group_apply(ud, "user_id", expand)
+    partials = _coarse_group_apply(expanded, "user_id", count_partial)
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = int(df["day"].iloc[0])
+        return pd.DataFrame(
+            {
+                "day": [
+                    pd.Timestamp(d * 86_400_000_000, unit="us").strftime(
+                        "%Y-%m-%d"
+                    )
+                ],
+                "n_users_7d": [int(df["n"].sum())],
+            }
+        )
+
+    return partials.groupby("day").map_groups(final, batch_format="pandas")
+
+
+def q_vocab_encode(sf_dir: str):
+    """Vocabulary build + token-id encoding (the tokenizer-training
+    preprocessing shape): global token counts (combiner) -> top-512
+    vocab with deterministic ids -> broadcast dict -> vectorized
+    per-doc (doc_id, pos, token_id) expansion; OOV encodes as 0."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.tfidf import _WORD_RE
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def count_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        toks = [w.lower() for t in df["text"] for w in _WORD_RE.findall(t)]
+        if not toks:
+            return pd.DataFrame({"tok": [], "c": []})
+        u, c = np.unique(np.array(toks, dtype=object), return_counts=True)
+        return pd.DataFrame({"tok": u, "c": c.astype(np.int64)})
+
+    def count_merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"tok": [df["tok"].iloc[0]], "c": [int(df["c"].sum())]}
+        )
+
+    vocab = (
+        docs.map_batches(count_partial, batch_format="pandas")
+        .groupby("tok")
+        .map_groups(count_merge, batch_format="pandas")
+        .sort(["c", "tok"], descending=[True, False])
+        .limit(512)
+        .to_pandas()
+    )
+    vocab_ref = ray.put(
+        dict(zip(vocab["tok"].tolist(), range(1, len(vocab) + 1)))
+    )
+
+    def encode(df: "pd.DataFrame") -> "pd.DataFrame":
+        vm = ray.get(vocab_ref)
+        ids, poss, tids = [], [], []
+        did = df["doc_id"].to_numpy(dtype=np.int64)
+        toks_per_doc = [
+            [w.lower() for w in _WORD_RE.findall(t)] for t in df["text"]
+        ]
+        lens = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
+        flat = pd.Series(
+            [w for ts in toks_per_doc for w in ts], dtype=object
+        )
+        tid = flat.map(vm).fillna(0).astype("int64").to_numpy()
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+        ) + 1
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(did, lens),
+                "pos": pos,
+                "token_id": tid,
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pandas")
+
+
+def q_mixture_weights(sf_dir: str):
+    """Training-mix reweighting: per-language resampling weights that
+    move the corpus to a target share (en 40%, others 15%) — exact
+    integer half-up division on combiner counts; the weights table any
+    mixture sampler consumes."""
+    import pandas as pd
+
+    TARGET_E6 = {
+        "en": 400_000,
+        "de": 150_000,
+        "es": 150_000,
+        "fr": 150_000,
+        "zh": 150_000,
+    }
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("lang", as_index=False).agg(n=("lang", "size"))
+        return g
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"lang": [df["lang"].iloc[0]], "n": [int(df["n"].sum())]}
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    total = int(counts["n"].sum())
+    out = counts.sort_values("lang").reset_index(drop=True)
+    w = []
+    for _, r in out.iterrows():
+        ts = TARGET_E6.get(r["lang"], 0)
+        n = int(r["n"])
+        w.append((ts * total + n // 2) // n)
+    return pd.DataFrame(
+        {
+            "lang": out["lang"],
+            "n_docs": out["n"].astype("int64"),
+            "weight_e6": pd.Series(w, dtype="int64"),
+        }
+    )
+
+
 def q_grouping_sets_orders(sf_dir: str):
     """GROUPING SETS ((status, priority), (status, year), (year)) in
     ONE shuffle: the finest cell table (status, priority, year) is the
@@ -3944,6 +4125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitwise_agg": q_bitwise_agg,
         "chunk_documents": q_chunk_documents,
         "fill_missing_days": q_fill_missing_days,
+        "rolling_distinct_users": q_rolling_distinct_users,
+        "vocab_encode": q_vocab_encode,
+        "mixture_weights": q_mixture_weights,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -5422,6 +5606,55 @@ SELECT strftime(days.d, '%Y-%m-%d') AS day,
        CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
 FROM days CROSS JOIN types
 LEFT JOIN c ON c.d = days.d AND c.event_type = types.event_type
+""",
+        "rolling_distinct_users": """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+), span AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM ud
+), days AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM span
+)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users_7d
+FROM days JOIN ud
+  ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY 1
+""",
+        "vocab_encode": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           regexp_extract_all(text, '[A-Za-z0-9_]+'), t -> lower(t)))
+           AS tok,
+         unnest(range(1,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+')) + 1)) AS pos
+  FROM documents
+), cnt AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), vocab AS (
+  SELECT tok,
+         ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS tid
+  FROM cnt ORDER BY c DESC, tok LIMIT 512
+)
+SELECT t.doc_id,
+       CAST(t.pos AS BIGINT) AS pos,
+       CAST(COALESCE(v.tid, 0) AS BIGINT) AS token_id
+FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+""",
+        "mixture_weights": """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM c
+), tgt AS (
+  SELECT * FROM (VALUES ('en', 400000), ('de', 150000), ('es', 150000),
+                        ('fr', 150000), ('zh', 150000)) v(lang, ts_e6)
+)
+SELECT c.lang, c.n AS n_docs,
+       CAST((tgt.ts_e6 * t.total + c.n // 2) // c.n AS BIGINT)
+         AS weight_e6
+FROM c JOIN tgt ON tgt.lang = c.lang CROSS JOIN t
 """,
         "table_diff": """
 WITH old AS (
