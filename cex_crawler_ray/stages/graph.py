@@ -447,11 +447,58 @@ def triangle_count(
     return int(total["sum(n)"] if isinstance(total, dict) else total)
 
 
+def _bfs_driver(
+    src: np.ndarray, dst: np.ndarray, seed: np.ndarray, max_hops: int
+) -> pa.Table:
+    """Vectorized driver BFS on int64 edge arrays (CSR via argsort +
+    searchsorted); used below ``BFS_DRIVER_MAX_EDGES``."""
+    order = np.argsort(src, kind="mergesort")
+    src_s, dst_s = src[order], dst[order]
+    frontier = np.unique(seed)
+    known = frontier.copy()  # sorted invariant
+    out_nodes = [frontier]
+    out_lvls = [np.zeros(frontier.size, np.int64)]
+    for lvl in range(1, max_hops + 1):
+        if frontier.size == 0:
+            break
+        lo = np.searchsorted(src_s, frontier, side="left")
+        hi = np.searchsorted(src_s, frontier, side="right")
+        spans = hi - lo
+        total = int(spans.sum())
+        if total == 0:
+            break
+        idx = np.repeat(lo, spans) + (
+            np.arange(total) - np.repeat(np.cumsum(spans) - spans, spans)
+        )
+        cand = np.unique(dst_s[idx])
+        pos = np.clip(np.searchsorted(known, cand), 0, known.size - 1)
+        new = cand[known[pos] != cand] if known.size else cand
+        if new.size == 0:
+            break
+        out_nodes.append(new)
+        out_lvls.append(np.full(new.size, lvl, np.int64))
+        known = np.union1d(known, new)
+        frontier = new
+    nodes = np.concatenate(out_nodes)
+    lvls = np.concatenate(out_lvls)
+    o = np.argsort(nodes)
+    return pa.table(
+        {
+            "node": pa.array(nodes[o], pa.int64()),
+            "level": pa.array(lvls[o], pa.int64()),
+        }
+    )
+
+
+BFS_DRIVER_MAX_EDGES = 200_000
+
+
 def bfs_levels(
     edges: "ray.data.Dataset",
     seeds: "ray.data.Dataset",
     max_hops: int = 6,
     num_parts: int = 64,
+    driver_max_edges: int | None = None,
 ) -> "ray.data.Dataset":
     """Exact BFS hop distance from a seed set over a directed edge
     Dataset ``(src, dst)``, bounded at ``max_hops``.  Returns one row
@@ -463,14 +510,41 @@ def bfs_levels(
     ``collect_data.py`` round structure) and a general engine needs as
     an operator.
 
-    Same distributed shape as ``connected_components``: levels live in
-    a (node, lvl) Dataset; each round is ONE co-partition hash join
-    (static edges x current levels) emitting ``(dst, lvl+1)`` messages,
-    then a coarse-partition min-reduce.  The loop stops early when the
-    level-sum fixpoints (no new node, no shorter path), so dense graphs
-    do fewer than ``max_hops`` rounds.  Only the int64 level-sum hits
-    the driver.
+    Below ``driver_max_edges`` (default ``BFS_DRIVER_MAX_EDGES``) the
+    int64 (src, dst) pairs — never payloads — come to the driver for a
+    vectorized CSR BFS: each distributed round costs several whole
+    Dataset executions of fixed overhead, which at small edge counts
+    dwarfs the compute (the same threshold-switch as
+    ``connected_components`` / ``pagerank``).  Pass 0 to force the
+    distributed path.
+
+    Distributed path: same shape as ``connected_components`` — levels
+    live in a (node, lvl) Dataset; each round is ONE co-partition hash
+    join (static edges x current levels) emitting ``(dst, lvl+1)``
+    messages, then a coarse-partition min-reduce.  The loop stops early
+    when the level-sum fixpoints (no new node, no shorter path).  Only
+    the int64 level-sum hits the driver.
     """
+    if driver_max_edges is None:
+        driver_max_edges = BFS_DRIVER_MAX_EDGES
+    if driver_max_edges > 0:
+        edges = edges.materialize()
+        if edges.count() <= driver_max_edges:
+            etbl = pa.concat_tables(
+                ray.get(edges.to_arrow_refs()), promote_options="default"
+            )
+            stbl = pa.concat_tables(
+                ray.get(seeds.materialize().to_arrow_refs()),
+                promote_options="default",
+            )
+            return ray.data.from_arrow(
+                _bfs_driver(
+                    etbl["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    etbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    stbl["node"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    max_hops,
+                )
+            )
 
     def seed_rows(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -129,3 +129,41 @@ def test_ohlc_merge_across_batches(ray_session):
     r = out.iloc[0]
     assert (r["open_cents"], r["close_cents"]) == (100, 400)
     assert (r["high_cents"], r["low_cents"], r["n"]) == (400, 100, 4)
+
+
+def test_bfs_driver_equals_distributed(ray_session):
+    """The driver CSR fast path and the distributed min-reduce loop
+    must produce identical levels on a random graph."""
+    from cex_crawler_ray.stages.graph import bfs_levels
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 60, 300)
+    b = rng.integers(0, 60, 300)
+    keep = a != b
+    edges = pd.DataFrame(
+        {
+            "src": np.concatenate([a[keep], b[keep]]),
+            "dst": np.concatenate([b[keep], a[keep]]),
+        }
+    )
+    seeds = pd.DataFrame({"node": [0, 7]})
+
+    def run(thresh):
+        return (
+            bfs_levels(
+                ray.data.from_pandas(edges).repartition(3),
+                ray.data.from_pandas(seeds),
+                max_hops=4,
+                num_parts=4,
+                driver_max_edges=thresh,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+    fast = run(10**6)
+    dist = run(0)
+    pd.testing.assert_frame_equal(
+        fast.astype("int64"), dist.astype("int64")
+    )
