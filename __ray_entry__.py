@@ -3366,6 +3366,208 @@ def q_mixture_weights(sf_dir: str):
     )
 
 
+def q_rank_events(sf_dir: str):
+    """RANK() with gaps per event type over integer cents — the
+    tie-skipping sibling of dense_rank, one lexsort per coarse key
+    partition."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import rank_with_gaps
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "cents": _cents(df["value"]),
+            }
+        )
+
+    return rank_with_gaps(
+        ds.map_batches(prep, batch_format="pandas"),
+        "event_type",
+        "cents",
+        "event_id",
+    )
+
+
+def q_attribution_pairs(sf_dir: str):
+    """Temporal band self-join: (click, purchase) pairs of the SAME
+    user with the purchase in (click_ts, click_ts + 30 min] — the
+    last-touch attribution primitive.  One hash shuffle on user; the
+    band match is a partition-local merge + vectorized filter.  At
+    100 TB add time-bucket co-blocking so a user's history needn't be
+    partition-resident; here the per-user row bound makes the merge
+    exact and small."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        keep = df["event_type"].isin(["click", "purchase"])
+        d = df[keep]
+        return pd.DataFrame(
+            {
+                "event_id": d["event_id"].astype("int64"),
+                "user_id": d["user_id"].astype("int64"),
+                "is_click": (d["event_type"] == "click").astype("int64"),
+                "ts_us": d["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    WINDOW_US = 30 * 60 * 1_000_000
+
+    def pairs(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        c = df[df["is_click"] == 1][["user_id", "event_id", "ts_us"]]
+        p = df[df["is_click"] == 0][["user_id", "event_id", "ts_us"]]
+        m = c.merge(p, on="user_id", suffixes=("_c", "_p"))
+        m = m[
+            (m["ts_us_p"] > m["ts_us_c"])
+            & (m["ts_us_p"] <= m["ts_us_c"] + WINDOW_US)
+        ]
+        return pa.table(
+            {
+                "click_id": pa.array(
+                    m["event_id_c"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "purchase_id": pa.array(
+                    m["event_id_p"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _coarse_group_apply(
+        ds.map_batches(prep, batch_format="pandas"), "user_id", pairs
+    )
+
+
+def q_regression_slope(sf_dir: str):
+    """Per-group OLS slope (cents vs day index) from EXACT integer
+    sufficient statistics — same order-free combiner family as the
+    correlation matrix; the final division closes on the driver in
+    arbitrary-precision ints, half-up at 1e-6."""
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        x = (
+            df["ts"].astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        ).to_numpy()
+        y = _cents(df["value"])
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "sxy": x * y,
+            }
+        ).groupby("event_type", as_index=False)
+        return g.sum()
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        n = int(df["n"].sum())
+        sx, sy = int(df["sx"].sum()), int(df["sy"].sum())
+        sxx, sxy = int(df["sxx"].sum()), int(df["sxy"].sum())
+        num = n * sxy - sx * sy  # exact python ints: no overflow
+        den = n * sxx - sx * sx
+        if num >= 0:
+            e6 = (num * 1_000_000 + den // 2) // den
+        else:
+            e6 = -((-num * 1_000_000 + den // 2) // den)
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n": [n],
+                "slope_e6": [int(e6)],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_union_evolved(sf_dir: str):
+    """Schema-evolution union: an old-generation extract (no priority
+    column) unions with a new-generation one (priority added); the
+    engine aligns schemas with explicit defaults before the combiner
+    aggregate — the mixed-vintage shard layout every long-lived corpus
+    develops."""
+    import pandas as pd
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+
+    def gen_a(df: "pd.DataFrame") -> "pd.DataFrame":
+        k = df["o_orderkey"].astype("int64")
+        out = pd.DataFrame(
+            {
+                "o_orderkey": k,
+                "cents": _cents(df["o_totalprice"]),
+                # old generation predates the priority column
+                "priority": "unknown",
+            }
+        )
+        return out[(k % 2 == 0).to_numpy()]
+
+    def gen_b(df: "pd.DataFrame") -> "pd.DataFrame":
+        k = df["o_orderkey"].astype("int64")
+        out = pd.DataFrame(
+            {
+                "o_orderkey": k,
+                "cents": _cents(df["o_totalprice"]),
+                "priority": df["o_orderpriority"],
+            }
+        )
+        return out[(k % 2 == 1).to_numpy()]
+
+    unioned = orders.map_batches(gen_a, batch_format="pandas").union(
+        orders.map_batches(gen_b, batch_format="pandas")
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("priority", as_index=False)
+        return g.agg(n_orders=("cents", "size"), total_cents=("cents", "sum"))
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "priority": [df["priority"].iloc[0]],
+                "n_orders": [int(df["n_orders"].sum())],
+                "total_cents": [int(df["total_cents"].sum())],
+            }
+        )
+
+    return (
+        unioned.map_batches(partial, batch_format="pandas")
+        .groupby("priority")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q_grouping_sets_orders(sf_dir: str):
     """GROUPING SETS ((status, priority), (status, year), (year)) in
     ONE shuffle: the finest cell table (status, priority, year) is the
@@ -4128,6 +4330,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_distinct_users": q_rolling_distinct_users,
         "vocab_encode": q_vocab_encode,
         "mixture_weights": q_mixture_weights,
+        "rank_events": q_rank_events,
+        "attribution_pairs": q_attribution_pairs,
+        "regression_slope": q_regression_slope,
+        "union_evolved": q_union_evolved,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -5655,6 +5861,62 @@ SELECT c.lang, c.n AS n_docs,
        CAST((tgt.ts_e6 * t.total + c.n // 2) // c.n AS BIGINT)
          AS weight_e6
 FROM c JOIN tgt ON tgt.lang = c.lang CROSS JOIN t
+""",
+        "rank_events": """
+SELECT event_id, event_type,
+       CAST(RANK() OVER (
+         PARTITION BY event_type
+         ORDER BY CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rnk
+FROM events
+""",
+        "attribution_pairs": """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+        "regression_slope": """
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(epoch_us(ts) // 86400000000 AS HUGEINT))
+              AS HUGEINT) AS sx,
+         CAST(SUM(CAST(round(value * 100) AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(epoch_us(ts) // 86400000000 AS HUGEINT)
+                  * CAST(epoch_us(ts) // 86400000000 AS HUGEINT))
+              AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(epoch_us(ts) // 86400000000 AS HUGEINT)
+                  * CAST(round(value * 100) AS HUGEINT))
+              AS HUGEINT) AS sxy
+  FROM events GROUP BY event_type
+), d AS (
+  SELECT event_type, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN num >= 0
+            THEN (num * 1000000 + den // 2) // den
+            ELSE -(((-num) * 1000000 + den // 2) // den) END
+       AS BIGINT) AS slope_e6
+FROM d
+""",
+        "union_evolved": """
+WITH u AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         'unknown' AS priority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM u GROUP BY priority
 """,
         "table_diff": """
 WITH old AS (

@@ -954,3 +954,68 @@ def merge_intervals(
         )
 
     return _coarse_group_apply(ds, key_col, islands, num_parts)
+
+
+def rank_with_gaps(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    num_parts: int = 32,
+    out_col: str = "rnk",
+) -> "ray.data.Dataset":
+    """SQL ``RANK() OVER (PARTITION BY key ORDER BY val)`` — ties share
+    a rank and the next value SKIPS (gaps), unlike ``dense_rank``.
+
+    Same partition shape as ``dense_rank`` (coarse key hash, one
+    lexsort per partition); rank = the value-run's first position
+    within its key segment + 1, fully vectorized from run/segment
+    boundary indices.
+    """
+    from .dedup import _hash64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                key_col: batch[key_col],
+                val_col: batch[val_col],
+                "_kh": pa.array(
+                    [_hash64(str(k)) for k in keys], pa.uint64()
+                ),
+            }
+        )
+
+    def rank_part(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        kh = group["_kh"].to_numpy(zero_copy_only=False)
+        vals = group[val_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, kh))
+        ids_o, kh_o, vals_o = ids[order], kh[order], vals[order]
+        n = len(ids_o)
+        new_seg = np.concatenate(([True], kh_o[1:] != kh_o[:-1]))
+        new_run = new_seg | np.concatenate(
+            ([True], vals_o[1:] != vals_o[:-1])
+        )
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.concatenate((run_starts, [n])))
+        first_pos = np.repeat(run_starts, run_lens)
+        seg_starts = np.flatnonzero(new_seg)
+        seg_lens = np.diff(np.concatenate((seg_starts, [n])))
+        seg_base = np.repeat(seg_starts, seg_lens)
+        keys_o = group[key_col].take(pa.array(order, pa.int64()))
+        return pa.table(
+            {
+                id_col: pa.array(ids_o, pa.int64()),
+                key_col: keys_o,
+                out_col: pa.array(first_pos - seg_base + 1, pa.int64()),
+            }
+        )
+
+    return _coarse_group_apply(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        "_kh",
+        rank_part,
+        num_parts,
+    )
