@@ -3568,6 +3568,191 @@ def q_union_evolved(sf_dir: str):
     )
 
 
+def q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: predicted (heuristic) x labeled
+    language counts — the classifier-evaluation reduction, computed
+    batch-local against the in-batch labels (no join: prediction and
+    label ride the same row)."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.textstats import lang_id
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = lang_id(batch.select(["doc_id", "text"]))
+        df = pd.DataFrame(
+            {
+                "lang_true": batch["lang"].to_pandas(),
+                "lang_pred": pred["lang_pred"].to_pandas(),
+            }
+        )
+        g = df.groupby(["lang_true", "lang_pred"], as_index=False).agg(
+            n=("lang_pred", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "lang_true": [df["lang_true"].iloc[0]],
+                "lang_pred": [df["lang_pred"].iloc[0]],
+                "n_docs": [int(df["n"].sum())],
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang_true", "lang_pred"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_source_concentration(sf_dir: str):
+    """Corpus concentration curve: sources ranked by document count
+    with exact half-up cumulative shares (1e-6) — the 'how skewed is
+    my corpus' diagnostic; counts are a combiner, the curve closes on
+    the aggregate (one row per source)."""
+    import pandas as pd
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("source", as_index=False).agg(n=("source", "size"))
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"source": [df["source"].iloc[0]], "n": [int(df["n"].sum())]}
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["n", "source"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    tot = int(counts["n"].sum())
+    cum = counts["n"].cumsum().astype("int64")
+    cum_e6 = ((cum * 1_000_000) + tot // 2) // tot
+    return pd.DataFrame(
+        {
+            "source": counts["source"],
+            "rnk": pd.Series(range(1, len(counts) + 1), dtype="int64"),
+            "n_docs": counts["n"].astype("int64"),
+            "cum_share_e6": cum_e6.astype("int64"),
+        }
+    )
+
+
+def q_interarrival_stats(sf_dir: str):
+    """Per-user inter-arrival statistics: exact mean gap (telescoping
+    (last-first)/(n-1), half-up integer microseconds) and max gap (one
+    in-partition sorted diff) — the session-health profile; one hash
+    shuffle on user."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    def stats(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        g = df.groupby("user_id", sort=False)["ts_us"]
+        n = g.size()
+        first, last = g.min(), g.max()
+        prev = df.groupby("user_id", sort=False)["ts_us"].shift(1)
+        gap = (df["ts_us"] - prev).fillna(-1)
+        max_gap = gap.groupby(df["user_id"], sort=False).max()
+        span = (last - first).astype("int64")
+        d = (n - 1).astype("int64")
+        mean = pd.Series(
+            np.where(d > 0, (span + d // 2) // d.clip(lower=1), -1),
+            index=n.index,
+        )
+        mx = pd.Series(
+            np.where(d > 0, max_gap.astype("int64"), -1), index=n.index
+        )
+        out = pd.DataFrame(
+            {
+                "user_id": n.index.to_numpy(dtype=np.int64),
+                "n_events": n.to_numpy(dtype=np.int64),
+                "mean_gap_us": mean.to_numpy(dtype=np.int64),
+                "max_gap_us": mx.to_numpy(dtype=np.int64),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return _coarse_group_apply(
+        ds.map_batches(prep, batch_format="pandas"), "user_id", stats
+    )
+
+
+def q_cluster_size_hist(sf_dir: str):
+    """Duplicate-cluster size distribution: exact-text cluster sizes
+    histogrammed — the dedup health report; composes the oracle-green
+    exact_dedup (n_copies) with a count combiner."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    # the synthetic corpus has no exact dups; inject deterministic
+    # duplicate groups (doc_id % 4 == 0 collapses to 5 shared texts) so
+    # the histogram exercises real multi-member clusters
+    def with_dups(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.copy()
+        k = out["doc_id"].astype("int64")
+        m = (k % 4 == 0).to_numpy()
+        out.loc[m, "text"] = "DUP-" + (k[m] % 5).astype(str)
+        return out
+
+    deduped = exact_dedup(docs.map_batches(with_dups, batch_format="pandas"))
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.groupby("n_copies", as_index=False)
+            .agg(n=("n_copies", "size"))
+            .rename(columns={"n_copies": "cluster_size"})
+        )
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "cluster_size": [int(df["cluster_size"].iloc[0])],
+                "n_clusters": [int(df["n"].sum())],
+            }
+        )
+
+    return (
+        deduped.map_batches(partial, batch_format="pandas")
+        .groupby("cluster_size")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q_grouping_sets_orders(sf_dir: str):
     """GROUPING SETS ((status, priority), (status, year), (year)) in
     ONE shuffle: the finest cell table (status, priority, year) is the
@@ -4334,6 +4519,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_pairs": q_attribution_pairs,
         "regression_slope": q_regression_slope,
         "union_evolved": q_union_evolved,
+        "lang_confusion": q_lang_confusion,
+        "source_concentration": q_source_concentration,
+        "interarrival_stats": q_interarrival_stats,
+        "cluster_size_hist": q_cluster_size_hist,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -5917,6 +6106,76 @@ SELECT priority,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(SUM(cents) AS BIGINT) AS total_cents
 FROM u GROUP BY priority
+""",
+        "lang_confusion": """
+WITH p AS (
+  SELECT lang AS lang_true,
+         CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+              WHEN regexp_matches(text, '[가-힯]') THEN 'ko'
+              WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+              WHEN regexp_matches(text, '(^|[^A-Za-z])the([^A-Za-z]|$)')
+                THEN 'en'
+              ELSE 'unknown' END AS lang_pred
+  FROM documents
+)
+SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY 1, 2
+""",
+        "source_concentration": """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c
+), r AS (
+  SELECT source, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, source) AS rnk,
+         SUM(n) OVER (ORDER BY n DESC, source
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+)
+SELECT r.source, CAST(r.rnk AS BIGINT) AS rnk,
+       r.n AS n_docs,
+       CAST((r.cum * 1000000 + t.tot // 2) // t.tot AS BIGINT)
+         AS cum_share_e6
+FROM r CROSS JOIN t
+""",
+        "interarrival_stats": """
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT)
+           - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+), s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(CAST(epoch_us(ts) AS BIGINT))
+              - min(CAST(epoch_us(ts) AS BIGINT)) AS BIGINT) AS span
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT user_id, CAST(max(gap) AS BIGINT) AS max_gap
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+)
+SELECT s.user_id, s.n_events,
+       CAST(CASE WHEN s.n_events > 1
+            THEN (s.span + (s.n_events - 1) // 2) // (s.n_events - 1)
+            ELSE -1 END AS BIGINT) AS mean_gap_us,
+       CAST(COALESCE(m.max_gap, -1) AS BIGINT) AS max_gap_us
+FROM s LEFT JOIN m ON m.user_id = s.user_id
+""",
+        "cluster_size_hist": """
+WITH corpus AS (
+  SELECT CASE WHEN doc_id % 4 = 0
+              THEN 'DUP-' || CAST(doc_id % 5 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+), c AS (
+  SELECT text, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM corpus GROUP BY text
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY cluster_size
 """,
         "table_diff": """
 WITH old AS (
