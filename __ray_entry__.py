@@ -3210,7 +3210,9 @@ def q_rolling_distinct_users(sf_dir: str):
             }
         ).drop_duplicates()
 
-    ud = ds.map_batches(to_days, batch_format="pandas")
+    # checkpoint: min/max and the expansion all read this once instead
+    # of re-running the dedup scan three times
+    ud = ds.map_batches(to_days, batch_format="pandas").materialize()
     lo = int(ud.min("day"))
     hi = int(ud.max("day"))
 
@@ -3750,6 +3752,95 @@ def q_cluster_size_hist(sf_dir: str):
         deduped.map_batches(partial, batch_format="pandas")
         .groupby("cluster_size")
         .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_forward_fill(sf_dir: str):
+    """LAST_VALUE IGNORE NULLS imputation: 'error' events null their
+    value; each user's timeline forward-fills from the last observed
+    value (leading nulls -> -1).  One user shuffle + vectorized pandas
+    groupby.ffill inside the partition."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts", "value"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        cents = pd.Series(_cents(df["value"]), index=df.index, dtype="Int64")
+        cents[df["event_type"] == "error"] = pd.NA
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "cents": cents,
+            }
+        )
+
+    def fill(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        filled = (
+            df.groupby("user_id", sort=False)["cents"].ffill().fillna(-1)
+        )
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(dtype=np.int64),
+                "filled_cents": filled.astype("int64").to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return _coarse_group_apply(
+        ds.map_batches(prep, batch_format="pandas"), "user_id", fill
+    )
+
+
+def q_dwell_times(sf_dir: str):
+    """Per-user dwell time: microseconds to the user's NEXT event
+    (last event -> -1) — per-key LEAD via one user shuffle + a single
+    in-partition groupby shift (the global-order variant is
+    ``lead_user``)."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    def dwell(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        nxt = df.groupby("user_id", sort=False)["ts_us"].shift(-1)
+        d = (nxt - df["ts_us"]).fillna(-1).astype("int64")
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(dtype=np.int64),
+                "dwell_us": d.to_numpy(dtype=np.int64),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return _coarse_group_apply(
+        ds.map_batches(prep, batch_format="pandas"), "user_id", dwell
     )
 
 
@@ -4523,6 +4614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_concentration": q_source_concentration,
         "interarrival_stats": q_interarrival_stats,
         "cluster_size_hist": q_cluster_size_hist,
+        "forward_fill": q_forward_fill,
+        "dwell_times": q_dwell_times,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -6176,6 +6269,26 @@ WITH corpus AS (
 )
 SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM c GROUP BY cluster_size
+""",
+        "forward_fill": """
+SELECT event_id,
+       CAST(COALESCE(
+         last_value(CASE WHEN event_type = 'error' THEN NULL
+                         ELSE CAST(round(value * 100) AS BIGINT) END
+                     IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING),
+         -1) AS BIGINT) AS filled_cents
+FROM events
+""",
+        "dwell_times": """
+SELECT event_id,
+       CAST(COALESCE(
+         lead(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)
+         - CAST(epoch_us(ts) AS BIGINT),
+         -1) AS BIGINT) AS dwell_us
+FROM events
 """,
         "table_diff": """
 WITH old AS (
