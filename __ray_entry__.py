@@ -3844,6 +3844,274 @@ def q_dwell_times(sf_dir: str):
     )
 
 
+def q_entity_clusters(sf_dir: str):
+    """Entity resolution end-to-end: FastSS edit-distance-1 blocking ->
+    connected components -> min-name canonicalization, every stage the
+    already-verified operator (fuzzy.edit1_pairs + graph CC + two
+    co-partition joins); output maps each clustered name to its
+    canonical spelling."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply, _hash64
+    from cex_crawler_ray.stages.fuzzy import edit1_pairs
+    from cex_crawler_ray.stages.graph import connected_components
+
+    names = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    )
+    pairs = edit1_pairs(names, "p_name").materialize()
+
+    def to_hash_pairs(batch: pa.Table) -> pa.Table:
+        a = batch.column(0).to_pylist()
+        b = batch.column(1).to_pylist()
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    [np.int64(np.uint64(_hash64(x)) >> np.uint64(1)) for x in a],
+                    pa.int64(),
+                ),
+                "id_b": pa.array(
+                    [np.int64(np.uint64(_hash64(x)) >> np.uint64(1)) for x in b],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def name_map(batch: pa.Table) -> pa.Table:
+        a = batch.column(0).to_pylist()
+        b = batch.column(1).to_pylist()
+        return pa.table(
+            {
+                "node": pa.array(
+                    [
+                        np.int64(np.uint64(_hash64(x)) >> np.uint64(1))
+                        for x in a + b
+                    ],
+                    pa.int64(),
+                ),
+                "name": pa.array(a + b, pa.string()),
+            }
+        )
+
+    cc = connected_components(
+        pairs.map_batches(to_hash_pairs, batch_format="pyarrow")
+    )
+    nm = pairs.map_batches(name_map, batch_format="pyarrow")
+
+    # co-partition join: (node, cluster) x (node, name)
+    def tag_cc(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["node"].cast(pa.int64()),
+                "cluster_id": batch["cluster_id"].cast(pa.int64()),
+                "name": pa.array([None] * n, pa.string()),
+            }
+        )
+
+    def tag_nm(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["node"],
+                "cluster_id": pa.array([None] * n, pa.int64()),
+                "name": batch["name"],
+            }
+        )
+
+    unioned = cc.map_batches(tag_cc, batch_format="pyarrow").union(
+        nm.map_batches(tag_nm, batch_format="pyarrow")
+    )
+
+    def attach(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        cmap = (
+            df[df["cluster_id"].notna()]
+            .set_index("node")["cluster_id"]
+            .to_dict()
+        )
+        h = df[df["name"].notna()].drop_duplicates(["node", "name"]).copy()
+        h["cluster_id"] = h["node"].map(cmap).astype("int64")
+        return pa.Table.from_pandas(
+            h[["name", "cluster_id"]], preserve_index=False
+        )
+
+    members = _coarse_group_apply(unioned, "node", attach)
+
+    def canonize(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        canon = df.groupby("cluster_id")["name"].transform("min")
+        return pa.Table.from_pandas(
+            pd.DataFrame({"name": df["name"], "canonical": canon}),
+            preserve_index=False,
+        )
+
+    return _coarse_group_apply(members, "cluster_id", canonize)
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit (k=3) over the quasi-identifier (lang, source,
+    length band): emit every group smaller than k — the privacy
+    re-identification risk report; a pure count combiner with a final
+    filter."""
+    import pandas as pd
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "source": df["source"],
+                "band": (df["n_chars"].astype("int64") // 500),
+            }
+        ).groupby(["lang", "source", "band"], as_index=False)
+        return g.agg(n=("band", "size"))
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        n = int(df["n"].sum())
+        if n >= 3:
+            return pd.DataFrame(
+                columns=["lang", "source", "band", "n_docs"]
+            ).astype({"band": "int64", "n_docs": "int64"})
+        return pd.DataFrame(
+            {
+                "lang": [df["lang"].iloc[0]],
+                "source": [df["source"].iloc[0]],
+                "band": [int(df["band"].iloc[0])],
+                "n_docs": [n],
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "source", "band"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_dq_checks(sf_dir: str):
+    """Data-quality expectation suite in one pass per table: referential
+    integrity (orders -> customer anti probe via broadcast key set),
+    range and domain checks as count combiners; one (check, count) row
+    each — the validation layer every production pipeline runs before
+    publishing."""
+    import numpy as np
+    import pandas as pd
+
+    cust_keys = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+        )
+        .to_pandas()["c_custkey"]
+        .to_numpy(dtype=np.int64)
+    )
+    keys_ref = ray.put(np.sort(cust_keys))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def orders_checks(df: "pd.DataFrame") -> "pd.DataFrame":
+        ks = ray.get(keys_ref)
+        ck = df["o_custkey"].to_numpy(dtype=np.int64)
+        pos = np.clip(np.searchsorted(ks, ck), 0, len(ks) - 1)
+        orphans = int((ks[pos] != ck).sum())
+        neg = int((df["o_totalprice"].to_numpy() <= 0).sum())
+        return pd.DataFrame(
+            {
+                "check_name": ["orphan_orders", "nonpositive_price"],
+                "n": [orphans, neg],
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+    )
+
+    def li_checks(df: "pd.DataFrame") -> "pd.DataFrame":
+        qty = int((df["l_quantity"].to_numpy() > 45).sum())
+        disc = int(
+            (
+                (df["l_discount"].to_numpy() < 0)
+                | (df["l_discount"].to_numpy() > 0.08)
+            ).sum()
+        )
+        return pd.DataFrame(
+            {
+                "check_name": ["quantity_gt_45", "discount_out_of_band"],
+                "n": [qty, disc],
+            }
+        )
+
+    partials = orders.map_batches(orders_checks, batch_format="pandas").union(
+        li.map_batches(li_checks, batch_format="pandas")
+    )
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "check_name": [df["check_name"].iloc[0]],
+                "n_violations": [int(df["n"].sum())],
+            }
+        )
+
+    return partials.groupby("check_name").map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def q_scd2_build(sf_dir: str):
+    """SCD type-2 interval build: each user's event-type timeline
+    collapses to validity intervals (valid_from at each change, -1
+    open end) — the dimension-history shape; one user shuffle +
+    vectorized change detection."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "event_type": df["event_type"],
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    def intervals(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        prev_type = df.groupby("user_id", sort=False)["event_type"].shift(1)
+        start = prev_type.isna() | (prev_type != df["event_type"])
+        s = df[start.to_numpy()]
+        nxt = s.groupby("user_id", sort=False)["ts_us"].shift(-1)
+        out = pd.DataFrame(
+            {
+                "user_id": s["user_id"].to_numpy(dtype=np.int64),
+                "event_type": s["event_type"].to_numpy(),
+                "valid_from_us": s["ts_us"].to_numpy(dtype=np.int64),
+                "valid_to_us": nxt.fillna(-1).astype("int64").to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return _coarse_group_apply(
+        ds.map_batches(prep, batch_format="pandas"), "user_id", intervals
+    )
+
+
 def q_grouping_sets_orders(sf_dir: str):
     """GROUPING SETS ((status, priority), (status, year), (year)) in
     ONE shuffle: the finest cell table (status, priority, year) is the
@@ -4616,6 +4884,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_size_hist": q_cluster_size_hist,
         "forward_fill": q_forward_fill,
         "dwell_times": q_dwell_times,
+        "entity_clusters": q_entity_clusters,
+        "k_anonymity": q_k_anonymity,
+        "dq_checks": q_dq_checks,
+        "scd2_build": q_scd2_build,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -6289,6 +6561,67 @@ SELECT event_id,
          - CAST(epoch_us(ts) AS BIGINT),
          -1) AS BIGINT) AS dwell_us
 FROM events
+""",
+        "entity_clusters": """
+WITH RECURSIVE d AS (
+  SELECT DISTINCT p_name FROM part
+), pairs AS (
+  SELECT a.p_name AS a, b.p_name AS b
+  FROM d a JOIN d b
+    ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) = 1
+), edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b, a FROM pairs
+), reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS name, MIN(lbl) AS canonical
+FROM reach GROUP BY node
+""",
+        "k_anonymity": """
+SELECT lang, source,
+       CAST(n_chars // 500 AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2, 3 HAVING count(*) < 3
+""",
+        "dq_checks": """
+SELECT 'orphan_orders' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'nonpositive_price', CAST(count(*) AS BIGINT)
+FROM orders WHERE o_totalprice <= 0
+UNION ALL
+SELECT 'quantity_gt_45', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_quantity > 45
+UNION ALL
+SELECT 'discount_out_of_band', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_discount < 0 OR l_discount > 0.08
+""",
+        "scd2_build": """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), s AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE prev IS NULL OR prev <> event_type
+), b AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+         lead(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM s
+)
+SELECT user_id, event_type, valid_from_us,
+       CAST(COALESCE(nxt, -1) AS BIGINT) AS valid_to_us
+FROM b
 """,
         "table_diff": """
 WITH old AS (
