@@ -4112,6 +4112,114 @@ def q_scd2_build(sf_dir: str):
     )
 
 
+def q_watermark_windows(sf_dir: str):
+    """Event-time streaming semantics as a dataflow: the watermark (max
+    event time over STRICTLY-EARLIER arrivals, arrival order =
+    event_id) is a distributed global prefix-max; a row is late-dropped
+    when the watermark minus 6h allowed lateness has passed its daily
+    window's end.  Output = on-time counts per (day, type) — exactly
+    what a streaming engine with watermarks would finalize."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.join import hash_join
+    from cex_crawler_ray.stages.window import global_prefix_max
+
+    DAY_US = 86_400_000_000
+    LATENESS_US = 21_600_000_000  # 6 hours
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(
+            pa.int64()
+        )
+        eid = (
+            batch["event_id"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        # deterministic out-of-order stragglers: every 50th event
+        # arrives ~500 stream positions late (odd/even keeps arrival
+        # keys collision-free), so the watermark genuinely drops rows
+        arrival = np.where(eid % 50 == 0, 2 * eid + 1001, 2 * eid)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "arrival": pa.array(arrival, pa.int64()),
+                "event_type": batch["event_type"],
+                "ts_us": ts,
+            }
+        )
+
+    events = ds.map_batches(prep, batch_format="pyarrow")
+    wm = global_prefix_max(
+        events.select_columns(["arrival", "ts_us"]),
+        order_col="arrival",
+        val_col="ts_us",
+        out_col="wm",
+    )
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "wid": batch["arrival"].cast(pa.int64()),
+                "wm": batch["wm"].cast(pa.int64()),
+            }
+        )
+
+    joined = hash_join(
+        events,
+        wm.map_batches(rekey, batch_format="pyarrow"),
+        left_key="arrival",
+        right_key="wid",
+    )
+
+    def on_time_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        ts = df["ts_us"].to_numpy(dtype=np.int64)
+        day_idx = ts // DAY_US
+        window_end = (day_idx + 1) * DAY_US
+        # additive form: the INT64_MIN "no earlier arrival" sentinel
+        # would wrap under subtraction
+        keep = df["wm"].to_numpy(dtype=np.int64) <= window_end + LATENESS_US
+        g = pd.DataFrame(
+            {"day_idx": day_idx[keep], "event_type": df["event_type"][keep]}
+        ).groupby(["day_idx", "event_type"], as_index=False)
+        return g.agg(n=("event_type", "size"))
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "day_idx": [int(df["day_idx"].iloc[0])],
+                "event_type": [df["event_type"].iloc[0]],
+                "n_on_time": [int(df["n"].sum())],
+            }
+        )
+
+    return (
+        joined.map_batches(on_time_partial, batch_format="pandas")
+        .groupby(["day_idx", "event_type"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_systematic_sample(sf_dir: str):
+    """Systematic (every-97th) sampling in GLOBAL (cents, event_id)
+    order — composes the sort-free global ROW_NUMBER with a stateless
+    modulo filter; the deterministic census-style sampler."""
+    import pandas as pd
+
+    rn = q_global_row_number(sf_dir)
+
+    def keep(df: "pd.DataFrame") -> "pd.DataFrame":
+        m = (df["rn"].astype("int64") % 97 == 1).to_numpy()
+        return df[m].astype({"event_id": "int64", "rn": "int64"})
+
+    return rn.map_batches(keep, batch_format="pandas")
+
+
 def q_grouping_sets_orders(sf_dir: str):
     """GROUPING SETS ((status, priority), (status, year), (year)) in
     ONE shuffle: the finest cell table (status, priority, year) is the
@@ -4888,6 +4996,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": q_k_anonymity,
         "dq_checks": q_dq_checks,
         "scd2_build": q_scd2_build,
+        "watermark_windows": q_watermark_windows,
+        "systematic_sample": q_systematic_sample,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -6622,6 +6732,36 @@ WITH o AS (
 SELECT user_id, event_type, valid_from_us,
        CAST(COALESCE(nxt, -1) AS BIGINT) AS valid_to_us
 FROM b
+""",
+        "watermark_windows": """
+WITH a AS (
+  SELECT event_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         max(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           ORDER BY CASE WHEN event_id % 50 = 0
+                         THEN 2 * event_id + 1001
+                         ELSE 2 * event_id END
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+), k AS (
+  SELECT ts_us // 86400000000 AS day_idx, event_type
+  FROM a
+  WHERE wm IS NULL
+     OR wm <= (ts_us // 86400000000 + 1) * 86400000000 + 21600000000
+)
+SELECT CAST(day_idx AS BIGINT) AS day_idx, event_type,
+       CAST(count(*) AS BIGINT) AS n_on_time
+FROM k GROUP BY 1, 2
+""",
+        "systematic_sample": """
+WITH r AS (
+  SELECT event_id,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS rn
+  FROM events
+)
+SELECT event_id, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn % 97 = 1
 """,
         "table_diff": """
 WITH old AS (

@@ -1019,3 +1019,94 @@ def rank_with_gaps(
         rank_part,
         num_parts,
     )
+
+
+def global_prefix_max(
+    ds: "ray.data.Dataset",
+    order_col: str = "event_id",
+    val_col: str = "ts_us",
+    bucket_width: int = 1 << 10,
+    num_parts: int = 32,
+    out_col: str = "prefix_max",
+) -> "ray.data.Dataset":
+    """Running max of ``val_col`` over all STRICTLY-EARLIER rows in the
+    global ``order_col`` order (first row per order -> INT64_MIN), with
+    no global sort — the watermark primitive for event-time streaming
+    semantics expressed as a dataflow.
+
+    Same ordered-bucket shape as ``global_row_number``: per-bucket max
+    partials (a combiner) -> driver exclusive prefix max over the tiny
+    bucket table -> broadcast -> within-bucket vectorized running max
+    seeded by the bucket's prefix.  Driver state is one int per
+    non-empty bucket.
+    """
+    INT64_MIN = np.int64(np.iinfo(np.int64).min)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        o = batch[order_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                order_col: pa.array(o, pa.int64()),
+                val_col: batch[val_col].combine_chunks().cast(pa.int64()),
+                "_bkt": pa.array(o // bucket_width, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def max_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = df.groupby("_bkt", as_index=False)[val_col].max()
+        return pa.Table.from_pandas(
+            g.rename(columns={val_col: "mx"}), preserve_index=False
+        )
+
+    bx = (
+        tagged.map_batches(max_partial, batch_format="pyarrow")
+        .groupby("_bkt")
+        .max("mx")
+        .to_pandas()
+        .sort_values("_bkt")
+    )
+    bkts = bx["_bkt"].to_numpy(dtype=np.int64)
+    mx = bx["max(mx)"].to_numpy(dtype=np.int64)
+    # exclusive prefix max: bucket k sees the max of buckets < k
+    excl = np.concatenate(
+        ([INT64_MIN], np.maximum.accumulate(mx)[:-1])
+    ).astype(np.int64)
+    pre_ref = ray.put((bkts, excl))
+
+    from .dedup import _coarse_group_apply
+
+    def within(group: pa.Table) -> pa.Table:
+        sb, se = ray.get(pre_ref)
+        df = group.to_pandas().sort_values(["_bkt", order_col])
+        v = df[val_col].to_numpy(dtype=np.int64)
+        b = df["_bkt"].to_numpy(dtype=np.int64)
+        new_b = np.concatenate(([True], b[1:] != b[:-1]))
+        starts = np.flatnonzero(new_b)
+        # running max over STRICTLY-PRECEDING rows = cummax of the
+        # right-shifted values, re-seeded at each bucket start with the
+        # bucket's exclusive global prefix.  A plain cummax would leak
+        # an earlier in-partition bucket's values into a later segment,
+        # but each seed already equals the max over ALL earlier buckets
+        # (globally), so any leaked value is <= the seed and the single
+        # accumulate is exact.
+        prev = np.concatenate(([INT64_MIN], v[:-1]))
+        seed = se[np.clip(np.searchsorted(sb, b), 0, len(sb) - 1)]
+        prev[starts] = seed[starts]
+        out = np.maximum.accumulate(prev)
+        return pa.table(
+            {
+                order_col: pa.array(
+                    df[order_col].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                out_col: pa.array(out, pa.int64()),
+            }
+        )
+
+    return _coarse_group_apply(tagged, "_bkt", within, num_parts)

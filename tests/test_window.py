@@ -266,3 +266,41 @@ def test_global_row_number_negatives_and_ties(ray_session):
     want["rn"] = np.arange(1, len(want) + 1)
     want = want.sort_values("event_id")["rn"].reset_index(drop=True)
     assert got["rn"].astype("int64").equals(want.astype("int64"))
+
+
+def test_global_prefix_max_strict_and_cross_bucket(ray_session):
+    """First row gets INT64_MIN (strictly-earlier semantics); a large
+    value in an early bucket must propagate into later buckets that
+    hash into the SAME partition without corrupting in-bucket prefixes."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import global_prefix_max
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "ts_us": rng.integers(0, 10**9, n),
+        }
+    )
+    # plant a global spike early so later buckets must inherit it
+    df.loc[10, "ts_us"] = 5 * 10**9
+    got = (
+        global_prefix_max(
+            ray.data.from_pandas(df).repartition(5),
+            order_col="event_id",
+            val_col="ts_us",
+            bucket_width=64,
+            num_parts=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values("event_id")["ts_us"].shift(1).cummax()
+    want.iloc[0] = np.iinfo(np.int64).min
+    assert got["prefix_max"].to_numpy(dtype=np.int64).tolist() == [
+        int(x) for x in want.to_numpy()
+    ]
