@@ -4220,6 +4220,173 @@ def q_systematic_sample(sf_dir: str):
     return rn.map_batches(keep, batch_format="pandas")
 
 
+def q_approx_median_exact_regime(sf_dir: str):
+    """Full SQL oracle for the bottom-k quantile sketch's code path:
+    with k >= every group size the sketch IS the exact median, so
+    quantile_disc hash-checks the whole partial/merge/final pipeline
+    (the production-k row stays `approx_group_median`)."""
+    from cex_crawler_ray.stages.sketch import approx_group_quantile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "cents": pa.array(
+                    _cents(batch["value"].to_pylist()), pa.int64()
+                ),
+            }
+        )
+
+    out = approx_group_quantile(
+        ds.map_batches(add_cents, batch_format="pyarrow"),
+        "event_type",
+        "cents",
+        "event_id",
+        q=0.5,
+        k=10_000_000,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "median_cents": batch["approx_quantile"].cast(pa.int64()),
+                "n": batch["sample_size"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def q_approx_distinct_guard(sf_dir: str):
+    """Constraint oracle for the HLL sketch: the RAY side computes both
+    the exact distinct count (the oracle-backed machinery) and the HLL
+    estimate, and asserts the 5% envelope; the SQL twin supplies the
+    exact count and the constant 1, so sketch drift goes hash-red."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.sketch import approx_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    est = approx_distinct(ds, "user_id", p=12)
+    exact_tbl = q_exact_distinct_users(sf_dir)
+    if hasattr(exact_tbl, "to_pandas"):
+        exact_tbl = exact_tbl.to_pandas()
+    exact = int(exact_tbl.iloc[0, 0])
+    ok = int(abs(est - exact) * 20 <= exact)
+    return pd.DataFrame(
+        {"n_users": pd.Series([exact], dtype="int64"),
+         "hll_within_5pct": pd.Series([ok], dtype="int64")}
+    )
+
+
+def q_jaccard_contains_exact_guard(sf_dir: str):
+    """Constraint oracle for the n-gram Jaccard near-dup: every
+    exact-duplicate pair (jaccard 1.0) MUST appear in the verified
+    pair set.  Exact pairs come from a text-hash groupby; membership
+    is a co-partition pair-key probe (no driver sets); SQL supplies
+    (n_exact_pairs, 0)."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import (
+        _coarse_group_apply,
+        _hash64,
+    )
+
+    corpus = _dedup_corpus(sf_dir)
+    jac = q_ngram_jaccard_pairs(sf_dir)
+    if isinstance(jac, pa.Table):
+        jac = ray.data.from_arrow(jac)
+
+    def text_hash(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+                "th": pa.array(
+                    [
+                        np.int64(np.uint64(_hash64(t)) >> np.uint64(1))
+                        for t in batch["text"].to_pylist()
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def group_pairs(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        m = df.merge(df, on="th")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    m["doc_id_x"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "id_b": pa.array(
+                    m["doc_id_y"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    exact_pairs = _coarse_group_apply(
+        corpus.map_batches(text_hash, batch_format="pyarrow"),
+        "th",
+        group_pairs,
+    )
+
+    def key_side(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            a = batch["id_a"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            b = batch["id_b"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table(
+                {
+                    "pk": pa.array((a << np.int64(32)) | b, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(a), side, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    unioned = exact_pairs.map_batches(
+        key_side(0), batch_format="pyarrow"
+    ).union(jac.map_batches(key_side(1), batch_format="pyarrow"))
+
+    def check(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        g = df.groupby("pk")["side"].agg(["min", "max"])
+        n_exact = int((g["min"] == 0).sum())
+        n_missing = int(((g["min"] == 0) & (g["max"] == 0)).sum())
+        return pa.table(
+            {
+                "n_exact": pa.array([n_exact], pa.int64()),
+                "n_missing": pa.array([n_missing], pa.int64()),
+            }
+        )
+
+    parts = _coarse_group_apply(unioned, "pk", check)
+    tot = parts.to_pandas()
+    return pd.DataFrame(
+        {
+            "n_exact_pairs": pd.Series([int(tot["n_exact"].sum())], dtype="int64"),
+            "n_missing": pd.Series([int(tot["n_missing"].sum())], dtype="int64"),
+        }
+    )
+
+
 def q_grouping_sets_orders(sf_dir: str):
     """GROUPING SETS ((status, priority), (status, year), (year)) in
     ONE shuffle: the finest cell table (status, priority, year) is the
@@ -4998,6 +5165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_build": q_scd2_build,
         "watermark_windows": q_watermark_windows,
         "systematic_sample": q_systematic_sample,
+        "approx_median_exact_regime": q_approx_median_exact_regime,
+        "approx_distinct_guard": q_approx_distinct_guard,
+        "jaccard_contains_exact_guard": q_jaccard_contains_exact_guard,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -6762,6 +6932,30 @@ WITH r AS (
 )
 SELECT event_id, CAST(rn AS BIGINT) AS rn
 FROM r WHERE rn % 97 = 1
+""",
+        "approx_median_exact_regime": """
+SELECT event_type,
+       CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)
+            AS BIGINT) AS median_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+        "approx_distinct_guard": """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(1 AS BIGINT) AS hll_within_5pct
+FROM events
+""",
+        "jaccard_contains_exact_guard": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST(0 AS BIGINT) AS n_missing
+FROM corpus a JOIN corpus b
+  ON a.text = b.text AND a.doc_id < b.doc_id
 """,
         "table_diff": """
 WITH old AS (
