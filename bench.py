@@ -360,6 +360,14 @@ def bench_queries(sf_dir: str) -> dict:
         "full_outer_join",
         "chunk_documents",
         "fill_missing_days",
+        "rolling_distinct_users",
+        "vocab_encode",
+        "rank_events",
+        "attribution_pairs",
+        "scd2_build",
+        "watermark_windows",
+        "entity_clusters",
+        "forward_fill",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row
