@@ -4387,6 +4387,197 @@ def q_jaccard_contains_exact_guard(sf_dir: str):
     )
 
 
+def q_explode_embeddings(sf_dir: str):
+    """List-column EXPLODE with positions: each embedding row expands
+    to 64 (vec_id, dim_idx, val_e3) rows — zero-copy Arrow flatten +
+    np.repeat/arange, no Python per element; the long-format export
+    for feature stores."""
+    import numpy as np
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        vid = batch["vec_id"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        x = flat * 1000.0
+        e3 = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        idx = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            offs[:-1], lens
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, lens), pa.int64()),
+                "dim_idx": pa.array(idx, pa.int64()),
+                "val_e3": pa.array(e3, pa.int64()),
+            }
+        )
+
+    return emb.map_batches(explode, batch_format="pyarrow")
+
+
+def q_distinct_pairs_count(sf_dir: str):
+    """COUNT(DISTINCT (user, type)) — multi-column distinct as a
+    two-level combiner: batch-local pair dedup, one (user, type)
+    shuffle, final count."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def local(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates()
+
+    distinct = (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby(["user_id", "event_type"])
+        .count()
+    )
+    n = distinct.count()
+    return __import__("pandas").DataFrame(
+        {"n_pairs": __import__("pandas").Series([int(n)], dtype="int64")}
+    )
+
+
+def q_since_last_purchase(sf_dir: str):
+    """Windowed RESET counter: for every event, how many events this
+    user has had since their last 'purchase' (purchases reset to 0;
+    rows before any purchase -> -1).  One user shuffle; the reset is a
+    vectorized segment-cumcount (cumsum of purchase flags makes the
+    segment key)."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "is_p": (df["event_type"] == "purchase").astype("int64"),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    def counter(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        seg = df.groupby("user_id", sort=False)["is_p"].cumsum()
+        n = (
+            df.groupby([df["user_id"], seg], sort=False)
+            .cumcount()
+            .to_numpy(dtype=np.int64)
+        )
+        # rows in segment 0 precede any purchase -> -1; a purchase row
+        # itself starts its segment at position 0
+        out_n = np.where(seg.to_numpy() == 0, -1, n)
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(dtype=np.int64),
+                "since_purchase": out_n,
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return _coarse_group_apply(
+        ds.map_batches(prep, batch_format="pandas"), "user_id", counter
+    )
+
+
+def q_dod_change(sf_dir: str):
+    """Day-over-day delta of daily event counts per type — a window
+    over the AGGREGATE (counts are a combiner; the lag runs on the
+    inherently-small daily series)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {"day": df["ts"].dt.strftime("%Y-%m-%d"), "event_type": df["event_type"]}
+        ).groupby(["day", "event_type"], as_index=False)
+        return g.agg(n=("event_type", "size"))
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "day": [df["day"].iloc[0]],
+                "event_type": [df["event_type"].iloc[0]],
+                "n": [int(df["n"].sum())],
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["day", "event_type"])
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    prev = counts.groupby("event_type", sort=False)["n"].shift(1)
+    return pd.DataFrame(
+        {
+            "day": counts["day"],
+            "event_type": counts["event_type"],
+            "n_events": counts["n"].astype("int64"),
+            "dod_change": (counts["n"] - prev).fillna(0).astype("int64"),
+        }
+    )
+
+
+def q_topk_with_ties(sf_dir: str):
+    """Top-10 order prices WITH TIES (RANK <= 10): partial per-batch
+    rank-bounded cut, then the exact global cut on the tiny candidate
+    set — unlike LIMIT, ties at the boundary all survive."""
+    import numpy as np
+    import pandas as pd
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    K = 10
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "cents": _cents(df["o_totalprice"]),
+            }
+        ).sort_values(["cents", "o_orderkey"], ascending=[False, True])
+        if len(out) <= K:
+            return out
+        # WITH TIES = RANK() <= K = cents >= the K-th row's value.  The
+        # batch's K-th value lower-bounds the global one, so this local
+        # cut is a superset of the global winners in this batch.
+        kth = int(out["cents"].iloc[K - 1])
+        return out[out["cents"] >= kth]
+
+    cand = orders.map_batches(partial, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["cents", "o_orderkey"], ascending=[False, True])
+    if len(cand) > K:
+        kth = int(cand["cents"].iloc[K - 1])
+        cand = cand[cand["cents"] >= kth]
+    return cand.reset_index(drop=True)
+
+
 def q_grouping_sets_orders(sf_dir: str):
     """GROUPING SETS ((status, priority), (status, year), (year)) in
     ONE shuffle: the finest cell table (status, priority, year) is the
@@ -5168,6 +5359,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_median_exact_regime": q_approx_median_exact_regime,
         "approx_distinct_guard": q_approx_distinct_guard,
         "jaccard_contains_exact_guard": q_jaccard_contains_exact_guard,
+        "explode_embeddings": q_explode_embeddings,
+        "distinct_pairs_count": q_distinct_pairs_count,
+        "since_last_purchase": q_since_last_purchase,
+        "dod_change": q_dod_change,
+        "topk_with_ties": q_topk_with_ties,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -6956,6 +7152,56 @@ SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
        CAST(0 AS BIGINT) AS n_missing
 FROM corpus a JOIN corpus b
   ON a.text = b.text AND a.doc_id < b.doc_id
+""",
+        "explode_embeddings": """
+SELECT vec_id,
+       CAST(x.i - 1 AS BIGINT) AS dim_idx,
+       CAST(round(x.v * 1000) AS BIGINT) AS val_e3
+FROM embeddings,
+     LATERAL (SELECT unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS i) x
+""",
+        "distinct_pairs_count": """
+SELECT CAST(count(*) AS BIGINT) AS n_pairs
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+""",
+        "since_last_purchase": """
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS seg
+  FROM events
+)
+SELECT event_id,
+       CAST(CASE WHEN seg = 0 THEN -1
+            ELSE ROW_NUMBER() OVER (
+              PARTITION BY user_id, seg ORDER BY ts, event_id) - 1
+            END AS BIGINT) AS since_purchase
+FROM s
+""",
+        "dod_change": """
+WITH c AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n AS n_events,
+       CAST(COALESCE(n - lag(n) OVER (
+         PARTITION BY event_type ORDER BY day), 0) AS BIGINT)
+         AS dod_change
+FROM c
+""",
+        "topk_with_ties": """
+WITH r AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         RANK() OVER (
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC)
+           AS rnk
+  FROM orders
+)
+SELECT o_orderkey, cents FROM r WHERE rnk <= 10
 """,
         "table_diff": """
 WITH old AS (
