@@ -4441,9 +4441,7 @@ def q_distinct_pairs_count(sf_dir: str):
         .count()
     )
     n = distinct.count()
-    return __import__("pandas").DataFrame(
-        {"n_pairs": __import__("pandas").Series([int(n)], dtype="int64")}
-    )
+    return pd.DataFrame({"n_pairs": pd.Series([int(n)], dtype="int64")})
 
 
 def q_since_last_purchase(sf_dir: str):
@@ -4922,6 +4920,142 @@ def q_group_p90_cont(sf_dir: str):
     return ds.groupby("event_type").map_groups(p90, batch_format="pandas")
 
 
+def q_percentile_bands(sf_dir: str):
+    """p25/p50/p75 per group in ONE pass (one sort per key partition
+    serves all three interpolated order stats) — the box-plot
+    reduction; centi-cents keep the interpolation integral."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def bands(df: "pd.DataFrame") -> "pd.DataFrame":
+        cents = np.sort(_cents(df["value"]))
+        n = len(cents)
+
+        def q_at(q: float) -> int:
+            h = q * (n - 1)
+            lo = int(np.floor(h))
+            hi = int(np.ceil(h))
+            v = cents[lo] + (h - lo) * (cents[hi] - cents[lo])
+            x = v * 100.0
+            return int(np.sign(x) * np.floor(np.abs(x) + 0.5))
+
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "p25_cc": [q_at(0.25)],
+                "p50_cc": [q_at(0.5)],
+                "p75_cc": [q_at(0.75)],
+                "n": [n],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(bands, batch_format="pandas")
+
+
+def q_hourly_pivot(sf_dir: str):
+    """Hour-of-day x event-type count matrix (derived-time pivot): a
+    count combiner on (hour, type) then a fixed-column widen — the
+    heatmap layout."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = pd.DataFrame(
+            {"hour": df["ts"].dt.hour.astype("int64"), "event_type": df["event_type"]}
+        ).groupby(["hour", "event_type"], as_index=False)
+        return g.agg(n=("event_type", "size"))
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "hour": [int(df["hour"].iloc[0])],
+                "event_type": [df["event_type"].iloc[0]],
+                "n": [int(df["n"].sum())],
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["hour", "event_type"])
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    wide = (
+        counts.pivot_table(
+            index="hour", columns="event_type", values="n", aggfunc="first"
+        )
+        .reindex(columns=TYPES)
+        .fillna(0)
+        .astype("int64")
+        .reset_index()
+    )
+    wide.columns = ["hour"] + [f"n_{t}" for t in TYPES]
+    return wide.astype({"hour": "int64"})
+
+
+def q_longest_streak(sf_dir: str):
+    """Longest run of CONSECUTIVE active days per user — the classic
+    gaps-and-islands via the (day - dense position) grouping trick,
+    fully inside one user-partitioned pass."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def to_days(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "day": (
+                    df["ts"].dt.floor("D").astype("datetime64[us]").astype("int64")
+                    // 86_400_000_000
+                ),
+            }
+        ).drop_duplicates()
+
+    def streaks(group: pa.Table) -> pa.Table:
+        df = (
+            group.to_pandas()
+            .drop_duplicates()
+            .sort_values(["user_id", "day"], kind="mergesort")
+        )
+        pos = df.groupby("user_id", sort=False).cumcount()
+        anchor = df["day"].to_numpy() - pos.to_numpy()
+        runs = (
+            pd.DataFrame(
+                {"user_id": df["user_id"], "anchor": anchor, "one": 1}
+            )
+            .groupby(["user_id", "anchor"], sort=False)["one"]
+            .sum()
+            .reset_index()
+        )
+        best = runs.groupby("user_id", sort=False)["one"].max().reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    best["user_id"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "longest_streak": pa.array(
+                    best["one"].to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _coarse_group_apply(
+        ds.map_batches(to_days, batch_format="pandas"), "user_id", streaks
+    )
+
+
 def q_pmi_bigrams(sf_dir: str):
     """Collocation extraction (Church & Hanks 1990): top-20 bigrams by
     pointwise mutual information among those occurring >= 5 times.
@@ -5364,6 +5498,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "since_last_purchase": q_since_last_purchase,
         "dod_change": q_dod_change,
         "topk_with_ties": q_topk_with_ties,
+        "percentile_bands": q_percentile_bands,
+        "hourly_pivot": q_hourly_pivot,
+        "longest_streak": q_longest_streak,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -7202,6 +7339,57 @@ WITH r AS (
   FROM orders
 )
 SELECT o_orderkey, cents FROM r WHERE rnk <= 10
+""",
+        "percentile_bands": """
+SELECT event_type,
+       CAST(round(
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) * 100
+       ) AS BIGINT) AS p25_cc,
+       CAST(round(
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) * 100
+       ) AS BIGINT) AS p50_cc,
+       CAST(round(
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) * 100
+       ) AS BIGINT) AS p75_cc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+        "hourly_pivot": """
+WITH c AS (
+  SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT hour,
+       CAST(COALESCE(max(CASE WHEN event_type = 'click' THEN n END), 0)
+            AS BIGINT) AS n_click,
+       CAST(COALESCE(max(CASE WHEN event_type = 'error' THEN n END), 0)
+            AS BIGINT) AS n_error,
+       CAST(COALESCE(max(CASE WHEN event_type = 'purchase' THEN n END), 0)
+            AS BIGINT) AS n_purchase,
+       CAST(COALESCE(max(CASE WHEN event_type = 'signup' THEN n END), 0)
+            AS BIGINT) AS n_signup,
+       CAST(COALESCE(max(CASE WHEN event_type = 'view' THEN n END), 0)
+            AS BIGINT) AS n_view
+FROM c GROUP BY hour
+""",
+        "longest_streak": """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+           AS day
+  FROM events
+), r AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY day) AS anchor
+  FROM d
+), runs AS (
+  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+  FROM r GROUP BY user_id, anchor
+)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id
 """,
         "table_diff": """
 WITH old AS (
