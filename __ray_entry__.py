@@ -5056,6 +5056,43 @@ def q_longest_streak(sf_dir: str):
     )
 
 
+def q_group_p90_descent(sf_dir: str):
+    """Per-group EXACT p90 via keyed histogram descent — the scale
+    path for group quantiles when a single group no longer fits one
+    worker (removes the map_groups variants' documented assumption);
+    the driver sees only the (key, bucket) histogram, never rows."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.sketch import exact_group_quantile_descent
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "cents": _cents(df["value"])}
+        )
+
+    out = exact_group_quantile_descent(
+        ds.map_batches(prep, batch_format="pandas"),
+        "event_type",
+        "cents",
+        q=0.9,
+        shift=8,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "p90_cents": batch["q_value"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def q_pmi_bigrams(sf_dir: str):
     """Collocation extraction (Church & Hanks 1990): top-20 bigrams by
     pointwise mutual information among those occurring >= 5 times.
@@ -5501,6 +5538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_bands": q_percentile_bands,
         "hourly_pivot": q_hourly_pivot,
         "longest_streak": q_longest_streak,
+        "group_p90_descent": q_group_p90_descent,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -7390,6 +7428,12 @@ WITH d AS (
 )
 SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
 FROM runs GROUP BY user_id
+""",
+        "group_p90_descent": """
+SELECT event_type,
+       CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9)
+            AS BIGINT) AS p90_cents
+FROM events GROUP BY event_type
 """,
         "table_diff": """
 WITH old AS (

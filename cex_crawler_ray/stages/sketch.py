@@ -487,3 +487,125 @@ def exact_global_quantile_cont(
     x_lo = order_stat(rank_lo)
     x_hi = x_lo if rank_hi == rank_lo else order_stat(rank_hi)
     return x_lo + (h - rank_lo) * (x_hi - x_lo)
+
+
+def exact_group_quantile_descent(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str = "cents",
+    q: float = 0.5,
+    shift: int = 16,
+    num_parts: int = 32,
+) -> "ray.data.Dataset":
+    """EXACT per-group order statistic WITHOUT materializing any group:
+    the keyed generalization of ``exact_global_quantile``'s histogram
+    descent, for when a single group no longer fits one worker (the
+    documented assumption of the ``map_groups`` quantiles).
+
+    Pass 1: (key, coarse-bucket) count combiner; the merged histogram —
+    bounded by keys x value-spread / 2^shift, an aggregate, never rows —
+    reaches the driver, which locates each key's target bucket and
+    in-bucket rank (vectorized, one searchsorted per key) and
+    broadcasts the (key -> bucket, rank) map.  Pass 2: a filtered
+    (key, value) count combiner over ONLY the target buckets, then a
+    coarse key partition picks each key's order statistic locally —
+    the driver never sees value-level rows.  Rank convention
+    ``ceil(q*n)-1`` matches DuckDB ``quantile_disc`` (same probes as
+    the global variant).
+    """
+    import math
+
+    from .dedup import _coarse_group_apply
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_b"] = df[val_col].to_numpy(dtype=np.int64) >> shift
+        g = df.groupby([key_col, "_b"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "cnt"}), preserve_index=False
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby([key_col, "_b"])
+        .sum("cnt")
+        .to_pandas()
+        .rename(columns={"sum(cnt)": "cnt"})
+        .sort_values([key_col, "_b"])
+        .reset_index(drop=True)
+    )
+    # per-key target bucket + in-bucket rank, vectorized over the
+    # aggregate histogram
+    targets: dict = {}
+    for key, grp in hist.groupby(key_col, sort=False):
+        c = grp["cnt"].to_numpy(dtype=np.int64)
+        b = grp["_b"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        rank = max(math.ceil(q * n) - 1, 0)
+        cum = np.cumsum(c)
+        bi = int(np.searchsorted(cum, rank + 1))
+        targets[key] = (
+            int(b[bi]),
+            rank - (int(cum[bi - 1]) if bi > 0 else 0),
+        )
+    t_ref = ray.put(targets)
+
+    def in_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        tg = ray.get(t_ref)
+        df = batch.to_pandas()
+        bmap = {k: v[0] for k, v in tg.items()}
+        tb = df[key_col].map(bmap).to_numpy(dtype=np.int64)
+        v = df[val_col].to_numpy(dtype=np.int64)
+        keep = (v >> shift) == tb
+        g = (
+            df[keep]
+            .assign(_v=v[keep])
+            .groupby([key_col, "_v"], as_index=False)
+            .size()
+        )
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "cnt"}), preserve_index=False
+        )
+
+    counts = (
+        ds.map_batches(in_bucket, batch_format="pyarrow")
+        .groupby([key_col, "_v"])
+        .sum("cnt")
+    )
+
+    def tag_key_hash(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        from .dedup import _hash64
+
+        return batch.append_column(
+            "_kh",
+            pa.array([_hash64(str(k)) for k in keys], pa.uint64()),
+        )
+
+    def pick(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        tg = ray.get(t_ref)
+        df = part.to_pandas().sort_values([key_col, "_v"])
+        out_k, out_v = [], []
+        for key, grp in df.groupby(key_col, sort=False):
+            rank_in = tg[key][1]
+            cum = grp["sum(cnt)"].to_numpy(dtype=np.int64).cumsum()
+            i = int(np.searchsorted(cum, rank_in + 1))
+            out_k.append(key)
+            out_v.append(int(grp["_v"].to_numpy(dtype=np.int64)[i]))
+        return pa.table(
+            {
+                key_col: pa.array(out_k),
+                "q_value": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    return _coarse_group_apply(
+        counts.map_batches(tag_key_hash, batch_format="pyarrow"),
+        "_kh",
+        lambda g: pick(g),
+        num_parts,
+    )

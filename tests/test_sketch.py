@@ -166,3 +166,47 @@ def test_exact_global_quantile_matches_duckdb_conventions(ray_session):
                 params={"v": vals.tolist()},
             ).fetchone()[0]
             assert got == want, (q, got, want, len(vals))
+
+
+def test_exact_group_quantile_descent_matches_sort(ray_session):
+    """Keyed histogram descent equals the sort-based per-group
+    quantile_disc (rank ceil(q*n)-1) on a skewed multi-key input."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    from cex_crawler_ray.stages.sketch import exact_group_quantile_descent
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b", "c"], [3000, 50, 7]),
+            "cents": np.concatenate(
+                [
+                    rng.integers(-10**6, 10**6, 3000),
+                    rng.integers(0, 100, 50),
+                    np.arange(7),
+                ]
+            ),
+        }
+    )
+    got = (
+        exact_group_quantile_descent(
+            ray.data.from_pandas(df).repartition(5),
+            "k",
+            "cents",
+            q=0.9,
+            shift=6,
+            num_parts=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    import math
+
+    want = {
+        k: int(np.sort(g["cents"].to_numpy())[max(math.ceil(0.9 * len(g)) - 1, 0)])
+        for k, g in df.groupby("k")
+    }
+    assert dict(zip(got["k"], got["q_value"].astype(int))) == want
