@@ -5539,6 +5539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_pivot": q_hourly_pivot,
         "longest_streak": q_longest_streak,
         "group_p90_descent": q_group_p90_descent,
+        "ppr_nodes": q_ppr_nodes,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -5780,6 +5781,95 @@ SELECT doc_id, n_tokens, start_offset,
        start_offset // 256 AS example_id
 FROM c3
 """
+
+
+def q_ppr_nodes(sf_dir: str):
+    """Personalized PageRank (teleport restarts ONLY at seed users,
+    id % 50 == 0) over the session-handoff graph — frontier
+    prioritization relative to trusted seeds, in the same exact-int
+    fixed point as q_pagerank_nodes so the unrolled-CTE oracle
+    hash-matches bit for bit."""
+    import pyarrow.compute as pc
+
+    from cex_crawler_ray.stages.window import lead_lag, pagerank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    led = lead_lag(ds, kind="lead")
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch["user_id"]
+        dst = batch["lead_user_id"]
+        keep = pc.and_(dst.is_valid(), pc.not_equal(src, dst))
+        t = batch.filter(keep)
+        return pa.table({"src": t["user_id"], "dst": t["lead_user_id"]})
+
+    edges = (
+        led.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+        .drop_columns(["count()"])
+    )
+    users = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .to_pandas()["user_id"]
+        .to_numpy()
+    )
+    seeds = np.unique(users[users % 50 == 0]).astype(np.int64)
+    return pagerank(edges, seeds=seeds)
+
+
+def _ppr_sql(iters: int = 5, scale: int = 10**12) -> str:
+    """Unrolled-CTE personalized PageRank twin of
+    ``q_ppr_nodes`` — teleport/init mass only at seed nodes."""
+    parts = [
+        f"""
+WITH ev AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (ORDER BY ts, event_id) AS dst
+  FROM events
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM ev
+  WHERE dst IS NOT NULL AND dst <> src
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seeds AS (SELECT node FROM nodes WHERE node % 50 = 0),
+ns AS (SELECT COUNT(*) AS n FROM seeds),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (
+  SELECT node,
+         CASE WHEN node IN (SELECT node FROM seeds)
+              THEN CAST({scale} // (SELECT n FROM ns) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS r
+  FROM nodes
+)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+r{k} AS (
+  SELECT n.node,
+         CASE WHEN n.node IN (SELECT node FROM seeds)
+              THEN CAST((15 * {scale}) // (100 * (SELECT n FROM ns))
+                        AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END
+         + COALESCE(s.c, 0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((85 * p.r) // (100 * deg.d)) AS BIGINT) AS c
+    FROM edges e
+    JOIN r{k - 1} p ON e.src = p.node
+    JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, CAST(r AS BIGINT) AS pr_rank FROM r{iters}\n"
+    )
+    return "".join(parts)
 
 
 def _pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
@@ -7909,6 +7999,7 @@ SELECT event_id,
 FROM events
 """,
         "pagerank_nodes": _pagerank_sql(),
+        "ppr_nodes": _ppr_sql(),
         "triangle_count": """
 WITH ev AS (
   SELECT user_id AS src,

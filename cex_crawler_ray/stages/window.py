@@ -224,15 +224,28 @@ PR_DRIVER_MAX_EDGES = 200_000
 
 
 def _pr_driver(
-    src: np.ndarray, dst: np.ndarray, iters: int, scale: int
+    src: np.ndarray,
+    dst: np.ndarray,
+    iters: int,
+    scale: int,
+    seeds: np.ndarray | None = None,
 ) -> pa.Table:
     nodes = np.unique(np.concatenate([src, dst]))
     n = len(nodes)
     si = np.searchsorted(nodes, src)
     di = np.searchsorted(nodes, dst)
     outdeg = np.bincount(si, minlength=n).astype(np.int64)
-    base = (15 * scale) // (100 * n)
-    rank = np.full(n, scale // n, dtype=np.int64)
+    if seeds is None:
+        base = np.full(n, (15 * scale) // (100 * n), dtype=np.int64)
+        rank = np.full(n, scale // n, dtype=np.int64)
+    else:
+        # personalized: teleport mass restarts ONLY at the seed set
+        is_seed = np.isin(nodes, seeds)
+        n_s = max(int(is_seed.sum()), 1)
+        base = np.where(is_seed, (15 * scale) // (100 * n_s), 0).astype(
+            np.int64
+        )
+        rank = np.where(is_seed, scale // n_s, 0).astype(np.int64)
     for _ in range(iters):
         contrib = (85 * rank[si]) // (100 * outdeg[si])
         acc = np.zeros(n, dtype=np.int64)
@@ -254,6 +267,7 @@ def pagerank(
     scale: int = PR_SCALE,
     num_parts: int = 64,
     driver_max_edges: int | None = None,
+    seeds: "np.ndarray | None" = None,
 ) -> "ray.data.Dataset":
     """Fixed-point integer PageRank (damping 0.85) over a distinct
     directed edge Dataset.  Returns ``(node, pr_rank)`` int64 rows, one
@@ -284,6 +298,7 @@ def pagerank(
                 tbl[dst_col].to_numpy(zero_copy_only=False).astype(np.int64),
                 iters,
                 scale,
+                seeds=seeds,
             )
         )
 
@@ -320,8 +335,35 @@ def pagerank(
         num_parts,
     ).materialize()
     n = nodes_ds.count()
-    base = (15 * scale) // (100 * n)
-    init = scale // n
+    if seeds is None:
+        seeds_sorted = None
+        base = (15 * scale) // (100 * n)
+        init = scale // n
+    else:
+        # personalized: count seed nodes PRESENT in the graph, then
+        # teleport/init only at those (membership probed per batch via
+        # a broadcast sorted array)
+        seeds_sorted = np.sort(np.unique(np.asarray(seeds, np.int64)))
+        sref = ray.put(seeds_sorted)
+
+        def count_present(batch: pa.Table) -> pa.Table:
+            ss = ray.get(sref)
+            u = batch["node"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ss, u), 0, len(ss) - 1)
+            return pa.table(
+                {"c": pa.array([int((ss[pos] == u).sum())], pa.int64())}
+            )
+
+        n_s = max(
+            int(
+                nodes_ds.map_batches(
+                    count_present, batch_format="pyarrow"
+                ).sum("c")
+            ),
+            1,
+        )
+        base = (15 * scale) // (100 * n_s)
+        init = scale // n_s
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         u, c = np.unique(
@@ -355,12 +397,17 @@ def pagerank(
     ).materialize()
 
     def init_rank(batch: pa.Table) -> pa.Table:
+        if seeds_sorted is None:
+            r = np.full(batch.num_rows, init, dtype=np.int64)
+        else:
+            ss = ray.get(sref)
+            u = batch["node"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ss, u), 0, len(ss) - 1)
+            r = np.where(ss[pos] == u, init, 0).astype(np.int64)
         return pa.table(
             {
                 "node": batch["node"],
-                "pr_rank": pa.array(
-                    np.full(batch.num_rows, init, dtype=np.int64), pa.int64()
-                ),
+                "pr_rank": pa.array(r, pa.int64()),
             }
         )
 
@@ -411,17 +458,22 @@ def pagerank(
         summed = _coarse_group_apply(
             zero_rows.union(msgs), "node", sum_by_node, num_parts
         )
+        def add_base(b: pa.Table) -> pa.Table:
+            c = b["c"].combine_chunks().cast(pa.int64())
+            if seeds_sorted is None:
+                r = pc.add(c, pa.scalar(base, pa.int64()))
+            else:
+                ss = ray.get(sref)
+                u = b["node"].to_numpy(zero_copy_only=False)
+                pos = np.clip(np.searchsorted(ss, u), 0, len(ss) - 1)
+                bvec = np.where(ss[pos] == u, base, 0).astype(np.int64)
+                r = pa.array(
+                    c.to_numpy(zero_copy_only=False) + bvec, pa.int64()
+                )
+            return pa.table({"node": b["node"], "pr_rank": r})
+
         ranks = summed.map_batches(
-            lambda b: pa.table(
-                {
-                    "node": b["node"],
-                    "pr_rank": pc.add(
-                        b["c"].combine_chunks().cast(pa.int64()),
-                        pa.scalar(base, pa.int64()),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
+            add_base, batch_format="pyarrow"
         ).materialize()
 
     return ranks
