@@ -5093,6 +5093,205 @@ def q_group_p90_descent(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_group_winsorized_sum(sf_dir: str):
+    """PER-GROUP winsorized sum: clip each event type at its OWN exact
+    p05/p95 (keyed histogram descent — two passes, no group ever
+    materializes) then a count/sum combiner; the robust per-segment
+    aggregate."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.sketch import exact_group_quantile_descent
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "cents": _cents(df["value"])}
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pandas").materialize()
+    lo = exact_group_quantile_descent(
+        prepped, "event_type", "cents", q=0.05, shift=8
+    ).to_pandas()
+    hi = exact_group_quantile_descent(
+        prepped, "event_type", "cents", q=0.95, shift=8
+    ).to_pandas()
+    bounds = {
+        r["event_type"]: (int(r["q_value"]), int(h))
+        for (_, r), h in zip(lo.iterrows(), hi["q_value"])
+    }
+    b_ref = ray.put(bounds)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        bm = ray.get(b_ref)
+        lo_v = df["event_type"].map({k: v[0] for k, v in bm.items()}).to_numpy(
+            dtype=np.int64
+        )
+        hi_v = df["event_type"].map({k: v[1] for k, v in bm.items()}).to_numpy(
+            dtype=np.int64
+        )
+        clipped = np.clip(df["cents"].to_numpy(dtype=np.int64), lo_v, hi_v)
+        g = pd.DataFrame(
+            {"event_type": df["event_type"], "c": clipped}
+        ).groupby("event_type", as_index=False)
+        return g.agg(n=("c", "size"), wsum=("c", "sum"))
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n": [int(df["n"].sum())],
+                "winsorized_sum_cents": [int(df["wsum"].sum())],
+            }
+        )
+
+    return (
+        prepped.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_adaptive_join_agg(sf_dir: str):
+    """Adaptive join: the engine picks BROADCAST vs CO-PARTITION at
+    runtime from the build side's actual count (Parquet metadata —
+    free) — the cost-based-optimizer move; output is identical either
+    way (pinned here by the same oracle as the static joins)."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.join import hash_join
+
+    BROADCAST_MAX_ROWS = 100_000
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    build_rows = cust.count()  # parquet metadata, no scan
+
+    if build_rows <= BROADCAST_MAX_ROWS:
+        small = cust.to_pandas()
+        lookup_ref = ray.put(
+            dict(zip(small["c_custkey"].tolist(), small["c_nationkey"].tolist()))
+        )
+
+        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            lk = ray.get(lookup_ref)
+            g = pd.DataFrame(
+                {
+                    "c_nationkey": df["o_custkey"].map(lk),
+                    "cents": _cents(df["o_totalprice"]),
+                }
+            ).groupby("c_nationkey", as_index=False)
+            return g.agg(n_orders=("cents", "size"), total_cents=("cents", "sum"))
+
+        partials = orders.map_batches(partial, batch_format="pandas")
+    else:
+        def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame(
+                {
+                    "o_custkey": df["o_custkey"].astype("int64"),
+                    "cents": _cents(df["o_totalprice"]),
+                }
+            )
+
+        joined = hash_join(
+            orders.map_batches(prep, batch_format="pandas"),
+            cust,
+            left_key="o_custkey",
+            right_key="c_custkey",
+        )
+
+        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            g = df.groupby("c_nationkey", as_index=False)
+            return g.agg(n_orders=("cents", "size"), total_cents=("cents", "sum"))
+
+        partials = joined.map_batches(partial, batch_format="pandas")
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "c_nationkey": [int(df["c_nationkey"].iloc[0])],
+                "n_orders": [int(df["n_orders"].sum())],
+                "total_cents": [int(df["total_cents"].sum())],
+            }
+        )
+
+    return partials.groupby("c_nationkey").map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def q_compact_sink(sf_dir: str):
+    """Small-file compaction (lakehouse sink maintenance): a
+    deliberately over-fragmented partitioned write is compacted to a
+    bounded file count via repartition, then read back and verified by
+    a keyed aggregate — fewer, larger files, identical data."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    frag_dir = tempfile.mkdtemp(prefix="cex_frag_")
+    compact_dir = tempfile.mkdtemp(prefix="cex_compact_")
+    try:
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        )
+
+        def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame(
+                {
+                    "o_orderkey": df["o_orderkey"].astype("int64"),
+                    "o_orderstatus": df["o_orderstatus"],
+                    "cents": _cents(df["o_totalprice"]),
+                }
+            )
+
+        prepped = orders.map_batches(prep, batch_format="pandas")
+        prepped.repartition(64).write_parquet(frag_dir)
+        n_frag = len(glob.glob(f"{frag_dir}/*.parquet"))
+
+        ray.data.read_parquet(frag_dir).repartition(4).write_parquet(
+            compact_dir
+        )
+        n_compact = len(glob.glob(f"{compact_dir}/*.parquet"))
+        assert n_compact < n_frag, (n_compact, n_frag)
+
+        back = ray.data.read_parquet(compact_dir)
+
+        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            g = df.groupby("o_orderstatus", as_index=False)
+            return g.agg(n=("cents", "size"), total_cents=("cents", "sum"))
+
+        def final(df: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame(
+                {
+                    "o_orderstatus": [df["o_orderstatus"].iloc[0]],
+                    "n_orders": [int(df["n"].sum())],
+                    "total_cents": [int(df["total_cents"].sum())],
+                }
+            )
+
+        return (
+            back.map_batches(partial, batch_format="pandas")
+            .groupby("o_orderstatus")
+            .map_groups(final, batch_format="pandas")
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(frag_dir, ignore_errors=True)
+        shutil.rmtree(compact_dir, ignore_errors=True)
+
+
 def q_pmi_bigrams(sf_dir: str):
     """Collocation extraction (Church & Hanks 1990): top-20 bigrams by
     pointwise mutual information among those occurring >= 5 times.
@@ -5540,6 +5739,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_streak": q_longest_streak,
         "group_p90_descent": q_group_p90_descent,
         "ppr_nodes": q_ppr_nodes,
+        "group_winsorized_sum": q_group_winsorized_sum,
+        "adaptive_join_agg": q_adaptive_join_agg,
+        "compact_sink": q_compact_sink,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -7518,6 +7720,36 @@ WITH d AS (
 )
 SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
 FROM runs GROUP BY user_id
+""",
+        "group_winsorized_sum": """
+WITH b AS (
+  SELECT event_type,
+         quantile_disc(CAST(round(value * 100) AS BIGINT), 0.05) AS lo,
+         quantile_disc(CAST(round(value * 100) AS BIGINT), 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(LEAST(GREATEST(CAST(round(e.value * 100) AS BIGINT),
+                               b.lo), b.hi)) AS BIGINT)
+         AS winsorized_sum_cents
+FROM events e JOIN b ON b.event_type = e.event_type
+GROUP BY e.event_type
+""",
+        "adaptive_join_agg": """
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1
+""",
+        "compact_sink": """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders GROUP BY o_orderstatus
 """,
         "group_p90_descent": """
 SELECT event_type,
