@@ -5292,6 +5292,254 @@ def q_compact_sink(sf_dir: str):
         shutil.rmtree(compact_dir, ignore_errors=True)
 
 
+def q_containment_pairs(sf_dir: str):
+    """ASYMMETRIC-overlap near-dup: pairs where the smaller document's
+    eligible 4-gram set is >= 90% contained in the larger's — catches
+    prefix/quote inclusion that symmetric Jaccard misses.  Corpus
+    injects prefix-truncated copies (doc_id % 11) so real containment
+    pairs exist.  Shape: distinct (gram, doc) posting rows -> df-capped
+    gram-hash co-partition pair expansion -> (a, b) count combiner ->
+    two int hash joins attach per-doc eligible-gram counts -> exact
+    integer threshold compare (inter*10 >= 9*min(nA,nB))."""
+    import numpy as np
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply, _hash64
+    from cex_crawler_ray.stages.join import hash_join
+
+    K = 4
+    DF_CAP = 50
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def with_prefixes(df: "pd.DataFrame") -> "pd.DataFrame":
+        k = df["doc_id"].astype("int64")
+        m = (k % 11 == 0).to_numpy()
+        extra = df[m].copy()
+        extra["doc_id"] = extra["doc_id"].astype("int64") + 2_000_000
+        extra["text"] = extra["text"].map(lambda t: t[: (len(t) * 6) // 10])
+        return pd.concat([df, extra], ignore_index=True)
+
+    corpus = docs.map_batches(with_prefixes, batch_format="pandas")
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        ghs: list[int] = []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            grams = {t[i : i + K] for i in range(len(t) - K + 1)}
+            for g in grams:
+                ids.append(did)
+                ghs.append(np.int64(np.uint64(_hash64(g)) >> np.uint64(1)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "gh": pa.array(ghs, pa.int64()),
+            }
+        )
+
+    posting = corpus.map_batches(gram_rows, batch_format="pyarrow")
+
+    def pair_part(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates()
+        sz = df.groupby("gh")["doc_id"].transform("size")
+        df = df[sz <= DF_CAP]
+        m = df.merge(df, on="gh")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        loc = (
+            m.groupby(["doc_id_x", "doc_id_y"], sort=False)
+            .size()
+            .reset_index(name="inter")
+        )
+        return pa.table(
+            {
+                "id_a": pa.array(loc["doc_id_x"].to_numpy(np.int64), pa.int64()),
+                "id_b": pa.array(loc["doc_id_y"].to_numpy(np.int64), pa.int64()),
+                "inter": pa.array(loc["inter"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    # a gram's posting list lands whole in one partition, so the df cap
+    # and the pair expansion are both exact partition-local operations
+    pair_partials = _coarse_group_apply(posting, "gh", pair_part)
+
+    def pair_merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "id_a": [int(df["id_a"].iloc[0])],
+                "id_b": [int(df["id_b"].iloc[0])],
+                "inter": [int(df["inter"].sum())],
+            }
+        )
+
+    pairs = pair_partials.groupby(["id_a", "id_b"]).map_groups(
+        pair_merge, batch_format="pandas"
+    )
+
+    # per-doc eligible-gram counts: same df cap, counted per doc
+    def count_part(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates()
+        sz = df.groupby("gh")["doc_id"].transform("size")
+        g = (
+            df[sz <= DF_CAP]
+            .groupby("doc_id", as_index=False)
+            .size()
+            .rename(columns={"size": "ng"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ng_partials = _coarse_group_apply(posting, "gh", count_part)
+
+    def ng_merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "nd": [int(df["doc_id"].iloc[0])],
+                "ng": [int(df["ng"].sum())],
+            }
+        )
+
+    ngs = (
+        ng_partials.groupby("doc_id")
+        .map_groups(ng_merge, batch_format="pandas")
+    )
+
+    j1 = hash_join(pairs, ngs, left_key="id_a", right_key="nd")
+
+    def rk(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": batch["id_a"].combine_chunks().cast(pa.int64()),
+                "id_b": batch["id_b"].combine_chunks().cast(pa.int64()),
+                "inter": batch["inter"].combine_chunks().cast(pa.int64()),
+                "ng_a": batch["ng"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    j2 = hash_join(
+        j1.map_batches(rk, batch_format="pyarrow"),
+        ngs.map_batches(
+            lambda b: pa.table(
+                {
+                    "nd2": b["nd"].combine_chunks().cast(pa.int64()),
+                    "ng_b": b["ng"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        left_key="id_b",
+        right_key="nd2",
+    )
+
+    def threshold(df: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        n_min = np.minimum(
+            df["ng_a"].to_numpy(np.int64), df["ng_b"].to_numpy(np.int64)
+        )
+        keep = df["inter"].to_numpy(np.int64) * 10 >= 9 * n_min
+        out = pd.DataFrame(
+            {
+                "id_a": df["id_a"].to_numpy(np.int64),
+                "id_b": df["id_b"].to_numpy(np.int64),
+                "inter": df["inter"].to_numpy(np.int64),
+                "n_min": n_min,
+            }
+        )[keep]
+        return out
+
+    return j2.map_batches(threshold, batch_format="pandas")
+
+
+def q_power_users(sf_dir: str):
+    """Users active in ALL five event types with their distinct-type
+    and event counts — a distinct-count-then-filter combiner."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            n=("event_type", "size")
+        )
+        return g
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        types = df.groupby("event_type")["n"].sum()
+        if len(types) < 5:
+            return pd.DataFrame(
+                columns=["user_id", "n_types", "n_events"]
+            ).astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "n_types": [int(len(types))],
+                "n_events": [int(types.sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_audience_overlap(sf_dir: str):
+    """Audience-overlap matrix: distinct-user intersection for every
+    event-type pair — per-user local pair emit (bounded: 5 types -> 10
+    pairs/user) then a count combiner."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().drop_duplicates()
+        m = df.merge(df, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        g = (
+            m.groupby(["event_type_x", "event_type_y"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(
+            g.rename(
+                columns={"event_type_x": "type_a", "event_type_y": "type_b"}
+            ),
+            preserve_index=False,
+        )
+
+    partials = _coarse_group_apply(
+        ds.map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas"
+        ),
+        "user_id",
+        pairs,
+    )
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "type_a": [df["type_a"].iloc[0]],
+                "type_b": [df["type_b"].iloc[0]],
+                "n_shared_users": [int(df["n"].sum())],
+            }
+        )
+
+    return (
+        partials.groupby(["type_a", "type_b"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q_pmi_bigrams(sf_dir: str):
     """Collocation extraction (Church & Hanks 1990): top-20 bigrams by
     pointwise mutual information among those occurring >= 5 times.
@@ -5742,6 +5990,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_winsorized_sum": q_group_winsorized_sum,
         "adaptive_join_agg": q_adaptive_join_agg,
         "compact_sink": q_compact_sink,
+        "containment_pairs": q_containment_pairs,
+        "power_users": q_power_users,
+        "audience_overlap": q_audience_overlap,
         "global_p90_cont": q_global_p90_cont,
         "ntile_events": q_ntile_events,
         "interval_join": q_interval_join,
@@ -7720,6 +7971,54 @@ WITH d AS (
 )
 SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
 FROM runs GROUP BY user_id
+""",
+        "containment_pairs": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substr(text, 1, (length(text) * 6) // 10) AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(text, x.i, 4) AS g
+  FROM corpus,
+       LATERAL (SELECT unnest(range(1, length(text) - 2)) AS i) x
+  WHERE length(text) >= 4
+),
+dfc AS (SELECT g, count(*) AS d FROM grams GROUP BY g),
+el AS (
+  SELECT grams.doc_id, grams.g
+  FROM grams JOIN dfc USING (g) WHERE dfc.d <= 50
+),
+ng AS (SELECT doc_id, count(*) AS ng FROM el GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM el a JOIN el b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.inter AS BIGINT) AS inter,
+       CAST(LEAST(na.ng, nb.ng) AS BIGINT) AS n_min
+FROM inter i
+JOIN ng na ON na.doc_id = i.id_a
+JOIN ng nb ON nb.doc_id = i.id_b
+WHERE i.inter * 10 >= 9 * LEAST(na.ng, nb.ng)
+""",
+        "power_users": """
+SELECT user_id,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+HAVING count(DISTINCT event_type) = 5
+""",
+        "audience_overlap": """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_shared_users
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
 """,
         "group_winsorized_sum": """
 WITH b AS (
