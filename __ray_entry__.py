@@ -5308,7 +5308,6 @@ def q_containment_pairs(sf_dir: str):
     from cex_crawler_ray.stages.join import hash_join
 
     K = 4
-    DF_CAP = 50
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -5322,7 +5321,11 @@ def q_containment_pairs(sf_dir: str):
         extra["text"] = extra["text"].map(lambda t: t[: (len(t) * 6) // 10])
         return pd.concat([df, extra], ignore_index=True)
 
-    corpus = docs.map_batches(with_prefixes, batch_format="pandas")
+    corpus = docs.map_batches(with_prefixes, batch_format="pandas").materialize()
+    # ABSOLUTE df caps stop pruning on small corpora (every gram passes
+    # and the per-gram pair expansion goes quadratic) — scale the cap
+    # with corpus size, mirrored exactly in the SQL twin
+    DF_CAP = max(5, min(50, corpus.count() // 10))
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         ids: list[int] = []
@@ -5366,17 +5369,31 @@ def q_containment_pairs(sf_dir: str):
     # and the pair expansion are both exact partition-local operations
     pair_partials = _coarse_group_apply(posting, "gh", pair_part)
 
-    def pair_merge(df: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame(
-            {
-                "id_a": [int(df["id_a"].iloc[0])],
-                "id_b": [int(df["id_b"].iloc[0])],
-                "inter": [int(df["inter"].sum())],
-            }
-        )
+    # merge per-gram partial intersections per pair: derive one int64
+    # pair key so every (a, b) row lands in the same coarse partition,
+    # then a single vectorized pandas groupby-sum per partition (a
+    # per-pair map_groups here was the 9-minute hotspot at sf0.001)
+    def add_pair_key(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch["id_b"].combine_chunks().to_numpy(zero_copy_only=False)
+        pk = (
+            (
+                a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ^ b.astype(np.uint64)
+            )
+            >> np.uint64(1)
+        ).astype(np.int64)
+        return batch.append_column("pk", pa.array(pk, pa.int64()))
 
-    pairs = pair_partials.groupby(["id_a", "id_b"]).map_groups(
-        pair_merge, batch_format="pandas"
+    def pair_sum(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        g = df.groupby(["id_a", "id_b"], as_index=False)["inter"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = _coarse_group_apply(
+        pair_partials.map_batches(add_pair_key, batch_format="pyarrow"),
+        "pk",
+        pair_sum,
     )
 
     # per-doc eligible-gram counts: same df cap, counted per doc
@@ -5393,18 +5410,13 @@ def q_containment_pairs(sf_dir: str):
 
     ng_partials = _coarse_group_apply(posting, "gh", count_part)
 
-    def ng_merge(df: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame(
-            {
-                "nd": [int(df["doc_id"].iloc[0])],
-                "ng": [int(df["ng"].sum())],
-            }
-        )
+    def ng_sum(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        g = df.groupby("doc_id", as_index=False)["ng"].sum()
+        g = g.rename(columns={"doc_id": "nd"})
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    ngs = (
-        ng_partials.groupby("doc_id")
-        .map_groups(ng_merge, batch_format="pandas")
-    )
+    ngs = _coarse_group_apply(ng_partials, "doc_id", ng_sum)
 
     j1 = hash_join(pairs, ngs, left_key="id_a", right_key="nd")
 
@@ -7989,7 +8001,8 @@ grams AS (
 dfc AS (SELECT g, count(*) AS d FROM grams GROUP BY g),
 el AS (
   SELECT grams.doc_id, grams.g
-  FROM grams JOIN dfc USING (g) WHERE dfc.d <= 50
+  FROM grams JOIN dfc USING (g)
+  WHERE dfc.d <= GREATEST(5, LEAST(50, (SELECT count(*) FROM corpus) // 10))
 ),
 ng AS (SELECT doc_id, count(*) AS ng FROM el GROUP BY doc_id),
 inter AS (
