@@ -5855,6 +5855,112 @@ def q_zscore_events(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+def q_sssp_dists(sf_dir: str):
+    """Weighted shortest paths (<= 6 relaxation sweeps) from seed
+    users over the undirected session-handoff graph, edge weight
+    ``1 + (src + dst) % 9`` — the politeness-cost-weighted frontier
+    depth generalizing ``q_bfs_levels``; exact Bellman-Ford, driver
+    and distributed paths pinned equal by pytest."""
+    import pyarrow.compute as pc
+
+    from cex_crawler_ray.stages.graph import sssp_dists
+    from cex_crawler_ray.stages.window import lead_lag
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    led = lead_lag(ds, kind="lead")
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch["user_id"]
+        dst = batch["lead_user_id"]
+        keep = pc.and_(dst.is_valid(), pc.not_equal(src, dst))
+        t = batch.filter(keep)
+        s = (
+            t["user_id"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        d = (
+            t["lead_user_id"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        both_s = np.concatenate([s, d])
+        both_d = np.concatenate([d, s])
+        w = 1 + (both_s + both_d) % 9
+        return pa.table(
+            {
+                "src": pa.array(both_s, pa.int64()),
+                "dst": pa.array(both_d, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+
+    edges = led.map_batches(to_edges, batch_format="pyarrow")
+
+    def to_seeds(batch: pa.Table) -> pa.Table:
+        u = (
+            batch["user_id"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"node": pa.array(u[u % 50 == 0], pa.int64())})
+
+    seeds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).map_batches(to_seeds, batch_format="pyarrow")
+
+    return sssp_dists(edges, seeds, max_rounds=6)
+
+
+def _sssp_sql(rounds: int = 6) -> str:
+    """Unrolled-CTE Bellman-Ford twin of ``q_sssp_dists``: each CTE
+    layer is one simultaneous relaxation sweep (relax-or-keep + MIN)."""
+    parts = [
+        """
+WITH ev AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (ORDER BY ts, event_id) AS dst
+  FROM events
+),
+ed AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ev WHERE dst IS NOT NULL AND dst <> src
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM ev
+    WHERE dst IS NOT NULL AND dst <> src
+  )
+),
+we AS (SELECT src, dst, 1 + (src + dst) % 9 AS w FROM ed),
+seeds AS (
+  SELECT DISTINCT user_id AS node FROM events WHERE user_id % 50 = 0
+),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM seeds)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{k} AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d{k - 1}
+    UNION ALL
+    SELECT we.dst AS node, d{k - 1}.d + we.w AS d
+    FROM d{k - 1} JOIN we ON we.src = d{k - 1}.node
+  ) GROUP BY node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS dist
+FROM d{rounds}"""
+    )
+    return "".join(parts)
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -5954,6 +6060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": q_retention_cohorts,
         "table_diff": q_table_diff,
         "bfs_levels": q_bfs_levels,
+        "sssp_dists": q_sssp_dists,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -7380,6 +7487,7 @@ SELECT strftime(f.d0, '%Y-%m-%d') AS cohort_day,
 FROM events e JOIN f ON f.user_id = e.user_id
 GROUP BY 1, 2
 """,
+        "sssp_dists": _sssp_sql(),
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

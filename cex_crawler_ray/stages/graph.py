@@ -614,3 +614,158 @@ def _min_lvl_by_node(tbl: pa.Table) -> pa.Table:
             "lvl": pa.array(out["lvl"], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------------- SSSP
+_SSSP_INF = np.int64(2**62)
+
+
+def _sssp_driver(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    seed: np.ndarray,
+    max_rounds: int,
+) -> pa.Table:
+    """Vectorized driver Bellman-Ford: ``max_rounds`` simultaneous
+    relaxation sweeps (``np.minimum.at``), early-stopped at fixpoint.
+    Used below ``SSSP_DRIVER_MAX_EDGES`` (same threshold switch as
+    ``bfs_levels``)."""
+    nodes = np.unique(np.concatenate([src, dst, seed]))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    dist = np.full(nodes.size, _SSSP_INF, np.int64)
+    dist[np.searchsorted(nodes, np.unique(seed))] = 0
+    for _ in range(max_rounds):
+        nd = dist.copy()
+        # unreachable sources stay INF: clip the candidate so INF + w
+        # cannot overflow, then mask them out of the scatter
+        reach = dist[si] < _SSSP_INF
+        if reach.any():
+            np.minimum.at(nd, di[reach], dist[si][reach] + w[reach])
+        if np.array_equal(nd, dist):
+            break
+        dist = nd
+    keep = dist < _SSSP_INF
+    return pa.table(
+        {
+            "node": pa.array(nodes[keep], pa.int64()),
+            "dist": pa.array(dist[keep], pa.int64()),
+        }
+    )
+
+
+SSSP_DRIVER_MAX_EDGES = 200_000
+
+
+def sssp_dists(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    max_rounds: int = 6,
+    num_parts: int = 64,
+    driver_max_edges: int | None = None,
+) -> "ray.data.Dataset":
+    """Weighted single-source(-set) shortest paths over a directed edge
+    Dataset ``(src, dst, w)`` with non-negative int64 weights: exact
+    Bellman-Ford distance using at most ``max_rounds`` relaxation
+    sweeps (the weighted generalization of ``bfs_levels``; the crawl
+    analog is politeness-cost-weighted frontier depth).  Returns one
+    ``(node, dist)`` row per node reached within the bound (seeds at
+    0).  Because simultaneous relaxation is monotone and idempotent at
+    the fixpoint, early-stopping when no distance changes returns
+    exactly the ``max_rounds``-sweep answer — both paths below and the
+    unrolled-CTE SQL twin pin the same semantics.
+
+    Below ``driver_max_edges`` the int64 (src, dst, w) triples solve on
+    the driver (``_sssp_driver``); pass 0 to force the distributed
+    path: per sweep ONE co-partition hash join (static weighted edges x
+    current dists) emits ``(dst, dist + w)`` messages, then a
+    coarse-partition vectorized min-reduce.  Only the (count, sum)
+    fixpoint probe hits the driver.
+    """
+    if driver_max_edges is None:
+        driver_max_edges = SSSP_DRIVER_MAX_EDGES
+    if driver_max_edges > 0:
+        edges = edges.materialize()
+        if edges.count() <= driver_max_edges:
+            etbl = pa.concat_tables(
+                ray.get(edges.to_arrow_refs()), promote_options="default"
+            )
+            stbl = pa.concat_tables(
+                ray.get(seeds.materialize().to_arrow_refs()),
+                promote_options="default",
+            )
+            return ray.data.from_arrow(
+                _sssp_driver(
+                    etbl["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    etbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    etbl["w"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    stbl["node"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    max_rounds,
+                )
+            )
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"].cast(pa.int64()),
+                "d": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def _min_d_by_node(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        out = df.groupby("node", sort=False)["d"].min().reset_index()
+        return pa.table(
+            {
+                "node": pa.array(out["node"], pa.int64()),
+                "d": pa.array(out["d"], pa.int64()),
+            }
+        )
+
+    dists = _coarse_group_apply(
+        seeds.map_batches(seed_rows, batch_format="pyarrow"),
+        "node",
+        _min_d_by_node,
+        num_parts,
+    ).materialize()
+    if dists.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        )
+    prev = (dists.count(), int(dists.sum("d")))
+
+    for _ in range(max_rounds):
+        joined = hash_join(
+            edges, dists, left_key="src", right_key="node",
+            num_parts=num_parts,
+        )
+
+        def msg(batch: pa.Table) -> pa.Table:
+            d = batch["d"].to_numpy(zero_copy_only=False)
+            w = batch["w"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": batch["dst"].cast(pa.int64()),
+                    "d": pa.array(d + w, pa.int64()),
+                }
+            )
+
+        msgs = joined.map_batches(msg, batch_format="pyarrow")
+        dists = _coarse_group_apply(
+            dists.union(msgs), "node", _min_d_by_node, num_parts
+        ).materialize()
+        cur = (dists.count(), int(dists.sum("d")))
+        if cur == prev:
+            break
+        prev = cur
+
+    return dists.map_batches(
+        lambda b: pa.table({"node": b["node"], "dist": b["d"]}),
+        batch_format="pyarrow",
+    )

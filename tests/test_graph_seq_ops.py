@@ -167,3 +167,95 @@ def test_bfs_driver_equals_distributed(ray_session):
     pd.testing.assert_frame_equal(
         fast.astype("int64"), dist.astype("int64")
     )
+
+
+def test_sssp_weighted_path(ray_session):
+    """Weighted diamond: 0-1 (w=1), 1-3 (w=1), 0-2 (w=5), 2-3 (w=1);
+    shortest 0->3 is 2 via node 1 even though 0-2-3 has fewer max-w."""
+    from cex_crawler_ray.stages.graph import sssp_dists
+
+    e = [(0, 1, 1), (1, 3, 1), (0, 2, 5), (2, 3, 1)]
+    edges = pd.DataFrame(
+        {
+            "src": [a for a, b, w in e] + [b for a, b, w in e],
+            "dst": [b for a, b, w in e] + [a for a, b, w in e],
+            "w": [w for a, b, w in e] * 2,
+        }
+    )
+    out = (
+        sssp_dists(
+            ray.data.from_pandas(edges),
+            ray.data.from_pandas(pd.DataFrame({"node": [0]})),
+            max_rounds=6,
+            num_parts=4,
+        )
+        .to_pandas()
+        .set_index("node")["dist"]
+    )
+    assert out[0] == 0 and out[1] == 1 and out[3] == 2 and out[2] == 3
+
+
+def test_sssp_round_bound(ray_session):
+    """A 4-edge path with seed at one end: max_rounds=2 reaches only
+    two hops out, and distances are the 2-sweep Bellman-Ford answer."""
+    from cex_crawler_ray.stages.graph import sssp_dists
+
+    edges = pd.DataFrame(
+        {
+            "src": [0, 1, 2, 3] + [1, 2, 3, 4],
+            "dst": [1, 2, 3, 4] + [0, 1, 2, 3],
+            "w": [2, 2, 2, 2] * 2,
+        }
+    )
+    out = (
+        sssp_dists(
+            ray.data.from_pandas(edges),
+            ray.data.from_pandas(pd.DataFrame({"node": [0]})),
+            max_rounds=2,
+            num_parts=4,
+        )
+        .to_pandas()
+        .set_index("node")["dist"]
+    )
+    assert out.to_dict() == {0: 0, 1: 2, 2: 4}
+
+
+def test_sssp_driver_equals_distributed(ray_session):
+    """Driver Bellman-Ford fast path == distributed min-reduce loop
+    on a random weighted graph, including an isolated seed."""
+    from cex_crawler_ray.stages.graph import sssp_dists
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 60, 300)
+    b = rng.integers(0, 60, 300)
+    keep = a != b
+    w = rng.integers(1, 10, keep.sum())
+    edges = pd.DataFrame(
+        {
+            "src": np.concatenate([a[keep], b[keep]]),
+            "dst": np.concatenate([b[keep], a[keep]]),
+            "w": np.concatenate([w, w]),
+        }
+    )
+    seeds = pd.DataFrame({"node": [0, 7, 1000]})  # 1000 isolated
+
+    def run(thresh):
+        return (
+            sssp_dists(
+                ray.data.from_pandas(edges).repartition(3),
+                ray.data.from_pandas(seeds),
+                max_rounds=5,
+                num_parts=4,
+                driver_max_edges=thresh,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+    fast = run(10**6)
+    dist = run(0)
+    pd.testing.assert_frame_equal(
+        fast.astype("int64"), dist.astype("int64")
+    )
+    assert (fast.loc[fast["node"] == 1000, "dist"] == 0).all()
