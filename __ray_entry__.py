@@ -5961,6 +5961,74 @@ FROM d{rounds}"""
     return "".join(parts)
 
 
+def q_zorder_zone_maps(sf_dir: str):
+    """Z-order (Morton) layout of orders on (custkey, order-day) with
+    per-bucket zone maps — the storage-clustering operator behind
+    two-column scan pruning (Delta OPTIMIZE ZORDER BY analog).  Exact
+    integer bit-interleave, combiner-shaped reduce."""
+    from cex_crawler_ray.stages.layout import zorder_zone_maps
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def day_index(batch: pa.Table) -> pa.Table:
+        d = (
+            batch["o_orderdate"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        base = np.datetime64("1992-01-01", "D").astype(np.int64)
+        return pa.table(
+            {
+                "ck": batch["o_custkey"].combine_chunks().cast(pa.int64()),
+                "day": pa.array(d - base, pa.int64()),
+            }
+        )
+
+    # 16 bucket bits: the test tables' key ranges only populate the
+    # low ~12 bits of each dimension, so a coarser cut would collapse
+    # to a couple of buckets
+    return zorder_zone_maps(
+        ds.map_batches(day_index, batch_format="pyarrow"),
+        x_col="ck",
+        y_col="day",
+        bucket_bits=16,
+    )
+
+
+_ZORDER_SQL = """
+WITH base AS (
+  SELECT o_custkey % 65536 AS xv,
+         date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) % 65536
+           AS yv
+  FROM orders
+),
+s1 AS (SELECT xv, yv,
+        (xv | (xv << 8)) & 16711935 AS sx,
+        (yv | (yv << 8)) & 16711935 AS sy FROM base),
+s2 AS (SELECT xv, yv,
+        (sx | (sx << 4)) & 252645135 AS sx,
+        (sy | (sy << 4)) & 252645135 AS sy FROM s1),
+s3 AS (SELECT xv, yv,
+        (sx | (sx << 2)) & 858993459 AS sx,
+        (sy | (sy << 2)) & 858993459 AS sy FROM s2),
+s4 AS (SELECT xv, yv,
+        (sx | (sx << 1)) & 1431655765 AS sx,
+        (sy | (sy << 1)) & 1431655765 AS sy FROM s3),
+zb AS (SELECT xv, yv, (sx | (sy << 1)) >> 16 AS bucket FROM s4)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(xv) AS BIGINT) AS min_x,
+       CAST(max(xv) AS BIGINT) AS max_x,
+       CAST(min(yv) AS BIGINT) AS min_y,
+       CAST(max(yv) AS BIGINT) AS max_y
+FROM zb GROUP BY bucket
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -6061,6 +6129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_diff": q_table_diff,
         "bfs_levels": q_bfs_levels,
         "sssp_dists": q_sssp_dists,
+        "zorder_zone_maps": q_zorder_zone_maps,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -7488,6 +7557,7 @@ FROM events e JOIN f ON f.user_id = e.user_id
 GROUP BY 1, 2
 """,
         "sssp_dists": _sssp_sql(),
+        "zorder_zone_maps": _ZORDER_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,
