@@ -6029,6 +6029,99 @@ FROM zb GROUP BY bucket
 """
 
 
+def q_merge_upsert(sf_dir: str):
+    """MERGE INTO applied to the orders snapshot: a deterministic
+    change set (updates for key%10==3, deletes for key%10==7, inserts
+    at key+1e8 for key%97==1) resolved in one coarse key shuffle —
+    the apply-side twin of the CDC ``table_diff`` operator."""
+    from cex_crawler_ray.stages.diff import merge_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def to_base(batch: pa.Table) -> pa.Table:
+        k = (
+            batch["o_orderkey"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = np.round(
+            batch["o_totalprice"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    base = ds.map_batches(to_base, batch_format="pyarrow")
+
+    def to_changes(batch: pa.Table) -> pa.Table:
+        k = (
+            batch["o_orderkey"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        c = (
+            batch["cents"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ins = k % 97 == 1
+        upd = k % 10 == 3
+        dele = k % 10 == 7
+        keys = np.concatenate(
+            [k[ins] + 100_000_000, k[upd], k[dele]]
+        )
+        vals = np.concatenate(
+            [(k[ins] % 1000) * 7, c[upd] + 501, np.zeros(dele.sum(), np.int64)]
+        )
+        ops = ["U"] * int(ins.sum() + upd.sum()) + ["D"] * int(dele.sum())
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "cents": pa.array(vals, pa.int64()),
+                "op": pa.array(ops, pa.string()),
+            }
+        )
+
+    changes = base.map_batches(to_changes, batch_format="pyarrow")
+    return merge_apply(base, changes, key_col="o_orderkey", val_col="cents")
+
+
+_MERGE_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+ch AS (
+  SELECT k + 100000000 AS k, (k % 1000) * 7 AS cents, 'U' AS op
+  FROM base WHERE k % 97 = 1
+  UNION ALL
+  SELECT k, cents + 501, 'U' FROM base WHERE k % 10 = 3
+  UNION ALL
+  SELECT k, 0, 'D' FROM base WHERE k % 10 = 7
+),
+merged AS (
+  SELECT b.k, b.cents FROM base b
+  WHERE b.k NOT IN (SELECT k FROM ch)
+  UNION ALL
+  SELECT k, cents FROM ch WHERE op = 'U'
+)
+SELECT CAST(k AS BIGINT) AS o_orderkey, CAST(cents AS BIGINT) AS cents
+FROM merged
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -6130,6 +6223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_levels": q_bfs_levels,
         "sssp_dists": q_sssp_dists,
         "zorder_zone_maps": q_zorder_zone_maps,
+        "merge_upsert": q_merge_upsert,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -7558,6 +7652,7 @@ GROUP BY 1, 2
 """,
         "sssp_dists": _sssp_sql(),
         "zorder_zone_maps": _ZORDER_SQL,
+        "merge_upsert": _MERGE_UPSERT_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

@@ -95,3 +95,72 @@ def table_diff(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return _coarse_group_apply(both, key_col, compare, num_parts)
+
+
+def merge_apply(
+    base: "ray.data.Dataset",
+    changes: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    op_col: str = "op",
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """MERGE INTO semantics — apply a keyed change set to a snapshot:
+    ``op='U'`` rows upsert (update when the key exists, insert when it
+    does not), ``op='D'`` rows delete; unmatched base rows pass through.
+    The apply-side twin of ``table_diff`` (which produces such change
+    sets): ``merge_apply(old, table_diff(old, new) -> ops) == new``.
+
+    Both inputs must be unique per ``key_col``.  Shape: tag + union +
+    ONE coarse key shuffle; each partition resolves vectorized (a
+    change-key probe filters the base side, then 'U' rows append).
+    Output is ``(key, val)`` — the merged snapshot; at 100 TB this is
+    the nightly snapshot-maintenance operator, output bounded by
+    |base| + |inserts|.
+    """
+    import pandas as pd
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch[key_col].cast(pa.int64()),
+                "_val": batch[val_col].cast(pa.int64()),
+                "_op": pa.array([""] * batch.num_rows, pa.string()),
+                "_side": pa.array(np.zeros(batch.num_rows, np.int64)),
+            }
+        )
+
+    def tag_change(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch[key_col].cast(pa.int64()),
+                "_val": batch[val_col].cast(pa.int64()),
+                "_op": batch[op_col].cast(pa.string()),
+                "_side": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    both = base.map_batches(tag_base, batch_format="pyarrow").union(
+        changes.map_batches(tag_change, batch_format="pyarrow")
+    )
+
+    def resolve(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        ch = df[df["_side"] == 1]
+        keep = df[
+            (df["_side"] == 0) & ~df[key_col].isin(ch[key_col])
+        ]
+        ups = ch[ch["_op"] == "U"]
+        out = pd.concat([keep, ups], ignore_index=True)
+        return pa.table(
+            {
+                key_col: pa.array(
+                    out[key_col].to_numpy(np.int64), pa.int64()
+                ),
+                val_col: pa.array(
+                    out["_val"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _coarse_group_apply(both, key_col, resolve, num_parts)

@@ -143,3 +143,95 @@ def test_table_diff_statuses(ray_session):
     assert out["status"].tolist() == ["removed", "changed", "added"]
     assert out["old_val"].tolist() == [10, 30, -1]
     assert out["new_val"].tolist() == [-1, 31, 40]
+
+
+def test_merge_apply_basic(ray_session):
+    """Update, delete, insert, and pass-through in one apply."""
+    import pandas as pd
+
+    import ray
+    from cex_crawler_ray.stages.diff import merge_apply
+
+    base = pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]})
+    ch = pd.DataFrame(
+        {"k": [2, 3, 9], "v": [99, 0, 77], "op": ["U", "D", "U"]}
+    )
+    out = (
+        merge_apply(
+            ray.data.from_pandas(base).repartition(2),
+            ray.data.from_pandas(ch),
+            key_col="k",
+            val_col="v",
+            num_parts=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 4, 9]
+    assert out["v"].tolist() == [10, 99, 40, 77]
+
+
+def test_merge_apply_inverts_table_diff(ray_session):
+    """merge_apply(old, ops(table_diff(old, new))) == new — the CDC
+    diff and its apply are exact inverses."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    from cex_crawler_ray.stages.diff import merge_apply, table_diff
+
+    rng = np.random.default_rng(5)
+    old = pd.DataFrame(
+        {
+            "k": np.arange(200, dtype=np.int64),
+            "v": rng.integers(0, 50, 200).astype(np.int64),
+        }
+    )
+    new = old.sample(150, random_state=1).copy()  # 50 removed
+    new.loc[new["k"] % 3 == 0, "v"] += 1000  # some changed
+    add = pd.DataFrame(
+        {
+            "k": np.arange(500, 530, dtype=np.int64),
+            "v": np.arange(30, dtype=np.int64),
+        }
+    )
+    new = pd.concat([new, add], ignore_index=True)
+
+    diff = table_diff(
+        ray.data.from_pandas(old).repartition(3),
+        ray.data.from_pandas(new).repartition(3),
+        key_col="k",
+        val_col="v",
+        num_parts=4,
+    )
+
+    def to_ops(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        op = np.where(df["status"] == "removed", "D", "U")
+        return pa.table(
+            {
+                "k": pa.array(df["k"].to_numpy(np.int64), pa.int64()),
+                "v": pa.array(
+                    df["new_val"].to_numpy(np.int64), pa.int64()
+                ),
+                "op": pa.array(op.tolist(), pa.string()),
+            }
+        )
+
+    ops = diff.map_batches(to_ops, batch_format="pyarrow")
+    merged = (
+        merge_apply(
+            ray.data.from_pandas(old).repartition(3),
+            ops,
+            key_col="k",
+            val_col="v",
+            num_parts=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    expect = new.sort_values("k").reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(merged.astype("int64"), expect)
