@@ -6122,6 +6122,54 @@ FROM merged
 """
 
 
+def q_tree_depth_jump(sf_dir: str):
+    """Root + depth of every node of the deterministic customer forest
+    (parent(k) = k // 3 for k >= 10, else self) by pointer-jumping
+    successor doubling — ceil(log2 depth) join rounds, not depth."""
+    from cex_crawler_ray.stages.graph import pointer_jump_roots
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+
+    def to_parents(batch: pa.Table) -> pa.Table:
+        k = (
+            batch["c_custkey"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        p = np.where(k >= 10, k // 3, k)
+        return pa.table(
+            {
+                "node": pa.array(k, pa.int64()),
+                "parent": pa.array(p, pa.int64()),
+            }
+        )
+
+    # custkeys are contiguous [1, n], and k // 3 of any k >= 10 lands
+    # in [3, n], so the forest is closed: every parent is a node
+    parents = ds.map_batches(to_parents, batch_format="pyarrow")
+    return pointer_jump_roots(parents)
+
+
+_TREE_DEPTH_SQL = """
+WITH RECURSIVE walk AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+  UNION ALL
+  SELECT node, cur // 3 AS cur, depth + 1 FROM walk WHERE cur >= 10
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(cur AS BIGINT) AS root,
+       CAST(depth AS BIGINT) AS depth
+FROM (
+  SELECT node, cur, depth,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY depth DESC) AS rn
+  FROM walk
+) WHERE rn = 1
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -6224,6 +6272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_dists": q_sssp_dists,
         "zorder_zone_maps": q_zorder_zone_maps,
         "merge_upsert": q_merge_upsert,
+        "tree_depth_jump": q_tree_depth_jump,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -7653,6 +7702,7 @@ GROUP BY 1, 2
         "sssp_dists": _sssp_sql(),
         "zorder_zone_maps": _ZORDER_SQL,
         "merge_upsert": _MERGE_UPSERT_SQL,
+        "tree_depth_jump": _TREE_DEPTH_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

@@ -769,3 +769,136 @@ def sssp_dists(
         lambda b: pa.table({"node": b["node"], "dist": b["d"]}),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------- pointer jumping
+def _pj_driver(
+    node: np.ndarray, parent: np.ndarray, max_doublings: int
+) -> pa.Table:
+    order = np.argsort(node)
+    n_s, p_s = node[order], parent[order]
+    anc = np.searchsorted(n_s, p_s)  # parents exist as nodes
+    d = (n_s[anc] != n_s).astype(np.int64)
+    for _ in range(max_doublings):
+        na = anc[anc]
+        nd = d + d[anc]
+        if np.array_equal(na, anc):
+            break
+        anc, d = na, nd
+    return pa.table(
+        {
+            "node": pa.array(n_s, pa.int64()),
+            "root": pa.array(n_s[anc], pa.int64()),
+            "depth": pa.array(d, pa.int64()),
+        }
+    )
+
+
+PJ_DRIVER_MAX_NODES = 500_000
+
+
+def pointer_jump_roots(
+    parents: "ray.data.Dataset",
+    max_doublings: int = 20,
+    num_parts: int = 64,
+    driver_max_nodes: int | None = None,
+) -> "ray.data.Dataset":
+    """Root and depth of every node of a forest given as ``(node,
+    parent)`` rows (roots point at themselves), by SUCCESSOR DOUBLING
+    (pointer jumping, the classic PRAM list-ranking primitive): each
+    round every node's ancestor pointer jumps to its ancestor's
+    ancestor and the walked distance doubles, so a depth-D forest
+    resolves in ceil(log2 D) rounds — each round ONE co-partition hash
+    join of the state table with itself, instead of D sequential
+    parent hops.  The hierarchy analog of ``bfs_levels``'s frontier
+    rounds for chains too deep to iterate one level at a time.
+
+    Every node's parent must itself appear as a node.  Below
+    ``driver_max_nodes`` the int64 pairs solve on the driver
+    (vectorized index-chasing); pass 0 to force the distributed path.
+    Early stop at the ancestor fixpoint is exact: once every pointer
+    reaches a root, further doubling is the identity.
+    """
+    if driver_max_nodes is None:
+        driver_max_nodes = PJ_DRIVER_MAX_NODES
+    if driver_max_nodes > 0:
+        parents = parents.materialize()
+        if parents.count() <= driver_max_nodes:
+            tbl = pa.concat_tables(
+                ray.get(parents.to_arrow_refs()), promote_options="default"
+            )
+            return ray.data.from_arrow(
+                _pj_driver(
+                    tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    tbl["parent"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    max_doublings,
+                )
+            )
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        n = (
+            batch["node"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        p = (
+            batch["parent"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "anc": pa.array(p, pa.int64()),
+                "d": pa.array((n != p).astype(np.int64), pa.int64()),
+            }
+        )
+
+    state = parents.map_batches(
+        init_state, batch_format="pyarrow"
+    ).materialize()
+    prev = int(state.sum("d"))
+
+    for _ in range(max_doublings):
+        lookup = state.map_batches(
+            lambda b: pa.table(
+                {
+                    "node2": b["node"],
+                    "anc2": b["anc"],
+                    "d2": b["d"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            state, lookup, left_key="anc", right_key="node2",
+            num_parts=num_parts,
+        )
+
+        def jump(batch: pa.Table) -> pa.Table:
+            d = batch["d"].to_numpy(zero_copy_only=False)
+            d2 = batch["d2"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": batch["node"].cast(pa.int64()),
+                    "anc": batch["anc2"].cast(pa.int64()),
+                    "d": pa.array(d + d2, pa.int64()),
+                }
+            )
+
+        state = joined.map_batches(jump, batch_format="pyarrow").materialize()
+        cur = int(state.sum("d"))
+        if cur == prev:
+            break
+        prev = cur
+
+    return state.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"], "root": b["anc"], "depth": b["d"]}
+        ),
+        batch_format="pyarrow",
+    )

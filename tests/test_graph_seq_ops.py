@@ -259,3 +259,65 @@ def test_sssp_driver_equals_distributed(ray_session):
         fast.astype("int64"), dist.astype("int64")
     )
     assert (fast.loc[fast["node"] == 1000, "dist"] == 0).all()
+
+
+def test_pointer_jump_chain(ray_session):
+    """A 9-deep chain resolves with correct depths in log rounds."""
+    from cex_crawler_ray.stages.graph import pointer_jump_roots
+
+    nodes = list(range(10))
+    parents = pd.DataFrame(
+        {"node": nodes, "parent": [0] + nodes[:-1]}  # 0 is root
+    )
+    out = (
+        pointer_jump_roots(
+            ray.data.from_pandas(parents).repartition(3), num_parts=4
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert out["root"].tolist() == [0] * 10
+    assert out["depth"].tolist() == list(range(10))
+
+
+def test_pointer_jump_forest_driver_equals_distributed(ray_session):
+    """Multi-root forest: driver index-chasing == distributed doubling."""
+    from cex_crawler_ray.stages.graph import pointer_jump_roots
+
+    rng = np.random.default_rng(17)
+    n = 300
+    node = np.arange(n, dtype=np.int64)
+    # roots: 0..4 self-parented; others attach to any smaller node
+    parent = np.where(
+        node < 5, node, rng.integers(0, np.maximum(node, 1))
+    ).astype(np.int64)
+    parents = pd.DataFrame({"node": node, "parent": parent})
+
+    def run(thresh):
+        return (
+            pointer_jump_roots(
+                ray.data.from_pandas(parents).repartition(3),
+                num_parts=4,
+                driver_max_nodes=thresh,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+    fast = run(10**6)
+    dist = run(0)
+    pd.testing.assert_frame_equal(
+        fast.astype("int64"), dist.astype("int64")
+    )
+    # spot-check exact semantics against a python walk
+    import collections
+
+    pmap = dict(zip(node.tolist(), parent.tolist()))
+    for k in [0, 7, 123, 299]:
+        cur, d = k, 0
+        while pmap[cur] != cur:
+            cur, d = pmap[cur], d + 1
+        row = fast[fast["node"] == k].iloc[0]
+        assert (row["root"], row["depth"]) == (cur, d)
