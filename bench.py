@@ -368,6 +368,11 @@ def bench_queries(sf_dir: str) -> dict:
         "watermark_windows",
         "entity_clusters",
         "forward_fill",
+        "sssp_dists",
+        "zorder_zone_maps",
+        "merge_upsert",
+        "tree_depth_jump",
+        "containment_pairs",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row
