@@ -6170,6 +6170,85 @@ FROM (
 """
 
 
+def q_sorted_neighbors(sf_dir: str):
+    """Sorted-neighborhood ER blocking over part names: rank parts by
+    a big-endian 7-byte name-prefix int, pair rows within 4 positions,
+    keep pairs sharing the first name word — the classic
+    typo-adjacent blocking that hash blocking scatters."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import sorted_neighborhood_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        b = df["p_name"].to_numpy().astype("S7")
+        u = (
+            np.frombuffer(b.tobytes(), dtype=np.uint8)
+            .reshape(-1, 7)
+            .astype(np.int64)
+        )
+        powers = 256 ** np.arange(6, -1, -1)
+        return pd.DataFrame(
+            {
+                "p_partkey": df["p_partkey"].astype("int64"),
+                "key7": u @ powers,
+                "word": df["p_name"].str.split(" ").str[0],
+            }
+        )
+
+    pairs = sorted_neighborhood_pairs(
+        ds.map_batches(prep, batch_format="pandas"),
+        id_col="p_partkey",
+        key_col="key7",
+        attr_col="word",
+        window=4,
+        rows_per_bucket=256,
+    )
+
+    def keep_same_word(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch["attr_a"], batch["attr_b"]))
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "word": t["attr_a"],
+            }
+        )
+
+    return pairs.map_batches(keep_same_word, batch_format="pyarrow")
+
+
+_SORTED_NEIGHBORS_SQL = """
+WITH k AS (
+  SELECT p_partkey AS id,
+         ascii(substr(p_name, 1, 1)) * 281474976710656
+         + ascii(substr(p_name, 2, 1)) * 1099511627776
+         + ascii(substr(p_name, 3, 1)) * 4294967296
+         + ascii(substr(p_name, 4, 1)) * 16777216
+         + ascii(substr(p_name, 5, 1)) * 65536
+         + ascii(substr(p_name, 6, 1)) * 256
+         + ascii(substr(p_name, 7, 1)) AS key7,
+         split_part(p_name, ' ', 1) AS word
+  FROM part
+),
+r AS (
+  SELECT id, word,
+         ROW_NUMBER() OVER (ORDER BY key7, id) AS rn
+  FROM k
+)
+SELECT CAST(a.id AS BIGINT) AS id_a,
+       CAST(b.id AS BIGINT) AS id_b,
+       a.word AS word
+FROM r a JOIN r b
+  ON b.rn - a.rn BETWEEN 1 AND 3 AND a.word = b.word
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -6273,6 +6352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_zone_maps": q_zorder_zone_maps,
         "merge_upsert": q_merge_upsert,
         "tree_depth_jump": q_tree_depth_jump,
+        "sorted_neighbors": q_sorted_neighbors,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -7703,6 +7783,7 @@ GROUP BY 1, 2
         "zorder_zone_maps": _ZORDER_SQL,
         "merge_upsert": _MERGE_UPSERT_SQL,
         "tree_depth_jump": _TREE_DEPTH_SQL,
+        "sorted_neighbors": _SORTED_NEIGHBORS_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

@@ -889,3 +889,174 @@ def embedding_dup_pairs_broadcast(
         )
 
     return ds.map_batches(pairs_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------- sorted neighborhood
+def sorted_neighborhood_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    key_col: str,
+    attr_col: str,
+    window: int = 4,
+    rows_per_bucket: int = 4096,
+    bucket_shift: int = 40,
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): rank all
+    rows by ``(key, id)`` and emit every candidate pair within
+    ``window`` positions — the classic entity-resolution blocking
+    method for typo-adjacent records that hash blocking scatters.
+
+    No global sort and no driver rows: pass 1 is the ordered-bucket
+    rank of ``window.global_row_number`` (per-block counts per ordered
+    ``key >> bucket_shift`` bucket -> driver prefix offsets -> in-bucket
+    exact lexsort positions); pass 2 regroups by rank-bucket
+    ``rn // rows_per_bucket``, copying each bucket's ``window - 1``
+    tail rows into the next bucket so boundary pairs are caught, then
+    expands pairs vectorized (one shifted slice per distance).  A pair
+    is emitted only in the second row's native bucket — exactly once.
+    The exchanges carry (id, key, attr, rank) rows; pair volume is
+    ``(window - 1) x n``, independent of skew.
+
+    ``key_col`` must be a non-negative int64 whose order is the
+    intended lexicographic order (e.g. a big-endian string-prefix
+    int); ``attr_col`` rides along for the caller's verify predicate.
+    Requires ``window <= rows_per_bucket``.
+    """
+    import pandas as pd
+
+    assert window <= rows_per_bucket
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = (
+            batch[key_col]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "attr": batch[attr_col].combine_chunks().cast(pa.string()),
+                "_kb": pa.array(k >> bucket_shift, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            batch["_kb"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"_kb": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    counts = (
+        tagged.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("_kb")
+        .sum("c")
+        .to_pandas()
+        .sort_values("_kb")
+    )
+    kbs = counts["_kb"].to_numpy(dtype=np.int64)
+    offs = np.concatenate(
+        ([0], np.cumsum(counts["sum(c)"].to_numpy(dtype=np.int64))[:-1])
+    )
+    off_ref = ray.put((kbs, offs))
+
+    def rank_part(part: pa.Table) -> pa.Table:
+        skb, soff = ray.get(off_ref)
+        df = part.to_pandas().sort_values(["_kb", "k", "id"], kind="mergesort")
+        kb = df["_kb"].to_numpy()
+        # position within each key-bucket run
+        starts = np.flatnonzero(np.r_[True, kb[1:] != kb[:-1]])
+        local = np.arange(len(df)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(df)])
+        )
+        rn = soff[np.searchsorted(skb, kb)] + local
+        return pa.table(
+            {
+                "id": pa.array(df["id"].to_numpy(np.int64), pa.int64()),
+                "attr": pa.array(df["attr"], pa.string()),
+                "rn": pa.array(rn, pa.int64()),
+            }
+        )
+
+    ranked = _coarse_group_apply(tagged, "_kb", rank_part, num_parts)
+
+    B = rows_per_bucket
+
+    def to_rank_buckets(batch: pa.Table) -> pa.Table:
+        rn = batch["rn"].to_numpy(zero_copy_only=False)
+        g = rn // B
+        native = pa.table(
+            {
+                "id": batch["id"],
+                "attr": batch["attr"],
+                "rn": batch["rn"],
+                "g": pa.array(g, pa.int64()),
+            }
+        )
+        tail = rn % B >= B - (window - 1)
+        if not tail.any():
+            return native
+        copy = batch.filter(pa.array(tail))
+        copies = pa.table(
+            {
+                "id": copy["id"],
+                "attr": copy["attr"],
+                "rn": copy["rn"],
+                "g": pa.array(g[tail] + 1, pa.int64()),
+            }
+        )
+        return pa.concat_tables([native, copies])
+
+    bucketed = ranked.map_batches(to_rank_buckets, batch_format="pyarrow")
+
+    def pairs_part(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().sort_values(["g", "rn"], kind="mergesort")
+        g = df["g"].to_numpy()
+        rn = df["rn"].to_numpy()
+        ids = df["id"].to_numpy()
+        attr = df["attr"].to_numpy()
+        outs = []
+        for d in range(1, window):
+            if len(df) <= d:
+                break
+            ok = (
+                (g[d:] == g[:-d])
+                & (rn[d:] - rn[:-d] == d)
+                & (rn[d:] // B == g[d:])  # second row native
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[:-d][ok],
+                        "id_b": ids[d:][ok],
+                        "attr_a": attr[:-d][ok],
+                        "attr_b": attr[d:][ok],
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "attr_a": pa.array([], pa.string()),
+                    "attr_b": pa.array([], pa.string()),
+                }
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return pa.table(
+            {
+                "id_a": pa.array(out["id_a"].to_numpy(np.int64), pa.int64()),
+                "id_b": pa.array(out["id_b"].to_numpy(np.int64), pa.int64()),
+                "attr_a": pa.array(out["attr_a"], pa.string()),
+                "attr_b": pa.array(out["attr_b"], pa.string()),
+            }
+        )
+
+    return _coarse_group_apply(bucketed, "g", pairs_part, num_parts)

@@ -156,3 +156,64 @@ def test_strip_noop_corpus_passthrough(ray_session):
         "p q r s t u v w",
     ]
     assert (got["n_removed"] == 0).all()
+
+
+def test_sorted_neighborhood_exact_window(ray_session):
+    """Candidate set == all pairs within `window` rank positions,
+    including pairs that cross rank-bucket boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    from cex_crawler_ray.stages.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(23)
+    n = 300
+    keys = rng.integers(0, 2**50, n, dtype=np.int64)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": keys,
+            "a": (np.arange(n) % 5).astype(str),
+        }
+    )
+    window, B = 4, 16  # tiny buckets force many boundary crossings
+    out = (
+        sorted_neighborhood_pairs(
+            ray.data.from_pandas(df).repartition(5),
+            id_col="id",
+            key_col="k",
+            attr_col="a",
+            window=window,
+            rows_per_bucket=B,
+            bucket_shift=44,
+            num_parts=8,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # reference: full sort, pairs within window
+    ref = df.sort_values(["k", "id"]).reset_index(drop=True)
+    exp = []
+    for d in range(1, window):
+        a = ref.iloc[:-d].reset_index(drop=True)
+        b = ref.iloc[d:].reset_index(drop=True)
+        exp.append(
+            pd.DataFrame(
+                {
+                    "id_a": a["id"].to_numpy(),
+                    "id_b": b["id"].to_numpy(),
+                    "attr_a": a["a"].to_numpy(),
+                    "attr_b": b["a"].to_numpy(),
+                }
+            )
+        )
+    expect = (
+        pd.concat(exp, ignore_index=True)
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["id_a", "id_b", "attr_a", "attr_b"]], expect
+    )
