@@ -5304,7 +5304,7 @@ def q_containment_pairs(sf_dir: str):
     import numpy as np
     import pandas as pd
 
-    from cex_crawler_ray.stages.dedup import _coarse_group_apply, _hash64
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
     from cex_crawler_ray.stages.join import hash_join
 
     K = 4
@@ -5327,27 +5327,51 @@ def q_containment_pairs(sf_dir: str):
     # with corpus size, mirrored exactly in the SQL twin
     DF_CAP = max(5, min(50, corpus.count() // 10))
 
+    # gram identity = EXACT 15-bit-per-codepoint packing of the raw
+    # K-char window (injective for codepoints < 32768, which covers
+    # ASCII and most of the BMP) — a rolling HASH here would have to
+    # be collision-free to match the SQL twin's string grams, and the
+    # FNV-base polynomial measurably is not (2^40-structured powers
+    # collide ~20% on a small alphabet)
+    _POWERS = (np.uint64(1) << np.uint64(15)) ** np.arange(
+        K - 1, -1, -1, dtype=np.uint64
+    )
+
     def gram_rows(batch: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        ghs: list[int] = []
+        id_chunks: list[np.ndarray] = []
+        gh_chunks: list[np.ndarray] = []
         for did, t in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            grams = {t[i : i + K] for i in range(len(t) - K + 1)}
-            for g in grams:
-                ids.append(did)
-                ghs.append(np.int64(np.uint64(_hash64(g)) >> np.uint64(1)))
+            if len(t) < K:
+                continue
+            codes = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(codes, K)
+            h = (win * _POWERS[None, :]).sum(axis=1, dtype=np.uint64)
+            uh = np.unique(h)
+            gh_chunks.append(uh.astype(np.int64))
+            id_chunks.append(np.full(uh.size, did, np.int64))
+        if not id_chunks:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "gh": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "gh": pa.array(ghs, pa.int64()),
+                "doc_id": pa.array(np.concatenate(id_chunks), pa.int64()),
+                "gh": pa.array(np.concatenate(gh_chunks), pa.int64()),
             }
         )
 
     posting = corpus.map_batches(gram_rows, batch_format="pyarrow")
 
     def pair_part(part: pa.Table) -> pa.Table:
-        df = part.to_pandas().drop_duplicates()
+        # posting rows are unique per (doc, gram) by construction
+        df = part.to_pandas()
         sz = df.groupby("gh")["doc_id"].transform("size")
         df = df[sz <= DF_CAP]
         m = df.merge(df, on="gh")
@@ -5398,7 +5422,7 @@ def q_containment_pairs(sf_dir: str):
 
     # per-doc eligible-gram counts: same df cap, counted per doc
     def count_part(part: pa.Table) -> pa.Table:
-        df = part.to_pandas().drop_duplicates()
+        df = part.to_pandas()
         sz = df.groupby("gh")["doc_id"].transform("size")
         g = (
             df[sz <= DF_CAP]
@@ -6249,6 +6273,118 @@ FROM r a JOIN r b
 """
 
 
+def q_random_walks(sf_dir: str):
+    """DeepWalk-style walk corpus: one 5-step deterministic walk per
+    seed user over the session-handoff graph (neighbor picked by a
+    pure-int hash of (seed, step, node) mod degree), reproducible at
+    any partition count and replayed exactly by the SQL twin."""
+    import pyarrow.compute as pc
+
+    from cex_crawler_ray.stages.graph import random_walks
+    from cex_crawler_ray.stages.window import lead_lag
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    led = lead_lag(ds, kind="lead")
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch["user_id"]
+        dst = batch["lead_user_id"]
+        keep = pc.and_(dst.is_valid(), pc.not_equal(src, dst))
+        t = batch.filter(keep)
+        s = (
+            t["user_id"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        d = (
+            t["lead_user_id"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d]), pa.int64()),
+                "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+            }
+        )
+
+    edges = led.map_batches(to_edges, batch_format="pyarrow")
+
+    def to_seeds(batch: pa.Table) -> pa.Table:
+        u = (
+            batch["user_id"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"node": pa.array(u[u % 100 == 0], pa.int64())})
+
+    seeds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).map_batches(to_seeds, batch_format="pyarrow")
+
+    return random_walks(edges, seeds, length=5)
+
+
+def _random_walks_sql(length: int = 5) -> str:
+    """Unrolled-CTE replay of ``q_random_walks``: each layer joins the
+    live walks to the degree table and the rank-ordered edge table
+    with the same pure-int neighbor pick."""
+    parts = [
+        """
+WITH ev AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (ORDER BY ts, event_id) AS dst
+  FROM events
+),
+ed AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ev WHERE dst IS NOT NULL AND dst <> src
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM ev
+    WHERE dst IS NOT NULL AND dst <> src
+  )
+),
+er AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS r
+  FROM ed
+),
+dg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
+seeds AS (
+  SELECT DISTINCT user_id AS node FROM events WHERE user_id % 100 = 0
+),
+w0 AS (SELECT node AS seed, node AS cur FROM seeds)"""
+    ]
+    for k in range(1, length + 1):
+        parts.append(
+            f""",
+w{k} AS (
+  SELECT w{k - 1}.seed, er.dst AS cur
+  FROM w{k - 1}
+  JOIN dg ON dg.src = w{k - 1}.cur
+  JOIN er ON er.src = w{k - 1}.cur
+         AND er.r = (w{k - 1}.seed * 1000003 + {k} * 7919
+                     + w{k - 1}.cur * 104729) % dg.deg
+)"""
+        )
+    selects = [
+        "SELECT CAST(seed AS BIGINT) AS seed, CAST(0 AS BIGINT) AS step,"
+        " CAST(cur AS BIGINT) AS node FROM w0"
+    ]
+    for k in range(1, length + 1):
+        selects.append(
+            f"SELECT CAST(seed AS BIGINT), CAST({k} AS BIGINT),"
+            f" CAST(cur AS BIGINT) FROM w{k}"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -6353,6 +6489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_upsert": q_merge_upsert,
         "tree_depth_jump": q_tree_depth_jump,
         "sorted_neighbors": q_sorted_neighbors,
+        "random_walks": q_random_walks,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -7784,6 +7921,7 @@ GROUP BY 1, 2
         "merge_upsert": _MERGE_UPSERT_SQL,
         "tree_depth_jump": _TREE_DEPTH_SQL,
         "sorted_neighbors": _SORTED_NEIGHBORS_SQL,
+        "random_walks": _random_walks_sql(),
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

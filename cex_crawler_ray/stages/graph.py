@@ -902,3 +902,262 @@ def pointer_jump_roots(
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------- random walks
+_RW_A = 1000003
+_RW_B = 7919
+_RW_C = 104729
+
+
+def _rw_pick(seed, step, cur):
+    """Deterministic neighbor index: the walk's 'randomness'.  Pure
+    int arithmetic so the SQL twin reproduces it bit-for-bit."""
+    return (seed * _RW_A + step * _RW_B + cur * _RW_C)
+
+
+def _rw_driver(
+    src: np.ndarray,
+    dst: np.ndarray,
+    seed: np.ndarray,
+    length: int,
+) -> pa.Table:
+    o = np.lexsort((dst, src))
+    src_s, dst_s = src[o], dst[o]
+    keep = np.r_[
+        True, (src_s[1:] != src_s[:-1]) | (dst_s[1:] != dst_s[:-1])
+    ]
+    src_s, dst_s = src_s[keep], dst_s[keep]  # DISTINCT edges, like SQL
+    uniq = np.unique(src_s)
+    lo = np.searchsorted(src_s, uniq, side="left")
+    hi = np.searchsorted(src_s, uniq, side="right")
+    seeds = np.unique(seed)
+    cur = seeds.copy()
+    alive = np.ones(cur.size, bool)
+    out_seed = [seeds]
+    out_step = [np.zeros(seeds.size, np.int64)]
+    out_node = [seeds.copy()]
+    for k in range(1, length + 1):
+        pos = np.searchsorted(uniq, cur)
+        pos = np.clip(pos, 0, uniq.size - 1)
+        has = alive & (uniq[pos] == cur) if uniq.size else np.zeros_like(alive)
+        deg = np.where(has, hi[pos] - lo[pos], 1)
+        r = _rw_pick(seeds, k, cur) % deg
+        nxt = np.where(has, dst_s[np.clip(lo[pos] + r, 0, dst_s.size - 1)], cur)
+        alive = has
+        cur = np.where(alive, nxt, cur)
+        if not alive.any():
+            break
+        out_seed.append(seeds[alive])
+        out_step.append(np.full(int(alive.sum()), k, np.int64))
+        out_node.append(cur[alive])
+    return pa.table(
+        {
+            "seed": pa.array(np.concatenate(out_seed), pa.int64()),
+            "step": pa.array(np.concatenate(out_step), pa.int64()),
+            "node": pa.array(np.concatenate(out_node), pa.int64()),
+        }
+    )
+
+
+RW_DRIVER_MAX_EDGES = 200_000
+_RW_PK = np.uint64(0x9E3779B97F4A7C15)
+
+
+_RW_RANK_BITS = np.int64(1) << 21  # max out-degree the key packs
+
+
+def _pair_key(node: np.ndarray, rank: np.ndarray) -> np.ndarray:
+    """EXACT composite (node, rank) key — collision-free by
+    construction (node < 2^42, rank < 2^21), unlike a hash mix, so
+    the ranked-neighbor join can never pick a wrong edge."""
+    return node.astype(np.int64) * _RW_RANK_BITS + rank.astype(np.int64)
+
+
+def random_walks(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    length: int = 5,
+    num_parts: int = 64,
+    driver_max_edges: int | None = None,
+) -> "ray.data.Dataset":
+    """DeepWalk-style walk corpus generation (Perozzi et al. 2014):
+    one walk of up to ``length`` steps per distinct seed over a
+    directed edge Dataset ``(src, dst)``, choosing the next neighbor
+    DETERMINISTICALLY — neighbors ranked in (src, dst) order, index
+    ``(seed*1000003 + step*7919 + cur*104729) % degree`` — so the walk
+    corpus is reproducible at any partition count and a SQL twin can
+    replay it exactly.  Returns ``(seed, step, node)`` rows including
+    step 0; a walk stops early at a node with no out-edges.
+
+    Below ``driver_max_edges`` the int64 edges solve on the driver
+    (vectorized CSR chase).  Distributed path per step: ONE
+    co-partition join attaches the current node's degree, then one
+    (node, rank)-keyed co-partition join picks the ranked neighbor —
+    the walk state (one row per live walk) never exceeds the seed
+    count, and the ranked edge table is built once and reused by every
+    step.
+    """
+    if driver_max_edges is None:
+        driver_max_edges = RW_DRIVER_MAX_EDGES
+    if driver_max_edges > 0:
+        edges = edges.materialize()
+        if edges.count() <= driver_max_edges:
+            etbl = pa.concat_tables(
+                ray.get(edges.to_arrow_refs()), promote_options="default"
+            )
+            stbl = pa.concat_tables(
+                ray.get(seeds.materialize().to_arrow_refs()),
+                promote_options="default",
+            )
+            return ray.data.from_arrow(
+                _rw_driver(
+                    etbl["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    etbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    stbl["node"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    length,
+                )
+            )
+
+    # ranked edge table: per-src (deg, rank) — built once, reused
+    def rank_edges(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part.to_pandas().sort_values(["src", "dst"], kind="mergesort")
+        s = df["src"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        local = np.arange(len(df)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(df)])
+        )
+        return pa.table(
+            {
+                "pk": pa.array(
+                    _pair_key(s, local.astype(np.int64)), pa.int64()
+                ),
+                "nxt": pa.array(df["dst"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def deg_part(part: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            part["src"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "dn": pa.array(u, pa.int64()),
+                "deg": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def as_int_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch["src"].cast(pa.int64()),
+                "dst": batch["dst"].cast(pa.int64()),
+            }
+        )
+
+    def _dedup_edges(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates(subset=["src", "dst"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # ranks and degrees must agree on the DISTINCT edge set (the SQL
+    # twin ranks over DISTINCT edges), so dedupe once, up front
+    ints = _coarse_group_apply(
+        edges.map_batches(as_int_edges, batch_format="pyarrow"),
+        "src",
+        _dedup_edges,
+        num_parts,
+    ).materialize()
+    ranked = _coarse_group_apply(
+        ints, "src", rank_edges, num_parts
+    ).materialize()
+    degs = _coarse_group_apply(ints, "src", deg_part, num_parts).materialize()
+
+    def seed_state(batch: pa.Table) -> pa.Table:
+        n = (
+            batch["node"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = np.unique(n)
+        return pa.table(
+            {
+                "seed": pa.array(n, pa.int64()),
+                "cur": pa.array(n, pa.int64()),
+            }
+        )
+
+    def _dedup_seeds(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates(subset=["seed"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # per-batch unique above is local; one coarse pass makes it global
+    state = _coarse_group_apply(
+        seeds.map_batches(seed_state, batch_format="pyarrow"),
+        "seed",
+        _dedup_seeds,
+        num_parts,
+    )
+    outputs = [
+        state.map_batches(
+            lambda b: pa.table(
+                {
+                    "seed": b["seed"],
+                    "step": pa.array(
+                        np.zeros(b.num_rows, np.int64), pa.int64()
+                    ),
+                    "node": b["cur"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ]
+
+    for k in range(1, length + 1):
+        with_deg = hash_join(
+            state, degs, left_key="cur", right_key="dn", num_parts=num_parts
+        )
+
+        def pick(batch: pa.Table, _k=k) -> pa.Table:
+            s = batch["seed"].to_numpy(zero_copy_only=False)
+            c = batch["cur"].to_numpy(zero_copy_only=False)
+            d = batch["deg"].to_numpy(zero_copy_only=False)
+            r = _rw_pick(s, _k, c) % d
+            return pa.table(
+                {
+                    "seed": pa.array(s, pa.int64()),
+                    "pk2": pa.array(_pair_key(c, r), pa.int64()),
+                }
+            )
+
+        keyed = with_deg.map_batches(pick, batch_format="pyarrow")
+        stepped = hash_join(
+            keyed, ranked, left_key="pk2", right_key="pk", num_parts=num_parts
+        )
+        state = stepped.map_batches(
+            lambda b: pa.table({"seed": b["seed"], "cur": b["nxt"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        if state.count() == 0:
+            break
+        outputs.append(
+            state.map_batches(
+                lambda b, _k=k: pa.table(
+                    {
+                        "seed": b["seed"],
+                        "step": pa.array(
+                            np.full(b.num_rows, _k, np.int64), pa.int64()
+                        ),
+                        "node": b["cur"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    out = outputs[0]
+    for ds_ in outputs[1:]:
+        out = out.union(ds_)
+    return out

@@ -321,3 +321,48 @@ def test_pointer_jump_forest_driver_equals_distributed(ray_session):
             cur, d = pmap[cur], d + 1
         row = fast[fast["node"] == k].iloc[0]
         assert (row["root"], row["depth"]) == (cur, d)
+
+
+def test_random_walks_deterministic_and_paths_equal(ray_session):
+    """Walks replay a hand-computed pick sequence; driver CSR chase ==
+    distributed two-join loop; duplicate edges don't shift ranks."""
+    from cex_crawler_ray.stages.graph import _rw_pick, random_walks
+
+    edges = pd.DataFrame(
+        {
+            "src": [0, 0, 0, 1, 1, 2, 3, 0],
+            "dst": [1, 2, 3, 0, 2, 0, 0, 1],  # last row duplicates 0->1
+        }
+    )
+    seeds = pd.DataFrame({"node": [0, 0, 5]})  # 5 isolated, 0 dup
+
+    def run(thresh):
+        return (
+            random_walks(
+                ray.data.from_pandas(edges).repartition(3),
+                ray.data.from_pandas(seeds).repartition(2),
+                length=4,
+                num_parts=4,
+                driver_max_edges=thresh,
+            )
+            .to_pandas()
+            .sort_values(["seed", "step"])
+            .reset_index(drop=True)
+        )
+
+    fast = run(10**6)
+    dist = run(0)
+    pd.testing.assert_frame_equal(
+        fast.astype("int64"), dist.astype("int64")
+    )
+    # seed 5 has no out-edges: only its step-0 row
+    assert (fast[fast["seed"] == 5]["step"] == 0).all()
+    # replay seed 0 by hand over DISTINCT (src, dst) ranks
+    adj = {0: [1, 2, 3], 1: [0, 2], 2: [0], 3: [0]}
+    cur, walk = 0, [0]
+    for k in range(1, 5):
+        nb = adj[cur]
+        cur = nb[_rw_pick(0, k, cur) % len(nb)]
+        walk.append(cur)
+    got = fast[fast["seed"] == 0].sort_values("step")["node"].tolist()
+    assert got == walk
