@@ -6385,6 +6385,45 @@ w{k} AS (
     return "".join(parts)
 
 
+def q_kmv_audience_overlap(sf_dir: str):
+    """KMV bottom-k set-similarity sketch between the 'view' and
+    'click' user sets: distinct / intersection / union counts from two
+    k-minimum-value sketches.  k = 65536 exceeds every side at gate
+    scale, so the sketch path returns EXACT numbers the SQL twin can
+    hash-check (the HLL exact-regime guard pattern); the saturated
+    estimator is pytest-anchored separately."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.sketch import kmv_jaccard
+
+    def side(ev_type: str):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        ).filter(
+            expr=f"event_type == '{ev_type}'"
+        )
+
+    r = kmv_jaccard(side("view"), side("click"), col="user_id")
+    return pd.DataFrame(
+        {
+            "n_a": [r["n_a"]],
+            "n_b": [r["n_b"]],
+            "n_inter": [r["n_inter"]],
+            "n_union": [r["n_union"]],
+        }
+    ).astype("int64")
+
+
+_KMV_SQL = """
+WITH va AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+cb AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+SELECT CAST((SELECT count(*) FROM va) AS BIGINT) AS n_a,
+       CAST((SELECT count(*) FROM cb) AS BIGINT) AS n_b,
+       CAST((SELECT count(*) FROM (SELECT * FROM va INTERSECT SELECT * FROM cb)) AS BIGINT) AS n_inter,
+       CAST((SELECT count(*) FROM (SELECT * FROM va UNION SELECT * FROM cb)) AS BIGINT) AS n_union
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -6490,6 +6529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tree_depth_jump": q_tree_depth_jump,
         "sorted_neighbors": q_sorted_neighbors,
         "random_walks": q_random_walks,
+        "kmv_audience_overlap": q_kmv_audience_overlap,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -7922,6 +7962,7 @@ GROUP BY 1, 2
         "tree_depth_jump": _TREE_DEPTH_SQL,
         "sorted_neighbors": _SORTED_NEIGHBORS_SQL,
         "random_walks": _random_walks_sql(),
+        "kmv_audience_overlap": _KMV_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

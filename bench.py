@@ -373,6 +373,8 @@ def bench_queries(sf_dir: str) -> dict:
         "merge_upsert",
         "tree_depth_jump",
         "containment_pairs",
+        "sorted_neighbors",
+        "random_walks",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row

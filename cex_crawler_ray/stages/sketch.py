@@ -609,3 +609,84 @@ def exact_group_quantile_descent(
         lambda g: pick(g),
         num_parts,
     )
+
+
+# --------------------------------------------------------------- KMV
+def _bottom_k_partials(
+    ds: "ray.data.Dataset", col: str, k: int, num_parts: int = 64
+) -> np.ndarray:
+    """Global k smallest DISTINCT ``_id_hash`` values of ``ds[col]``.
+
+    Exactness argument: the global bottom-k is contained in the union
+    of per-batch bottom-k's, so batch-level truncation then
+    partition-level truncation then a driver merge of ``num_parts``
+    k-sets loses nothing.  Driver state is <= num_parts * k ints.
+    """
+    from .dedup import _coarse_group_apply
+
+    def batch_bk(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # keep the hash in the nonneg 63-bit domain: bottom-k only
+        # needs a consistent total order, and a nonneg key feeds the
+        # coarse partitioner's uint cast directly
+        h = np.unique(_id_hash(v) >> np.uint64(1)).astype(np.int64)
+        return pa.table({"h": pa.array(h[:k], pa.int64())})
+
+    def part_bk(part: pa.Table) -> pa.Table:
+        h = np.unique(part["h"].to_numpy(zero_copy_only=False))
+        return pa.table({"h": pa.array(h[:k], pa.int64())})
+
+    parts = _coarse_group_apply(
+        ds.map_batches(batch_bk, batch_format="pyarrow"),
+        "h",
+        part_bk,
+        num_parts,
+    ).to_pandas()
+    h = np.unique(parts["h"].to_numpy())
+    return h[:k]
+
+
+def kmv_jaccard(
+    ds_a: "ray.data.Dataset",
+    ds_b: "ray.data.Dataset",
+    col: str,
+    k: int = 65536,
+) -> dict:
+    """KMV (k-minimum-values, Bar-Yossef et al. 2002) set-similarity
+    sketch between two keyed Datasets: distinct counts, intersection,
+    union and Jaccard estimated from the k smallest hash values per
+    side.  When neither sketch saturates (fewer than k distinct keys a
+    side) the sketch holds EVERY hash and all four numbers are exact —
+    the same exact-regime oracle pattern as the HLL and bottom-k
+    quantile guards.  Saturated regime: standard KMV estimators on the
+    union sketch.  Driver state is two k-vectors.
+    """
+    a = _bottom_k_partials(ds_a, col, k)
+    b = _bottom_k_partials(ds_b, col, k)
+    exact = a.size < k and b.size < k
+    if exact:
+        n_inter = np.intersect1d(a, b, assume_unique=True).size
+        n_union = np.union1d(a, b).size
+        return {
+            "n_a": int(a.size),
+            "n_b": int(b.size),
+            "n_inter": int(n_inter),
+            "n_union": int(n_union),
+            "exact": True,
+        }
+    u = np.union1d(a, b)[:k]
+    kth = u[-1]
+    in_both = np.intersect1d(a, b, assume_unique=True)
+    n_inter_sk = int((in_both <= kth).sum())
+    # standard KMV cardinality estimate: (k - 1) / normalized kth
+    # value (hashes live in the nonneg 63-bit domain)
+    denom = float(kth) / 2**63
+    n_union_est = int(round((k - 1) / max(denom, 1e-12)))
+    j_est = n_inter_sk / k
+    return {
+        "n_a": int(min(a.size, k)),
+        "n_b": int(min(b.size, k)),
+        "n_inter": int(round(j_est * n_union_est)),
+        "n_union": n_union_est,
+        "exact": False,
+    }

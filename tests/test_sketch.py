@@ -210,3 +210,49 @@ def test_exact_group_quantile_descent_matches_sort(ray_session):
         for k, g in df.groupby("k")
     }
     assert dict(zip(got["k"], got["q_value"].astype(int))) == want
+
+
+def test_kmv_exact_regime(ray_session):
+    """Unsaturated sketches hold every hash: all four numbers exact."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    from cex_crawler_ray.stages.sketch import kmv_jaccard
+
+    a = pd.DataFrame({"u": np.arange(0, 600, dtype=np.int64)})
+    b = pd.DataFrame({"u": np.arange(400, 1000, dtype=np.int64)})
+    r = kmv_jaccard(
+        ray.data.from_pandas(a).repartition(3),
+        ray.data.from_pandas(b).repartition(3),
+        col="u",
+        k=4096,
+    )
+    assert r["exact"] is True
+    assert (r["n_a"], r["n_b"]) == (600, 600)
+    assert (r["n_inter"], r["n_union"]) == (200, 1000)
+
+
+def test_kmv_saturated_estimates_within_tolerance(ray_session):
+    """Saturated regime: union and intersection estimates land within
+    20% of truth on a 50%-overlap pair (k = 512 over 20k distinct)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    from cex_crawler_ray.stages.sketch import kmv_jaccard
+
+    n = 20_000
+    a = pd.DataFrame({"u": np.arange(0, n, dtype=np.int64)})
+    b = pd.DataFrame({"u": np.arange(n // 2, n + n // 2, dtype=np.int64)})
+    r = kmv_jaccard(
+        ray.data.from_pandas(a).repartition(4),
+        ray.data.from_pandas(b).repartition(4),
+        col="u",
+        k=512,
+    )
+    assert r["exact"] is False
+    true_union = n + n // 2
+    true_inter = n // 2
+    assert abs(r["n_union"] - true_union) / true_union < 0.2
+    assert abs(r["n_inter"] - true_inter) / true_inter < 0.25
