@@ -6424,6 +6424,109 @@ SELECT CAST((SELECT count(*) FROM va) AS BIGINT) AS n_a,
 """
 
 
+def q_two_hop_features(sf_dir: str):
+    """GraphSAGE-style neighborhood aggregation: per user, the exact
+    event-count feature plus its 1-hop and 2-hop neighbor sums over
+    the session-handoff graph — one co-partition join + combiner sum
+    per hop, neighbor lists never shuffle."""
+    import pyarrow.compute as pc
+
+    from cex_crawler_ray.stages.graph import neighborhood_agg
+    from cex_crawler_ray.stages.window import lead_lag
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    led = lead_lag(ds, kind="lead")
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch["user_id"]
+        dst = batch["lead_user_id"]
+        keep = pc.and_(dst.is_valid(), pc.not_equal(src, dst))
+        t = batch.filter(keep)
+        s = (
+            t["user_id"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        d = (
+            t["lead_user_id"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d]), pa.int64()),
+                "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+            }
+        )
+
+    edges = led.map_batches(to_edges, batch_format="pyarrow")
+
+    def count_partial(df):
+        import pandas as pd
+
+        g = df.groupby("user_id", as_index=False).size()
+        return pd.DataFrame(
+            {"node": g["user_id"].astype("int64"), "f": g["size"].astype("int64")}
+        )
+
+    feats = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id"]
+        )
+        .map_batches(count_partial, batch_format="pandas")
+        .groupby("node")
+        .sum("f")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"].combine_chunks().cast(pa.int64()),
+                    "f": b["sum(f)"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    return neighborhood_agg(edges, feats, hops=2)
+
+
+_TWO_HOP_SQL = """
+WITH ev AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (ORDER BY ts, event_id) AS dst
+  FROM events
+),
+ed AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ev WHERE dst IS NOT NULL AND dst <> src
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM ev
+    WHERE dst IS NOT NULL AND dst <> src
+  )
+),
+f AS (SELECT user_id AS node, COUNT(*) AS f FROM events GROUP BY user_id),
+h1 AS (
+  SELECT ed.src AS node, SUM(f.f) AS s1
+  FROM ed JOIN f ON f.node = ed.dst GROUP BY ed.src
+),
+h2 AS (
+  SELECT ed.src AS node, SUM(h1.s1) AS s2
+  FROM ed JOIN h1 ON h1.node = ed.dst GROUP BY ed.src
+)
+SELECT CAST(f.node AS BIGINT) AS node,
+       CAST(f.f AS BIGINT) AS f,
+       CAST(COALESCE(h1.s1, 0) AS BIGINT) AS s1,
+       CAST(COALESCE(h2.s2, 0) AS BIGINT) AS s2
+FROM f
+LEFT JOIN h1 ON h1.node = f.node
+LEFT JOIN h2 ON h2.node = f.node
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -6530,6 +6633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighbors": q_sorted_neighbors,
         "random_walks": q_random_walks,
         "kmv_audience_overlap": q_kmv_audience_overlap,
+        "two_hop_features": q_two_hop_features,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -7963,6 +8067,7 @@ GROUP BY 1, 2
         "sorted_neighbors": _SORTED_NEIGHBORS_SQL,
         "random_walks": _random_walks_sql(),
         "kmv_audience_overlap": _KMV_SQL,
+        "two_hop_features": _TWO_HOP_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

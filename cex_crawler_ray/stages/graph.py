@@ -1161,3 +1161,195 @@ def random_walks(
     for ds_ in outputs[1:]:
         out = out.union(ds_)
     return out
+
+
+# ------------------------------------------------ neighborhood agg
+def _na_driver(
+    src: np.ndarray,
+    dst: np.ndarray,
+    fnode: np.ndarray,
+    fval: np.ndarray,
+    hops: int,
+) -> pa.Table:
+    """Vectorized driver aggregation: dedup edges, then one
+    ``np.add.at`` scatter per hop over the dense node index."""
+    o = np.lexsort((dst, src))
+    s, d = src[o], dst[o]
+    keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+    s, d = s[keep], d[keep]
+    nodes = np.unique(np.concatenate([s, d, fnode]))
+    si = np.searchsorted(nodes, s)
+    di = np.searchsorted(nodes, d)
+    fi = np.searchsorted(nodes, fnode)
+    cur = np.zeros(nodes.size, np.int64)
+    cur[fi] = fval
+    levels = []
+    for _ in range(hops):
+        nxt = np.zeros(nodes.size, np.int64)
+        np.add.at(nxt, si, cur[di])
+        levels.append(nxt)
+        cur = nxt
+    out = {
+        "node": pa.array(fnode, pa.int64()),
+        "f": pa.array(fval, pa.int64()),
+    }
+    for h, lvl in enumerate(levels, start=1):
+        out[f"s{h}"] = pa.array(lvl[fi], pa.int64())
+    return pa.table(out)
+
+
+NA_DRIVER_MAX_EDGES = 200_000
+
+
+def neighborhood_agg(
+    edges: "ray.data.Dataset",
+    feats: "ray.data.Dataset",
+    hops: int = 2,
+    num_parts: int = 64,
+    driver_max_edges: int | None = None,
+) -> "ray.data.Dataset":
+    """GNN-style neighborhood feature aggregation (the GraphSAGE /
+    message-passing prep step): for every node, the exact sum of its
+    neighbors' integer feature, iterated ``hops`` times (hop h sums
+    hop h-1 over the same static edge table).  Inputs: ``edges`` as
+    ``(src, dst)`` rows (need not be distinct — deduped once here) and
+    ``feats`` as ``(node, f)`` int64 rows, unique per node.  Returns
+    ``(node, f, s1..s{hops})`` with 0 where a hop has no contributors.
+
+    Per hop: ONE co-partition hash join (static edges x previous hop's
+    (node, val) table, keyed on dst) followed by a per-batch partial
+    sum per src and a coarse keyed sum — one aggregate-sized row per
+    (batch, src) on the wire, never the neighbor lists.  The final
+    assembly is a single coarse union-pivot, not per-node joins.
+
+    Below ``driver_max_edges`` (default ``NA_DRIVER_MAX_EDGES``) the
+    int64 edges and features solve on the driver with one vectorized
+    scatter per hop — the usual small-graph threshold switch; pass 0
+    to force the distributed path (pytest pins both equal).
+    """
+    import pandas as pd
+
+    if driver_max_edges is None:
+        driver_max_edges = NA_DRIVER_MAX_EDGES
+    if driver_max_edges > 0:
+        edges = edges.materialize()
+        if edges.count() <= driver_max_edges:
+            etbl = pa.concat_tables(
+                ray.get(edges.to_arrow_refs()), promote_options="default"
+            )
+            # feats may arrive as pandas blocks (groupby upstream);
+            # to_pandas handles both block formats
+            fdf = feats.to_pandas()
+            return ray.data.from_arrow(
+                _na_driver(
+                    etbl["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    etbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    fdf["node"].to_numpy(dtype=np.int64),
+                    fdf["f"].to_numpy(dtype=np.int64),
+                    hops,
+                )
+            )
+
+    def as_int_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch["src"].cast(pa.int64()),
+                "dst": batch["dst"].cast(pa.int64()),
+            }
+        )
+
+    def _dedup_edges(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().drop_duplicates(subset=["src", "dst"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ed = _coarse_group_apply(
+        edges.map_batches(as_int_edges, batch_format="pyarrow"),
+        "src",
+        _dedup_edges,
+        num_parts,
+    ).materialize()
+
+    def base_vals(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"].cast(pa.int64()),
+                "val": batch["f"].cast(pa.int64()),
+            }
+        )
+
+    cur = feats.map_batches(base_vals, batch_format="pyarrow")
+    levels = []  # (hop, Dataset of (node, val))
+
+    def _sum_by_node(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        g = df.groupby("node", as_index=False)["val"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    for _h in range(1, hops + 1):
+        joined = hash_join(
+            ed, cur, left_key="dst", right_key="node", num_parts=num_parts
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            g = df.groupby("src", as_index=False)["val"].sum()
+            return pa.table(
+                {
+                    "node": pa.array(g["src"].to_numpy(np.int64), pa.int64()),
+                    "val": pa.array(g["val"].to_numpy(np.int64), pa.int64()),
+                }
+            )
+
+        cur = _coarse_group_apply(
+            joined.map_batches(partial, batch_format="pyarrow"),
+            "node",
+            _sum_by_node,
+            num_parts,
+        ).materialize()
+        levels.append(cur)
+
+    # assemble (node, f, s1..sH) in ONE coarse union-pivot
+    def tag(h: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch["node"].cast(pa.int64()),
+                    "val": batch["val"].cast(pa.int64()),
+                    "h": pa.array(
+                        np.full(batch.num_rows, h, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    unioned = feats.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"].cast(pa.int64()),
+                "val": b["f"].cast(pa.int64()),
+                "h": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    for h, lvl in enumerate(levels, start=1):
+        unioned = unioned.union(lvl.map_batches(tag(h), batch_format="pyarrow"))
+
+    cols = ["f"] + [f"s{h}" for h in range(1, hops + 1)]
+
+    def pivot(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        wide = df.pivot_table(
+            index="node", columns="h", values="val", aggfunc="first"
+        ).reindex(columns=list(range(hops + 1)))
+        # only nodes present in feats (h == 0) are emitted
+        wide = wide[wide[0].notna()].fillna(0)
+        out = {"node": wide.index.to_numpy(dtype=np.int64)}
+        for i, c in enumerate(cols):
+            out[c] = wide[i].to_numpy(dtype=np.int64)
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in out.items()}
+        )
+
+    return _coarse_group_apply(unioned, "node", pivot, num_parts)

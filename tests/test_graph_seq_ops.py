@@ -366,3 +366,44 @@ def test_random_walks_deterministic_and_paths_equal(ray_session):
         walk.append(cur)
     got = fast[fast["seed"] == 0].sort_values("step")["node"].tolist()
     assert got == walk
+
+
+def test_neighborhood_agg_hand_graph(ray_session):
+    """Path 1-2-3 with features f=(10,20,30): s1/s2 match hand sums,
+    duplicate edges collapse, isolated node 9 gets zeros."""
+    from cex_crawler_ray.stages.graph import neighborhood_agg
+
+    edges = pd.DataFrame(
+        {
+            "src": [1, 2, 2, 3, 1],
+            "dst": [2, 1, 3, 2, 2],  # (1,2) duplicated
+        }
+    )
+    feats = pd.DataFrame(
+        {"node": [1, 2, 3, 9], "f": [10, 20, 30, 99]}
+    )
+    def run(thresh):
+        return (
+            neighborhood_agg(
+                ray.data.from_pandas(edges).repartition(2),
+                ray.data.from_pandas(feats).repartition(2),
+                hops=2,
+                num_parts=4,
+                driver_max_edges=thresh,
+            )
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+    out = run(10**6)
+    dist = run(0)
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), dist.astype("int64")
+    )
+    # s1: n1=f2=20, n2=f1+f3=40, n3=f2=20, n9=0
+    # s2: n1=s1(2)=40, n2=s1(1)+s1(3)=40, n3=s1(2)=40, n9=0
+    assert out["node"].tolist() == [1, 2, 3, 9]
+    assert out["f"].tolist() == [10, 20, 30, 99]
+    assert out["s1"].tolist() == [20, 40, 20, 0]
+    assert out["s2"].tolist() == [40, 40, 40, 0]
