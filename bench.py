@@ -375,6 +375,8 @@ def bench_queries(sf_dir: str) -> dict:
         "containment_pairs",
         "sorted_neighbors",
         "random_walks",
+        "kmv_audience_overlap",
+        "two_hop_features",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row
