@@ -42,13 +42,25 @@ def _hash64(s: str) -> int:
 # O(num_parts) group calls.  num_parts bounds per-task memory at scale.
 def _coarse_group_apply(ds, key_col: str, fn, num_parts: int = 64):
     def add_part(batch: pa.Table) -> pa.Table:
-        part = pc.cast(
-            pc.bit_wise_and(
-                batch[key_col].combine_chunks().cast(pa.uint64()),
-                pa.scalar(np.uint64(num_parts - 1), pa.uint64()),
-            ),
-            pa.int64(),
-        )
+        # mask in the key's own signedness: num_parts is a power of
+        # two, so two's-complement low bits land in [0, num_parts)
+        # for negative int64 keys too (the old unconditional uint64
+        # cast raised on any negative key — e.g. hash-mixed pair
+        # keys), while uint64 keys >= 2^63 must NOT be cast to int64
+        col = batch[key_col].combine_chunks()
+        if pa.types.is_unsigned_integer(col.type):
+            part = pc.cast(
+                pc.bit_wise_and(
+                    col.cast(pa.uint64()),
+                    pa.scalar(np.uint64(num_parts - 1), pa.uint64()),
+                ),
+                pa.int64(),
+            )
+        else:
+            part = pc.bit_wise_and(
+                col.cast(pa.int64()),
+                pa.scalar(np.int64(num_parts - 1), pa.int64()),
+            )
         return batch.append_column("_part", part)
 
     return (

@@ -438,3 +438,40 @@ def test_range_join_broadcast_edges(ray_session):
     # half-open [lo, hi): 0->a, 999->a, 1000->b, 19999->b; -5 dropped
     assert out["id"].tolist() == [1, 2, 3, 4]
     assert out["tier"].tolist() == ["a", "a", "b", "b"]
+
+
+def test_coarse_group_apply_negative_and_uint_keys(ray_session):
+    """Negative int64 keys and uint64 keys >= 2^63 both partition
+    whole (every key's rows land in exactly one fn invocation)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    def dedup_count(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        g = df.groupby("k", as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    # negative int64 keys, each key split across input blocks
+    ks = np.array([-5, -5, -64, -64, 3, 3, -1, -1], np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": ks})).repartition(4)
+    out = (
+        _coarse_group_apply(ds, "k", dedup_count, 8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [-64, -5, -1, 3]
+    assert out["n"].tolist() == [2, 2, 2, 2]
+
+    # uint64 keys above 2^63
+    big = np.array([2**63 + 7, 2**63 + 7, 2**64 - 1, 2**64 - 1], np.uint64)
+    tbl = pa.table({"k": pa.array(big, pa.uint64())})
+    ds2 = ray.data.from_arrow(tbl).repartition(2)
+    out2 = _coarse_group_apply(ds2, "k", dedup_count, 8).to_pandas()
+    assert sorted(out2["n"].tolist()) == [2, 2]
