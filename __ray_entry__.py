@@ -6527,6 +6527,89 @@ LEFT JOIN h2 ON h2.node = f.node
 """
 
 
+def q_table_snapshots(sf_dir: str):
+    """Snapshot-versioned table lifecycle: overwrite v0 (orders with
+    key%3==0), append v1 (key%3==1), compact to v2 — then TIME-TRAVEL
+    read every version and report (version, n_rows, sum_cents).
+    Exercises the atomic commit protocol end to end; v2 must equal v1
+    exactly (compaction rewrites files, never rows)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.state import table_format as tf
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def subset(mod: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = (
+                batch["o_orderkey"]
+                .combine_chunks()
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            cents = np.round(
+                batch["o_totalprice"]
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                * 100
+            ).astype(np.int64)
+            m = k % 3 == mod
+            return pa.table(
+                {
+                    "k": pa.array(k[m], pa.int64()),
+                    "cents": pa.array(cents[m], pa.int64()),
+                }
+            )
+
+        return fn
+
+    tdir = tempfile.mkdtemp(prefix="tbl_snap_", dir="/tmp")
+    try:
+        v0 = tf.overwrite(
+            tdir, base.map_batches(subset(0), batch_format="pyarrow")
+        )
+        v1 = tf.append(
+            tdir, base.map_batches(subset(1), batch_format="pyarrow")
+        )
+        v2 = tf.compact(tdir, num_files=2)
+        rows = []
+        for v in (v0, v1, v2):
+            ds = tf.read_snapshot(tdir, v)
+            rows.append(
+                {
+                    "version": v,
+                    "n_rows": int(ds.count()),
+                    "sum_cents": int(ds.sum("cents")),
+                }
+            )
+        return pd.DataFrame(rows).astype("int64")
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+_TABLE_SNAPSHOTS_SQL = """
+WITH c AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+v0 AS (SELECT * FROM c WHERE k % 3 = 0),
+v1 AS (SELECT * FROM c WHERE k % 3 IN (0, 1))
+SELECT CAST(0 AS BIGINT) AS version,
+       CAST((SELECT count(*) FROM v0) AS BIGINT) AS n_rows,
+       CAST((SELECT sum(cents) FROM v0) AS BIGINT) AS sum_cents
+UNION ALL
+SELECT 1, (SELECT count(*) FROM v1), (SELECT sum(cents) FROM v1)
+UNION ALL
+SELECT 2, (SELECT count(*) FROM v1), (SELECT sum(cents) FROM v1)
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -6634,6 +6717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q_random_walks,
         "kmv_audience_overlap": q_kmv_audience_overlap,
         "two_hop_features": q_two_hop_features,
+        "table_snapshots": q_table_snapshots,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -8068,6 +8152,7 @@ GROUP BY 1, 2
         "random_walks": _random_walks_sql(),
         "kmv_audience_overlap": _KMV_SQL,
         "two_hop_features": _TWO_HOP_SQL,
+        "table_snapshots": _TABLE_SNAPSHOTS_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,
