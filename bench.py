@@ -377,6 +377,7 @@ def bench_queries(sf_dir: str) -> dict:
         "random_walks",
         "kmv_audience_overlap",
         "two_hop_features",
+        "table_snapshots",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row
