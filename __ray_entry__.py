@@ -6610,6 +6610,203 @@ SELECT 2, (SELECT count(*) FROM v1), (SELECT sum(cents) FROM v1)
 """
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped shipping-priority top-k: customer segment
+    semi-filter broadcast onto orders (dim side, `ray.put` once),
+    lineitem revenue pre-aggregated to (orderkey, cents) partials
+    inside `map_batches` BEFORE the one co-partition hash join, then
+    a distributed sort + limit on the per-order rollup.  At 100 TB
+    the only all-to-alls are the lineitem combiner groupby and the
+    orderkey join; customers never shuffle."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.join import hash_join
+
+    cutoff = np.datetime64("1998-06-01")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    keep_ref = ray.put(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(
+            dtype=np.int64
+        )
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def filt_orders(batch: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        dates = batch["o_orderdate"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        m = (dates < cutoff) & np.isin(
+            batch["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False),
+            keep,
+        )
+        return batch.select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).filter(pa.array(m))
+
+    o_side = orders.map_batches(filt_orders, batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(df: "pd.DataFrame") -> pa.Table:
+        df = df[df["l_shipdate"].to_numpy() > cutoff]
+        cents = _cents(
+            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        )
+        g = pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].astype("int64"), "cents": cents}
+        ).groupby("l_orderkey", as_index=False)["cents"].sum()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(li_partial, batch_format="pandas"),
+        o_side,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+    )
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(df["l_orderkey"].iloc[0])],
+                "revenue_cents": [int(df["cents"].sum())],
+                "o_orderdate": [df["o_orderdate"].iloc[0]],
+                "o_orderpriority": [df["o_orderpriority"].iloc[0]],
+            }
+        )
+
+    per_order = joined.groupby("l_orderkey").map_groups(
+        final, batch_format="pandas"
+    )
+    top = per_order.sort(
+        ["revenue_cents", "o_orderdate", "o_orderkey"],
+        descending=[True, False, False],
+    ).limit(10)
+    df = top.to_pandas()
+    df["revenue_cents"] = df["revenue_cents"].astype("int64")
+    df["o_orderkey"] = df["o_orderkey"].astype("int64")
+    # epoch-int timestamps (the repo's cross-engine convention: pandas
+    # ns vs DuckDB us units hash differently otherwise)
+    df["o_orderdate_us"] = (
+        df["o_orderdate"].astype("datetime64[us]").astype("int64")
+    )
+    return df[
+        ["o_orderkey", "revenue_cents", "o_orderdate_us", "o_orderpriority"]
+    ]
+
+
+_SHIPPING_PRIORITY_SQL = """
+WITH cust AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+o AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-06-01'
+    AND o_custkey IN (SELECT c_custkey FROM cust)
+),
+l AS (
+  SELECT l_orderkey,
+         CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+  WHERE l_shipdate > TIMESTAMP '1998-06-01'
+)
+SELECT o.o_orderkey,
+       CAST(SUM(l.cents) AS BIGINT) AS revenue_cents,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+       o.o_orderpriority
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cents DESC, o.o_orderdate ASC, o.o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_transition_matrix(sf_dir: str):
+    """Per-user event-type Markov transition counts: one hash shuffle
+    on user_id, in-partition vectorized sort + shift (no per-user
+    loop), partial (from,to) counts per partition, tiny final
+    groupby.  The shuffle carries at most |types|^2 rows per
+    partition — never raw events twice."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def partial(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        if len(df) == 0:
+            return pa.table(
+                {
+                    "from_type": pa.array([], pa.string()),
+                    "to_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = df["user_id"].to_numpy()[:-1] == df["user_id"].to_numpy()[1:]
+        et = df["event_type"].to_numpy()
+        out = pd.DataFrame(
+            {"from_type": et[:-1][same], "to_type": et[1:][same]}
+        )
+        g = out.groupby(["from_type", "to_type"], as_index=False).size()
+        return pa.table(
+            {
+                "from_type": pa.array(g["from_type"], pa.string()),
+                "to_type": pa.array(g["to_type"], pa.string()),
+                "n": pa.array(g["size"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    partials = _coarse_group_apply(events, "user_id", partial, 64)
+    agg = partials.groupby(["from_type", "to_type"]).sum("n")
+    # final matrix is <= |types|^2 rows — driver-side normalization is
+    # a constant-size structure, not a data-scale one
+    df = agg.to_pandas()
+    df = df.rename(columns={"sum(n)": "n"})
+    df["n"] = df["n"].astype("int64")
+    df["from_total"] = (
+        df.groupby("from_type")["n"].transform("sum").astype("int64")
+    )
+    return df[["from_type", "to_type", "n", "from_total"]]
+
+
+_TRANSITION_MATRIX_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+)
+SELECT from_type, to_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(count(*)) OVER (PARTITION BY from_type) AS BIGINT)
+         AS from_total
+FROM seq
+WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -6718,6 +6915,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_audience_overlap": q_kmv_audience_overlap,
         "two_hop_features": q_two_hop_features,
         "table_snapshots": q_table_snapshots,
+        "shipping_priority": q_shipping_priority,
+        "transition_matrix": q_transition_matrix,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -8153,6 +8352,8 @@ GROUP BY 1, 2
         "kmv_audience_overlap": _KMV_SQL,
         "two_hop_features": _TWO_HOP_SQL,
         "table_snapshots": _TABLE_SNAPSHOTS_SQL,
+        "shipping_priority": _SHIPPING_PRIORITY_SQL,
+        "transition_matrix": _TRANSITION_MATRIX_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,
