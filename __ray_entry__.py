@@ -6604,9 +6604,11 @@ SELECT CAST(0 AS BIGINT) AS version,
        CAST((SELECT count(*) FROM v0) AS BIGINT) AS n_rows,
        CAST((SELECT sum(cents) FROM v0) AS BIGINT) AS sum_cents
 UNION ALL
-SELECT 1, (SELECT count(*) FROM v1), (SELECT sum(cents) FROM v1)
+SELECT 1, (SELECT count(*) FROM v1),
+       CAST((SELECT sum(cents) FROM v1) AS BIGINT)
 UNION ALL
-SELECT 2, (SELECT count(*) FROM v1), (SELECT sum(cents) FROM v1)
+SELECT 2, (SELECT count(*) FROM v1),
+       CAST((SELECT sum(cents) FROM v1) AS BIGINT)
 """
 
 
