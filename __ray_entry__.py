@@ -6791,6 +6791,32 @@ def q_transition_matrix(sf_dir: str):
     return df[["from_type", "to_type", "n", "from_total"]]
 
 
+def q_cm_event_counts(sf_dir: str):
+    """Count-min sketch point queries over the fixed event-type
+    domain.  The 5 keys are pairwise collision-free in every sketch
+    row (a data-independent property of the fixed hash — pinned by
+    pytest), so the row-minimum is exact and the SQL oracle is the
+    plain group count: the exact-regime oracle pattern shared with
+    HLL/KMV/bottom-k."""
+    from cex_crawler_ray.stages.sketch import count_min_counts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type"]
+    )
+    return count_min_counts(
+        events,
+        "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+_CM_EVENT_COUNTS_SQL = """
+SELECT event_type AS key, CAST(count(*) AS BIGINT) AS est_n
+FROM events
+GROUP BY event_type
+"""
+
+
 _TRANSITION_MATRIX_SQL = """
 WITH seq AS (
   SELECT event_type AS from_type,
@@ -6919,6 +6945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_snapshots": q_table_snapshots,
         "shipping_priority": q_shipping_priority,
         "transition_matrix": q_transition_matrix,
+        "cm_event_counts": q_cm_event_counts,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -8356,6 +8383,7 @@ GROUP BY 1, 2
         "table_snapshots": _TABLE_SNAPSHOTS_SQL,
         "shipping_priority": _SHIPPING_PRIORITY_SQL,
         "transition_matrix": _TRANSITION_MATRIX_SQL,
+        "cm_event_counts": _CM_EVENT_COUNTS_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

@@ -690,3 +690,115 @@ def kmv_jaccard(
         "n_union": n_union_est,
         "exact": False,
     }
+
+
+# ------------------------------------------------------- count-min sketch
+class CountMin:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): ``depth``
+    rows of ``width`` counters; point queries return the row-wise
+    minimum, an OVERESTIMATE of the true count by at most eN/width
+    w.h.p. — the dual of the Misra-Gries underestimate above.  Merge
+    is element-wise sum (trivially associative), so per-batch partials
+    combine in any order and any tree shape."""
+
+    def __init__(self, width: int = 4096, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        """(depth, n) column positions from one 64-bit base hash per
+        item: splitmix remix with a per-row constant (independent-ish
+        row hash functions from a single stored hash)."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        out = np.empty((self.depth, len(h)), dtype=np.int64)
+        for d in range(self.depth):
+            out[d] = (
+                _id_hash(h + np.uint64(0xA5A5A5A5 * (d + 1)))
+                % np.uint64(self.width)
+            ).astype(np.int64)
+        return out
+
+    def add_hashes(self, hashes: np.ndarray) -> "CountMin":
+        pos = self._positions(hashes)
+        for d in range(self.depth):
+            self.table[d] += np.bincount(
+                pos[d], minlength=self.width
+            ).astype(np.int64)
+        return self
+
+    def estimate_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        pos = self._positions(hashes)
+        ests = np.stack(
+            [self.table[d][pos[d]] for d in range(self.depth)]
+        )
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        self.table += other.table
+        return self
+
+
+def _str_hash64(values) -> np.ndarray:
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(
+                    str(v).encode("utf-8"), digest_size=8
+                ).digest(),
+                "big",
+            )
+            for v in values
+        ),
+        dtype=np.uint64,
+        count=len(values),
+    )
+
+
+def count_min_counts(
+    ds: "ray.data.Dataset",
+    col: str,
+    query_keys: list,
+    width: int = 4096,
+    depth: int = 4,
+) -> pa.Table:
+    """Point-query counts for ``query_keys`` from a count-min sketch
+    built in one ``map_batches`` pass: each batch emits ONE dense
+    (depth x width) partial (same shape as the HLL register partials),
+    the driver sum-merges them — constant-size state, no shuffle.
+
+    Exact regime: when the column's distinct values are a small FIXED
+    domain (e.g. event types) whose pairwise positions don't fully
+    collide — a data-independent property of the hash — the minimum
+    row is collision-free and estimates are exactly the true counts;
+    that regime is this sketch's SQL-oracle guard.  Otherwise the
+    estimate is a guaranteed overestimate (pytest-anchored).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cm = CountMin(width, depth)
+        vals = batch[col].to_pylist()
+        if vals:
+            cm.add_hashes(_str_hash64(vals))
+        return pa.table(
+            {"tbl": pa.array([cm.table.tobytes()], pa.binary())}
+        )
+
+    merged = CountMin(width, depth)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        other = CountMin(width, depth)
+        other.table = np.frombuffer(row["tbl"], dtype=np.int64).reshape(
+            depth, width
+        ).copy()
+        merged = merged.merge(other)
+    keys = [str(k) for k in query_keys]
+    est = merged.estimate_hashes(_str_hash64(keys))
+    return pa.table(
+        {
+            "key": pa.array(keys, pa.string()),
+            "est_n": pa.array(est.astype(np.int64), pa.int64()),
+        }
+    )

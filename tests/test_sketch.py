@@ -256,3 +256,38 @@ def test_kmv_saturated_estimates_within_tolerance(ray_session):
     true_inter = n // 2
     assert abs(r["n_union"] - true_union) / true_union < 0.2
     assert abs(r["n_inter"] - true_inter) / true_inter < 0.25
+
+
+def test_count_min_event_domain_collision_free():
+    """The fixed 5-key event-type domain must stay pairwise
+    collision-free in EVERY sketch row — the data-independent property
+    that makes q_cm_event_counts exact at any scale."""
+    import numpy as np
+
+    from cex_crawler_ray.stages.sketch import CountMin, _str_hash64
+
+    keys = ["click", "error", "purchase", "signup", "view"]
+    cm = CountMin()
+    pos = cm._positions(_str_hash64(keys))
+    for d in range(cm.depth):
+        assert len(set(pos[d].tolist())) == len(keys)
+
+
+def test_count_min_overestimates_never_under(ray_session):
+    """CM point estimates are >= the exact count for every key, and
+    exact when collision-free; merge order must not matter."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    from cex_crawler_ray.stages.sketch import count_min_counts
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 500, size=20_000)
+    df = pd.DataFrame({"k": [f"u{v}" for v in vals]})
+    ds = ray.data.from_pandas(df).repartition(8)
+    qkeys = [f"u{v}" for v in range(0, 500, 25)]
+    out = count_min_counts(ds, "k", qkeys, width=256, depth=4).to_pandas()
+    exact = df["k"].value_counts()
+    for _, row in out.iterrows():
+        assert row["est_n"] >= int(exact.get(row["key"], 0))
