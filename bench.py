@@ -542,10 +542,50 @@ def run_scaling() -> None:
     )
 
 
+def run_stats() -> None:
+    """Per-stage introspection of the headline pipeline: run the
+    flagship fetch+extract once and print ``ds.stats()`` so stage wall
+    time / output-size skew is auditable (the 'read the stats, then
+    iterate' loop from the Ray guide)."""
+    import logging
+
+    import ray
+    from cex_crawler_ray.pipelines.flagship import page_store_for
+    from cex_crawler_ray.sources.pages import sources_in
+    from cex_crawler_ray.stages.extract import ExtractStage, profiles_for_sources
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=_num_cpus(), include_dashboard=False
+        )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    store = page_store_for(sf_dir, replicate=REPLICATE, pad=PAD)
+    profiles = profiles_for_sources(sources_in(sf_dir))
+    urls = [
+        u
+        for ref in ray.data.read_parquet(
+            store.path, columns=["url"]
+        ).to_arrow_refs()
+        for u in ray.get(ref)["url"].to_pylist()
+    ]
+    ds = store.fetch_broadcast(
+        frontier_hash_array=store.frontier_hashes(urls)
+    ).map_batches(ExtractStage(profiles=profiles), batch_format="pyarrow")
+    # materialize (bench-only, small replicated store) so the executed
+    # plan's per-stage stats are attached to THIS dataset handle
+    mat = ds.materialize()
+    print(f"# rows: {mat.count()}")
+    print(mat.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--crawl-dist-child" in sys.argv:
         _crawl_dist_child(sys.argv[sys.argv.index("--crawl-dist-child") + 1])
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))
