@@ -6791,6 +6791,93 @@ def q_transition_matrix(sf_dir: str):
     return df[["from_type", "to_type", "n", "from_total"]]
 
 
+def q_snapshot_changes(sf_dir: str):
+    """Change-data-feed between two committed snapshot versions
+    (Delta/Iceberg CDF shape): write v0 (orders k%2==0), overwrite v1
+    (k%3==0 with cents+100), then TIME-TRAVEL read both versions and
+    diff them with the keyed co-partition ``table_diff`` — added /
+    removed / changed rows, never a full-table driver materialization
+    (the diff shuffle carries (key, val, side) triples only)."""
+    import shutil
+    import tempfile
+
+    from cex_crawler_ray.stages.diff import table_diff
+    from cex_crawler_ray.state import table_format as tf
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def subset(mod: int, div: int, bump: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = (
+                batch["o_orderkey"]
+                .combine_chunks()
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            cents = _cents(
+                batch["o_totalprice"]
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            m = k % div == mod
+            return pa.table(
+                {
+                    "k": pa.array(k[m], pa.int64()),
+                    "cents": pa.array(cents[m] + bump, pa.int64()),
+                }
+            )
+
+        return fn
+
+    tdir = tempfile.mkdtemp(prefix="tbl_cdf_", dir="/tmp")
+    try:
+        v0 = tf.overwrite(
+            tdir, base.map_batches(subset(0, 2, 0), batch_format="pyarrow")
+        )
+        v1 = tf.overwrite(
+            tdir, base.map_batches(subset(0, 3, 100), batch_format="pyarrow")
+        )
+        diff = table_diff(
+            tf.read_snapshot(tdir, v0),
+            tf.read_snapshot(tdir, v1),
+            key_col="k",
+            val_col="cents",
+        )
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                ["o_orderkey", "status", "old_val", "new_val"]
+            )
+
+        out = diff.map_batches(rename, batch_format="pyarrow")
+        return pa.concat_tables(
+            ray.get(out.to_arrow_refs()), promote_options="default"
+        )
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+_SNAPSHOT_CHANGES_SQL = """
+WITH c AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+v0 AS (SELECT k, cents FROM c WHERE k % 2 = 0),
+v1 AS (SELECT k, cents + 100 AS cents FROM c WHERE k % 3 = 0)
+SELECT COALESCE(v0.k, v1.k) AS o_orderkey,
+       CASE WHEN v0.k IS NULL THEN 'added'
+            WHEN v1.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       CAST(COALESCE(v0.cents, -1) AS BIGINT) AS old_val,
+       CAST(COALESCE(v1.cents, -1) AS BIGINT) AS new_val
+FROM v0 FULL OUTER JOIN v1 ON v0.k = v1.k
+WHERE v0.k IS NULL OR v1.k IS NULL OR v0.cents != v1.cents
+"""
+
+
 def q_cm_event_counts(sf_dir: str):
     """Count-min sketch point queries over the fixed event-type
     domain.  The 5 keys are pairwise collision-free in every sketch
@@ -6946,6 +7033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "transition_matrix": q_transition_matrix,
         "cm_event_counts": q_cm_event_counts,
+        "snapshot_changes": q_snapshot_changes,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -8384,6 +8472,7 @@ GROUP BY 1, 2
         "shipping_priority": _SHIPPING_PRIORITY_SQL,
         "transition_matrix": _TRANSITION_MATRIX_SQL,
         "cm_event_counts": _CM_EVENT_COUNTS_SQL,
+        "snapshot_changes": _SNAPSHOT_CHANGES_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,
