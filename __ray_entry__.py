@@ -6878,6 +6878,51 @@ WHERE v0.k IS NULL OR v1.k IS NULL OR v0.cents != v1.cents
 """
 
 
+def q_max_concurrency(sf_dir: str):
+    """Sweep-line maximum concurrency: every event opens an interval
+    [ts, ts + round(value*100) seconds); the distributed segmented
+    scan (ordered time buckets -> one (bucket, sum, max_run) row each
+    -> driver prefix over the tiny bucket table) finds the global
+    peak without a global sort."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import max_concurrency
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        s_us = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {"s_us": s_us, "e_us": s_us + _cents(df["value"]) * 1_000_000}
+        )
+
+    return max_concurrency(ds.map_batches(prep, batch_format="pandas"))
+
+
+_MAX_CONCURRENCY_SQL = """
+WITH iv AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS s,
+         CAST(epoch_us(ts) AS BIGINT)
+           + CAST(round(value * 100) AS BIGINT) * 1000000 AS e
+  FROM events
+),
+pts AS (
+  SELECT s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT e AS t, -1 AS d FROM iv
+),
+run AS (
+  SELECT SUM(d) OVER (ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS r
+  FROM pts
+)
+SELECT CAST((SELECT max(r) FROM run) AS BIGINT) AS max_concurrent,
+       CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_intervals
+"""
+
+
 def q_cm_event_counts(sf_dir: str):
     """Count-min sketch point queries over the fixed event-type
     domain.  The 5 keys are pairwise collision-free in every sketch
@@ -7034,6 +7079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_matrix": q_transition_matrix,
         "cm_event_counts": q_cm_event_counts,
         "snapshot_changes": q_snapshot_changes,
+        "max_concurrency": q_max_concurrency,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -8473,6 +8519,7 @@ GROUP BY 1, 2
         "transition_matrix": _TRANSITION_MATRIX_SQL,
         "cm_event_counts": _CM_EVENT_COUNTS_SQL,
         "snapshot_changes": _SNAPSHOT_CHANGES_SQL,
+        "max_concurrency": _MAX_CONCURRENCY_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

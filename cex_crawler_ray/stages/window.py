@@ -1162,3 +1162,101 @@ def global_prefix_max(
         )
 
     return _coarse_group_apply(tagged, "_bkt", within, num_parts)
+
+
+def max_concurrency(
+    ds: "ray.data.Dataset",
+    s_col: str = "s_us",
+    e_col: str = "e_us",
+    bucket_width: int = 1 << 40,
+    num_parts: int = 32,
+) -> pa.Table:
+    """Sweep-line maximum concurrency over [s, e) intervals with NO
+    global sort: each interval emits (+1 at s, -1 at e) endpoint rows
+    tagged with an ORDERED time bucket; one coarse shuffle co-locates
+    each bucket, whose exact internal running sum (ties: -1 before +1,
+    so touching intervals never overlap) reduces to ONE (bucket,
+    sum_delta, max_running) row; the driver's exclusive prefix sum
+    over the tiny bucket table yields the global maximum — the
+    segmented-scan shape shared with ``global_row_number`` /
+    ``global_prefix_max``.  Returns one row:
+    (max_concurrent, n_intervals)."""
+    from .dedup import _coarse_group_apply
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        s = batch[s_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        e = batch[e_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = np.concatenate([s, e])
+        d = np.concatenate(
+            [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
+        )
+        return pa.table(
+            {
+                "t": pa.array(t, pa.int64()),
+                "d": pa.array(d, pa.int64()),
+                "_bkt": pa.array(t // bucket_width, pa.int64()),
+            }
+        )
+
+    pts = ds.map_batches(endpoints, batch_format="pyarrow")
+
+    def bucket_scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "_bkt": pa.array([], pa.int64()),
+                    "sum_d": pa.array([], pa.int64()),
+                    "max_run": pa.array([], pa.int64()),
+                    "n_start": pa.array([], pa.int64()),
+                }
+            )
+        b = group["_bkt"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        d = group["d"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, t, b))  # within bucket: by t, then -1<+1
+        b, d = b[order], d[order]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        cs = np.cumsum(d)
+        # per-bucket running sum: global cumsum minus the cumsum just
+        # before each bucket's first row, broadcast via repeat
+        prev = np.concatenate([[0], cs[starts[1:] - 1]])
+        counts = np.diff(np.r_[starts, len(d)])
+        run = cs - np.repeat(prev, counts)
+        return pa.table(
+            {
+                "_bkt": pa.array(b[starts], pa.int64()),
+                "sum_d": pa.array(
+                    np.add.reduceat(d, starts).astype(np.int64), pa.int64()
+                ),
+                "max_run": pa.array(
+                    np.maximum.reduceat(run, starts).astype(np.int64),
+                    pa.int64(),
+                ),
+                "n_start": pa.array(
+                    np.add.reduceat((d > 0).astype(np.int64), starts),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_bucket = _coarse_group_apply(
+        pts, "_bkt", bucket_scan, num_parts
+    ).to_pandas()
+    per_bucket = per_bucket.sort_values("_bkt")
+    sums = per_bucket["sum_d"].to_numpy(dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    gmax = int(
+        (offs + per_bucket["max_run"].to_numpy(dtype=np.int64)).max()
+    )
+    return pa.table(
+        {
+            "max_concurrent": pa.array([gmax], pa.int64()),
+            "n_intervals": pa.array(
+                [int(per_bucket["n_start"].sum())], pa.int64()
+            ),
+        }
+    )

@@ -304,3 +304,29 @@ def test_global_prefix_max_strict_and_cross_bucket(ray_session):
     assert got["prefix_max"].to_numpy(dtype=np.int64).tolist() == [
         int(x) for x in want.to_numpy()
     ]
+
+
+def test_max_concurrency_hand_case(ray_session):
+    """Intervals straddling bucket boundaries; touching intervals
+    ([0,10) and [10,20)) must NOT count as concurrent; tiny buckets
+    force the cross-bucket prefix path."""
+    import pandas as pd
+
+    import ray
+    from cex_crawler_ray.stages.window import max_concurrency
+
+    iv = pd.DataFrame(
+        {
+            "s_us": [0, 10, 5, 7, 100, 101, 102],
+            "e_us": [10, 20, 9, 30, 200, 150, 103],
+        }
+    )
+    out = max_concurrency(
+        ray.data.from_pandas(iv).repartition(3),
+        bucket_width=8,
+        num_parts=4,
+    ).to_pandas()
+    # t in [7,9): {0-10, 5-9, 7-30} = 3;  t in [102,103): {100-200,
+    # 101-150, 102-103} = 3; never 4
+    assert out["max_concurrent"].iloc[0] == 3
+    assert out["n_intervals"].iloc[0] == 7
