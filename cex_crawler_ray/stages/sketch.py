@@ -229,6 +229,7 @@ def mg_heavy_hitters(
     ds: "ray.data.Dataset",
     col: str,
     k: int = 16,
+    driver_merge_max_blocks: int = 4096,
 ) -> tuple[pa.Table, int, int]:
     """Misra-Gries heavy hitters over an int64 key stream (Misra &
     Gries 1982; mergeability per Agarwal et al. 2012 "Mergeable
@@ -271,16 +272,31 @@ def mg_heavy_hitters(
             }
         )
 
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("key")
-        .sum("cnt")
-    )
-    tbl = pa.concat_tables(
-        ray.get(merged.to_arrow_refs()), promote_options="default"
-    ).rename_columns(["key", "cnt"])
+    part_ds = ds.map_batches(partial, batch_format="pyarrow")
+    refs = part_ds.to_arrow_refs()
+    if len(refs) <= driver_merge_max_blocks:
+        # partials are <= k+2 rows per block, so below the block-count
+        # threshold a driver-side numpy merge replaces the all-to-all
+        # groupby (a multi-second fixed cost at sandbox scale); above
+        # it the partials (already computed, zero re-work) feed the
+        # shuffle path so the driver never holds an unbounded table
+        tbl = pa.concat_tables(
+            ray.get(refs), promote_options="default"
+        )
+    else:
+        merged = (
+            ray.data.from_arrow_refs(refs).groupby("key").sum("cnt")
+        )
+        tbl = pa.concat_tables(
+            ray.get(merged.to_arrow_refs()), promote_options="default"
+        ).rename_columns(["key", "cnt"])
     keys = tbl["key"].to_numpy(zero_copy_only=False).astype(np.int64)
     cnts = tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(refs) <= driver_merge_max_blocks and len(keys):
+        u, inv = np.unique(keys, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, cnts)
+        keys, cnts = u, s
     is_delta = keys == DELTA_KEY
     is_total = keys == TOTAL_KEY
     delta_total = int(cnts[is_delta].sum()) if is_delta.any() else 0

@@ -78,6 +78,21 @@ def test_mg_partitioning_invariant_final_answer(ray_session):
     assert outs[0] == want
 
 
+def test_mg_driver_merge_equals_groupby_path(ray_session):
+    """The driver-side partial merge (block count below threshold) and
+    the groupby shuffle fallback (threshold forced to 0) must return
+    identical summaries — same keys, counts, delta, and total."""
+    from cex_crawler_ray.stages.sketch import mg_heavy_hitters
+
+    vals = _zipfish()
+    fast = mg_heavy_hitters(_stream(vals, 7), "k", k=8)
+    slow = mg_heavy_hitters(
+        _stream(vals, 7), "k", k=8, driver_merge_max_blocks=0
+    )
+    assert fast[0].equals(slow[0])
+    assert fast[1] == slow[1] and fast[2] == slow[2]
+
+
 def test_exact_key_counts(ray_session):
     from cex_crawler_ray.stages.sketch import exact_key_counts
 
