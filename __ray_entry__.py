@@ -6949,6 +6949,134 @@ GROUP BY event_type
 """
 
 
+def q_cogroup_customer_stats(sf_dir: str):
+    """Three-stream co-group in ONE exchange: customer x orders x
+    events on the customer key.  A correlated combine (events on or
+    after the customer's FIRST order day) runs locally per partition —
+    the separate-aggregates-then-join plan would pay three all-to-alls
+    plus two joins; co-grouping pays exactly one."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.cogroup import cogroup_apply
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def oprep(df: "pd.DataFrame") -> "pd.DataFrame":
+        day = (
+            pd.to_datetime(df["o_orderdate"])
+            .astype("datetime64[s]")
+            .astype("int64")
+            // 86400
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "cents": _cents(df["o_totalprice"]),
+                "day": day,
+            }
+        )
+
+    def eprep(df: "pd.DataFrame") -> "pd.DataFrame":
+        day = df["ts"].astype("datetime64[s]").astype("int64") // 86400
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "cents": _cents(df["value"]),
+                "day": day,
+            }
+        )
+
+    def combine(frames: "list[pd.DataFrame]") -> "pd.DataFrame":
+        cst, odf, edf = frames
+        o = odf.groupby("o_custkey", as_index=False).agg(
+            n_orders=("cents", "size"),
+            order_cents=("cents", "sum"),
+            first_day=("day", "min"),
+        )
+        ev = edf.groupby("user_id", as_index=False).agg(
+            n_events=("cents", "size"), event_cents=("cents", "sum")
+        )
+        af = edf.merge(
+            o[["o_custkey", "first_day"]],
+            left_on="user_id",
+            right_on="o_custkey",
+        )
+        af = (
+            af.loc[af["day"] >= af["first_day"]]
+            .groupby("user_id", as_index=False)
+            .size()
+            .rename(columns={"size": "n_after_first"})
+        )
+        out = (
+            cst.merge(o, left_on="c_custkey", right_on="o_custkey", how="left")
+            .merge(ev, left_on="c_custkey", right_on="user_id", how="left")
+            .merge(af, left_on="c_custkey", right_on="user_id", how="left")
+        )
+        res = pd.DataFrame({"c_custkey": out["c_custkey"].astype("int64")})
+        res["c_nationkey"] = out["c_nationkey"].astype("int64")
+        for c in (
+            "n_orders",
+            "order_cents",
+            "n_events",
+            "event_cents",
+            "n_after_first",
+        ):
+            res[c] = out[c].fillna(0).astype("int64")
+        return res
+
+    return cogroup_apply(
+        [
+            cust,
+            orders.map_batches(oprep, batch_format="pandas"),
+            events.map_batches(eprep, batch_format="pandas"),
+        ],
+        ["c_custkey", "o_custkey", "user_id"],
+        combine,
+        num_parts=64,
+    )
+
+
+_COGROUP_CUSTOMER_STATS_SQL = """
+WITH o AS (
+  SELECT o_custkey AS k, COUNT(*) AS n_orders,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS order_cents,
+         MIN(CAST(o_orderdate AS DATE)) AS first_dt
+  FROM orders GROUP BY 1
+),
+e AS (
+  SELECT user_id AS k, COUNT(*) AS n_events,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS event_cents
+  FROM events GROUP BY 1
+),
+af AS (
+  SELECT ev.user_id AS k, COUNT(*) AS n_after_first
+  FROM events ev JOIN o ON ev.user_id = o.k
+  WHERE CAST(ev.ts AS DATE) >= o.first_dt
+  GROUP BY 1
+)
+SELECT c_custkey,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(o.order_cents, 0) AS BIGINT) AS order_cents,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(e.event_cents, 0) AS BIGINT) AS event_cents,
+       CAST(COALESCE(af.n_after_first, 0) AS BIGINT) AS n_after_first
+FROM customer
+LEFT JOIN o ON c_custkey = o.k
+LEFT JOIN e ON c_custkey = e.k
+LEFT JOIN af ON c_custkey = af.k
+"""
+
+
 _TRANSITION_MATRIX_SQL = """
 WITH seq AS (
   SELECT event_type AS from_type,
@@ -7080,6 +7208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_event_counts": q_cm_event_counts,
         "snapshot_changes": q_snapshot_changes,
         "max_concurrency": q_max_concurrency,
+        "cogroup_customer_stats": q_cogroup_customer_stats,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -8520,6 +8649,7 @@ GROUP BY 1, 2
         "cm_event_counts": _CM_EVENT_COUNTS_SQL,
         "snapshot_changes": _SNAPSHOT_CHANGES_SQL,
         "max_concurrency": _MAX_CONCURRENCY_SQL,
+        "cogroup_customer_stats": _COGROUP_CUSTOMER_STATS_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,
