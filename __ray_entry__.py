@@ -7077,6 +7077,30 @@ LEFT JOIN af ON c_custkey = af.k
 """
 
 
+def q_frequent_triples(sf_dir: str):
+    """A-priori frequent triples (Agrawal-Srikant L2 -> L3): item
+    triples co-purchased in >= 2 orders.  The broadcast frequent-pair
+    prune is lossless, so the oracle is the plain triple count."""
+    from cex_crawler_ray.stages.sequence import frequent_triples
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return frequent_triples(li, min_support=2)
+
+
+_FREQUENT_TRIPLES_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem)
+SELECT a.i AS item_a, b2.i AS item_b, c.i AS item_c,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b a
+JOIN b b2 ON a.o = b2.o AND a.i < b2.i
+JOIN b c  ON a.o = c.o  AND b2.i < c.i
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 2
+"""
+
+
 _TRANSITION_MATRIX_SQL = """
 WITH seq AS (
   SELECT event_type AS from_type,
@@ -7209,6 +7233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_changes": q_snapshot_changes,
         "max_concurrency": q_max_concurrency,
         "cogroup_customer_stats": q_cogroup_customer_stats,
+        "frequent_triples": q_frequent_triples,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -8650,6 +8675,7 @@ GROUP BY 1, 2
         "snapshot_changes": _SNAPSHOT_CHANGES_SQL,
         "max_concurrency": _MAX_CONCURRENCY_SQL,
         "cogroup_customer_stats": _COGROUP_CUSTOMER_STATS_SQL,
+        "frequent_triples": _FREQUENT_TRIPLES_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

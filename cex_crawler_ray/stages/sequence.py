@@ -187,6 +187,123 @@ def sequence_pattern(
     return _coarse_group_apply(events, user_col, match_part, num_parts)
 
 
+def frequent_triples(
+    lineitem: "ray.data.Dataset",
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """A-priori frequent triple mining (Agrawal & Srikant 1994): item
+    triples (a < b < c) co-occurring in >= ``min_support`` orders.
+
+    The classic two-round MapReduce frequent-itemset plan:
+
+    1. L2 pass — pair supports via the ``copurchase_pairs`` combiner;
+       pairs with support >= min_support become the broadcast
+       candidate set (packed a<<32|b keys, ``ray.put`` once).
+    2. Triple pass — baskets co-partition by order key; inside each
+       partition the pair frame is FIRST pruned to frequent pairs
+       (the a-priori bound: every sub-pair of a frequent triple is
+       frequent, so pruning is LOSSLESS and the SQL oracle is the
+       plain triple count), then extended by a third item and pruned
+       again on (a, c) and (b, c).  Local pre-count bounds the
+       exchange by distinct surviving triples, not baskets.
+
+    Without the prune the triple expansion is O(basket^3) on every
+    basket; with it only baskets containing at least one frequent
+    pair expand at all — at 100 TB that is the difference between a
+    feasible second round and a combinatorial explosion.
+    """
+    import pandas as pd
+
+    pair_tbl = copurchase_pairs(
+        lineitem, order_col, item_col, min_support, num_parts
+    )
+
+    def pack(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        return (a.astype(np.uint64) << np.uint64(32)) | b.astype(
+            np.uint64
+        )
+
+    pt = pair_tbl.to_pandas()  # frequent pairs only: candidate-bounded
+    if "item_a" not in pt.columns:  # empty result drops its schema
+        pt = pd.DataFrame({"item_a": [], "item_b": []})
+    freq = np.sort(
+        pack(
+            pt["item_a"].to_numpy(np.int64),
+            pt["item_b"].to_numpy(np.int64),
+        )
+    )
+    if freq.size == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "item_a": pa.array([], pa.int64()),
+                    "item_b": pa.array([], pa.int64()),
+                    "item_c": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        )
+    freq_ref = ray.put(freq)
+
+    def triple_part(group: pa.Table) -> pa.Table:
+        fr = ray.get(freq_ref)
+        df = group.to_pandas().drop_duplicates([order_col, item_col])
+        m = df.merge(df, on=order_col, suffixes=("_a", "_b"))
+        m = m[m[f"{item_col}_a"] < m[f"{item_col}_b"]]
+        ka = m[f"{item_col}_a"].to_numpy(np.int64)
+        kb = m[f"{item_col}_b"].to_numpy(np.int64)
+        m = m[np.isin(pack(ka, kb), fr)]  # a-priori prune on (a, b)
+        t = m.merge(
+            df.rename(columns={item_col: f"{item_col}_c"}), on=order_col
+        )
+        t = t[t[f"{item_col}_b"] < t[f"{item_col}_c"]]
+        a = t[f"{item_col}_a"].to_numpy(np.int64)
+        b = t[f"{item_col}_b"].to_numpy(np.int64)
+        c = t[f"{item_col}_c"].to_numpy(np.int64)
+        keep = np.isin(pack(a, c), fr) & np.isin(pack(b, c), fr)
+        t = t[keep]
+        loc = (
+            t.groupby(
+                [f"{item_col}_a", f"{item_col}_b", f"{item_col}_c"],
+                sort=False,
+            )
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "item_a": pa.array(loc[f"{item_col}_a"], pa.int64()),
+                "item_b": pa.array(loc[f"{item_col}_b"], pa.int64()),
+                "item_c": pa.array(loc[f"{item_col}_c"], pa.int64()),
+                "n": pa.array(loc["n"], pa.int64()),
+            }
+        )
+
+    partials = _coarse_group_apply(
+        lineitem, order_col, triple_part, num_parts
+    )
+    agg = partials.groupby(["item_a", "item_b", "item_c"]).sum("n")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch["sum(n)"].cast(pa.int64())
+        t = pa.table(
+            {
+                "item_a": batch["item_a"].cast(pa.int64()),
+                "item_b": batch["item_b"].cast(pa.int64()),
+                "item_c": batch["item_c"].cast(pa.int64()),
+                "n_orders": n,
+            }
+        )
+        return t.filter(pc.greater_equal(n, pa.scalar(min_support)))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def copurchase_pairs(
     lineitem: "ray.data.Dataset",
     order_col: str = "l_orderkey",
