@@ -7101,6 +7101,56 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_weighted_median(sf_dir: str):
+    """Per-returnflag quantity-weighted median of extendedprice cents:
+    exact weighted histogram descent — counts generalized to weight
+    sums; no group materializes, no raw row reaches the driver."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.sketch import exact_group_weighted_median
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "cents": _cents(df["l_extendedprice"]),
+                "wt": df["l_quantity"].to_numpy(np.float64).astype(np.int64),
+            }
+        )
+
+    return exact_group_weighted_median(
+        li.map_batches(prep, batch_format="pandas"),
+        "l_returnflag",
+        "cents",
+        "wt",
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH w AS (
+  SELECT l_returnflag AS k,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+byv AS (SELECT k, v, SUM(wt) AS wt FROM w GROUP BY 1, 2),
+tot AS (SELECT k, SUM(wt) AS tw FROM w GROUP BY 1),
+cum AS (
+  SELECT k, v, SUM(wt) OVER (PARTITION BY k ORDER BY v) AS cw
+  FROM byv
+)
+SELECT cum.k AS l_returnflag, CAST(MIN(v) AS BIGINT) AS wmedian
+FROM cum JOIN tot ON cum.k = tot.k
+WHERE 2 * cw >= tw
+GROUP BY 1
+"""
+
+
 _TRANSITION_MATRIX_SQL = """
 WITH seq AS (
   SELECT event_type AS from_type,
@@ -7234,6 +7284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_concurrency": q_max_concurrency,
         "cogroup_customer_stats": q_cogroup_customer_stats,
         "frequent_triples": q_frequent_triples,
+        "weighted_median": q_weighted_median,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -8676,6 +8727,7 @@ GROUP BY 1, 2
         "max_concurrency": _MAX_CONCURRENCY_SQL,
         "cogroup_customer_stats": _COGROUP_CUSTOMER_STATS_SQL,
         "frequent_triples": _FREQUENT_TRIPLES_SQL,
+        "weighted_median": _WEIGHTED_MEDIAN_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

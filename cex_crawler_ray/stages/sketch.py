@@ -627,6 +627,117 @@ def exact_group_quantile_descent(
     )
 
 
+def exact_group_weighted_median(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str = "cents",
+    weight_col: str = "wt",
+    shift: int = 16,
+    num_parts: int = 32,
+) -> "ray.data.Dataset":
+    """EXACT per-group WEIGHTED (lower) median via weighted histogram
+    descent: the smallest value v whose cumulative weight over values
+    <= v reaches half the group's total weight (2*cum >= W, i.e. the
+    integer target t = (W+1)//2).
+
+    Same two-pass scale shape as ``exact_group_quantile_descent`` with
+    counts generalized to int64 weight sums: pass 1 ships one
+    (key, coarse-bucket, weight-sum) row per batch-cell; the driver
+    holds only the merged histogram and broadcasts each key's
+    (bucket, in-bucket weight target); pass 2 sums weights per
+    distinct value inside target buckets only, and a coarse key
+    partition picks each median locally.  No group ever materializes
+    in one worker and no raw row reaches the driver.
+    """
+    from .dedup import _coarse_group_apply
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_b"] = df[val_col].to_numpy(dtype=np.int64) >> shift
+        g = df.groupby([key_col, "_b"], as_index=False)[weight_col].sum()
+        return pa.Table.from_pandas(
+            g.rename(columns={weight_col: "w"}), preserve_index=False
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby([key_col, "_b"])
+        .sum("w")
+        .to_pandas()
+        .rename(columns={"sum(w)": "w"})
+        .sort_values([key_col, "_b"])
+        .reset_index(drop=True)
+    )
+    targets: dict = {}
+    for key, grp in hist.groupby(key_col, sort=False):
+        w = grp["w"].to_numpy(dtype=np.int64)
+        b = grp["_b"].to_numpy(dtype=np.int64)
+        t = (int(w.sum()) + 1) // 2
+        cum = np.cumsum(w)
+        bi = int(np.searchsorted(cum, t, side="left"))
+        targets[key] = (
+            int(b[bi]),
+            t - (int(cum[bi - 1]) if bi > 0 else 0),
+        )
+    t_ref = ray.put(targets)
+
+    def in_bucket(batch: pa.Table) -> pa.Table:
+        tg = ray.get(t_ref)
+        df = batch.to_pandas()
+        bmap = {k: v[0] for k, v in tg.items()}
+        tb = df[key_col].map(bmap).to_numpy(dtype=np.int64)
+        v = df[val_col].to_numpy(dtype=np.int64)
+        keep = (v >> shift) == tb
+        g = (
+            df[keep]
+            .assign(_v=v[keep])
+            .groupby([key_col, "_v"], as_index=False)[weight_col]
+            .sum()
+        )
+        return pa.Table.from_pandas(
+            g.rename(columns={weight_col: "w"}), preserve_index=False
+        )
+
+    sums = (
+        ds.map_batches(in_bucket, batch_format="pyarrow")
+        .groupby([key_col, "_v"])
+        .sum("w")
+    )
+
+    def tag_key_hash(batch: pa.Table) -> pa.Table:
+        from .dedup import _hash64
+
+        keys = batch[key_col].to_pylist()
+        return batch.append_column(
+            "_kh",
+            pa.array([_hash64(str(k)) for k in keys], pa.uint64()),
+        )
+
+    def pick(part: pa.Table) -> pa.Table:
+        tg = ray.get(t_ref)
+        df = part.to_pandas().sort_values([key_col, "_v"])
+        out_k, out_v = [], []
+        for key, grp in df.groupby(key_col, sort=False):
+            t_in = tg[key][1]
+            cum = grp["sum(w)"].to_numpy(dtype=np.int64).cumsum()
+            i = int(np.searchsorted(cum, t_in, side="left"))
+            out_k.append(key)
+            out_v.append(int(grp["_v"].to_numpy(dtype=np.int64)[i]))
+        return pa.table(
+            {
+                key_col: pa.array(out_k),
+                "wmedian": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    return _coarse_group_apply(
+        sums.map_batches(tag_key_hash, batch_format="pyarrow"),
+        "_kh",
+        lambda g: pick(g),
+        num_parts,
+    )
+
+
 # --------------------------------------------------------------- KMV
 def _bottom_k_partials(
     ds: "ray.data.Dataset", col: str, k: int, num_parts: int = 64
