@@ -7151,6 +7151,41 @@ GROUP BY 1
 """
 
 
+def q_global_ntile(sf_dir: str):
+    """Global NTILE(16) over (value cents, event_id) — equi-depth
+    binning with the SQL remainder rule, composed on the sort-free
+    global row number (ordered value buckets + local lexsort)."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import global_ntile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    n_total = ds.count()  # parquet metadata, no scan
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "cents": _cents(df["value"]),
+            }
+        )
+
+    return global_ntile(
+        ds.map_batches(prep, batch_format="pandas"), n_total, 16
+    )
+
+
+_GLOBAL_NTILE_SQL = """
+SELECT event_id,
+       CAST(NTILE(16) OVER (
+         ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+       ) AS BIGINT) AS tile
+FROM events
+"""
+
+
 _TRANSITION_MATRIX_SQL = """
 WITH seq AS (
   SELECT event_type AS from_type,
@@ -7285,6 +7320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cogroup_customer_stats": q_cogroup_customer_stats,
         "frequent_triples": q_frequent_triples,
         "weighted_median": q_weighted_median,
+        "global_ntile": q_global_ntile,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -8728,6 +8764,7 @@ GROUP BY 1, 2
         "cogroup_customer_stats": _COGROUP_CUSTOMER_STATS_SQL,
         "frequent_triples": _FREQUENT_TRIPLES_SQL,
         "weighted_median": _WEIGHTED_MEDIAN_SQL,
+        "global_ntile": _GLOBAL_NTILE_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

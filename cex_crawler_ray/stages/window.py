@@ -941,6 +941,54 @@ def global_row_number(
     )
 
 
+def global_ntile(
+    ds: "ray.data.Dataset",
+    n_total: int,
+    k: int,
+    val_col: str = "cents",
+    id_col: str = "event_id",
+    bucket_width: int = 1 << 10,
+    num_parts: int = 32,
+) -> "ray.data.Dataset":
+    """GLOBAL equi-depth binning — SQL ``NTILE(k) OVER (ORDER BY val,
+    id)`` — without a global sort: composes the sort-free
+    ``global_row_number`` with the NTILE remainder rule (the first
+    ``n % k`` tiles get ``n // k + 1`` rows) applied vectorized per
+    batch.  ``n_total`` is the exact row count (parquet metadata or a
+    prior aggregate); everything else inherits the row-number scale
+    shape — one (bucket, count) combiner to the driver, one
+    co-partition by ordered bucket, no global sort, no rows on the
+    driver.
+    """
+    rn = global_row_number(
+        ds,
+        val_col=val_col,
+        id_col=id_col,
+        bucket_width=bucket_width,
+        num_parts=num_parts,
+        out_col="rn",
+    )
+    base = n_total // k
+    rem = n_total % k
+    big = base + 1
+    cut = rem * big
+
+    def tile(batch: pa.Table) -> pa.Table:
+        r = batch["rn"].to_numpy(zero_copy_only=False)
+        small = np.where(
+            base > 0, rem + (r - 1 - cut) // max(base, 1) + 1, 0
+        )
+        t = np.where(r <= cut, (r - 1) // big + 1, small)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "tile": pa.array(t.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return rn.map_batches(tile, batch_format="pyarrow")
+
+
 def merge_intervals(
     ds: "ray.data.Dataset",
     key_col: str = "user_id",
