@@ -5637,6 +5637,71 @@ def q_triangle_count(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_local_clustering(sf_dir: str):
+    """Per-node triangle membership + degree (the integer core of the
+    local clustering coefficient) over the session-handoff graph —
+    the apex-carrying variant of the degree-ordered wedge stream;
+    zero-triangle nodes stay distributed via edge-endpoint markers."""
+    import pyarrow.compute as pc
+
+    from cex_crawler_ray.stages.graph import local_clustering
+    from cex_crawler_ray.stages.window import lead_lag
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    led = lead_lag(ds, kind="lead")
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch["user_id"]
+        dst = batch["lead_user_id"]
+        keep = pc.and_(dst.is_valid(), pc.not_equal(src, dst))
+        t = batch.filter(keep)
+        return pa.table({"src": t["user_id"], "dst": t["lead_user_id"]})
+
+    return local_clustering(
+        led.map_batches(to_edges, batch_format="pyarrow")
+    )
+
+
+_LOCAL_CLUSTERING_SQL = """
+WITH ev AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (ORDER BY ts, event_id) AS dst
+  FROM events
+),
+ed AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ev WHERE dst IS NOT NULL AND dst <> src
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)
+  GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ed e1
+  JOIN ed e2 ON e2.a = e1.b
+  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tn AS (
+  SELECT node, COUNT(*) AS n_tri
+  FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  )
+  GROUP BY 1
+)
+SELECT d.node,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN tn ON d.node = tn.node
+WHERE d.degree >= 2
+"""
+
+
 def q_distinct_users_per_type(sf_dir: str):
     """Exact per-group COUNT(DISTINCT) with VALUE-HASH SALTING — the
     skew pattern: a hot event_type's distinct work spreads over 16
@@ -7321,6 +7386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_triples": q_frequent_triples,
         "weighted_median": q_weighted_median,
         "global_ntile": q_global_ntile,
+        "local_clustering": q_local_clustering,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -8765,6 +8831,7 @@ GROUP BY 1, 2
         "frequent_triples": _FREQUENT_TRIPLES_SQL,
         "weighted_median": _WEIGHTED_MEDIAN_SQL,
         "global_ntile": _GLOBAL_NTILE_SQL,
+        "local_clustering": _LOCAL_CLUSTERING_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

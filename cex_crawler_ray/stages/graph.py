@@ -255,15 +255,15 @@ def dedup_keep_best(
     return _coarse_group_apply(aug, "ck", _best_per_cluster, num_parts)
 
 
-def triangle_count(
+def _closed_wedge_stream(
     edges: "ray.data.Dataset",
-    src_col: str = "src",
-    dst_col: str = "dst",
-    num_parts: int = 64,
-) -> int:
-    """EXACT global triangle count via degree-ordered wedge checking
-    (the MapReduce classic: Suri & Vassilvitskii 2011, "Counting
-    Triangles and the Curse of the Last Reducer").
+    src_col: str,
+    dst_col: str,
+    num_parts: int,
+    with_apex: bool,
+):
+    """Shared degree-ordered wedge machinery (Suri & Vassilvitskii
+    2011) behind ``triangle_count`` and ``local_clustering``.
 
     1. canonicalize to distinct UNDIRECTED edges (a < b) — coarse
        hash-partition dedupe, int64-only shuffle;
@@ -276,8 +276,15 @@ def triangle_count(
        hub-wedge explosion (the "last reducer" of the naive version);
     4. group oriented edges by source, emit ordered wedges (v, w);
        union with the oriented edge set keyed by the SAME (v, w) pair
-       hash; a coarse-partition vectorized membership intersect counts
-       closed wedges.  Only (pair-hash, v, w) int64 rows shuffle.
+       hash; a coarse-partition vectorized membership intersect finds
+       closed wedges.  Only (pair-hash, v, w[, apex]) int64 rows
+       shuffle.
+
+    Returns ``(und, deg_ref, closed)``: the distinct undirected edge
+    set, the broadcast sorted (nodes, degrees) ref, and — per coarse
+    pair partition — either one (n) count row (``with_apex=False``)
+    or (node, t) triangle-membership partials covering all three
+    vertices of every triangle (``with_apex=True``).
     """
 
     def canon(batch: pa.Table) -> pa.Table:
@@ -360,20 +367,30 @@ def triangle_count(
 
     _PK = np.uint64(0x9E3779B97F4A7C15)
 
+    def _empty_stream() -> pa.Table:
+        cols = {
+            "pkey": pa.array([], pa.uint64()),
+            "x": pa.array([], pa.int64()),
+            "y": pa.array([], pa.int64()),
+            "is_edge": pa.array([], pa.int64()),
+        }
+        if with_apex:
+            cols["w"] = pa.array([], pa.int64())
+        return pa.table(cols)
+
     def edge_rows(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False)
         v = batch["v"].to_numpy(zero_copy_only=False)
         key = u.astype(np.uint64) * _PK + v.astype(np.uint64)
-        return pa.table(
-            {
-                "pkey": pa.array(key, pa.uint64()),
-                "x": pa.array(u, pa.int64()),
-                "y": pa.array(v, pa.int64()),
-                "is_edge": pa.array(
-                    np.ones(len(u), np.int64), pa.int64()
-                ),
-            }
-        )
+        cols = {
+            "pkey": pa.array(key, pa.uint64()),
+            "x": pa.array(u, pa.int64()),
+            "y": pa.array(v, pa.int64()),
+            "is_edge": pa.array(np.ones(len(u), np.int64), pa.int64()),
+        }
+        if with_apex:
+            cols["w"] = pa.array(np.zeros(len(u), np.int64), pa.int64())
+        return pa.table(cols)
 
     def wedge_rows(part: pa.Table) -> pa.Table:
         # part holds all out-edges of a coarse set of sources; wedges
@@ -385,6 +402,7 @@ def triangle_count(
         u, v = u[o], v[o]
         xs: list[np.ndarray] = []
         ys: list[np.ndarray] = []
+        ws: list[np.ndarray] = []
         starts = np.flatnonzero(
             np.concatenate(([True], u[1:] != u[:-1]))
         )
@@ -401,15 +419,10 @@ def triangle_count(
             # lists are in id order; re-orient by degree.
             xs.append(x)
             ys.append(y)
+            if with_apex:
+                ws.append(np.full(len(x), u[s], np.int64))
         if not xs:
-            return pa.table(
-                {
-                    "pkey": pa.array([], pa.uint64()),
-                    "x": pa.array([], pa.int64()),
-                    "y": pa.array([], pa.int64()),
-                    "is_edge": pa.array([], pa.int64()),
-                }
-            )
+            return _empty_stream()
         x = np.concatenate(xs)
         y = np.concatenate(ys)
         ns, ds_ = ray.get(deg_ref)
@@ -419,14 +432,15 @@ def triangle_count(
         x2 = np.where(swap, y, x)
         y2 = np.where(swap, x, y)
         key = x2.astype(np.uint64) * _PK + y2.astype(np.uint64)
-        return pa.table(
-            {
-                "pkey": pa.array(key, pa.uint64()),
-                "x": pa.array(x2, pa.int64()),
-                "y": pa.array(y2, pa.int64()),
-                "is_edge": pa.array(np.zeros(len(x2), np.int64), pa.int64()),
-            }
-        )
+        cols = {
+            "pkey": pa.array(key, pa.uint64()),
+            "x": pa.array(x2, pa.int64()),
+            "y": pa.array(y2, pa.int64()),
+            "is_edge": pa.array(np.zeros(len(x2), np.int64), pa.int64()),
+        }
+        if with_apex:
+            cols["w"] = pa.array(np.concatenate(ws), pa.int64())
+        return pa.table(cols)
 
     wedges = _coarse_group_apply(oriented, "u", wedge_rows, num_parts)
     unioned = oriented.map_batches(edge_rows, batch_format="pyarrow").union(
@@ -436,15 +450,116 @@ def triangle_count(
     def count_closed(part: pa.Table) -> pa.Table:
         df = part.to_pandas()
         e = df[df["is_edge"] == 1][["x", "y"]]
-        w = df[df["is_edge"] == 0][["x", "y"]]
+        w = df[df["is_edge"] == 0]
         if len(e) == 0 or len(w) == 0:
+            if with_apex:
+                return pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "t": pa.array([], pa.int64()),
+                    }
+                )
             return pa.table({"n": pa.array([0], pa.int64())})
-        n = len(w.merge(e, on=["x", "y"], how="inner"))
-        return pa.table({"n": pa.array([int(n)], pa.int64())})
+        closed = w.merge(e, on=["x", "y"], how="inner")
+        if not with_apex:
+            return pa.table(
+                {"n": pa.array([int(len(closed))], pa.int64())}
+            )
+        # every closed wedge is one triangle {apex, x, y}: each vertex
+        # gains one membership; pre-count locally
+        members = np.concatenate(
+            [
+                closed["w"].to_numpy(np.int64),
+                closed["x"].to_numpy(np.int64),
+                closed["y"].to_numpy(np.int64),
+            ]
+        )
+        un, ct = np.unique(members, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(un, pa.int64()),
+                "t": pa.array(ct.astype(np.int64), pa.int64()),
+            }
+        )
 
-    counted = _coarse_group_apply(unioned, "pkey", count_closed, num_parts)
+    closed = _coarse_group_apply(unioned, "pkey", count_closed, num_parts)
+    return und, deg_ref, closed
+
+
+def triangle_count(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_parts: int = 64,
+) -> int:
+    """EXACT global triangle count via degree-ordered wedge checking —
+    see ``_closed_wedge_stream`` for the plan."""
+    _, _, counted = _closed_wedge_stream(
+        edges, src_col, dst_col, num_parts, with_apex=False
+    )
     total = counted.sum("n")
     return int(total["sum(n)"] if isinstance(total, dict) else total)
+
+
+def local_clustering(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT per-node triangle membership + degree — the integer core
+    of the local clustering coefficient c(v) = 2*T(v) / (d(v)(d(v)-1))
+    — via the same degree-ordered wedge stream as ``triangle_count``
+    (wedge rows additionally carry their apex, so a closed wedge
+    credits all three vertices).
+
+    Zero-triangle nodes stay distributed: every undirected edge emits
+    (endpoint, t=0) marker partials that union with the triangle
+    partials before the (node) combiner, so no driver-side node-set
+    difference is ever needed.  Output: (node, degree, n_triangles)
+    for every node with degree >= 2, exact int64.
+    """
+    und, deg_ref, tri = _closed_wedge_stream(
+        edges, src_col, dst_col, num_parts, with_apex=True
+    )
+
+    def zero_markers(batch: pa.Table) -> pa.Table:
+        n = np.unique(
+            np.concatenate(
+                [
+                    batch["a"].to_numpy(zero_copy_only=False),
+                    batch["b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "node": pa.array(n, pa.int64()),
+                "t": pa.array(np.zeros(len(n), np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        tri.union(und.map_batches(zero_markers, batch_format="pyarrow"))
+        .groupby("node")
+        .sum("t")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns, ds_ = ray.get(deg_ref)
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch["sum(t)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = ds_[np.searchsorted(ns, node)].astype(np.int64)
+        keep = deg >= 2
+        return pa.table(
+            {
+                "node": pa.array(node[keep], pa.int64()),
+                "degree": pa.array(deg[keep], pa.int64()),
+                "n_triangles": pa.array(t[keep], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 def _bfs_driver(
