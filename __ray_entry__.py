@@ -7251,6 +7251,66 @@ FROM events
 """
 
 
+def q_bm25_topk(sf_dir: str):
+    """BM25 (Okapi, Lucene +1-idf) top-10 retrieval for a fixed term
+    query — 1e-4 fixed-point per-(doc, term) scores make the per-doc
+    sum order-free int64; the corpus never shuffles (query broadcast,
+    tree-reduce stats, block-local partial top-k)."""
+    from cex_crawler_ray.stages.tfidf import bm25_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_topk(
+        ds, ["spark", "hash", "window", "stream"], topk=10
+    )
+
+
+_BM25_TOPK_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+  FROM documents
+),
+dl AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE t IN ('spark', 'hash', 'window', 'stream')
+  GROUP BY 1, 2
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln((n - df + 0.5) / (df + 0.5) + 1)
+           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+           * 10000
+         ) AS BIGINT) AS s_e4
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+tot AS (SELECT doc_id, SUM(s_e4) AS score_e4 FROM sc GROUP BY 1)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e4 DESC, doc_id)
+            AS BIGINT) AS rank,
+       doc_id,
+       CAST(score_e4 AS BIGINT) AS score_e4
+FROM tot
+ORDER BY score_e4 DESC, doc_id
+LIMIT 10
+"""
+
+
 _TRANSITION_MATRIX_SQL = """
 WITH seq AS (
   SELECT event_type AS from_type,
@@ -7387,6 +7447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": q_weighted_median,
         "global_ntile": q_global_ntile,
         "local_clustering": q_local_clustering,
+        "bm25_topk": q_bm25_topk,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -8832,6 +8893,7 @@ GROUP BY 1, 2
         "weighted_median": _WEIGHTED_MEDIAN_SQL,
         "global_ntile": _GLOBAL_NTILE_SQL,
         "local_clustering": _LOCAL_CLUSTERING_SQL,
+        "bm25_topk": _BM25_TOPK_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

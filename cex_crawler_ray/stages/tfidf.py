@@ -966,3 +966,111 @@ def tfidf_cosine_pairs(
         return out.filter(pa.array(cos4 >= tau_e4))
 
     return with_ab.map_batches(finish, batch_format="pyarrow")
+
+
+def bm25_topk(
+    ds: "ray.data.Dataset",
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    topk: int = 10,
+) -> pa.Table:
+    """BM25 ranked retrieval (Robertson-Sparck Jones / Okapi, Lucene
+    +1-idf form): top-k documents for a fixed term query, k1 = 1.2,
+    b = 0.75.
+
+    Determinism contract (the tfidf fixed-point recipe): every
+    per-(doc, term) score is ONE double expression — written with the
+    exact literal/associativity order the SQL oracle uses — rounded
+    half-away to 1e-4 fixed point, so the per-doc sum is order-free
+    int64 arithmetic and hash-matches SQL bit for bit.
+
+    Scale shape: the query is the broadcast side (a handful of terms),
+    so the corpus NEVER shuffles — pass A tokenizes each batch into a
+    compact (doc_id, dl, tf_j, nz_j) row per doc; pass B is Ray's
+    native tree-reduce ``sum`` (N, total dl, per-term df — no
+    exchange); pass C scores vectorized per batch and keeps a partial
+    top-k per block, so only k x blocks candidate rows reach the
+    driver.
+    """
+    from collections import Counter as _Counter
+
+    m = len(query_terms)
+    q_index = {t: j for j, t in enumerate(query_terms)}
+
+    def compact(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        n = len(ids)
+        dl = np.zeros(n, np.int64)
+        tf = np.zeros((n, m), np.int64)
+        for i, t in enumerate(texts):
+            toks = _WORD_RE.findall(t)
+            dl[i] = len(toks)
+            c = _Counter(w.lower() for w in toks)
+            for term, j in q_index.items():
+                tf[i, j] = c.get(term, 0)
+        cols = {
+            id_col: pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+        }
+        for j in range(m):
+            cols[f"tf_{j}"] = pa.array(tf[:, j], pa.int64())
+            cols[f"nz_{j}"] = pa.array(
+                (tf[:, j] > 0).astype(np.int64), pa.int64()
+            )
+        return pa.table(cols)
+
+    stats_ds = ds.map_batches(compact, batch_format="pyarrow").materialize()
+    n_docs = stats_ds.count()
+    sums = stats_ds.sum(["dl"] + [f"nz_{j}" for j in range(m)])
+    avgdl = float(sums["sum(dl)"]) / float(n_docs)
+    df = np.array(
+        [int(sums[f"sum(nz_{j})"]) for j in range(m)], np.int64
+    )
+    # one ln per term, same expression shape as the SQL oracle:
+    # ln((n - df + 0.5) / (df + 0.5) + 1)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch["dl"].to_numpy(zero_copy_only=False)
+        total = np.zeros(batch.num_rows, np.int64)
+        den_base = 1.2 * (0.25 + 0.75 * dl / avgdl)
+        for j in range(m):
+            tf_j = batch[f"tf_{j}"].to_numpy(zero_copy_only=False)
+            s = idf[j] * (tf_j * 2.2) / (tf_j + den_base) * 10000.0
+            e4 = np.floor(s + 0.5).astype(np.int64)
+            total += np.where(tf_j > 0, e4, 0)
+        keep = total > 0
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
+        total = total[keep]
+        # block-local partial top-k: only k rows leave any block
+        if len(ids) > topk:
+            order = np.lexsort((ids, -total))[:topk]
+            ids, total = ids[order], total[order]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "score_e4": pa.array(total, pa.int64()),
+            }
+        )
+
+    cand = pa.concat_tables(
+        ray.get(
+            stats_ds.map_batches(score, batch_format="pyarrow")
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    ids = cand[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    sc = cand["score_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, -sc))[:topk]
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()
+            ),
+            id_col: pa.array(ids[order], pa.int64()),
+            "score_e4": pa.array(sc[order], pa.int64()),
+        }
+    )
