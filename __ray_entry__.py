@@ -3709,6 +3709,295 @@ def q_interarrival_stats(sf_dir: str):
     )
 
 
+def q_max_drawdown(sf_dir: str):
+    """Per-user maximum drawdown of the running value balance
+    (peak-to-trough of the cumsum in (ts, event_id) order): the
+    classic segmented prefix scan — one hash shuffle on user, then a
+    vectorized cumsum + running-max pass per partition, exact int64
+    cents throughout."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "cents": _cents(df["value"]),
+            }
+        )
+
+    def dd(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        g = df.groupby("user_id", sort=False)
+        bal = g["cents"].cumsum().to_numpy(dtype=np.int64)
+        peak = (
+            pd.Series(bal)
+            .groupby(df["user_id"].to_numpy(), sort=False)
+            .cummax()
+            .to_numpy(dtype=np.int64)
+        )
+        draw = pd.Series(peak - bal)
+        out = (
+            draw.groupby(df["user_id"].to_numpy(), sort=False)
+            .max()
+            .rename("max_drawdown")
+            .reset_index()
+            .rename(columns={"index": "user_id"})
+        )
+        return pa.Table.from_pandas(
+            out.astype("int64"), preserve_index=False
+        )
+
+    return _coarse_group_apply(
+        ds.map_batches(prep, batch_format="pandas"), "user_id", dd
+    )
+
+
+_MAX_DRAWDOWN_SQL = """
+WITH b AS (
+  SELECT user_id,
+         SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS bal,
+         ts, event_id
+  FROM events
+),
+d AS (
+  SELECT user_id,
+         MAX(bal) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) - bal AS dd
+  FROM b
+)
+SELECT user_id, CAST(MAX(dd) AS BIGINT) AS max_drawdown
+FROM d
+GROUP BY 1
+"""
+
+
+def q_hopping_window(sf_dir: str):
+    """Hopping event-time windows (width 10 min, slide 5 min — every
+    event lands in exactly width/slide overlapping windows): flat
+    np.repeat expansion to window starts inside the batch, partial
+    (window, type) aggregation, then ONE tiny combiner shuffle.  The
+    overlap factor multiplies partial rows, never raw events, on the
+    exchange."""
+    import pandas as pd
+
+    W = 600_000_000  # 10 min in us
+    S = 300_000_000  # 5 min
+    K = W // S
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = _cents(df["value"])
+        et = df["event_type"].to_numpy()
+        slot = t // S
+        frames = []
+        for i in range(K):
+            w = (slot - i) * S
+            keep = w >= 0
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "wstart_us": w[keep],
+                        "event_type": et[keep],
+                        "n": 1,
+                        "cents": cents[keep],
+                    }
+                )
+            )
+        cat = pd.concat(frames, ignore_index=True)
+        return cat.groupby(
+            ["wstart_us", "event_type"], as_index=False
+        ).agg(n=("n", "sum"), cents=("cents", "sum"))
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["wstart_us", "event_type"])
+        .sum(["n", "cents"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "wstart_us": batch["wstart_us"].combine_chunks().cast(
+                    pa.int64()
+                ),
+                "event_type": batch["event_type"],
+                "n_events": batch["sum(n)"].combine_chunks().cast(
+                    pa.int64()
+                ),
+                "sum_cents": batch["sum(cents)"].combine_chunks().cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_HOPPING_WINDOW_SQL = """
+WITH e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS t_us,
+         event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+x AS (
+  SELECT ((t_us // 300000000) - i) * 300000000 AS wstart_us,
+         event_type, cents
+  FROM e, UNNEST([0, 1]) AS u(i)
+  WHERE (t_us // 300000000) - i >= 0
+)
+SELECT wstart_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM x
+GROUP BY 1, 2
+"""
+
+
+def q_interpolate_missing(sf_dir: str):
+    """Time-weighted linear interpolation of missing values per user
+    (event_id % 5 == 0 masked null deterministically): one user
+    shuffle, then vectorized groupby ffill/bfill locates each gap's
+    bracketing non-nulls and an all-integer half-away division
+    interpolates exactly — leading/trailing gaps take the nearest
+    value; the sentinel -1 marks a user with no observation."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        eid = df["event_id"].astype("int64")
+        cents = _cents(df["value"]).astype("float64")
+        cents[(eid % 5 == 0).to_numpy()] = np.nan
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": eid,
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "cents": cents,
+            }
+        )
+
+    def interp(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        u = df["user_id"].to_numpy()
+        v = df["cents"].to_numpy()
+        t = df["ts_us"].to_numpy(dtype=np.int64)
+        obs_t = pd.Series(np.where(np.isnan(v), np.nan, t.astype("float64")))
+        g = pd.Series(v).groupby(u, sort=False)
+        gt = obs_t.groupby(u, sort=False)
+        pv, nv = g.ffill().to_numpy(), g.bfill().to_numpy()
+        pt, nt = gt.ffill().to_numpy(), gt.bfill().to_numpy()
+        out = np.where(np.isnan(v), np.nan, v)
+        gap = np.isnan(v) & ~np.isnan(pv) & ~np.isnan(nv)
+        num = (nv[gap] - pv[gap]).astype(np.int64) * (
+            t[gap] - pt[gap].astype(np.int64)
+        )
+        den = (nt[gap] - pt[gap]).astype(np.int64)
+        safe = np.maximum(den, 1)  # den==0 only when prev==next row
+        q = np.where(
+            num >= 0,
+            (num * 2 + safe) // (2 * safe),
+            -((-num * 2 + safe) // (2 * safe)),
+        )
+        filled = pv[gap].astype(np.int64) + np.where(den > 0, q, 0)
+        out[gap] = filled
+        lead = np.isnan(v) & np.isnan(pv) & ~np.isnan(nv)
+        out[lead] = nv[lead]
+        trail = np.isnan(v) & ~np.isnan(pv) & np.isnan(nv)
+        out[trail] = pv[trail]
+        out = np.where(np.isnan(out), -1, out)
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    df["event_id"].to_numpy(np.int64), pa.int64()
+                ),
+                "cents": pa.array(out.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _coarse_group_apply(
+        ds.map_batches(prep, batch_format="pandas"), "user_id", interp
+    )
+
+
+_INTERPOLATE_MISSING_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS t_us,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS v
+  FROM events
+),
+w AS (
+  SELECT event_id, t_us, v,
+         LAST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+           OVER (
+           PARTITION BY user_id ORDER BY t_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS pt,
+         FIRST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t_us, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+           OVER (
+           PARTITION BY user_id ORDER BY t_us, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS nt
+  FROM e
+)
+SELECT event_id,
+       CAST(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt THEN
+           pv + CASE
+             WHEN (nv - pv) * (t_us - pt) >= 0 THEN
+               ((nv - pv) * (t_us - pt) * 2 + (nt - pt)) // (2 * (nt - pt))
+             ELSE
+               -((-((nv - pv) * (t_us - pt)) * 2 + (nt - pt))
+                 // (2 * (nt - pt)))
+           END
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv
+         WHEN pv IS NULL AND nv IS NOT NULL THEN nv
+         WHEN pv IS NOT NULL THEN pv
+         ELSE -1
+       END AS BIGINT) AS cents
+FROM w
+"""
+
+
 def q_cluster_size_hist(sf_dir: str):
     """Duplicate-cluster size distribution: exact-text cluster sizes
     histogrammed — the dedup health report; composes the oracle-green
@@ -7448,6 +7737,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_ntile": q_global_ntile,
         "local_clustering": q_local_clustering,
         "bm25_topk": q_bm25_topk,
+        "max_drawdown": q_max_drawdown,
+        "hopping_window": q_hopping_window,
+        "interpolate_missing": q_interpolate_missing,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -8894,6 +9186,9 @@ GROUP BY 1, 2
         "global_ntile": _GLOBAL_NTILE_SQL,
         "local_clustering": _LOCAL_CLUSTERING_SQL,
         "bm25_topk": _BM25_TOPK_SQL,
+        "max_drawdown": _MAX_DRAWDOWN_SQL,
+        "hopping_window": _HOPPING_WINDOW_SQL,
+        "interpolate_missing": _INTERPOLATE_MISSING_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,
