@@ -3998,6 +3998,49 @@ FROM w
 """
 
 
+def q_kl_by_source(sf_dir: str):
+    """Per-source KL divergence from the corpus token distribution
+    (1e-9 fixed-point terms -> order-free int sums): the
+    distribution-drift signal for training-mix curation."""
+    from cex_crawler_ray.stages.textstats import kl_divergence_by_source
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return kl_divergence_by_source(docs)
+
+
+_KL_BY_SOURCE_SQL = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+  FROM documents
+),
+cst AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+),
+ct AS (SELECT t, CAST(SUM(c) AS BIGINT) AS ct FROM cst GROUP BY 1),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM cst GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cst),
+term AS (
+  SELECT cst.source,
+         CAST(round(
+           CAST(c AS DOUBLE) / ns
+           * ln(CAST(c * n AS DOUBLE) / CAST(ns * ct AS DOUBLE))
+           * 1000000000
+         ) AS BIGINT) AS e9
+  FROM cst
+  JOIN ct USING (t)
+  JOIN ns USING (source)
+  CROSS JOIN tot
+)
+SELECT source, CAST(SUM(e9) AS BIGINT) AS kl_e9
+FROM term
+GROUP BY 1
+"""
+
+
 def q_cluster_size_hist(sf_dir: str):
     """Duplicate-cluster size distribution: exact-text cluster sizes
     histogrammed — the dedup health report; composes the oracle-green
@@ -7740,6 +7783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_drawdown": q_max_drawdown,
         "hopping_window": q_hopping_window,
         "interpolate_missing": q_interpolate_missing,
+        "kl_by_source": q_kl_by_source,
         "sequence_pattern": q_sequence_pattern,
         "copurchase_pairs": q_copurchase_pairs,
         "ohlc_daily": q_ohlc_daily,
@@ -9189,6 +9233,7 @@ GROUP BY 1, 2
         "max_drawdown": _MAX_DRAWDOWN_SQL,
         "hopping_window": _HOPPING_WINDOW_SQL,
         "interpolate_missing": _INTERPOLATE_MISSING_SQL,
+        "kl_by_source": _KL_BY_SOURCE_SQL,
         "bfs_levels": """
 WITH RECURSIVE ev AS (
   SELECT user_id AS src,

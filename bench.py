@@ -378,6 +378,16 @@ def bench_queries(sf_dir: str) -> dict:
         "kmv_audience_overlap",
         "two_hop_features",
         "table_snapshots",
+        "cogroup_customer_stats",
+        "frequent_triples",
+        "weighted_median",
+        "global_ntile",
+        "local_clustering",
+        "bm25_topk",
+        "max_drawdown",
+        "hopping_window",
+        "interpolate_missing",
+        "kl_by_source",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row

@@ -323,3 +323,118 @@ def token_entropy_e4(
             "entropy_e4": pa.array(ents, pa.int64()),
         }
     )
+
+
+def kl_divergence_by_source(
+    ds,
+    text_col: str = "text",
+    group_col: str = "source",
+    num_parts: int = 64,
+):
+    """Per-source KL divergence D(p_source || p_corpus) over word-token
+    distributions — the distribution-drift quality signal for training
+    mixes (which sources' vocabularies diverge from the pool).
+
+    Determinism contract: one double expression per (source, token) —
+    ``c/ns * ln((c*n)/(ns*ct))`` in the oracle's literal order —
+    rounded half-away to 1e-9 fixed point, so per-source sums are
+    order-free int64 and hash-match SQL exactly.
+
+    Scale shape: per-batch (source, token-hash, count) combiner rows
+    are the ONLY corpus-sized exchange (one coarse token-hash
+    partition computes each token's corpus count locally and reduces
+    to one partial sum per (partition, source)); per-source token
+    totals are a tiny driver-merged broadcast.  Counts multiply as
+    int64 (c*n), exact while corpus token count < 2^63 / max token
+    count — beyond that, pre-divide into the double domain on both
+    sides.
+    """
+    from collections import Counter as _Counter
+
+    import numpy as np
+    import ray
+
+    from .dedup import _coarse_group_apply, _hash64
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        srcs = batch[group_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_s: list[str] = []
+        out_h: list[int] = []
+        out_c: list[int] = []
+        agg: dict = {}
+        for s, t in zip(srcs, texts):
+            for w, c in _Counter(
+                w.lower() for w in _WORD_RE.findall(t)
+            ).items():
+                k = (s, w)
+                agg[k] = agg.get(k, 0) + c
+        for (s, w), c in agg.items():
+            out_s.append(s)
+            out_h.append(_hash64(w) & 0x7FFFFFFFFFFFFFFF)
+            out_c.append(c)
+        return pa.table(
+            {
+                group_col: pa.array(out_s, pa.string()),
+                "tok_h": pa.array(out_h, pa.int64()),
+                "c": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow").materialize()
+
+    # per-source token totals: one row per (batch, source) partial,
+    # driver-merged (source count is tiny by construction)
+    def ns_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = df.groupby(group_col, as_index=False)["c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = pa.concat_tables(
+        ray.get(
+            tf.map_batches(ns_partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    ).to_pandas()
+    ns_map = parts.groupby(group_col)["c"].sum().to_dict()
+    n_corpus = int(sum(ns_map.values()))
+    ns_ref = ray.put(ns_map)
+
+    def kl_part(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        nsm = ray.get(ns_ref)
+        df = part.to_pandas()
+        # the partition holds EVERY source's counts for its tokens, so
+        # the per-token corpus count is exact here
+        df = df.groupby([group_col, "tok_h"], as_index=False)["c"].sum()
+        ct = df.groupby("tok_h")["c"].transform("sum").to_numpy(np.int64)
+        c = df["c"].to_numpy(np.int64)
+        ns = df[group_col].map(nsm).to_numpy(np.int64)
+        x = (
+            c.astype(np.float64)
+            / ns
+            * np.log((c * n_corpus).astype(np.float64) / (ns * ct))
+            * 1000000000.0
+        )
+        e9 = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        out = pd.DataFrame({group_col: df[group_col], "e9": e9})
+        g = out.groupby(group_col, as_index=False)["e9"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = _coarse_group_apply(tf, "tok_h", kl_part, num_parts)
+    merged = partials.groupby(group_col).sum("e9")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.rename_columns([group_col, "kl_e9"])
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "kl_e9": t["kl_e9"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
