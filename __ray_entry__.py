@@ -7661,6 +7661,679 @@ GROUP BY from_type, to_type
 """
 
 
+def q_rolling_median(sf_dir: str):
+    """Trailing ROWS-frame median (6 preceding + current) of value
+    cents per user, ordered by (ts, event_id) — the order-statistic
+    window SQL's ``median(...) OVER (ROWS BETWEEN 6 PRECEDING AND
+    CURRENT ROW)``.  Unlike the sum frames, medians don't difference,
+    so the stage materializes a constant-width strided window matrix
+    per partition and takes one vectorized nanmedian."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import rows_window_median
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["cents"] = _cents(df["value"])
+        return df[["event_id", "ts", "user_id", "cents"]]
+
+    return rows_window_median(
+        ds.map_batches(prep, batch_format="pandas"), n_preceding=6
+    )
+
+
+_ROLLING_MEDIAN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id,
+       median(cents) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS median_cents
+FROM e
+"""
+
+
+def q_decayed_sum(sf_dir: str):
+    """Exact-int exponentially decayed trailing sum per user (the EWMA
+    numerator with base-2 decay, truncated at 16 terms): out[i] =
+    sum_j cents[i-j] << (15-j).  Integer weights make a normally
+    float-only streaming operator bit-exact against SQL."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import decayed_window_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def prep(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["cents"] = _cents(df["value"])
+        return df[["event_id", "ts", "user_id", "cents"]]
+
+    return decayed_window_sum(
+        ds.map_batches(prep, batch_format="pandas"), n_terms=16
+    )
+
+
+_DECAYED_SUM_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+)
+SELECT a.event_id,
+       CAST(sum(b.cents << (15 - (a.rn - b.rn))) AS BIGINT)
+         AS decayed_cents
+FROM e a
+JOIN e b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn
+GROUP BY a.event_id
+"""
+
+
+_Q4_LO = np.datetime64("1996-01-01")
+_Q4_HI = np.datetime64("1997-01-01")
+_Q4_LATE_US = np.int64(30 * 86400) * np.int64(1_000_000)
+
+
+def q_order_priority_counts(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS semi-join where the predicate spans BOTH
+    sides (l_shipdate > o_orderdate + 30d), so the right side cannot be
+    reduced to distinct keys: lineitem collapses to one (orderkey,
+    max_ship) row per key via per-batch partial max + a keyed final max
+    — EXISTS(pred) == pred(max) for a monotone predicate — then one
+    co-partition join against the date-windowed orders.  The shuffle
+    carries two int64s per distinct orderkey, never a lineitem row."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+    from cex_crawler_ray.stages.join import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def li_partial(df: "pd.DataFrame") -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                    "ship_us": df["l_shipdate"]
+                    .to_numpy("datetime64[us]")
+                    .view(np.int64),
+                }
+            )
+            .groupby("l_orderkey", as_index=False)["ship_us"]
+            .max()
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "ship_us": pa.array(g["ship_us"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def li_final(group: pa.Table) -> pa.Table:
+        g = (
+            group.to_pandas()
+            .groupby("l_orderkey", as_index=False)["ship_us"]
+            .max()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_max = _coarse_group_apply(
+        li.map_batches(li_partial, batch_format="pandas"),
+        "l_orderkey",
+        li_final,
+        num_parts=32,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        m = (d >= _Q4_LO) & (d < _Q4_HI)
+        kept = batch.filter(pa.array(m))
+        return pa.table(
+            {
+                "o_orderkey": kept["o_orderkey"].combine_chunks(),
+                "odate_us": pa.array(
+                    kept["o_orderdate"]
+                    .combine_chunks()
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .view(np.int64),
+                    pa.int64(),
+                ),
+                "o_orderpriority": kept["o_orderpriority"].combine_chunks(),
+            }
+        )
+
+    joined = hash_join(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        li_max,
+        left_key="o_orderkey",
+        right_key="l_orderkey",
+    )
+
+    def late_count(df: "pd.DataFrame") -> "pd.DataFrame":
+        late = df[
+            df["ship_us"].to_numpy(np.int64)
+            > df["odate_us"].to_numpy(np.int64) + _Q4_LATE_US
+        ]
+        g = late.groupby("o_orderpriority", as_index=False).size()
+        g = g.rename(columns={"size": "n_orders"})
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return g
+
+    partial = joined.map_batches(late_count, batch_format="pandas")
+    out = (
+        partial.groupby("o_orderpriority")
+        .sum("n_orders")
+        .to_pandas()
+        .rename(columns={"sum(n_orders)": "n_orders"})
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+_Q5_LO = np.datetime64("1996-01-01")
+_Q5_HI = np.datetime64("1998-01-01")
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H-Q5-shaped multi-way join with a cross-side equality
+    (customer nation == supplier nation): supplier/nation/region are
+    broadcast dims; customer->orders is one co-partition hash join and
+    the (orderkey-keyed) lineitem revenue partials join the result in a
+    second — the only all-to-alls are the two keyed joins and the
+    per-batch pre-agg means no raw lineitem row ever shuffles."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+    from cex_crawler_ray.stages.join import hash_join
+
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    asia_keys = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+    asia_nations = nation[nation["n_regionkey"].isin(asia_keys)]
+    nation_name = dict(
+        zip(
+            asia_nations["n_nationkey"].astype(int),
+            asia_nations["n_name"],
+        )
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nation_name)]
+    supp_map_ref = ray.put(
+        (
+            supp["s_suppkey"].to_numpy(np.int64),
+            supp["s_nationkey"].to_numpy(np.int64),
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(df: "pd.DataFrame") -> pa.Table:
+        sk, sn = ray.get(supp_map_ref)
+        supp_keys = df["l_suppkey"].to_numpy(np.int64)
+        pos = np.searchsorted(sk, supp_keys)
+        pos = np.clip(pos, 0, len(sk) - 1)
+        ok = sk[pos] == supp_keys if len(sk) else np.zeros(len(df), bool)
+        df = df[ok]
+        cents = _cents(
+            df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy())
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                    "s_nationkey": sn[pos[ok]],
+                    "cents": cents,
+                }
+            )
+            .groupby(["l_orderkey", "s_nationkey"], as_index=False)["cents"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def li_final(group: pa.Table) -> pa.Table:
+        g = (
+            group.to_pandas()
+            .groupby(["l_orderkey", "s_nationkey"], as_index=False)["cents"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_agg = _coarse_group_apply(
+        li.map_batches(li_partial, batch_format="pandas"),
+        "l_orderkey",
+        li_final,
+        num_parts=32,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        m = (d >= _Q5_LO) & (d < _Q5_HI)
+        return batch.select(["o_orderkey", "o_custkey"]).filter(pa.array(m))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    o_cust = hash_join(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        cust,
+        left_key="o_custkey",
+        right_key="c_custkey",
+    ).drop_columns(["o_custkey", "c_custkey"])
+
+    both = hash_join(
+        li_agg, o_cust, left_key="l_orderkey", right_key="o_orderkey"
+    )
+
+    def local_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[
+            df["s_nationkey"].to_numpy(np.int64)
+            == df["c_nationkey"].to_numpy(np.int64)
+        ]
+        g = df.groupby("s_nationkey", as_index=False)["cents"].sum()
+        return g
+
+    out = (
+        both.map_batches(local_partial, batch_format="pandas")
+        .groupby("s_nationkey")
+        .sum("cents")
+        .to_pandas()
+    )
+    out["nation"] = out["s_nationkey"].map(
+        lambda k: nation_name[int(k)]
+    )
+    out["revenue_cents"] = out["sum(cents)"].astype("int64")
+    return out[["nation", "revenue_cents"]]
+
+
+_LOCAL_SUPPLIER_SQL = """
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(round(
+         l.l_extendedprice * (1 - l.l_discount) * 100
+       ) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+WHERE c.c_custkey = o.o_custkey
+  AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey
+  AND c.c_nationkey = s.s_nationkey
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
+_Q10_LO = np.datetime64("1996-01-01")
+_Q10_HI = np.datetime64("1996-07-01")
+
+
+def q_returned_items_topk(sf_dir: str):
+    """TPC-H-Q10-shaped returned-item ranking: revenue of RETURNED
+    lineitems per customer over an order-date half-year, top 20 by
+    revenue (custkey tiebreak).  Per-batch revenue partials keyed by
+    orderkey -> join date-windowed orders -> re-key to custkey with a
+    second partial agg -> join customer names -> distributed sort +
+    limit.  Raw lineitems never shuffle; the second join moves one row
+    per buying customer."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+    from cex_crawler_ray.stages.join import hash_join
+
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nation_name = dict(
+        zip(nation["n_nationkey"].astype(int), nation["n_name"])
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_returnflag",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def li_partial(df: "pd.DataFrame") -> pa.Table:
+        df = df[df["l_returnflag"].to_numpy() == "R"]
+        cents = _cents(
+            df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy())
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                    "cents": cents,
+                }
+            )
+            .groupby("l_orderkey", as_index=False)["cents"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        m = (d >= _Q10_LO) & (d < _Q10_HI)
+        return batch.select(["o_orderkey", "o_custkey"]).filter(pa.array(m))
+
+    rev_orders = hash_join(
+        li.map_batches(li_partial, batch_format="pandas"),
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+    )
+
+    def cust_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("o_custkey", as_index=False)["cents"].sum()
+
+    def cust_final(group: pa.Table) -> pa.Table:
+        g = (
+            group.to_pandas()
+            .groupby("o_custkey", as_index=False)["cents"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = _coarse_group_apply(
+        rev_orders.map_batches(cust_partial, batch_format="pandas"),
+        "o_custkey",
+        cust_final,
+        num_parts=32,
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    named = hash_join(
+        per_cust, cust, left_key="o_custkey", right_key="c_custkey"
+    )
+
+    def neg_key(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["_negcents"] = -df["cents"].to_numpy(np.int64)
+        return df
+
+    top = (
+        named.map_batches(neg_key, batch_format="pandas")
+        .sort(["_negcents", "c_custkey"])
+        .limit(20)
+        .to_pandas()
+    )
+    top["nation"] = top["c_nationkey"].map(lambda k: nation_name[int(k)])
+    top["revenue_cents"] = top["cents"].astype("int64")
+    top["c_custkey"] = top["c_custkey"].astype("int64")
+    return top[["c_custkey", "c_name", "nation", "revenue_cents"]]
+
+
+_RETURNED_ITEMS_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(sum(CAST(round(
+         l.l_extendedprice * (1 - l.l_discount) * 100
+       ) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c, orders o, lineitem l, nation n
+WHERE c.c_custkey = o.o_custkey
+  AND l.l_orderkey = o.o_orderkey
+  AND l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND c.c_nationkey = n.n_nationkey
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_cents DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+_BRACKETS = (
+    # (brand, max_size, qty_lo, qty_hi) — disjunctive OR-of-ANDs
+    ("Brand#12", 15, 1, 15),
+    ("Brand#23", 25, 10, 25),
+    ("Brand#34", 35, 20, 35),
+)
+
+
+def q_bracket_revenue(sf_dir: str):
+    """TPC-H-Q19-shaped disjunctive bracket join: revenue of lineitems
+    matching any of three (brand, size-range, quantity-range)
+    conjunctions.  The part dimension is broadcast once as three
+    parallel arrays (partkey -> brand ordinal, size); each lineitem
+    batch evaluates all brackets as one vectorized OR-of-ANDs mask —
+    the disjunction never becomes a UNION of three scans and the fact
+    table never shuffles (partial sums only)."""
+    import pandas as pd
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    brand_ord = {b: i for i, (b, *_ ) in enumerate(_BRACKETS)}
+    pk = part["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(pk)
+    part_ref = ray.put(
+        (
+            pk[order],
+            part["p_brand"].map(brand_ord).fillna(-1).to_numpy(np.int64)[order],
+            part["p_size"].to_numpy(np.int64)[order],
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        pkeys, pbrand, psize = ray.get(part_ref)
+        lk = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(pkeys, lk)
+        pos = np.clip(pos, 0, max(0, len(pkeys) - 1))
+        hit = pkeys[pos] == lk if len(pkeys) else np.zeros(len(lk), bool)
+        b = np.where(hit, pbrand[pos], -1)
+        s = np.where(hit, psize[pos], 0)
+        qty = df["l_quantity"].to_numpy(np.float64)
+        keep = np.zeros(len(lk), dtype=bool)
+        for i, (_, max_size, qlo, qhi) in enumerate(_BRACKETS):
+            keep |= (
+                (b == i)
+                & (s >= 1)
+                & (s <= max_size)
+                & (qty >= qlo)
+                & (qty <= qhi)
+            )
+        cents = _cents(
+            df["l_extendedprice"].to_numpy()[keep]
+            * (1.0 - df["l_discount"].to_numpy()[keep])
+        )
+        return pd.DataFrame(
+            {
+                "n_items": [np.int64(keep.sum())],
+                "revenue_cents": [np.int64(cents.sum())],
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_items": [np.int64(parts["n_items"].sum())],
+            "revenue_cents": [np.int64(parts["revenue_cents"].sum())],
+        }
+    )
+
+
+_BRACKET_REVENUE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(coalesce(sum(CAST(round(
+         l.l_extendedprice * (1 - l.l_discount) * 100
+       ) AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+FROM lineitem l, part p
+WHERE p.p_partkey = l.l_partkey
+  AND (
+    (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+     AND l.l_quantity BETWEEN 1 AND 15)
+    OR
+    (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+     AND l.l_quantity BETWEEN 10 AND 25)
+    OR
+    (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+     AND l.l_quantity BETWEEN 20 AND 35)
+  )
+"""
+
+
+_Q12_LO = np.datetime64("1996-01-01")
+_Q12_HI = np.datetime64("1997-01-01")
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_linestatus_priority_counts(sf_dir: str):
+    """TPC-H-Q12-shaped two-branch conditional aggregation: per
+    linestatus, how many 1996-shipped lineitems belong to high- vs
+    low-priority orders.  Lineitem collapses to one (orderkey,
+    linestatus, n) partial per batch key before the single
+    co-partition join against orders, so the exchange carries counts,
+    not lineitems; the high/low split is a vectorized membership test
+    in the post-join partials."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.join import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    )
+
+    def li_partial(df: "pd.DataFrame") -> pa.Table:
+        d = df["l_shipdate"].to_numpy("datetime64[us]")
+        df = df[(d >= _Q12_LO) & (d < _Q12_HI)]
+        g = df.groupby(
+            ["l_orderkey", "l_linestatus"], as_index=False
+        ).size()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    g["l_orderkey"].to_numpy(np.int64), pa.int64()
+                ),
+                "l_linestatus": pa.array(g["l_linestatus"], pa.string()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    joined = hash_join(
+        li.map_batches(li_partial, batch_format="pandas"),
+        orders,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+    )
+
+    def split(df: "pd.DataFrame") -> "pd.DataFrame":
+        hi = df["o_orderpriority"].isin(_Q12_HIGH).to_numpy()
+        n = df["n"].to_numpy(np.int64)
+        g = pd.DataFrame(
+            {
+                "l_linestatus": df["l_linestatus"],
+                "high_count": np.where(hi, n, 0),
+                "low_count": np.where(hi, 0, n),
+            }
+        ).groupby("l_linestatus", as_index=False).sum()
+        return g
+
+    out = (
+        joined.map_batches(split, batch_format="pandas")
+        .groupby("l_linestatus")
+        .sum(["high_count", "low_count"])
+        .to_pandas()
+        .rename(
+            columns={
+                "sum(high_count)": "high_count",
+                "sum(low_count)": "low_count",
+            }
+        )
+    )
+    out["high_count"] = out["high_count"].astype("int64")
+    out["low_count"] = out["low_count"].astype("int64")
+    return out[["l_linestatus", "high_count", "low_count"]]
+
+
+_LINESTATUS_PRIORITY_SQL = """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+FROM lineitem l, orders o
+WHERE l.l_orderkey = o.o_orderkey
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -7738,6 +8411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_agg": q_bloom_join_agg,
         "profile_orders": q_profile_orders,
         "rows_window": q_rows_window,
+        "rolling_median": q_rolling_median,
+        "decayed_sum": q_decayed_sum,
         "cume_dist_events": q_cume_dist_events,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "sessionize": q_sessionize,
@@ -7770,6 +8445,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_features": q_two_hop_features,
         "table_snapshots": q_table_snapshots,
         "shipping_priority": q_shipping_priority,
+        "order_priority_counts": q_order_priority_counts,
+        "local_supplier_volume": q_local_supplier_volume,
+        "returned_items_topk": q_returned_items_topk,
+        "bracket_revenue": q_bracket_revenue,
+        "linestatus_priority_counts": q_linestatus_priority_counts,
         "transition_matrix": q_transition_matrix,
         "cm_event_counts": q_cm_event_counts,
         "snapshot_changes": q_snapshot_changes,
@@ -9220,7 +9900,14 @@ GROUP BY 1, 2
         "two_hop_features": _TWO_HOP_SQL,
         "table_snapshots": _TABLE_SNAPSHOTS_SQL,
         "shipping_priority": _SHIPPING_PRIORITY_SQL,
+        "order_priority_counts": _ORDER_PRIORITY_SQL,
+        "local_supplier_volume": _LOCAL_SUPPLIER_SQL,
+        "returned_items_topk": _RETURNED_ITEMS_SQL,
+        "bracket_revenue": _BRACKET_REVENUE_SQL,
+        "linestatus_priority_counts": _LINESTATUS_PRIORITY_SQL,
         "transition_matrix": _TRANSITION_MATRIX_SQL,
+        "rolling_median": _ROLLING_MEDIAN_SQL,
+        "decayed_sum": _DECAYED_SUM_SQL,
         "cm_event_counts": _CM_EVENT_COUNTS_SQL,
         "snapshot_changes": _SNAPSHOT_CHANGES_SQL,
         "max_concurrency": _MAX_CONCURRENCY_SQL,

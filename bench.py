@@ -388,6 +388,13 @@ def bench_queries(sf_dir: str) -> dict:
         "hopping_window",
         "interpolate_missing",
         "kl_by_source",
+        "rolling_median",
+        "decayed_sum",
+        "order_priority_counts",
+        "local_supplier_volume",
+        "returned_items_topk",
+        "bracket_revenue",
+        "linestatus_priority_counts",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row

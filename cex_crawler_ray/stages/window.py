@@ -1308,3 +1308,142 @@ def max_concurrency(
             ),
         }
     )
+
+
+def _seg_start_index(keys: np.ndarray) -> np.ndarray:
+    """For a key-sorted array, each row's segment-start index."""
+    n = len(keys)
+    seg_starts_mask = np.concatenate(([True], keys[1:] != keys[:-1]))
+    starts = np.flatnonzero(seg_starts_mask)
+    lens = np.diff(np.concatenate((starts, [n])))
+    return np.repeat(starts, lens)
+
+
+def rows_window_median(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    id_col: str = "event_id",
+    n_preceding: int = 6,
+    num_parts: int = 32,
+    out_col: str = "median_cents",
+) -> "ray.data.Dataset":
+    """Trailing ROWS-frame MEDIAN per key, ordered by (ts, id) — SQL
+    ``median(x) OVER (... ROWS BETWEEN n PRECEDING AND CURRENT ROW)``.
+
+    Order statistics don't difference like sums, so the frame is
+    materialized as an (n, W) strided matrix (W = n_preceding + 1 is a
+    small constant) with NaN masking at segment starts; one
+    ``np.nanmedian`` per partition replaces a per-row loop.  The
+    shuffle carries four int64 columns; W never leaves the task.
+    """
+    W = n_preceding + 1
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                key_col: batch[key_col].combine_chunks().cast(pa.int64()),
+                "ts_us": pa.array(_order_key_us(batch, ts_col), pa.int64()),
+                cents_col: batch[cents_col].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    def windowed(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        us = group["ts_us"].to_numpy(zero_copy_only=False)
+        cents = group[cents_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, us, keys))
+        ids, keys, cents = ids[order], keys[order], cents[order]
+        n = len(ids)
+        seg_start = _seg_start_index(keys)
+        vals = cents.astype(np.float64)
+        idx = np.arange(n)
+        mat = np.full((n, W), np.nan)
+        for j in range(W):
+            src = idx - j
+            ok = src >= seg_start
+            mat[ok, j] = vals[src[ok]]
+        med = np.nanmedian(mat, axis=1) if n else np.empty(0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                out_col: pa.array(med, pa.float64()),
+            }
+        )
+
+    from .dedup import _coarse_group_apply
+
+    return _coarse_group_apply(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        key_col,
+        windowed,
+        num_parts,
+    )
+
+
+def decayed_window_sum(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    cents_col: str = "cents",
+    id_col: str = "event_id",
+    n_terms: int = 16,
+    num_parts: int = 32,
+    out_col: str = "decayed_cents",
+) -> "ray.data.Dataset":
+    """Exact-integer exponentially decayed trailing sum (the EWMA
+    numerator): per key, ordered by (ts, id),
+
+        out[i] = sum_{j=0..n_terms-1} cents[i-j] * 2^(n_terms-1-j)
+
+    truncated at the segment start.  Base-2 weights keep the result an
+    exact int64 (cents << 15 for 16 terms stays far below 2^63), so the
+    operator is oracle-checkable bit-for-bit, unlike a float EWMA.
+    Computed as n_terms shifted vector adds — no per-row loop; the
+    recurrence out[i] = (out[i-1] >> 1) + cents[i] << (n_terms - 1)
+    would serialize, the shifted adds do not.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                key_col: batch[key_col].combine_chunks().cast(pa.int64()),
+                "ts_us": pa.array(_order_key_us(batch, ts_col), pa.int64()),
+                cents_col: batch[cents_col].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    def windowed(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        us = group["ts_us"].to_numpy(zero_copy_only=False)
+        cents = group[cents_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, us, keys))
+        ids, keys, cents = ids[order], keys[order], cents[order]
+        n = len(ids)
+        seg_start = _seg_start_index(keys)
+        idx = np.arange(n)
+        out = np.zeros(n, dtype=np.int64)
+        for j in range(n_terms):
+            src = idx - j
+            ok = src >= seg_start
+            out[ok] += cents[src[ok]] << (n_terms - 1 - j)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                out_col: pa.array(out, pa.int64()),
+            }
+        )
+
+    from .dedup import _coarse_group_apply
+
+    return _coarse_group_apply(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        key_col,
+        windowed,
+        num_parts,
+    )

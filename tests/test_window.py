@@ -330,3 +330,74 @@ def test_max_concurrency_hand_case(ray_session):
     # 101-150, 102-103} = 3; never 4
     assert out["max_concurrent"].iloc[0] == 3
     assert out["n_intervals"].iloc[0] == 7
+
+
+def test_rows_window_median_segments(ray_session):
+    """Windows truncate at each key's segment start; W=3 median over a
+    hand-checkable sequence."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import rows_window_median
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 10, 11],
+            "user_id": [7, 7, 7, 7, 9, 9],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+                 "2024-01-01", "2024-01-02"]
+            ),
+            "cents": [10, 30, 20, 100, 5, 7],
+        }
+    )
+    out = (
+        rows_window_median(
+            ray.data.from_pandas(df).repartition(3),
+            n_preceding=2,
+            num_parts=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    # u7: [10], [10,30], [10,30,20], [30,20,100] -> 10, 20, 20, 30
+    # u9: [5], [5,7] -> 5, 6
+    assert out["median_cents"].tolist() == [10.0, 20.0, 20.0, 30.0, 5.0, 6.0]
+
+
+def test_decayed_window_sum_matches_bruteforce(ray_session):
+    """Random keyed stream vs a per-row brute-force of the shifted-add
+    definition (including segment truncation)."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import decayed_window_sum
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 9, n).astype(np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "cents": rng.integers(-500, 5000, n).astype(np.int64),
+        }
+    )
+    n_terms = 16
+    out = (
+        decayed_window_sum(
+            ray.data.from_pandas(df).repartition(5),
+            n_terms=n_terms,
+            num_parts=8,
+        )
+        .to_pandas()
+        .set_index("event_id")["decayed_cents"]
+    )
+    srt = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    for uid, g in srt.groupby("user_id"):
+        c = g["cents"].to_numpy()
+        for i in range(len(g)):
+            want = sum(
+                int(c[i - j]) << (n_terms - 1 - j)
+                for j in range(min(i + 1, n_terms))
+            )
+            assert out[g["event_id"].iloc[i]] == want
