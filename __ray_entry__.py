@@ -8334,6 +8334,568 @@ GROUP BY l.l_linestatus
 """
 
 
+def q_cust_order_distribution(sf_dir: str):
+    """TPC-H-Q13-shaped order-count distribution INCLUDING zero-order
+    customers: per-batch order-count partials keyed by o_custkey, a
+    coarse-partition final, one LEFT co-partition hash join from the
+    customer key column (nulls -> 0 orders), then a tiny two-level
+    count-of-counts.  The left join is the only exchange that sees one
+    row per customer; orders collapse to (custkey, n) partials before
+    any shuffle."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+    from cex_crawler_ray.stages.join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def o_partial(df: "pd.DataFrame") -> pa.Table:
+        g = df.groupby("o_custkey", as_index=False).size()
+        return pa.table(
+            {
+                "o_custkey": pa.array(
+                    g["o_custkey"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_orders": pa.array(
+                    g["size"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def o_final(group: pa.Table) -> pa.Table:
+        g = (
+            group.to_pandas()
+            .groupby("o_custkey", as_index=False)["n_orders"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = _coarse_group_apply(
+        orders.map_batches(o_partial, batch_format="pandas"),
+        "o_custkey",
+        o_final,
+        num_parts=32,
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    joined = hash_join(
+        cust, counts, left_key="c_custkey", right_key="o_custkey", how="left"
+    )
+
+    def dist_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        c_count = (
+            df["n_orders"].fillna(0).to_numpy(np.int64)
+            if "n_orders" in df.columns
+            else np.zeros(len(df), np.int64)
+        )
+        g = (
+            pd.DataFrame({"c_count": c_count})
+            .groupby("c_count", as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "c_count": g["c_count"].to_numpy(np.int64),
+                "custdist": g["size"].to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        joined.map_batches(dist_partial, batch_format="pandas")
+        .groupby("c_count")
+        .sum("custdist")
+        .to_pandas()
+    )
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["sum(custdist)"].astype("int64")
+    return out[["c_count", "custdist"]].sort_values(
+        ["custdist", "c_count"], ascending=False, kind="mergesort"
+    ).reset_index(drop=True)
+
+
+_CUST_ORDER_DIST_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+_Q14_LO = np.datetime64("1996-01-01")
+_Q14_HI = np.datetime64("1996-04-01")
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H-Q14-shaped conditional-share aggregate: of the revenue
+    shipped in a quarter, how much came from PROMO-type parts.  The
+    part dimension is broadcast once as (sorted partkey, is_promo)
+    arrays via ray.put; each lineitem batch reduces to ONE
+    (promo_cents, total_cents) partial row, so nothing shuffles — the
+    classic broadcast-dim + two-branch sum."""
+    import pandas as pd
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    pk = part["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(pk)
+    part_ref = ray.put(
+        (
+            pk[order],
+            (part["p_type"].to_numpy() == "PROMO")[order],
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        pkeys, promo = ray.get(part_ref)
+        d = df["l_shipdate"].to_numpy("datetime64[us]")
+        df = df[(d >= _Q14_LO) & (d < _Q14_HI)]
+        lk = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(pkeys, lk)
+        pos = np.clip(pos, 0, max(0, len(pkeys) - 1))
+        hit = pkeys[pos] == lk if len(pkeys) else np.zeros(len(lk), bool)
+        cents = _cents(
+            df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy())
+        )
+        cents = np.where(hit, cents, 0)
+        is_promo = hit & promo[pos]
+        return pd.DataFrame(
+            {
+                "promo_cents": [np.int64(cents[is_promo].sum())],
+                "total_cents": [np.int64(cents.sum())],
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "promo_cents": [np.int64(parts["promo_cents"].sum())],
+            "total_cents": [np.int64(parts["total_cents"].sum())],
+        }
+    )
+
+
+_PROMO_REVENUE_SQL = """
+SELECT CAST(coalesce(sum(CASE WHEN p.p_type = 'PROMO'
+         THEN CAST(round(
+           l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+         ELSE 0 END), 0) AS BIGINT) AS promo_cents,
+       CAST(coalesce(sum(CAST(round(
+         l.l_extendedprice * (1 - l.l_discount) * 100
+       ) AS BIGINT)), 0) AS BIGINT) AS total_cents
+FROM lineitem l, part p
+WHERE l.l_partkey = p.p_partkey
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+_Q15_LO = np.datetime64("1996-01-01")
+_Q15_HI = np.datetime64("1996-04-01")
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H-Q15-shaped argmax-over-aggregate: revenue per supplier
+    over a shipdate quarter, return the supplier(s) achieving the
+    maximum.  Lineitem collapses to per-batch (suppkey, cents)
+    partials; the coarse-partition final emits one row per supplier
+    (the view); the max + equality filter run on that small table and
+    supplier names attach via a broadcast lookup — no raw lineitem
+    ever shuffles and no second scan of the fact table is needed."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    name_of = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(df: "pd.DataFrame") -> pa.Table:
+        d = df["l_shipdate"].to_numpy("datetime64[us]")
+        df = df[(d >= _Q15_LO) & (d < _Q15_HI)]
+        cents = _cents(
+            df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy())
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                    "cents": cents,
+                }
+            )
+            .groupby("l_suppkey", as_index=False)["cents"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def li_final(group: pa.Table) -> pa.Table:
+        g = (
+            group.to_pandas()
+            .groupby("l_suppkey", as_index=False)["cents"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_supp = _coarse_group_apply(
+        li.map_batches(li_partial, batch_format="pandas"),
+        "l_suppkey",
+        li_final,
+        num_parts=32,
+    ).to_pandas()  # one row per supplier in the window — small by construction
+
+    if len(per_supp) == 0:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "s_name": pd.Series([], dtype=object),
+                "total_revenue_cents": pd.Series([], dtype="int64"),
+            }
+        )
+    best = np.int64(per_supp["cents"].max())
+    top = per_supp[per_supp["cents"].to_numpy(np.int64) == best].copy()
+    top["s_suppkey"] = top["l_suppkey"].astype("int64")
+    top["s_name"] = top["s_suppkey"].map(lambda k: name_of[int(k)])
+    top["total_revenue_cents"] = top["cents"].astype("int64")
+    return top[["s_suppkey", "s_name", "total_revenue_cents"]].sort_values(
+        "s_suppkey", kind="mergesort"
+    ).reset_index(drop=True)
+
+
+_TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(round(
+           l_extendedprice * (1 - l_discount) * 100
+         ) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+FROM supplier s, revenue r
+WHERE s.s_suppkey = r.supplier_no
+  AND r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+_Q18_MIN_QTY = 200.0
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume-order ranking: orders whose total
+    lineitem quantity exceeds a threshold, top 100 by order value.
+    Per-batch quantity partials keyed by orderkey -> coarse final ->
+    threshold filter (the survivors are rare by construction) -> one
+    co-partition join against orders -> broadcast customer-name lookup
+    -> distributed sort + limit.  The quantity HAVING runs where the
+    data lives; only qualifying (orderkey, qty) rows reach the join."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+    from cex_crawler_ray.stages.join import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    name_of = dict(zip(cust["c_custkey"].astype(int), cust["c_name"]))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def qty_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+
+    def qty_final(group: pa.Table) -> pa.Table:
+        g = (
+            group.to_pandas()
+            .groupby("l_orderkey", as_index=False)["l_quantity"]
+            .sum()
+        )
+        g = g[g["l_quantity"].to_numpy() > _Q18_MIN_QTY]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    big = _coarse_group_apply(
+        li.map_batches(qty_partial, batch_format="pandas"),
+        "l_orderkey",
+        qty_final,
+        num_parts=32,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    joined = hash_join(
+        big, orders, left_key="l_orderkey", right_key="o_orderkey"
+    )
+
+    def shape(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["total_qty"] = df["l_quantity"].to_numpy(np.float64)
+        df["o_totalprice_cents"] = _cents(df["o_totalprice"].to_numpy())
+        df["_negprice"] = -df["o_totalprice_cents"].to_numpy(np.int64)
+        return df[
+            [
+                "l_orderkey",
+                "o_custkey",
+                "o_orderdate",
+                "o_totalprice_cents",
+                "total_qty",
+                "_negprice",
+            ]
+        ]
+
+    top = (
+        joined.map_batches(shape, batch_format="pandas")
+        .sort(["_negprice", "l_orderkey"])
+        .limit(100)
+        .to_pandas()
+    )
+    top["c_name"] = top["o_custkey"].map(lambda k: name_of[int(k)])
+    top["c_custkey"] = top["o_custkey"].astype("int64")
+    top["o_orderkey"] = top["l_orderkey"].astype("int64")
+    top["o_totalprice_cents"] = top["o_totalprice_cents"].astype("int64")
+    return top[
+        [
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice_cents",
+            "total_qty",
+        ]
+    ]
+
+
+_LARGE_ORDERS_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+       sum(l.l_quantity) AS total_qty
+FROM customer c, orders o, lineitem l
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+  )
+  AND c.c_custkey = o.o_custkey
+  AND o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H-Q17-shaped fact-vs-own-aggregate join: revenue of
+    lineitems whose quantity is below half their part's average
+    quantity.  Both the aggregate (per-part avg) and the probe need
+    the fact co-located by partkey, so the query is ONE coarse
+    hash-partition of (partkey, quantity, price); inside each
+    partition the per-part average, the threshold filter and the
+    revenue partial all run locally — the classic 'shuffle once,
+    answer a correlated subquery in-partition' plan.  Only one
+    (revenue, count) row per partition reaches the driver."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def in_partition(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        avg = df.groupby("l_partkey")["l_quantity"].transform("mean")
+        keep = df["l_quantity"].to_numpy() < 0.5 * avg.to_numpy()
+        cents = _cents(df["l_extendedprice"].to_numpy()[keep])
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [np.int64(cents.sum())], pa.int64()
+                ),
+                "n_items": pa.array([np.int64(keep.sum())], pa.int64()),
+            }
+        )
+
+    parts = _coarse_group_apply(
+        li, "l_partkey", in_partition, num_parts=32
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_cents": [np.int64(parts["revenue_cents"].sum())],
+            "n_items": [np.int64(parts["n_items"].sum())],
+        }
+    )
+
+
+_SMALL_QTY_REVENUE_SQL = """
+SELECT CAST(coalesce(sum(CAST(round(
+         l.l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l,
+     (SELECT l_partkey, 0.5 * avg(l_quantity) AS lim
+      FROM lineitem GROUP BY l_partkey) a
+WHERE l.l_partkey = a.l_partkey
+  AND l.l_quantity < a.lim
+"""
+
+
+_Q22_RECENT = np.datetime64("1999-01-01")
+
+
+def q_idle_customers(sf_dir: str):
+    """TPC-H-Q22-shaped global-scalar + anti-join: customers whose
+    balance beats the average positive balance AND who placed no order
+    since a cutoff, counted per market segment.  The scalar average is
+    a (sum, count) partial per batch -> one driver add -> broadcast
+    into the filter; the anti-join is a LEFT co-partition hash join
+    from filtered customers onto the distinct recent-buyer keys (built
+    with per-batch count partials so raw orders never shuffle), keeping
+    the null side.  Output is one row per segment."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+    from cex_crawler_ray.stages.join import hash_join
+
+    cust_bal = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_acctbal"]
+    )
+
+    def bal_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        pos = df["c_acctbal"].to_numpy(np.float64)
+        pos = pos[pos > 0.0]
+        return pd.DataFrame(
+            {"s": [float(pos.sum())], "n": [np.int64(len(pos))]}
+        )
+
+    agg = cust_bal.map_batches(bal_partial, batch_format="pandas").to_pandas()
+    avg_bal = float(agg["s"].sum()) / max(1, int(agg["n"].sum()))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def recent_partial(df: "pd.DataFrame") -> pa.Table:
+        d = df["o_orderdate"].to_numpy("datetime64[us]")
+        g = (
+            df[d >= _Q22_RECENT]
+            .groupby("o_custkey", as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(
+                    g["o_custkey"].to_numpy(np.int64), pa.int64()
+                ),
+                "n_recent": pa.array(
+                    g["size"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def recent_final(group: pa.Table) -> pa.Table:
+        g = (
+            group.to_pandas()
+            .groupby("o_custkey", as_index=False)["n_recent"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    recent = _coarse_group_apply(
+        orders.map_batches(recent_partial, batch_format="pandas"),
+        "o_custkey",
+        recent_final,
+        num_parts=32,
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def rich(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        return batch.filter(pa.array(bal > avg_bal))
+
+    joined = hash_join(
+        cust.map_batches(rich, batch_format="pyarrow"),
+        recent,
+        left_key="c_custkey",
+        right_key="o_custkey",
+        how="left",
+    )
+
+    def seg_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        if "n_recent" in df.columns:
+            df = df[df["n_recent"].isna()]
+        df = df.copy()
+        df["bal_cents"] = _cents(df["c_acctbal"].to_numpy())
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            numcust=("c_custkey", "size"), bal=("bal_cents", "sum")
+        )
+        return g
+
+    out = (
+        joined.map_batches(seg_partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .sum(["numcust", "bal"])
+        .to_pandas()
+    )
+    out["numcust"] = out["sum(numcust)"].astype("int64")
+    out["total_acctbal_cents"] = out["sum(bal)"].astype("int64")
+    return (
+        out[["c_mktsegment", "numcust", "total_acctbal_cents"]]
+        .sort_values("c_mktsegment", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+_IDLE_CUSTOMERS_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS total_acctbal_cents
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -8450,6 +9012,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_items_topk": q_returned_items_topk,
         "bracket_revenue": q_bracket_revenue,
         "linestatus_priority_counts": q_linestatus_priority_counts,
+        "cust_order_distribution": q_cust_order_distribution,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "large_orders": q_large_orders,
+        "small_qty_revenue": q_small_qty_revenue,
+        "idle_customers": q_idle_customers,
         "transition_matrix": q_transition_matrix,
         "cm_event_counts": q_cm_event_counts,
         "snapshot_changes": q_snapshot_changes,
@@ -9905,6 +10473,12 @@ GROUP BY 1, 2
         "returned_items_topk": _RETURNED_ITEMS_SQL,
         "bracket_revenue": _BRACKET_REVENUE_SQL,
         "linestatus_priority_counts": _LINESTATUS_PRIORITY_SQL,
+        "cust_order_distribution": _CUST_ORDER_DIST_SQL,
+        "promo_revenue": _PROMO_REVENUE_SQL,
+        "top_supplier": _TOP_SUPPLIER_SQL,
+        "large_orders": _LARGE_ORDERS_SQL,
+        "small_qty_revenue": _SMALL_QTY_REVENUE_SQL,
+        "idle_customers": _IDLE_CUSTOMERS_SQL,
         "transition_matrix": _TRANSITION_MATRIX_SQL,
         "rolling_median": _ROLLING_MEDIAN_SQL,
         "decayed_sum": _DECAYED_SUM_SQL,
