@@ -395,6 +395,11 @@ def bench_queries(sf_dir: str) -> dict:
         "returned_items_topk",
         "bracket_revenue",
         "linestatus_priority_counts",
+        "cust_order_distribution",
+        "top_supplier",
+        "large_orders",
+        "small_qty_revenue",
+        "idle_customers",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row
