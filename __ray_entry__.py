@@ -8896,6 +8896,38 @@ ORDER BY c.c_mktsegment
 """
 
 
+def q_bpe_pair_counts(sf_dir: str):
+    """BPE tokenizer-training primitive: the corpus-global weighted
+    adjacent character-pair counts a merge step argmaxes over.  See
+    ``stages/textstats.bpe_pair_counts`` — pair totals are linear in
+    word counts, so per-batch (pair, n) partials + one tiny pair
+    groupby are exact; no word-level global aggregation, no corpus
+    shuffle."""
+    from cex_crawler_ray.stages.textstats import bpe_pair_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return bpe_pair_counts(docs, text_col="text", k=20)
+
+
+_BPE_PAIR_COUNTS_SQL = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+  FROM documents
+), wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY w
+), pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, n
+  FROM wc, UNNEST(range(1, length(w))) AS t(i)
+)
+SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 20
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -9018,6 +9050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": q_large_orders,
         "small_qty_revenue": q_small_qty_revenue,
         "idle_customers": q_idle_customers,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "transition_matrix": q_transition_matrix,
         "cm_event_counts": q_cm_event_counts,
         "snapshot_changes": q_snapshot_changes,
@@ -10479,6 +10512,7 @@ GROUP BY 1, 2
         "large_orders": _LARGE_ORDERS_SQL,
         "small_qty_revenue": _SMALL_QTY_REVENUE_SQL,
         "idle_customers": _IDLE_CUSTOMERS_SQL,
+        "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
         "transition_matrix": _TRANSITION_MATRIX_SQL,
         "rolling_median": _ROLLING_MEDIAN_SQL,
         "decayed_sum": _DECAYED_SUM_SQL,

@@ -438,3 +438,77 @@ def kl_divergence_by_source(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+_BPE_WORD_RE = re.compile(r"[a-z0-9_]+")
+
+
+def bpe_pair_counts(ds, text_col: str = "text", k: int = 20, num_parts: int = 32):
+    """Weighted adjacent character-pair counts — the BPE tokenizer-
+    training primitive (Sennrich et al. 2016: each merge step picks the
+    globally most frequent symbol pair).
+
+    Pair totals are LINEAR in word counts (sum over occurrences of
+    per-word pair multisets), so no global word-count aggregation is
+    needed: each batch tokenizes its documents (compiled regex, the
+    repo's per-text convention), collapses to local (word, n) counts,
+    expands those to (pair, n) partials with a vectorized
+    ``str.slice`` sweep over word positions (loop bound = max word
+    length, not corpus size), and pre-sums per pair.  The only
+    exchange is a groupby over the tiny pair alphabet (<= ~1.4k rows);
+    top-k ordering (count desc, pair asc) happens on that small table.
+
+    At 100 TB this is one pass over the corpus with combiner-sized
+    partials per block — the shape a real BPE trainer repeats per
+    merge, with the merged symbol re-entering the alphabet.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        words: list = []
+        for t in df[text_col]:
+            words.extend(_BPE_WORD_RE.findall(t.lower()))
+        if not words:
+            return pd.DataFrame(
+                {
+                    "pair": pd.Series([], dtype=object),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        wc = pd.Series(words).value_counts()
+        w = wc.index.to_series().reset_index(drop=True)
+        n = wc.to_numpy(np.int64)
+        frames = []
+        max_len = int(w.str.len().max())
+        for i in range(max_len - 1):
+            p = w.str.slice(i, i + 2)
+            ok = p.str.len().to_numpy() == 2
+            if ok.any():
+                frames.append(
+                    pd.DataFrame({"pair": p.to_numpy()[ok], "cnt": n[ok]})
+                )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "pair": pd.Series([], dtype=object),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby("pair", as_index=False)["cnt"].sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    merged = partials.groupby("pair").sum("cnt").to_pandas()
+    if "sum(cnt)" not in merged.columns:  # corpus had no 2+-char words
+        return pd.DataFrame(
+            {
+                "pair": pd.Series([], dtype=object),
+                "cnt": pd.Series([], dtype="int64"),
+            }
+        )
+    merged["cnt"] = merged["sum(cnt)"].astype("int64")
+    merged = merged.sort_values(
+        ["cnt", "pair"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return merged[["pair", "cnt"]].reset_index(drop=True)
