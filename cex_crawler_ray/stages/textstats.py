@@ -512,3 +512,135 @@ def bpe_pair_counts(ds, text_col: str = "text", k: int = 20, num_parts: int = 32
         ["cnt", "pair"], ascending=[False, True], kind="mergesort"
     ).head(k)
     return merged[["pair", "cnt"]].reset_index(drop=True)
+
+
+def bpe_train(ds, text_col: str = "text", n_merges: int = 10):
+    """Full BPE training loop (Sennrich et al. 2016): learn ``n_merges``
+    merge rules from a corpus Dataset.
+
+    Distributed shape: the corpus collapses ONCE to a (word, n)
+    vocabulary — per-batch local counts, one word groupby — and every
+    merge step then iterates over the *vocabulary* Dataset, which is
+    orders of magnitude smaller than the corpus (the corpus is never
+    re-read).  Each step is (a) per-batch adjacent-pair counts over the
+    current symbol sequences, (b) a pair-alphabet groupby + driver
+    argmax (count desc, pair lexicographic — deterministic), (c) a
+    per-batch rewrite applying the merge.  The vocabulary is
+    materialized per step (it is vocab-sized, not corpus-sized) so a
+    step's lineage doesn't replay all prior steps.
+
+    Per-row loops here run over VOCABULARY rows — the same cost shape
+    as reference BPE trainers, which all iterate word-by-word over the
+    vocab; the corpus-sized pass (tokenize + count) is the only hot
+    path and it is batch-local.
+
+    Returns the ordered list of (left, right) merge rules.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def count_words(df: "pd.DataFrame") -> "pd.DataFrame":
+        words: list = []
+        for t in df[text_col]:
+            words.extend(_BPE_WORD_RE.findall(t.lower()))
+        if not words:
+            return pd.DataFrame(
+                {
+                    "word": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        wc = pd.Series(words).value_counts()
+        return pd.DataFrame(
+            {"word": wc.index, "n": wc.to_numpy(np.int64)}
+        )
+
+    vocab = (
+        ds.map_batches(count_words, batch_format="pandas")
+        .groupby("word")
+        .sum("n")
+    )
+
+    def to_syms(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "syms": [list(w) for w in df["word"]],
+                "n": df["sum(n)"].to_numpy(np.int64),
+            }
+        )
+
+    vocab = vocab.map_batches(to_syms, batch_format="pandas").materialize()
+
+    merges: list = []
+    for _ in range(n_merges):
+
+        def pair_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            counts: dict = {}
+            for syms, n in zip(df["syms"], df["n"]):
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    counts[k] = counts.get(k, 0) + int(n)
+            if not counts:
+                return pd.DataFrame(
+                    {
+                        "left": pd.Series([], dtype=object),
+                        "right": pd.Series([], dtype=object),
+                        "cnt": pd.Series([], dtype="int64"),
+                    }
+                )
+            ks = list(counts.keys())
+            return pd.DataFrame(
+                {
+                    "left": [k[0] for k in ks],
+                    "right": [k[1] for k in ks],
+                    "cnt": np.fromiter(
+                        (counts[k] for k in ks), np.int64, len(ks)
+                    ),
+                }
+            )
+
+        pairs = (
+            vocab.map_batches(pair_partial, batch_format="pandas")
+            .groupby(["left", "right"])
+            .sum("cnt")
+            .to_pandas()
+        )
+        if len(pairs) == 0:
+            break
+        pairs = pairs.sort_values(
+            ["sum(cnt)", "left", "right"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        left, right = pairs.iloc[0]["left"], pairs.iloc[0]["right"]
+        merges.append((left, right))
+        new_sym = left + right
+
+        def apply_merge(
+            df: "pd.DataFrame", left=left, right=right, new_sym=new_sym
+        ) -> "pd.DataFrame":
+            out = []
+            for syms in df["syms"]:
+                syms = list(syms)
+                i, res = 0, []
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        res.append(new_sym)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pd.DataFrame(
+                {"syms": out, "n": df["n"].to_numpy(np.int64)}
+            )
+
+        vocab = vocab.map_batches(
+            apply_merge, batch_format="pandas"
+        ).materialize()
+
+    return merges

@@ -47,3 +47,60 @@ def test_bpe_pair_counts_single_char_words_only(ray_session):
     df = pd.DataFrame({"text": ["a b c", "x y z"]})
     out = bpe_pair_counts(ray.data.from_pandas(df), k=20)
     assert len(out) == 0
+
+
+def _brute_bpe_train(texts, n_merges):
+    import re
+
+    word_re = re.compile(r"[a-z0-9_]+")
+    vocab = Counter()
+    for t in texts:
+        for w in word_re.findall(t.lower()):
+            vocab[tuple(w)] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_vocab = Counter()
+        for syms, n in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    res.append(best[0] + best[1])
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] += n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(ray_session):
+    from cex_crawler_ray.stages.textstats import bpe_train
+
+    texts = [
+        "the lower the newer the newest newest newest",
+        "low lower lowest newer new new new",
+        "wide wider widest low low low lowest",
+        "newest newest wider the the the",
+    ]
+    expected = _brute_bpe_train(texts, 8)
+    assert len(expected) == 8
+
+    df = pd.DataFrame({"text": texts})
+    for parts in (1, 3):
+        got = bpe_train(
+            ray.data.from_pandas(df).repartition(parts), n_merges=8
+        )
+        assert got == expected
