@@ -60,15 +60,158 @@ class _Bloom:
         np.bitwise_or.at(self.bits, word, bit)
 
 
+class _Cuckoo:
+    """Cuckoo filter (Fan et al. 2014): 4-slot buckets of 16-bit
+    fingerprints; two candidate buckets per key via the partial-key
+    XOR trick (bucket count is a power of 2 so ``i2 = i1 ^ h(f)`` is
+    an involution).  Unlike Bloom, supports DELETE — the seen filter
+    can un-mark a url for a forced recrawl without rebuilding.
+
+    Batch inserts are vectorized in two passes (rank-within-bucket
+    scatter into i1's free slots, then i2's); only the residue that
+    finds both buckets full takes the per-item kick loop, which is
+    rare below ~0.9 load factor.  ``contains``/``delete`` are fully
+    vectorized.  ~2 bytes/key at 4 slots: 10^10 urls ≈ 20 GB pool-wide
+    (vs 12.5 GB Bloom @ 10 bits) with deletion and ~0.01% fpp.
+    """
+
+    _SLOTS = 4
+    _MAX_KICKS = 500
+
+    def __init__(self, num_buckets: int):
+        nb = 1
+        while nb < num_buckets:
+            nb <<= 1
+        self.num_buckets = nb
+        self.table = np.zeros((nb, self._SLOTS), dtype=np.uint16)
+        self.count = 0
+
+    def _fp(self, hashes: np.ndarray) -> np.ndarray:
+        # 1..65535 (0 is the empty-slot sentinel)
+        return ((hashes >> np.uint64(48)) % np.uint64(65535)).astype(
+            np.uint16
+        ) + np.uint16(1)
+
+    def _alt(self, bucket: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # partial-key hash of the fingerprint (odd multiplier mix)
+        fh = fp.astype(np.uint64) * np.uint64(0x5BD1E995)
+        return (bucket ^ fh) & np.uint64(self.num_buckets - 1)
+
+    def _candidates(self, hashes: np.ndarray):
+        fp = self._fp(hashes)
+        i1 = hashes & np.uint64(self.num_buckets - 1)
+        return fp, i1, self._alt(i1, fp)
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        fp, i1, i2 = self._candidates(hashes)
+        f = fp[:, None]
+        return ((self.table[i1] == f) | (self.table[i2] == f)).any(axis=1)
+
+    def _bulk_place(
+        self, buckets: np.ndarray, fp: np.ndarray
+    ) -> np.ndarray:
+        """Vectorized scatter of fp[j] into a free slot of buckets[j];
+        returns the mask of items that fit.  Items sharing a bucket
+        get distinct ranks, so every written (bucket, slot) is unique."""
+        if len(buckets) == 0:
+            return np.zeros(0, dtype=bool)
+        order = np.argsort(buckets, kind="stable")
+        b_sorted = buckets[order]
+        # rank of each item within its bucket run
+        first = np.concatenate([[True], b_sorted[1:] != b_sorted[:-1]])
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(b_sorted)), 0)
+        )
+        rank = np.arange(len(b_sorted)) - run_start
+        occ = (self.table[b_sorted] != 0).sum(axis=1)
+        slot = occ + rank
+        ok = slot < self._SLOTS
+        self.table[b_sorted[ok], slot[ok]] = fp[order][ok]
+        placed = np.zeros(len(buckets), dtype=bool)
+        placed[order[ok]] = True
+        return placed
+
+    def add(self, hashes: np.ndarray) -> bool:
+        """Insert all (assumed not-contained) keys; returns False if a
+        kick loop overflowed (filter effectively full)."""
+        fp, i1, i2 = self._candidates(hashes)
+        placed = self._bulk_place(i1, fp)
+        rem = ~placed
+        if rem.any():
+            placed2 = np.zeros(len(hashes), dtype=bool)
+            placed2[rem] = self._bulk_place(i2[rem], fp[rem])
+            rem &= ~placed2
+        failed = 0
+        for j in np.nonzero(rem)[0]:
+            if not self._kick_insert(int(i1[j]), fp[j]):
+                failed += 1
+        self.count += int(len(hashes)) - failed
+        return failed == 0
+
+    def _kick_insert(self, bucket: int, f: np.uint16) -> bool:
+        rng = np.random.default_rng(int(f) * 2654435761 % (1 << 32))
+        for _ in range(self._MAX_KICKS):
+            row = self.table[bucket]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                self.table[bucket, empty[0]] = f
+                return True
+            victim = int(rng.integers(self._SLOTS))
+            f, self.table[bucket, victim] = self.table[bucket, victim], f
+            bucket = int(
+                self._alt(
+                    np.array([bucket], np.uint64),
+                    np.array([f], np.uint16),
+                )[0]
+            )
+        return False
+
+    def delete(self, hashes: np.ndarray) -> np.ndarray:
+        """Remove ONE matching fingerprint per key; vectorized via
+        first-match scatter on unique (bucket, slot) targets.  Returns
+        the mask of keys actually removed."""
+        fp, i1, i2 = self._candidates(hashes)
+        removed = np.zeros(len(hashes), dtype=bool)
+        for cand in (i1, i2):
+            todo = np.nonzero(~removed)[0]
+            if not len(todo):
+                break
+            rows = self.table[cand[todo]]
+            hit = rows == fp[todo][:, None]
+            has = hit.any(axis=1)
+            slot = hit.argmax(axis=1)
+            # duplicate (bucket, slot) targets within the batch would
+            # double-delete one physical slot; keep first occurrence
+            key = cand[todo] * np.uint64(self._SLOTS) + slot.astype(
+                np.uint64
+            )
+            _, first_idx = np.unique(key, return_index=True)
+            keep = np.zeros(len(todo), dtype=bool)
+            keep[first_idx] = True
+            sel = has & keep
+            self.table[cand[todo][sel], slot[sel]] = 0
+            removed[todo[sel]] = True
+        self.count -= int(removed.sum())
+        return removed
+
+
 @ray.remote(num_cpus=0)
 class SeenShard:
     # merge the pending buffer into the sorted base above this size:
     # np.isin re-sorts pending per probe, so keep it bounded
     _MERGE_AT = 1 << 16
 
-    def __init__(self, mode: str = "exact", bloom_bits: int = 1 << 22):
+    def __init__(
+        self,
+        mode: str = "exact",
+        bloom_bits: int = 1 << 22,
+        cuckoo_buckets: int = 1 << 18,
+    ):
         self.mode = mode
         self.bloom = _Bloom(bloom_bits)
+        self.cuckoo = (
+            _Cuckoo(cuckoo_buckets) if mode == "cuckoo" else None
+        )
         # exact mode: sorted base array + small unsorted pending buffer
         # (vectorized membership — a Python set pays a per-url loop that
         # serializes the whole pool at high core counts; measured: the
@@ -109,6 +252,13 @@ class SeenShard:
             new = np.zeros(len(hashes), dtype=bool)
             new[first_idx[new_uniq]] = True
             self.bloom.add(hashes[new])
+        elif self.mode == "cuckoo":
+            maybe_seen = self.cuckoo.contains(hashes)
+            _, first_idx = np.unique(hashes, return_index=True)
+            first = np.zeros(len(hashes), dtype=bool)
+            first[first_idx] = True
+            new = (~maybe_seen) & first
+            self.cuckoo.add(hashes[new])
         else:
             maybe_seen = self.bloom.contains(hashes)
             # in-batch first-wins on top of the filter
@@ -120,6 +270,36 @@ class SeenShard:
         self.count += int(new.sum())
         return new
 
+    def delete(self, hashes: np.ndarray) -> np.ndarray:
+        """Un-mark urls (forced recrawl).  Supported in ``cuckoo`` mode
+        (per-fingerprint removal) and ``exact`` mode (set removal);
+        Bloom cannot delete — callers must rebuild, which is exactly
+        the limitation the cuckoo mode removes."""
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if self.mode == "cuckoo":
+            removed = self.cuckoo.delete(hashes)
+            self.count -= int(removed.sum())
+            return removed
+        if self.mode == "exact":
+            uniq = np.unique(hashes)
+            present = self._exact_contains(uniq)
+            drop = uniq[present]
+            if len(drop):
+                self._sorted = self._sorted[
+                    ~np.isin(self._sorted, drop)
+                ]
+                self._pending = self._pending[
+                    ~np.isin(self._pending, drop)
+                ]
+                self.count -= int(len(drop))
+            out = np.isin(hashes, drop)
+            # only the FIRST occurrence of a duplicate counts as removed
+            _, first_idx = np.unique(hashes, return_index=True)
+            first = np.zeros(len(hashes), dtype=bool)
+            first[first_idx] = True
+            return out & first
+        raise ValueError("bloom mode cannot delete; rebuild the filter")
+
     def size(self) -> int:
         return self.count
 
@@ -127,6 +307,8 @@ class SeenShard:
         out = {"mode": self.mode, "count": self.count, "bloom": self.bloom.bits}
         if self.mode == "exact":
             out["exact"] = np.concatenate([self._sorted, self._pending])
+        if self.mode == "cuckoo":
+            out["cuckoo"] = self.cuckoo.table
         return out
 
     def restore(self, snap: dict) -> None:
@@ -138,15 +320,30 @@ class SeenShard:
             base.sort()
             self._sorted = base
             self._pending = np.empty(0, dtype=np.uint64)
+        if self.mode == "cuckoo":
+            table = np.asarray(snap["cuckoo"], dtype=np.uint16).copy()
+            self.cuckoo = _Cuckoo(table.shape[0])
+            self.cuckoo.table = table
+            self.cuckoo.count = int(snap["count"])
 
 
 class SeenFilterPool:
     """Client facade over the shard actors (picklable: holds handles only)."""
 
-    def __init__(self, num_shards: int = 8, mode: str = "exact", bloom_bits: int = 1 << 22):
+    def __init__(
+        self,
+        num_shards: int = 8,
+        mode: str = "exact",
+        bloom_bits: int = 1 << 22,
+        cuckoo_buckets: int = 1 << 18,
+    ):
         self.num_shards = num_shards
         self.shards = [
-            SeenShard.remote(mode=mode, bloom_bits=bloom_bits)
+            SeenShard.remote(
+                mode=mode,
+                bloom_bits=bloom_bits,
+                cuckoo_buckets=cuckoo_buckets,
+            )
             for _ in range(num_shards)
         ]
 
@@ -162,6 +359,23 @@ class SeenFilterPool:
             idx = np.nonzero(shard_of == s)[0]
             if len(idx):
                 refs.append(self.shards[s].check_and_add.remote(hashes[idx]))
+                idxs.append(idx)
+        for idx, mask in zip(idxs, ray.get(refs)):
+            result[idx] = mask
+        return result
+
+    def delete(self, hashes: np.ndarray) -> np.ndarray:
+        """Un-mark urls across shards (forced recrawl); order-preserving."""
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        shard_of = (hashes % np.uint64(self.num_shards)).astype(np.int64)
+        result = np.zeros(len(hashes), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.num_shards):
+            idx = np.nonzero(shard_of == s)[0]
+            if len(idx):
+                refs.append(self.shards[s].delete.remote(hashes[idx]))
                 idxs.append(idx)
         for idx, mask in zip(idxs, ray.get(refs)):
             result[idx] = mask
