@@ -181,15 +181,32 @@ class _Cuckoo:
             has = hit.any(axis=1)
             slot = hit.argmax(axis=1)
             # duplicate (bucket, slot) targets within the batch would
-            # double-delete one physical slot; keep first occurrence
+            # double-delete one physical slot; keep first occurrence.
+            # No-hit rows get unique sentinel keys so their garbage
+            # (bucket, argmax=0) value can't shadow a genuine hit.
             key = cand[todo] * np.uint64(self._SLOTS) + slot.astype(
                 np.uint64
+            )
+            key = np.where(
+                has,
+                key,
+                np.uint64(2**63) + np.arange(len(todo), dtype=np.uint64),
             )
             _, first_idx = np.unique(key, return_index=True)
             keep = np.zeros(len(todo), dtype=bool)
             keep[first_idx] = True
             sel = has & keep
-            self.table[cand[todo][sel], slot[sel]] = 0
+            hit_buckets = cand[todo][sel]
+            self.table[hit_buckets, slot[sel]] = 0
+            # re-compact the touched rows: ``_bulk_place`` writes at
+            # slot ``occupancy + rank`` assuming filled slots are
+            # contiguous from 0 — a mid-row hole would let a later
+            # bulk insert overwrite a live fingerprint
+            ub = np.unique(hit_buckets)
+            if len(ub):
+                rows = self.table[ub]
+                order = np.argsort(rows == 0, axis=1, kind="stable")
+                self.table[ub] = np.take_along_axis(rows, order, axis=1)
             removed[todo[sel]] = True
         self.count -= int(removed.sum())
         return removed

@@ -117,3 +117,20 @@ def test_cuckoo_crawl_matches_exact(ray_session, sf_tiny):
         exact.fetched_table()["url"].to_pylist()
     )
     assert cuckoo.crawl_order() == exact.crawl_order()
+
+
+def test_cuckoo_delete_compacts_rows_no_overwrite():
+    """Regression: delete leaves mid-row holes; a later bulk insert
+    writes at occupancy+rank and would overwrite live fingerprints if
+    rows weren't re-compacted."""
+    from cex_crawler_ray.state.seen_filter import _Cuckoo
+
+    c = _Cuckoo(1 << 10)
+    keys = _keys(3_000, seed=9)
+    c.add(keys)
+    del_set = keys[::3]
+    keep_set = np.setdiff1d(keys, del_set)
+    assert c.delete(del_set).all()
+    # heavy re-insert pressure on the holed rows
+    c.add(_keys(1_500, seed=10))
+    assert c.contains(keep_set).all()  # no survivor lost its fingerprint
