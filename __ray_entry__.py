@@ -8928,6 +8928,38 @@ LIMIT 20
 """
 
 
+def q_mutual_knn_pairs(sf_dir: str):
+    """Reciprocal nearest-neighbor pairs over the embeddings table:
+    see ``stages/similarity.mutual_knn_pairs`` — exact self-kNN top-5
+    as a Dataset, mutuality via one co-partition hash join of the edge
+    list against its own reversal."""
+    from cex_crawler_ray.stages.similarity import mutual_knn_pairs
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return mutual_knn_pairs(emb, k=5)
+
+
+_MUTUAL_KNN_SQL = """
+WITH ranked AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding)
+                      DESC,
+                    b.vec_id ASC) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), topk AS (
+  SELECT src, dst FROM ranked WHERE rnk <= 5
+)
+SELECT t1.src AS id_a, t1.dst AS id_b
+FROM topk t1 JOIN topk t2 ON t1.src = t2.dst AND t1.dst = t2.src
+WHERE t1.src < t1.dst
+ORDER BY id_a, id_b
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -9051,6 +9083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": q_small_qty_revenue,
         "idle_customers": q_idle_customers,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "mutual_knn_pairs": q_mutual_knn_pairs,
         "transition_matrix": q_transition_matrix,
         "cm_event_counts": q_cm_event_counts,
         "snapshot_changes": q_snapshot_changes,
@@ -10513,6 +10546,7 @@ GROUP BY 1, 2
         "small_qty_revenue": _SMALL_QTY_REVENUE_SQL,
         "idle_customers": _IDLE_CUSTOMERS_SQL,
         "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
+        "mutual_knn_pairs": _MUTUAL_KNN_SQL,
         "transition_matrix": _TRANSITION_MATRIX_SQL,
         "rolling_median": _ROLLING_MEDIAN_SQL,
         "decayed_sum": _DECAYED_SUM_SQL,

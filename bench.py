@@ -400,6 +400,8 @@ def bench_queries(sf_dir: str) -> dict:
         "large_orders",
         "small_qty_revenue",
         "idle_customers",
+        "bpe_pair_counts",
+        "mutual_knn_pairs",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row

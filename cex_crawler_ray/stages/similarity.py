@@ -388,11 +388,15 @@ def _cached_query_block(ref, query_id_col: str, emb_col: str):
     return ent
 
 
-def _reduce_topk_per_query(cand, k: int, num_parts: int = 64) -> pa.Table:
-    """Distributed per-query top-k merge of candidate rows
-    (query_id, vec_id, sim): coarse-partition on query_id, local
+def _reduce_topk_per_query_ds(
+    cand, k: int, num_parts: int = 64, exclude_self: bool = False
+):
+    """Dataset-returning distributed per-query top-k merge of candidate
+    rows (query_id, vec_id, sim): coarse-partition on query_id, local
     sort/head per partition, deterministic (sim desc, vec_id asc)
-    tie-break.  Only the final k x queries rows reach the driver."""
+    tie-break.  ``exclude_self`` drops query_id == vec_id rows (self
+    matches in a self-kNN) BEFORE the head(k), so ranks are 1..k over
+    true neighbors."""
 
     def add_part(batch: pa.Table) -> pa.Table:
         q = col_to_numpy(batch["query_id"], np.uint64)
@@ -405,6 +409,8 @@ def _reduce_topk_per_query(cand, k: int, num_parts: int = 64) -> pa.Table:
         return batch.append_column("_part", part)
 
     def merge_part(df):
+        if exclude_self:
+            df = df[df["query_id"].to_numpy() != df["vec_id"].to_numpy()]
         df = df.sort_values(
             ["query_id", "sim", "vec_id"], ascending=[True, False, True]
         )
@@ -412,11 +418,17 @@ def _reduce_topk_per_query(cand, k: int, num_parts: int = 64) -> pa.Table:
         top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
         return top[["query_id", "rank", "vec_id"]]
 
-    out = (
+    return (
         cand.map_batches(add_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(merge_part, batch_format="pandas")
     )
+
+
+def _reduce_topk_per_query(cand, k: int, num_parts: int = 64) -> pa.Table:
+    """Driver-collected variant of ``_reduce_topk_per_query_ds`` —
+    only the final k x queries rows reach the driver."""
+    out = _reduce_topk_per_query_ds(cand, k, num_parts)
     tables = [ray.get(r) for r in out.to_arrow_refs()]
     tables = [
         t
@@ -441,20 +453,18 @@ def _reduce_topk_per_query(cand, k: int, num_parts: int = 64) -> pa.Table:
     return merged.take(order)
 
 
-def knn_brute_force_ds(
+def _bf_cand_ds(
     corpus,
     queries,
-    k: int = 10,
+    k: int,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     query_id_col: str = "query_id",
 ):
-    """Exact cosine top-k where BOTH sides are Datasets.
-
-    Returns (query_id, rank, vec_id), rank 1..k, ties (sim desc, id
-    asc).  Every corpus batch is scored against every query block with
-    one matmul + a vectorized per-row argpartition — no per-query
-    Python loop in the scoring path."""
+    """Candidate stream for Dataset-vs-Dataset exact cosine top-k:
+    every corpus batch scored against every query block with one
+    matmul + vectorized per-row argpartition — (query_id, vec_id, sim)
+    rows, k per (query, corpus-batch)."""
     qrefs = list(queries.materialize().to_arrow_refs())
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -492,8 +502,94 @@ def knn_brute_force_ds(
             )
         return pa.concat_tables(outs)
 
-    cand = corpus.map_batches(partial, batch_format="pyarrow")
+    return corpus.map_batches(partial, batch_format="pyarrow")
+
+
+def knn_brute_force_ds(
+    corpus,
+    queries,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+):
+    """Exact cosine top-k where BOTH sides are Datasets.
+
+    Returns (query_id, rank, vec_id), rank 1..k, ties (sim desc, id
+    asc).  Every corpus batch is scored against every query block with
+    one matmul + a vectorized per-row argpartition — no per-query
+    Python loop in the scoring path."""
+    cand = _bf_cand_ds(corpus, queries, k, id_col, emb_col, query_id_col)
     return _reduce_topk_per_query(cand, k)
+
+
+def mutual_knn_pairs(
+    corpus,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Reciprocal nearest-neighbor (mutual top-k) pairs: (a, b) with b
+    in a's exact cosine top-k AND a in b's — the RNN primitive used for
+    high-precision embedding dedup/clustering (a mutual edge is far
+    stronger evidence than a one-way hit).
+
+    Distributed shape: self-kNN candidates via the blocked matmul
+    stream (k+1 per block to absorb the self match, which is dropped
+    before ranking in the reduce), per-query top-k as a DATASET, then
+    the mutuality test as ONE co-partition hash join of the edge list
+    against its own reversal — edge (src, dst) packs to src<<32|dst
+    and joins dst<<32|src; ids must fit 32 bits (partition the id
+    space per shard above that).  Only the mutual pairs (a small,
+    dup-density-bounded set) reach the driver.
+    """
+    import pandas as pd
+
+    from .join import hash_join
+
+    queries = corpus.map_batches(
+        lambda b: pa.table(
+            {
+                "query_id": b[id_col],
+                emb_col: b[emb_col],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # k+1 candidates per block so dropping the self row leaves k
+    cand = _bf_cand_ds(corpus, queries, k + 1, id_col, emb_col)
+    topk = _reduce_topk_per_query_ds(cand, k, exclude_self=True)
+
+    def pack(flip: bool, key_name: str):
+        def fn(df: "pd.DataFrame") -> "pd.DataFrame":
+            src = df["query_id"].to_numpy(np.int64)
+            dst = df["vec_id"].to_numpy(np.int64)
+            a, b = (dst, src) if flip else (src, dst)
+            out = pd.DataFrame({key_name: (a << np.int64(32)) | b})
+            if not flip:
+                out["src"] = src
+                out["dst"] = dst
+            return out
+
+        return fn
+
+    edges = topk.map_batches(pack(False, "ek"), batch_format="pandas")
+    rev = topk.map_batches(pack(True, "rk"), batch_format="pandas")
+    mutual = hash_join(edges, rev, left_key="ek", right_key="rk")
+
+    def keep_lower(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["src"].to_numpy() < df["dst"].to_numpy()]
+        return pd.DataFrame(
+            {
+                "id_a": df["src"].to_numpy(np.int64),
+                "id_b": df["dst"].to_numpy(np.int64),
+            }
+        )
+
+    out = mutual.map_batches(keep_lower, batch_format="pandas").to_pandas()
+    return out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(
+        drop=True
+    )
 
 
 def knn_ivf_ds(

@@ -1,0 +1,48 @@
+"""Mutual (reciprocal) kNN pairs: numpy brute-force reference +
+partition invariance + symmetric-duplicate sanity."""
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+
+def _brute_mutual(vecs, ids, k):
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = m @ m.T
+    topk = {}
+    for i in range(len(ids)):
+        order = sorted(
+            (j for j in range(len(ids)) if j != i),
+            key=lambda j: (-sims[i, j], ids[j]),
+        )[:k]
+        topk[ids[i]] = {ids[j] for j in order}
+    pairs = set()
+    for a in ids:
+        for b in topk[a]:
+            if a < b and a in topk[b]:
+                pairs.add((a, b))
+    return sorted(pairs)
+
+
+def test_mutual_knn_matches_brute_force(ray_session):
+    from cex_crawler_ray.stages.similarity import mutual_knn_pairs
+
+    rng = np.random.default_rng(12)
+    n, d, k = 120, 8, 4
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    # plant exact duplicates: must be mutual rank-1 of each other
+    vecs[7] = vecs[3]
+    vecs[55] = vecs[20]
+    ids = np.arange(n, dtype=np.int64)
+    expected = _brute_mutual(vecs.astype(np.float64), ids, k)
+
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    for parts in (1, 4):
+        out = mutual_knn_pairs(
+            ray.data.from_pandas(df).repartition(parts), k=k
+        )
+        got = list(zip(out["id_a"].tolist(), out["id_b"].tolist()))
+        assert got == expected
+
+    assert (3, 7) in expected and (20, 55) in expected
