@@ -8960,6 +8960,101 @@ ORDER BY id_a, id_b
 """
 
 
+def q_pareto_orders(sf_dir: str):
+    """Two-phase distributed skyline (Borzsony et al. 2001): orders on
+    the (maximize o_totalprice, minimize o_orderdate) Pareto front —
+    not strictly dominated by any other order (>= price AND <= date
+    with at least one strict).  Phase 1 prunes each block to its LOCAL
+    front (lossless: a point dominated within a block is dominated
+    globally); the union of local fronts is small by construction, so
+    phase 2 computes the exact global front of that union on the
+    driver with the same vectorized sort-and-scan.  The full table is
+    read once and never shuffles."""
+    return q_pareto_orders_from_path(f"{sf_dir}/orders.parquet")
+
+
+def q_pareto_orders_from_path(path: str):
+    import pandas as pd  # noqa: F401
+
+    orders = ray.data.read_parquet(
+        path, columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    )
+
+    def local_front(df: "pd.DataFrame") -> "pd.DataFrame":
+        return _pareto_front(df)
+
+    cands = orders.map_batches(
+        local_front, batch_format="pandas"
+    ).to_pandas()
+    front = _pareto_front(cands)
+    front = front.copy()
+    front["o_totalprice_cents"] = _cents(front["o_totalprice"].to_numpy())
+    front["o_orderkey"] = front["o_orderkey"].astype("int64")
+    return (
+        front[["o_orderkey", "o_totalprice_cents", "o_orderdate"]]
+        .sort_values("o_orderkey", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def _pareto_front(df):
+    """Vectorized skyline scan for (max price, min date): sort by
+    (price desc, date asc); a row survives iff its date is strictly
+    below the running minimum date of all strictly-higher-priced rows
+    OR it ties the best (price, date) corner exactly.  O(n log n), no
+    pairwise matrix."""
+    import pandas as pd
+
+    if len(df) == 0:
+        return df
+    df = df.sort_values(
+        ["o_totalprice", "o_orderdate"],
+        ascending=[False, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+    price = df["o_totalprice"].to_numpy(np.float64)
+    date = df["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+    # running min date over strictly-higher-priced prefix: group rows
+    # by price level; the prefix min must exclude the row's own level
+    level_change = np.concatenate([[True], price[1:] != price[:-1]])
+    run_min = np.minimum.accumulate(date)
+    # min date among rows of strictly higher price = run_min at the
+    # last index BEFORE this price level starts
+    level_start = np.maximum.accumulate(
+        np.where(level_change, np.arange(len(df)), 0)
+    )
+    prev_idx = level_start - 1
+    prev_min = np.where(prev_idx >= 0, run_min[np.maximum(prev_idx, 0)],
+                        np.int64(2**62))
+    # within a level, earlier dates don't dominate (price tie needs a
+    # strict win on date AND >= on price -> only a strictly earlier
+    # date at >= price dominates; same-level earlier date DOES
+    # dominate a later one (price equal counts as >=, date strict).
+    # So a row survives iff date < prev_min (beats all higher prices)
+    # AND it is the minimum date within its own level.
+    level_min = df.groupby(price, sort=False)["o_orderdate"].transform(
+        "min"
+    ).to_numpy("datetime64[us]").astype(np.int64)
+    keep = (date < prev_min) & (date == level_min)
+    return df[keep]
+
+
+_PARETO_ORDERS_SQL = """
+SELECT o1.o_orderkey,
+       CAST(round(o1.o_totalprice * 100) AS BIGINT) AS o_totalprice_cents,
+       o1.o_orderdate
+FROM orders o1
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o2
+  WHERE o2.o_totalprice >= o1.o_totalprice
+    AND o2.o_orderdate <= o1.o_orderdate
+    AND (o2.o_totalprice > o1.o_totalprice
+         OR o2.o_orderdate < o1.o_orderdate)
+)
+ORDER BY o1.o_orderkey
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -9084,6 +9179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_customers": q_idle_customers,
         "bpe_pair_counts": q_bpe_pair_counts,
         "mutual_knn_pairs": q_mutual_knn_pairs,
+        "pareto_orders": q_pareto_orders,
         "transition_matrix": q_transition_matrix,
         "cm_event_counts": q_cm_event_counts,
         "snapshot_changes": q_snapshot_changes,
@@ -10547,6 +10643,7 @@ GROUP BY 1, 2
         "idle_customers": _IDLE_CUSTOMERS_SQL,
         "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
         "mutual_knn_pairs": _MUTUAL_KNN_SQL,
+        "pareto_orders": _PARETO_ORDERS_SQL,
         "transition_matrix": _TRANSITION_MATRIX_SQL,
         "rolling_median": _ROLLING_MEDIAN_SQL,
         "decayed_sum": _DECAYED_SUM_SQL,
