@@ -9055,6 +9055,63 @@ ORDER BY o1.o_orderkey
 """
 
 
+def q_gram_matrix(sf_dir: str):
+    """Embedding Gram-matrix accumulation (the PCA/whitening prep):
+    upper-triangle sums of x_i*x_j over all vectors, as 1e-9
+    fixed-point int64 so per-term rounding happens BEFORE summation —
+    the sum is then order-free and bit-equal to the SQL oracle
+    regardless of batch boundaries.  Each batch reduces to ONE dense
+    d*(d+1)/2-entry partial (outer-product tensor, round, sum over
+    rows); partials add associatively on the driver — a d x d matrix,
+    never data rows.  One corpus pass, zero shuffle."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.similarity import stack_list_column
+
+    d = 64
+    iu = np.triu_indices(d)
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        x = stack_list_column(batch["embedding"]).astype(np.float64)
+        # (n, d, d) outer products -> per-term half-away fixed point
+        t = x[:, :, None] * x[:, None, :] * 1e9
+        t = np.sign(t) * np.floor(np.abs(t) + 0.5)
+        g = t.sum(axis=0).astype(np.int64)[iu]
+        return pd.DataFrame({"g_e9": g, "pos": np.arange(len(g))})
+
+    parts = emb.map_batches(
+        partial, batch_format="pyarrow", batch_size=1024
+    ).to_pandas()
+    total = parts.groupby("pos")["g_e9"].sum()
+    return pd.DataFrame(
+        {
+            "i": (iu[0] + 1).astype("int64"),
+            "j": (iu[1] + 1).astype("int64"),
+            "g_e9": total.sort_index().to_numpy(np.int64),
+        }
+    )
+
+
+_GRAM_MATRIX_SQL = """
+WITH idx AS (
+  SELECT CAST(i AS INT) AS i FROM UNNEST(range(1, 65)) AS t(i)
+)
+SELECT i.i AS i, j.i AS j,
+       CAST(sum(CAST(round(
+         CAST(e.embedding[i.i] AS DOUBLE)
+         * CAST(e.embedding[j.i] AS DOUBLE) * 1000000000
+       ) AS BIGINT)) AS BIGINT) AS g_e9
+FROM embeddings e, idx i, idx j
+WHERE j.i >= i.i
+GROUP BY i.i, j.i
+ORDER BY i, j
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -9180,6 +9237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "mutual_knn_pairs": q_mutual_knn_pairs,
         "pareto_orders": q_pareto_orders,
+        "gram_matrix": q_gram_matrix,
         "transition_matrix": q_transition_matrix,
         "cm_event_counts": q_cm_event_counts,
         "snapshot_changes": q_snapshot_changes,
@@ -10644,6 +10702,7 @@ GROUP BY 1, 2
         "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
         "mutual_knn_pairs": _MUTUAL_KNN_SQL,
         "pareto_orders": _PARETO_ORDERS_SQL,
+        "gram_matrix": _GRAM_MATRIX_SQL,
         "transition_matrix": _TRANSITION_MATRIX_SQL,
         "rolling_median": _ROLLING_MEDIAN_SQL,
         "decayed_sum": _DECAYED_SUM_SQL,

@@ -403,6 +403,7 @@ def bench_queries(sf_dir: str) -> dict:
         "bpe_pair_counts",
         "mutual_knn_pairs",
         "pareto_orders",
+        "gram_matrix",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row

@@ -46,3 +46,28 @@ def test_mutual_knn_matches_brute_force(ray_session):
         assert got == expected
 
     assert (3, 7) in expected and (20, 55) in expected
+
+
+def test_gram_matrix_partition_invariance(ray_session):
+    """Fixed-point per-term rounding makes the Gram sums order-free:
+    different block boundaries must give bit-identical results."""
+    import __ray_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    a = m.q_gram_matrix(sf)
+    # numpy reference: round-then-sum per term, float32->float64 exact
+    import pyarrow.parquet as pq
+
+    x = np.stack(
+        pq.read_table(f"{sf}/embeddings.parquet")
+        .column("embedding")
+        .to_pylist()
+    ).astype(np.float64)
+    t = x[:, :, None] * x[:, None, :] * 1e9
+    t = np.sign(t) * np.floor(np.abs(t) + 0.5)
+    g = t.sum(axis=0).astype(np.int64)
+    iu = np.triu_indices(64)
+    assert (a["g_e9"].to_numpy() == g[iu]).all()
+    # symmetric corner: diagonal terms are squared norms * 1e9 >= 0
+    diag = a[a["i"] == a["j"]]["g_e9"].to_numpy()
+    assert (diag >= 0).all()
