@@ -606,6 +606,37 @@ def run_stats() -> None:
     ray.shutdown()
 
 
+def _run_bench_with_retry(attempts: int = 2) -> None:
+    """Run the measurement in a CHILD process and retry once on a hard
+    abort.  Ray core occasionally dies mid-run with an uncatchable C++
+    check failure (task_manager.cc / reference_count.cc 'Check failed'
+    aborts, observed under machine load); an in-process run would lose
+    the whole measurement.  The child prints the one JSON line; the
+    parent forwards the last JSON line it sees."""
+    for attempt in range(attempts):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            capture_output=True,
+            text=True,
+        )
+        line = next(
+            (
+                ln
+                for ln in reversed(proc.stdout.splitlines())
+                if ln.startswith('{"metric"')
+            ),
+            None,
+        )
+        if proc.returncode == 0 and line:
+            print(line)
+            return
+        sys.stderr.write(
+            f"bench attempt {attempt + 1} failed rc={proc.returncode}; "
+            f"stderr tail: {proc.stderr[-2000:]}\n"
+        )
+    sys.exit(1)
+
+
 if __name__ == "__main__":
     if "--crawl-dist-child" in sys.argv:
         _crawl_dist_child(sys.argv[sys.argv.index("--crawl-dist-child") + 1])
@@ -613,5 +644,7 @@ if __name__ == "__main__":
         run_scaling()
     elif "--stats" in sys.argv:
         run_stats()
-    else:
+    elif "--inner" in sys.argv:
         print(json.dumps(run_bench()))
+    else:
+        _run_bench_with_retry()
