@@ -9112,6 +9112,88 @@ ORDER BY i, j
 """
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC container source + sink inside the correctness gate: the
+    documents table serializes to worker-written .warc shards (ISO
+    28500 response records — the actual Common Crawl container), reads
+    back through the streaming per-shard parser, and aggregates per
+    identified language.  Exercises header round-tripping, UTF-8
+    payload byte lengths and the Content-Length framing end to end."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.sources.warc import read_warc, write_warc
+
+    out_dir = tempfile.mkdtemp(prefix="cex_warc_rt_")
+    try:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+
+        def to_pages(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            base = np.datetime64("2024-03-01T00:00:00")
+            return pa.table(
+                {
+                    "url": pa.array(
+                        [f"https://warc.test/doc/{i}" for i in ids],
+                        pa.string(),
+                    ),
+                    "warc_ts": pa.array(
+                        [
+                            (base + np.timedelta64(int(i), "s")).item()
+                            for i in ids
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                    "lang": batch["lang"],
+                    "html": pa.array(
+                        [t.encode("utf-8") for t in texts], pa.binary()
+                    ),
+                }
+            )
+
+        write_warc(
+            docs.map_batches(to_pages, batch_format="pyarrow"), out_dir
+        )
+        back = read_warc(out_dir)
+
+        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = df.copy()
+            df["nb"] = [len(p) for p in df["payload"]]
+            return df.groupby("lang", as_index=False).agg(
+                n_docs=("nb", "size"), sum_bytes=("nb", "sum")
+            )
+
+        agg = (
+            back.map_batches(partial, batch_format="pandas")
+            .groupby("lang")
+            .sum(["n_docs", "sum_bytes"])
+            .to_pandas()
+        )
+        agg["n_docs"] = agg["sum(n_docs)"].astype("int64")
+        agg["sum_bytes"] = agg["sum(sum_bytes)"].astype("int64")
+        return (
+            agg[["lang", "n_docs", "sum_bytes"]]
+            .sort_values("lang", kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_WARC_ROUNDTRIP_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -9238,6 +9320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_knn_pairs": q_mutual_knn_pairs,
         "pareto_orders": q_pareto_orders,
         "gram_matrix": q_gram_matrix,
+        "warc_roundtrip": q_warc_roundtrip,
         "transition_matrix": q_transition_matrix,
         "cm_event_counts": q_cm_event_counts,
         "snapshot_changes": q_snapshot_changes,
@@ -10703,6 +10786,7 @@ GROUP BY 1, 2
         "mutual_knn_pairs": _MUTUAL_KNN_SQL,
         "pareto_orders": _PARETO_ORDERS_SQL,
         "gram_matrix": _GRAM_MATRIX_SQL,
+        "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "transition_matrix": _TRANSITION_MATRIX_SQL,
         "rolling_median": _ROLLING_MEDIAN_SQL,
         "decayed_sum": _DECAYED_SUM_SQL,

@@ -404,6 +404,7 @@ def bench_queries(sf_dir: str) -> dict:
         "mutual_knn_pairs",
         "pareto_orders",
         "gram_matrix",
+        "warc_roundtrip",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row

@@ -1,0 +1,149 @@
+"""WARC (Web ARChive, ISO 28500) source + sink.
+
+Common Crawl — the stated input shape for this engine (BASELINE.json
+``input_hint``: "Common-Crawl-style web pages") — ships its corpus as
+WARC files: concatenated records, each a CRLF-terminated header block
+(WARC-Type, WARC-Target-URI, WARC-Date, Content-Length, ...) followed
+by exactly Content-Length payload bytes and a blank-record separator.
+This module adds that container as a first-class Ray Data source/sink
+next to the Parquet page store:
+
+* ``write_warc(ds, out_dir)`` — worker-written shards: each Arrow
+  block serializes to ONE .warc file (resumable layout, no driver
+  funnel), rows become ``response`` records.  The header set matches
+  what a CC fetcher emits (Target-URI, Date, Record-ID,
+  Identified-Content-Language, Content-Length).
+* ``read_warc(dir)`` — ``ray.data.read_binary_files`` (streaming, one
+  task per shard) + a per-file record scanner into
+  (url, warc_ts, lang, payload) rows.  The scanner is a per-record
+  loop, like every WARC parser (records are length-prefixed by
+  Content-Length, so it is O(bytes) with no searching inside
+  payloads); per-row vectorization is impossible for a
+  variable-length concatenated container, and the loop is bounded by
+  records-per-shard, not corpus size.
+
+Reference parity note: the reference engine has no archive format (it
+writes one JSON file per page, reference ``deepseek_analyzer.py``
+save path); WARC is the scale-native equivalent of that sink for a
+Common-Crawl-shaped corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+
+_CRLF = b"\r\n"
+
+
+def _format_record(
+    url: str, ts_iso: str, lang: str, payload: bytes
+) -> bytes:
+    rid = hashlib.md5(
+        (url + "|" + ts_iso).encode("utf-8")
+    ).hexdigest()  # deterministic record id (no uuid4: resumable)
+    head = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"WARC-Date: " + ts_iso.encode("ascii") + _CRLF
+        + b"WARC-Record-ID: <urn:md5:" + rid.encode("ascii") + b">" + _CRLF
+        + b"WARC-Identified-Content-Language: "
+        + lang.encode("utf-8") + _CRLF
+        + b"Content-Length: " + str(len(payload)).encode("ascii") + _CRLF
+        + _CRLF
+    )
+    return head + payload + _CRLF + _CRLF
+
+
+def write_warc(
+    ds,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    lang_col: str = "lang",
+    payload_col: str = "html",
+) -> None:
+    """Serialize each block to one .warc shard, written BY THE WORKER
+    (content-hash file name -> idempotent under task re-execution)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col].to_pylist()
+        ts = batch[ts_col].to_pylist()
+        langs = batch[lang_col].to_pylist()
+        payloads = batch[payload_col].to_pylist()
+        buf = bytearray()
+        for u, t, lg, p in zip(urls, ts, langs, payloads):
+            if isinstance(p, str):
+                p = p.encode("utf-8")
+            iso = t.strftime("%Y-%m-%dT%H:%M:%SZ")
+            buf += _format_record(u, iso, lg or "", p or b"")
+        data = bytes(buf)
+        name = hashlib.sha256(data).hexdigest()[:24]
+        path = os.path.join(out_dir, f"part-{name}.warc")
+        if not os.path.exists(path):  # idempotent re-execution
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    # consume the tiny count stream to drive execution
+    ds.map_batches(dump, batch_format="pyarrow").count()
+
+
+def parse_warc_bytes(data: bytes) -> dict:
+    """Scan one WARC shard into parallel lists (url, warc_ts iso, lang,
+    payload bytes).  Length-prefixed records: O(bytes), no scanning
+    inside payloads."""
+    urls, tss, langs, payloads = [], [], [], []
+    pos, n = 0, len(data)
+    while pos < n:
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            break
+        head = data[pos:head_end].decode("utf-8", "replace")
+        fields = {}
+        for line in head.split("\r\n")[1:]:  # [0] is the WARC/1.0 line
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        clen = int(fields.get("content-length", "0"))
+        body_start = head_end + 4
+        payload = data[body_start : body_start + clen]
+        urls.append(fields.get("warc-target-uri", ""))
+        tss.append(fields.get("warc-date", ""))
+        langs.append(fields.get("warc-identified-content-language", ""))
+        payloads.append(payload)
+        pos = body_start + clen + 4  # skip payload + record separator
+    return {"url": urls, "warc_ts": tss, "lang": langs, "payload": payloads}
+
+
+def read_warc(path_or_dir: str):
+    """Streaming WARC read: one task per shard file."""
+    import ray
+
+    files = ray.data.read_binary_files(path_or_dir)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out = {"url": [], "warc_ts": [], "lang": [], "payload": []}
+        for data in batch["bytes"].to_pylist():
+            rec = parse_warc_bytes(data)
+            for k in out:
+                out[k].extend(rec[k])
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "warc_ts": pa.compute.strptime(
+                    pa.array(out["warc_ts"], pa.string()),
+                    format="%Y-%m-%dT%H:%M:%SZ",
+                    unit="us",
+                ),
+                "lang": pa.array(out["lang"], pa.string()),
+                "payload": pa.array(out["payload"], pa.binary()),
+            }
+        )
+
+    return files.map_batches(parse, batch_format="pyarrow")
