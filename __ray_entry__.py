@@ -9194,6 +9194,356 @@ ORDER BY lang
 """
 
 
+_Q7_NATIONS = ("NATION_3", "NATION_19")
+
+
+def q_volume_shipping(sf_dir: str):
+    """TPC-H-Q7-shaped nation-pair trade matrix: revenue shipped
+    between two specific nations (both directions), per order year.
+    Supplier and nation are broadcast dims; lineitem collapses to
+    (orderkey, supp_nation, cents) partials before ONE co-partition
+    join against date-projected orders joined to the two nations'
+    customers — the nation-pair filter runs post-join as a vectorized
+    mask and the exchange never carries raw lineitems."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+    from cex_crawler_ray.stages.join import hash_join
+
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    keys = {
+        n: int(nation.loc[nation["n_name"] == n, "n_nationkey"].iloc[0])
+        for n in _Q7_NATIONS
+    }
+    name_of = {v: k for k, v in keys.items()}
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(keys.values())]
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    order = np.argsort(sk)
+    supp_ref = ray.put(
+        (sk[order], supp["s_nationkey"].to_numpy(np.int64)[order])
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(df: "pd.DataFrame") -> pa.Table:
+        skeys, snat = ray.get(supp_ref)
+        lk = df["l_suppkey"].to_numpy(np.int64)
+        pos = np.searchsorted(skeys, lk)
+        pos = np.clip(pos, 0, max(0, len(skeys) - 1))
+        ok = skeys[pos] == lk if len(skeys) else np.zeros(len(lk), bool)
+        df = df[ok]
+        cents = _cents(
+            df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy())
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                    "supp_nat": snat[pos[ok]],
+                    "cents": cents,
+                }
+            )
+            .groupby(["l_orderkey", "supp_nat"], as_index=False)["cents"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def li_final(group: pa.Table) -> pa.Table:
+        g = (
+            group.to_pandas()
+            .groupby(["l_orderkey", "supp_nat"], as_index=False)["cents"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_agg = _coarse_group_apply(
+        li.map_batches(li_partial, batch_format="pandas"),
+        "l_orderkey",
+        li_final,
+        num_parts=32,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def o_year(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        yr = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "yr": pa.array(yr, pa.int64()),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nat_keys = np.array(sorted(keys.values()), np.int64)
+
+    def c_filter(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return batch.filter(pa.array(np.isin(nk, nat_keys)))
+
+    o_cust = hash_join(
+        orders.map_batches(o_year, batch_format="pyarrow"),
+        cust.map_batches(c_filter, batch_format="pyarrow"),
+        left_key="o_custkey",
+        right_key="c_custkey",
+    )
+    both = hash_join(
+        li_agg, o_cust, left_key="l_orderkey", right_key="o_orderkey"
+    )
+
+    def pair_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        s = df["supp_nat"].to_numpy(np.int64)
+        c = df["c_nationkey"].to_numpy(np.int64)
+        df = df[s != c]  # cross-nation trade only (the two pairs)
+        return df.groupby(
+            ["supp_nat", "c_nationkey", "yr"], as_index=False
+        )["cents"].sum()
+
+    out = (
+        both.map_batches(pair_partial, batch_format="pandas")
+        .groupby(["supp_nat", "c_nationkey", "yr"])
+        .sum("cents")
+        .to_pandas()
+    )
+    out["supp_nation"] = out["supp_nat"].map(lambda k: name_of[int(k)])
+    out["cust_nation"] = out["c_nationkey"].map(lambda k: name_of[int(k)])
+    out["yr"] = out["yr"].astype("int64")
+    out["revenue_cents"] = out["sum(cents)"].astype("int64")
+    return (
+        out[["supp_nation", "cust_nation", "yr", "revenue_cents"]]
+        .sort_values(
+            ["supp_nation", "cust_nation", "yr"], kind="mergesort"
+        )
+        .reset_index(drop=True)
+    )
+
+
+_VOLUME_SHIPPING_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+       CAST(sum(CAST(round(
+         l.l_extendedprice * (1 - l.l_discount) * 100
+       ) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l, orders o, customer c, supplier s, nation sn, nation cn
+WHERE l.l_orderkey = o.o_orderkey
+  AND o.o_custkey = c.c_custkey
+  AND l.l_suppkey = s.s_suppkey
+  AND s.s_nationkey = sn.n_nationkey
+  AND c.c_nationkey = cn.n_nationkey
+  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_19')
+       OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_3'))
+GROUP BY sn.n_name, cn.n_name, yr
+ORDER BY supp_nation, cust_nation, yr
+"""
+
+
+_Q8_NATION = "NATION_3"
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H-Q8-shaped market share: of the PROMO-part revenue bought
+    by ASIA-region customers, the share supplied by one nation, per
+    order year — reported as exact integer (nation_cents, total_cents)
+    per year so the ratio is oracle-stable.  Three broadcast dims
+    (part promo flags, supplier nation flag, ASIA nation keys); the
+    two-branch sums ride the same (orderkey-keyed) partial-agg + two
+    co-partition joins as Q7 — one conditional pipeline, not two
+    scans."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+    from cex_crawler_ray.stages.join import hash_join
+
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    asia = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+    asia_nat = nation.loc[
+        nation["n_regionkey"].isin(asia), "n_nationkey"
+    ].to_numpy(np.int64)
+    n3 = int(
+        nation.loc[nation["n_name"] == _Q8_NATION, "n_nationkey"].iloc[0]
+    )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    pk = part["p_partkey"].to_numpy(np.int64)
+    po = np.argsort(pk)
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    so = np.argsort(sk)
+    dims_ref = ray.put(
+        (
+            pk[po],
+            (part["p_type"].to_numpy() == "PROMO")[po],
+            sk[so],
+            supp["s_nationkey"].to_numpy(np.int64)[so],
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def li_partial(df: "pd.DataFrame") -> pa.Table:
+        pkeys, promo, skeys, snat = ray.get(dims_ref)
+        lp = df["l_partkey"].to_numpy(np.int64)
+        ppos = np.clip(np.searchsorted(pkeys, lp), 0, max(0, len(pkeys) - 1))
+        is_promo = (pkeys[ppos] == lp) & promo[ppos] if len(pkeys) else (
+            np.zeros(len(lp), bool)
+        )
+        df = df[is_promo]
+        ls = df["l_suppkey"].to_numpy(np.int64)
+        spos = np.clip(np.searchsorted(skeys, ls), 0, max(0, len(skeys) - 1))
+        nat = np.where(skeys[spos] == ls, snat[spos], -1)
+        cents = _cents(
+            df["l_extendedprice"].to_numpy()
+            * (1.0 - df["l_discount"].to_numpy())
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                    "nat_cents": np.where(nat == n3, cents, 0),
+                    "tot_cents": cents,
+                }
+            )
+            .groupby("l_orderkey", as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def li_final(group: pa.Table) -> pa.Table:
+        g = (
+            group.to_pandas()
+            .groupby("l_orderkey", as_index=False)[
+                ["nat_cents", "tot_cents"]
+            ]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_agg = _coarse_group_apply(
+        li.map_batches(li_partial, batch_format="pandas"),
+        "l_orderkey",
+        li_final,
+        num_parts=32,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def o_year(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        yr = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "yr": pa.array(yr, pa.int64()),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def c_filter(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return batch.select(["c_custkey"]).filter(
+            pa.array(np.isin(nk, asia_nat))
+        )
+
+    o_cust = hash_join(
+        orders.map_batches(o_year, batch_format="pyarrow"),
+        cust.map_batches(c_filter, batch_format="pyarrow"),
+        left_key="o_custkey",
+        right_key="c_custkey",
+    )
+    both = hash_join(
+        li_agg, o_cust, left_key="l_orderkey", right_key="o_orderkey"
+    )
+
+    def yr_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("yr", as_index=False)[
+            ["nat_cents", "tot_cents"]
+        ].sum()
+
+    out = (
+        both.map_batches(yr_partial, batch_format="pandas")
+        .groupby("yr")
+        .sum(["nat_cents", "tot_cents"])
+        .to_pandas()
+    )
+    out["yr"] = out["yr"].astype("int64")
+    out["nation_cents"] = out["sum(nat_cents)"].astype("int64")
+    out["total_cents"] = out["sum(tot_cents)"].astype("int64")
+    return (
+        out[["yr", "nation_cents", "total_cents"]]
+        .sort_values("yr", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+_MARKET_SHARE_SQL = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+       CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+         THEN CAST(round(
+           l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+         ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(sum(CAST(round(
+         l.l_extendedprice * (1 - l.l_discount) * 100
+       ) AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem l, orders o, customer c, supplier s, nation sn,
+     nation cn, region r, part p
+WHERE l.l_orderkey = o.o_orderkey
+  AND o.o_custkey = c.c_custkey
+  AND l.l_suppkey = s.s_suppkey
+  AND s.s_nationkey = sn.n_nationkey
+  AND c.c_nationkey = cn.n_nationkey
+  AND cn.n_regionkey = r.r_regionkey
+  AND r.r_name = 'ASIA'
+  AND l.l_partkey = p.p_partkey
+  AND p.p_type = 'PROMO'
+GROUP BY yr
+ORDER BY yr
+"""
+
+
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -9321,6 +9671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_orders": q_pareto_orders,
         "gram_matrix": q_gram_matrix,
         "warc_roundtrip": q_warc_roundtrip,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
         "transition_matrix": q_transition_matrix,
         "cm_event_counts": q_cm_event_counts,
         "snapshot_changes": q_snapshot_changes,
@@ -10787,6 +11139,8 @@ GROUP BY 1, 2
         "pareto_orders": _PARETO_ORDERS_SQL,
         "gram_matrix": _GRAM_MATRIX_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "volume_shipping": _VOLUME_SHIPPING_SQL,
+        "market_share": _MARKET_SHARE_SQL,
         "transition_matrix": _TRANSITION_MATRIX_SQL,
         "rolling_median": _ROLLING_MEDIAN_SQL,
         "decayed_sum": _DECAYED_SUM_SQL,

@@ -405,6 +405,8 @@ def bench_queries(sf_dir: str) -> dict:
         "pareto_orders",
         "gram_matrix",
         "warc_roundtrip",
+        "volume_shipping",
+        "market_share",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row
