@@ -9055,6 +9055,41 @@ ORDER BY o1.o_orderkey
 """
 
 
+def pca_top_eigvec(
+    gram_upper: "Any", d: int = 64, iters: int = 2000, tol: float = 1e-10
+):
+    """Dominant eigenvector of the (distributed-accumulated) Gram
+    matrix by power iteration — the driver-side finish of a PCA: the
+    corpus-sized work is ``q_gram_matrix``'s one pass; this runs on a
+    d x d matrix.  Deterministic start (ones/sqrt(d)), sign fixed so
+    the largest-|coord| entry is positive.  Returns (eigenvalue,
+    eigenvector)."""
+    g = np.zeros((d, d), dtype=np.float64)
+    iu = np.triu_indices(d)
+    vals = gram_upper["g_e9"].to_numpy(np.int64).astype(np.float64) / 1e9
+    g[iu] = vals
+    g = g + g.T - np.diag(np.diag(g))
+    v = np.ones(d) / np.sqrt(d)
+    lam = 0.0
+    for _ in range(iters):
+        w = g @ v
+        nw = np.linalg.norm(w)
+        if nw == 0.0:
+            break
+        w /= nw
+        lam = float(w @ g @ w)
+        # vector-delta stop (the eigenvalue converges twice as fast as
+        # the vector; stopping on it leaves the vector short)
+        if min(np.abs(w - v).max(), np.abs(w + v).max()) < tol:
+            v = w
+            break
+        v = w
+    pivot = int(np.argmax(np.abs(v)))
+    if v[pivot] < 0:
+        v = -v
+    return lam, v
+
+
 def q_gram_matrix(sf_dir: str):
     """Embedding Gram-matrix accumulation (the PCA/whitening prep):
     upper-triangle sums of x_i*x_j over all vectors, as 1e-9

@@ -71,3 +71,24 @@ def test_gram_matrix_partition_invariance(ray_session):
     # symmetric corner: diagonal terms are squared norms * 1e9 >= 0
     diag = a[a["i"] == a["j"]]["g_e9"].to_numpy()
     assert (diag >= 0).all()
+
+
+def test_pca_power_iteration_matches_eigh(ray_session):
+    """Power iteration over the distributed Gram matrix converges to
+    numpy's dominant eigenpair (PCA end-to-end: one corpus pass + a
+    d x d driver finish)."""
+    import __ray_entry__ as m
+
+    gram = m.q_gram_matrix("/root/testdata/sf0.001")
+    lam, v = m.pca_top_eigvec(gram)
+
+    g = np.zeros((64, 64))
+    iu = np.triu_indices(64)
+    g[iu] = gram["g_e9"].to_numpy(np.int64) / 1e9
+    g = g + g.T - np.diag(np.diag(g))
+    w, vecs = np.linalg.eigh(g)
+    ref_lam, ref_v = w[-1], vecs[:, -1]
+    if ref_v[np.argmax(np.abs(ref_v))] < 0:
+        ref_v = -ref_v
+    assert abs(lam - ref_lam) / abs(ref_lam) < 1e-9
+    assert np.abs(v - ref_v).max() < 1e-6
