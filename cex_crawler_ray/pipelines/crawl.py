@@ -492,7 +492,7 @@ def bootstrap_robots(
     )
 
     def parse(batch: pa.Table) -> pa.Table:
-        out_h, out_p, out_d = [], [], []
+        out_h, out_p, out_d, out_s = [], [], [], []
         for url, html, status in zip(
             batch["url"].to_pylist(),
             batch["html"].to_pylist(),
@@ -510,11 +510,13 @@ def bootstrap_robots(
             out_h.append(host)
             out_p.append(_json.dumps(list(pol.disallow.get(host, ()))))
             out_d.append(pol.crawl_delay_ms.get(host, -1))
+            out_s.append(_json.dumps(list(pol.sitemaps.get(host, ()))))
         return pa.table(
             {
                 "host": pa.array(out_h, pa.string()),
                 "prefixes": pa.array(out_p, pa.string()),
                 "delay_ms": pa.array(out_d, pa.int64()),
+                "sitemaps": pa.array(out_s, pa.string()),
             }
         )
 
@@ -527,11 +529,111 @@ def bootstrap_robots(
     delays = {
         r["host"]: int(r["delay_ms"]) for r in rows if r["delay_ms"] >= 0
     }
+    sitemaps = {
+        r["host"]: _json.loads(r["sitemaps"])
+        for r in rows
+        if r["sitemaps"] != "[]"
+    }
     return RobotsPolicy(
         disallow=disallow,
         crawl_delay_ms=delays,
         default_delay_ms=default_delay_ms,
+        sitemaps=sitemaps,
     )
+
+
+def sitemap_seeds(
+    store: PageStore,
+    policy: RobotsPolicy,
+    priority: int = 0,
+    max_depth: int = 2,
+) -> "ray.data.Dataset":
+    """Seed the frontier from the hosts' robots-declared sitemaps
+    (sitemaps.org protocol; the standard-web counterpart of the
+    reference's list-API discovery).
+
+    Per depth level: ONE bucket-aligned fetch of the current sitemap
+    urls, ``<loc>`` parsing in the fetch workers, page urls stay a
+    DATASET (a big host's url list never lands on the driver); only
+    nested ``<sitemapindex>`` urls — few per host by construction —
+    come back to drive the next level, bounded by ``max_depth``.
+    Returned rows are (url, priority) seed schema, robots-ungated (the
+    crawl's own gate applies, same as any discovered link)."""
+    from ..functions.sitemap import parse_sitemap
+
+    current = sorted({u for us in policy.sitemaps.values() for u in us})
+    seen: set = set(current)
+    page_parts: list = []
+    for _ in range(max_depth):
+        if not current:
+            break
+        tbl = pa.table({"url": pa.array(current, pa.string())})
+
+        def parse(batch: pa.Table) -> pa.Table:
+            pages: list = []
+            nested: list = []
+            for html, status in zip(
+                batch["html"].to_pylist(), batch["status"].to_pylist()
+            ):
+                if status != 200 or html is None:
+                    continue
+                p, n = parse_sitemap(html.decode("utf-8", "replace"))
+                pages.extend(p)
+                nested.extend(n)
+            return pa.table(
+                {
+                    "url": pa.array(pages + nested, pa.string()),
+                    "nested": pa.array(
+                        [False] * len(pages) + [True] * len(nested),
+                        pa.bool_(),
+                    ),
+                }
+            )
+
+        mat = (
+            store.fetch_aligned(tbl)
+            .map_batches(parse, batch_format="pyarrow")
+            .materialize()  # sitemap rows only; blocks stay in the store
+        )
+
+        def keep_pages(batch: pa.Table, _p=priority) -> pa.Table:
+            sub = batch.filter(
+                pa.compute.invert(batch["nested"].combine_chunks())
+            )
+            return pa.table(
+                {
+                    "url": sub["url"],
+                    "priority": pa.array(
+                        [_p] * sub.num_rows, pa.int64()
+                    ),
+                }
+            )
+
+        page_parts.append(
+            mat.map_batches(keep_pages, batch_format="pyarrow")
+        )
+        nested_rows = mat.map_batches(
+            lambda b: b.filter(b["nested"].combine_chunks()),
+            batch_format="pyarrow",
+        ).take_all()  # index urls: few per host by construction
+        current = sorted(
+            {r["url"] for r in nested_rows} - seen
+        )
+        seen.update(current)
+    if not page_parts:
+        return ray.data.from_items([]).map_batches(
+            lambda b: pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "priority": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    out = page_parts[0]
+    for p in page_parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def _robots_keep_mask(batch: pa.Table, robots) -> np.ndarray:

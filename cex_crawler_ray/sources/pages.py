@@ -230,17 +230,46 @@ def robots_txt_url(source: str) -> str:
     return f"https://{host_for(source)}/robots.txt"
 
 
-def robots_txt_for(source: str, delay_ms: int | None = None) -> str:
+def robots_txt_for(
+    source: str, delay_ms: int | None = None, sitemap: bool = False
+) -> str:
     """The host's /robots.txt BODY — the standard-format rendering of
     ``robots_rules`` (+ an optional Crawl-delay), so a crawl that
     FETCHES and parses robots.txt recovers exactly the policy the
-    oracle assumes."""
+    oracle assumes.  ``sitemap=True`` appends the host's ``Sitemap:``
+    line (sitemaps.org protocol; outside the user-agent group)."""
     lines = ["User-agent: *"]
     for p in robots_rules([source]).get(host_for(source), []):
         lines.append(f"Disallow: {p}")
     if delay_ms is not None:
         lines.append(f"Crawl-delay: {delay_ms / 1000:g}")
+    if sitemap:
+        lines.append(f"Sitemap: {sitemap_url(source)}")
     return "\n".join(lines) + "\n"
+
+
+def sitemap_url(source: str) -> str:
+    return f"https://{host_for(source)}/sitemap.xml"
+
+
+def sitemap_xml_for(source: str, doc_ids) -> str:
+    """Standard sitemaps.org urlset for the host's articles (loc +
+    lastmod from the deterministic warc clock)."""
+    rows = []
+    for d in doc_ids:
+        rows.append(
+            "  <url>\n"
+            f"    <loc>{article_url(source, int(d))}</loc>\n"
+            f"    <lastmod>{warc_ts_for(int(d)).strftime('%Y-%m-%d')}"
+            "</lastmod>\n"
+            "  </url>"
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        + "\n".join(rows)
+        + "\n</urlset>\n"
+    )
 
 
 def _article_batch(batch: pa.Table, pad: int = 1) -> pa.Table:
@@ -272,24 +301,30 @@ def _article_batch(batch: pa.Table, pad: int = 1) -> pa.Table:
     )
 
 
-def _hub_group(batch: pa.Table) -> pa.Table:
+def _hub_group(batch: pa.Table, include_sitemaps: bool = False) -> pa.Table:
     source = batch["source"][0].as_py()
     order = pa.compute.sort_indices(batch["doc_id"])
     doc_ids = pa.compute.take(batch["doc_id"], order).to_pylist()
     langs = pa.compute.take(batch["lang"], order).to_pylist()
     html = hub_html(source, doc_ids, langs).encode("utf-8")
     robots = robots_txt_for(
-        source, delay_ms=crawl_delay_ms_for(source)
+        source,
+        delay_ms=crawl_delay_ms_for(source),
+        sitemap=include_sitemaps,
     ).encode("utf-8")
+    urls = [hub_url(source), robots_txt_url(source)]
+    bodies = [html, robots]
+    if include_sitemaps:
+        urls.append(sitemap_url(source))
+        bodies.append(sitemap_xml_for(source, doc_ids).encode("utf-8"))
+    n = len(urls)
     return pa.Table.from_arrays(
         [
-            pa.array(
-                [hub_url(source), robots_txt_url(source)], pa.string()
-            ),
-            pa.array([BASE_TS, BASE_TS], pa.timestamp("us", tz="UTC")),
-            pa.array([html, robots], pa.binary()),
-            pa.array(["", ""], pa.string()),
-            pa.array(["en", "en"], pa.string()),
+            pa.array(urls, pa.string()),
+            pa.array([BASE_TS] * n, pa.timestamp("us", tz="UTC")),
+            pa.array(bodies, pa.binary()),
+            pa.array([""] * n, pa.string()),
+            pa.array(["en"] * n, pa.string()),
         ],
         schema=PAGES,
     )
@@ -301,6 +336,7 @@ def pages_from_documents(
     replicate: int = 1,
     pad: int = 1,
     max_doc_id: int | None = None,
+    include_sitemaps: bool = False,
 ) -> "ray.data.Dataset":
     """Synthesize the `pages` Dataset from ``{sf_dir}/documents.parquet``.
 
@@ -343,7 +379,10 @@ def pages_from_documents(
         articles = articles.map_batches(_tile, batch_format="pyarrow")
     if not include_hubs:
         return articles
-    hubs = docs.groupby("source").map_groups(_hub_group, batch_format="pyarrow")
+    hubs = docs.groupby("source").map_groups(
+        lambda b, _s=include_sitemaps: _hub_group(b, _s),
+        batch_format="pyarrow",
+    )
     return articles.union(hubs)
 
 

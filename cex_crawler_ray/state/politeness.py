@@ -27,10 +27,16 @@ class RobotsPolicy:
         disallow: dict | None = None,
         crawl_delay_ms: dict | None = None,
         default_delay_ms: int = 1000,
+        sitemaps: dict | None = None,
     ):
         self.disallow = {h: tuple(p) for h, p in (disallow or {}).items()}
         self.crawl_delay_ms = dict(crawl_delay_ms or {})
         self.default_delay_ms = default_delay_ms
+        # host -> tuple of sitemap urls (RFC 9309: Sitemap lines are
+        # independent of user-agent groups)
+        self.sitemaps = {
+            h: tuple(s) for h, s in (sitemaps or {}).items()
+        }
 
     def allowed(self, url: str) -> bool:
         parts = urlsplit(url)
@@ -70,6 +76,7 @@ class RobotsPolicy:
         caches its buildId (``exchange/gate.py:52``)."""
         disallow: dict = {}
         delays: dict = {}
+        sitemaps: dict = {}
         ua = user_agent.lower()
         for host, text in texts.items():
             # Parse into groups: each is {agents, rules, delay}.
@@ -89,6 +96,13 @@ class RobotsPolicy:
                         groups.append(cur)
                         in_ua_run = True
                     cur["agents"].add(val.lower())
+                elif key == "sitemap":
+                    # sitemaps.org protocol: Sitemap lines sit outside
+                    # user-agent groups (RFC 9309 treats them as
+                    # other-record lines)
+                    in_ua_run = False
+                    if val:
+                        sitemaps.setdefault(host, []).append(val)
                 elif key in ("disallow", "crawl-delay"):
                     in_ua_run = False
                     if cur is None:
@@ -118,4 +132,5 @@ class RobotsPolicy:
             disallow=disallow,
             crawl_delay_ms=delays,
             default_delay_ms=default_delay_ms,
+            sitemaps=sitemaps,
         )
