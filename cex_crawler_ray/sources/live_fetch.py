@@ -67,7 +67,11 @@ class LiveFetcher:
         while attempts < self.max_attempts:
             headers = synth_headers(url, self.header_seed + attempts)
             attempts += 1
-            status, html, warc_ts = self.transport(url, headers)
+            res = self.transport(url, headers)
+            # transports may return (status, html, warc_ts) or a
+            # 4-tuple with a Retry-After value in seconds (429/503)
+            status, html, warc_ts = res[0], res[1], res[2]
+            retry_after_s = res[3] if len(res) > 3 else None
             challenged = html is not None and any(
                 m in html for m in CHALLENGE_MARKERS
             )
@@ -79,6 +83,10 @@ class LiveFetcher:
                 return status, None, warc_ts, attempts, backoff_total, "miss"
             if attempts < self.max_attempts:
                 wait = self.base_backoff_ms * (2 ** (attempts - 1))
+                if status in (429, 503) and retry_after_s is not None:
+                    # server-directed pacing (RFC 9110 Retry-After)
+                    # wins over our own exponential schedule
+                    wait = max(wait, int(retry_after_s * 1000))
                 backoff_total += wait
                 if self.sleep_fn is not None:
                     self.sleep_fn(wait / 1000.0)
@@ -192,15 +200,22 @@ def http_transport_factory(
                     wait = delay_s - (now() - prev)
                     if wait > 0:
                         sleep(wait)
+            retry_after_s = None
             try:
                 resp = sess.get(url, headers=headers, timeout=timeout_s)
                 status = resp.status_code
                 html = resp.content
+                ra = resp.headers.get("Retry-After")
+                if ra is not None:
+                    try:  # delta-seconds form only (date form is rare)
+                        retry_after_s = float(ra)
+                    except ValueError:
+                        pass
             except requests.RequestException:
                 status, html = 0, None
             last_req[host] = now()
             warc_ts = _dt.datetime.now(_dt.timezone.utc)
-            return status, html, warc_ts
+            return status, html, warc_ts, retry_after_s
 
         return transport
 

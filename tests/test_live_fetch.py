@@ -301,3 +301,43 @@ def test_http_transport_robots_crawl_delay(http_server):
     t[0] += 5.0
     transport(f"{base}/ok", {})
     assert sleeps == [2.0]  # enough time elapsed: no extra sleep
+
+
+def test_retry_after_overrides_exponential_backoff(ray_session):
+    """A 429 with Retry-After must pace by the server's value when it
+    exceeds the exponential schedule (RFC 9110), and the dead-letter /
+    eventual-success accounting is unchanged."""
+    from cex_crawler_ray.sources.live_fetch import LiveFetcher
+
+    calls = {"n": 0}
+    slept = []
+
+    def factory():
+        def transport(url, headers):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                return 429, b"slow down", None, 7.5  # Retry-After 7.5s
+            import datetime as dt
+
+            return (
+                200,
+                b"ok body",
+                dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc),
+            )
+
+        return transport
+
+    f = LiveFetcher(
+        factory,
+        max_attempts=3,
+        base_backoff_ms=100,
+        sleep_fn=lambda s: slept.append(s),
+    )
+    import pyarrow as pa
+
+    out = f(pa.table({"url": pa.array(["https://x.test/a"], pa.string())}))
+    assert out["fetch_state"][0].as_py() == "ok"
+    assert out["attempts"][0].as_py() == 3
+    # both waits paced by Retry-After (7500ms > 100ms and > 200ms)
+    assert slept == [7.5, 7.5]
+    assert out["backoff_ms_total"][0].as_py() == 15000
