@@ -376,6 +376,52 @@ def q_crawl_live_fetch_status(sf_dir: str):
     return run.fetched_table().select(["url", "status"])
 
 
+def q_crawl_sitemap_status(sf_dir: str):
+    """S9b: sitemap-seeded crawl — robots ``Sitemap:`` lines fetched
+    and parsed from the (sitemap-enabled) synthetic web, ``<loc>``
+    urls seed the frontier directly (no hub discovery), the normal
+    robots gate + politeness budget applies.  Fetched set = every
+    article listed in a sitemap minus the robots-disallowed ones —
+    recomputed exactly by the SQL twin."""
+    from cex_crawler_ray.pipelines.crawl import (
+        CrawlConfig,
+        bootstrap_robots,
+        run_crawl,
+        sitemap_seeds,
+    )
+    from cex_crawler_ray.pipelines.flagship import page_store_for
+    from cex_crawler_ray.sources.pages import host_for, sources_in
+    from cex_crawler_ray.stages.extract import profiles_for_sources
+
+    sources = sources_in(sf_dir)
+    store = page_store_for(sf_dir, include_sitemaps=True)
+    policy = bootstrap_robots(store, [host_for(s) for s in sources])
+    seeds = sitemap_seeds(store, policy)
+    run = run_crawl(
+        store,
+        seeds,
+        policy,
+        CrawlConfig(
+            max_rounds=40,
+            profiles=profiles_for_sources(sources),
+            as_of_hk="2024-03-08 09:00:00",
+            offset_days=7,
+        ),
+    )
+    return run.fetched_table().select(["url", "status"])
+
+
+_CRAWL_SITEMAP_STATUS_SQL = """
+SELECT 'https://' || source || '.test/articles/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       200 AS status
+FROM documents
+WHERE NOT (CAST(substr(source, 4) AS INT) % 5 = 4
+           AND CAST(doc_id AS VARCHAR) LIKE '1%')
+ORDER BY url
+"""
+
+
 def q_curation_pipeline(sf_dir: str):
     """End-to-end training-data curation over documents: quality gate
     -> exact dedup (keep min-id per text) -> language filter (en) ->
@@ -9595,6 +9641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "crawl_extract": q_crawl_extract,
         "crawl_fetch_status": q_crawl_fetch_status,
+        "crawl_sitemap_status": q_crawl_sitemap_status,
         "crawl_live_fetch_status": q_crawl_live_fetch_status,
         "curation_pipeline": q_curation_pipeline,
         "crawl_records": q_crawl_records,
@@ -10168,6 +10215,7 @@ UNION ALL
 SELECT DISTINCT 'https://' || source || '.test/hub' AS url, 200 AS status
 FROM documents
 """,
+        "crawl_sitemap_status": _CRAWL_SITEMAP_STATUS_SQL,
         "crawl_live_fetch_status": _CRAWL_CTE
         + """
 SELECT url, 200 AS status FROM ex

@@ -407,6 +407,7 @@ def bench_queries(sf_dir: str) -> dict:
         "warc_roundtrip",
         "volume_shipping",
         "market_share",
+        "crawl_sitemap_status",
     ]
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row

@@ -38,6 +38,7 @@ def page_store_for(
     replicate: int = 1,
     num_buckets: int | None = None,
     pad: int = 1,
+    include_sitemaps: bool = False,
 ) -> PageStore:
     """Build (once, cached on disk) the bucketed page store for a
     testdata dir.  Generation is deterministic, so reuse is safe.
@@ -54,14 +55,20 @@ def page_store_for(
     st = os.stat(src)
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{replicate}:{num_buckets}:{pad}"
-        f":{st.st_size}:{int(st.st_mtime)}:v5".encode()
+        f":{st.st_size}:{int(st.st_mtime)}:v5"
+        f"{':sm' if include_sitemaps else ''}".encode()
     ).hexdigest()[:12]
     path = os.path.join(_STORE_ROOT, key)
     marker = os.path.join(path, "_SUCCESS")
     store = PageStore(path, num_buckets=num_buckets)
     if not os.path.exists(marker):
         store.write(
-            pages_from_documents(sf_dir, replicate=replicate, pad=pad)
+            pages_from_documents(
+                sf_dir,
+                replicate=replicate,
+                pad=pad,
+                include_sitemaps=include_sitemaps,
+            )
         )
         with open(marker, "w") as f:
             f.write("ok")
