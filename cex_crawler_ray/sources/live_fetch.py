@@ -60,12 +60,17 @@ class LiveFetcher:
         self.header_seed = header_seed
         self.sleep_fn = sleep_fn  # injectable for tests; None = no sleep
 
-    def _fetch_one(self, url: str):
+    def _fetch_one(self, url: str, if_modified_since=None):
         attempts = 0
         backoff_total = 0
         status, html, warc_ts = 0, None, None
         while attempts < self.max_attempts:
             headers = synth_headers(url, self.header_seed + attempts)
+            if if_modified_since is not None:
+                # conditional GET (RFC 9110 §13.1.3): IMF-fixdate form
+                headers["If-Modified-Since"] = if_modified_since.strftime(
+                    "%a, %d %b %Y %H:%M:%S GMT"
+                )
             attempts += 1
             res = self.transport(url, headers)
             # transports may return (status, html, warc_ts) or a
@@ -77,6 +82,17 @@ class LiveFetcher:
             )
             if status == 200 and not challenged:
                 return status, html, warc_ts, attempts, backoff_total, "ok"
+            if status == 304:
+                # conditional GET hit: content unchanged since the
+                # caller's If-Modified-Since — keep the stored copy
+                return (
+                    status,
+                    None,
+                    warc_ts,
+                    attempts,
+                    backoff_total,
+                    "not_modified",
+                )
             if status == 404:
                 # definitive miss: retrying cannot help (the reference
                 # only loops on challenge/5xx, not not-found)
@@ -94,6 +110,13 @@ class LiveFetcher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
+        # optional recrawl column: per-url last-fetch timestamp drives
+        # a conditional GET; 304 rows come back state='not_modified'
+        ims = (
+            batch["if_modified_since"].to_pylist()
+            if "if_modified_since" in batch.column_names
+            else [None] * len(urls)
+        )
         statuses = np.empty(len(urls), dtype=np.int32)
         htmls: list = []
         warcs: list = []
@@ -101,7 +124,7 @@ class LiveFetcher:
         backoffs = np.empty(len(urls), dtype=np.int64)
         states: list = []
         for i, u in enumerate(urls):
-            s, h, w, a, b, st = self._fetch_one(u)
+            s, h, w, a, b, st = self._fetch_one(u, ims[i])
             statuses[i] = s
             htmls.append(h)
             warcs.append(w)

@@ -341,3 +341,49 @@ def test_retry_after_overrides_exponential_backoff(ray_session):
     # both waits paced by Retry-After (7500ms > 100ms and > 200ms)
     assert slept == [7.5, 7.5]
     assert out["backoff_ms_total"][0].as_py() == 15000
+
+
+def test_conditional_get_304_not_modified(ray_session):
+    """An if_modified_since column triggers a conditional GET; a 304
+    response short-circuits (no retries, no body) as 'not_modified',
+    while rows without the column fetch normally."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from cex_crawler_ray.sources.live_fetch import LiveFetcher
+
+    seen_headers = []
+
+    def factory():
+        def transport(url, headers):
+            seen_headers.append(dict(headers))
+            ts = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+            if "If-Modified-Since" in headers:
+                return 304, None, ts
+            return 200, b"body", ts
+
+        return transport
+
+    f = LiveFetcher(factory, max_attempts=3)
+    last = dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc)
+    batch = pa.table(
+        {
+            "url": pa.array(
+                ["https://x.test/a", "https://x.test/b"], pa.string()
+            ),
+            "if_modified_since": pa.array(
+                [last, None], pa.timestamp("us", tz="UTC")
+            ),
+        }
+    )
+    out = f(batch)
+    assert out["fetch_state"].to_pylist() == ["not_modified", "ok"]
+    assert out["status"].to_pylist() == [304, 200]
+    assert out["attempts"].to_pylist() == [1, 1]
+    assert out["html"].to_pylist() == [None, b"body"]
+    assert (
+        seen_headers[0]["If-Modified-Since"]
+        == "Thu, 01 Feb 2024 00:00:00 GMT"
+    )
+    assert "If-Modified-Since" not in seen_headers[1]
