@@ -53,12 +53,27 @@ class LiveFetcher:
         base_backoff_ms: int = 250,
         header_seed: int = 0,
         sleep_fn=None,
+        breaker_threshold: int | None = None,
+        breaker_cooldown_s: float = 60.0,
+        clock=None,
     ):
         self.transport = transport_factory()  # per-actor session
         self.max_attempts = max_attempts
         self.base_backoff_ms = base_backoff_ms
         self.header_seed = header_seed
         self.sleep_fn = sleep_fn  # injectable for tests; None = no sleep
+        # per-host circuit breaker (ACTOR-LOCAL by design: each actor
+        # independently discovers a sick host; no cross-actor
+        # coordination needed — a few extra probes per actor is the
+        # cost of lock-free operation).  After `breaker_threshold`
+        # consecutive dead-letters for a host, its rows fail fast as
+        # 'circuit_open' until `breaker_cooldown_s` passes; the first
+        # row after cooldown is the half-open probe.
+        self.breaker_threshold = breaker_threshold
+        self.breaker_cooldown_s = breaker_cooldown_s
+        self._clock = clock  # injectable monotonic clock for tests
+        self._host_fails: dict = {}
+        self._host_open_until: dict = {}
 
     def _fetch_one(self, url: str, if_modified_since=None):
         attempts = 0
@@ -108,6 +123,31 @@ class LiveFetcher:
                     self.sleep_fn(wait / 1000.0)
         return status, None, warc_ts, attempts, backoff_total, "dead_letter"
 
+    def _fetch_guarded(self, url: str, if_modified_since=None):
+        if self.breaker_threshold is None:
+            return self._fetch_one(url, if_modified_since)
+        import time as _time
+        from urllib.parse import urlsplit
+
+        host = urlsplit(url).netloc.lower().partition(":")[0]
+        now = (self._clock or _time.monotonic)()
+        open_until = self._host_open_until.get(host)
+        if open_until is not None and now < open_until:
+            return 0, None, None, 0, 0, "circuit_open"
+        res = self._fetch_one(url, if_modified_since)
+        state = res[5]
+        if state == "dead_letter":
+            n = self._host_fails.get(host, 0) + 1
+            self._host_fails[host] = n
+            if n >= self.breaker_threshold:
+                self._host_open_until[host] = (
+                    now + self.breaker_cooldown_s
+                )
+        else:
+            self._host_fails[host] = 0
+            self._host_open_until.pop(host, None)
+        return res
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         # optional recrawl column: per-url last-fetch timestamp drives
@@ -124,7 +164,7 @@ class LiveFetcher:
         backoffs = np.empty(len(urls), dtype=np.int64)
         states: list = []
         for i, u in enumerate(urls):
-            s, h, w, a, b, st = self._fetch_one(u, ims[i])
+            s, h, w, a, b, st = self._fetch_guarded(u, ims[i])
             statuses[i] = s
             htmls.append(h)
             warcs.append(w)

@@ -387,3 +387,60 @@ def test_conditional_get_304_not_modified(ray_session):
         == "Thu, 01 Feb 2024 00:00:00 GMT"
     )
     assert "If-Modified-Since" not in seen_headers[1]
+
+
+def test_host_circuit_breaker_opens_and_half_opens(ray_session):
+    """After breaker_threshold consecutive dead-letters for a host its
+    rows fail fast as circuit_open; after cooldown the next row is a
+    half-open probe (and a success closes the breaker). Other hosts
+    are unaffected."""
+    import pyarrow as pa
+
+    from cex_crawler_ray.sources.live_fetch import LiveFetcher
+
+    sick = {"on": True}
+    tcalls = []
+
+    def factory():
+        def transport(url, headers):
+            tcalls.append(url)
+            import datetime as dt
+
+            ts = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+            if "sick.test" in url and sick["on"]:
+                return 500, b"err", ts
+            return 200, b"ok", ts
+
+        return transport
+
+    t = {"now": 0.0}
+    f = LiveFetcher(
+        factory,
+        max_attempts=2,
+        breaker_threshold=2,
+        breaker_cooldown_s=30.0,
+        clock=lambda: t["now"],
+    )
+
+    def run(urls):
+        return f(
+            pa.table({"url": pa.array(urls, pa.string())})
+        )["fetch_state"].to_pylist()
+
+    assert run(
+        ["https://sick.test/1", "https://sick.test/2", "https://ok.test/1"]
+    ) == ["dead_letter", "dead_letter", "ok"]
+    # breaker now open: no transport calls for sick host
+    n_before = len(tcalls)
+    assert run(["https://sick.test/3", "https://ok.test/2"]) == [
+        "circuit_open",
+        "ok",
+    ]
+    assert sum("sick.test" in u for u in tcalls[n_before:]) == 0
+    # cooldown passes; host recovered -> half-open probe succeeds
+    t["now"] = 31.0
+    sick["on"] = False
+    assert run(["https://sick.test/4", "https://sick.test/5"]) == [
+        "ok",
+        "ok",
+    ]
