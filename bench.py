@@ -295,6 +295,13 @@ def bench_crawl_dist(sf_dir: str) -> dict:
 def bench_queries(sf_dir: str) -> dict:
     import __ray_entry__ as entry_mod
 
+    # Core rotation: the round-2 comparability set + one representative
+    # per operator family + the newest additions (~60 entries).  The
+    # full catalog (every remaining rotation name accumulated across
+    # sessions) runs only with GRAFT_BENCH_FULL=1 — at 110+ entries the
+    # full pass added ~8 min of sf0.1 wall per bench run, a driver
+    # timeout risk with zero extra signal (the sf0.01 correctness gate
+    # already drives every query).
     names = [
         "exact_dedup",
         "minhash_dup_pairs",
@@ -302,99 +309,47 @@ def bench_queries(sf_dir: str) -> dict:
         "token_stats",
         "quality_scores",
         "lang_id",
-        "curation_v2",
-        "strip_boilerplate",
-        "inverted_index",
-        "repetition_stats",
-        "redact_pii",
-        "dup_spans",
-        "curation_v3",
-        "heavy_hitters",
-        "pagerank_nodes",
-        "temperature_sample",
         "window_cumsum",
         "broadcast_join_agg",
         "groupby_lineitem",
         "topk_orders",
         "hk_timestamps",
         "report_spot_grouped",
+        "curation_v2",
+        "inverted_index",
+        "redact_pii",
+        "heavy_hitters",
+        "pagerank_nodes",
+        "temperature_sample",
         "triangle_count",
         "interval_join",
-        "ntile_events",
-        "pmi_bigrams",
         "knn_pq",
         "fuzzy_name_pairs",
         "kmeans_clusters",
         "semdedup_pairs",
-        "bigram_logprob",
-        "distinct_users_per_type",
-        "mad_outliers",
-        "dense_rank_events",
         "skew_join_agg",
         "bloom_join_agg",
-        "profile_orders",
-        "rows_window",
-        "cume_dist_events",
         "tfidf_cosine_pairs",
         "grouping_sets_orders",
-        "image_phash_pairs",
-        "audio_fp_pairs",
-        "banned_phrases",
-        "token_entropy",
-        "winsorized_sum",
-        "corr_matrix",
-        "incremental_group_sums",
-        "global_row_number",
-        "gaps_islands",
         "funnel_counts",
         "retention_cohorts",
         "table_diff",
         "bfs_levels",
-        "sequence_pattern",
-        "copurchase_pairs",
-        "ohlc_daily",
         "star_join_agg",
-        "above_avg_orders",
-        "melt_lineitem",
-        "embedding_norm_stats",
-        "full_outer_join",
-        "chunk_documents",
-        "fill_missing_days",
-        "rolling_distinct_users",
-        "vocab_encode",
-        "rank_events",
-        "attribution_pairs",
         "scd2_build",
         "watermark_windows",
         "entity_clusters",
-        "forward_fill",
         "sssp_dists",
         "zorder_zone_maps",
         "merge_upsert",
-        "tree_depth_jump",
-        "containment_pairs",
-        "sorted_neighbors",
-        "random_walks",
-        "kmv_audience_overlap",
-        "two_hop_features",
-        "table_snapshots",
         "cogroup_customer_stats",
-        "frequent_triples",
         "weighted_median",
         "global_ntile",
         "local_clustering",
         "bm25_topk",
-        "max_drawdown",
-        "hopping_window",
-        "interpolate_missing",
         "kl_by_source",
         "rolling_median",
-        "decayed_sum",
-        "order_priority_counts",
-        "local_supplier_volume",
-        "returned_items_topk",
-        "bracket_revenue",
-        "linestatus_priority_counts",
+        "table_snapshots",
         "cust_order_distribution",
         "top_supplier",
         "large_orders",
@@ -409,6 +364,62 @@ def bench_queries(sf_dir: str) -> dict:
         "market_share",
         "crawl_sitemap_status",
     ]
+    extended = [
+        "strip_boilerplate",
+        "repetition_stats",
+        "dup_spans",
+        "curation_v3",
+        "ntile_events",
+        "pmi_bigrams",
+        "bigram_logprob",
+        "distinct_users_per_type",
+        "mad_outliers",
+        "dense_rank_events",
+        "profile_orders",
+        "rows_window",
+        "cume_dist_events",
+        "image_phash_pairs",
+        "audio_fp_pairs",
+        "banned_phrases",
+        "token_entropy",
+        "winsorized_sum",
+        "corr_matrix",
+        "incremental_group_sums",
+        "global_row_number",
+        "gaps_islands",
+        "sequence_pattern",
+        "copurchase_pairs",
+        "ohlc_daily",
+        "above_avg_orders",
+        "melt_lineitem",
+        "embedding_norm_stats",
+        "full_outer_join",
+        "chunk_documents",
+        "fill_missing_days",
+        "rolling_distinct_users",
+        "vocab_encode",
+        "rank_events",
+        "attribution_pairs",
+        "forward_fill",
+        "tree_depth_jump",
+        "containment_pairs",
+        "sorted_neighbors",
+        "random_walks",
+        "kmv_audience_overlap",
+        "two_hop_features",
+        "frequent_triples",
+        "max_drawdown",
+        "hopping_window",
+        "interpolate_missing",
+        "decayed_sum",
+        "order_priority_counts",
+        "local_supplier_volume",
+        "returned_items_topk",
+        "bracket_revenue",
+        "linestatus_priority_counts",
+    ]
+    if os.environ.get("GRAFT_BENCH_FULL"):
+        names = names + extended
     # warm the shared flagship crawl once so per-query timings measure
     # the operators; the crawl itself is the crawl_e2e row
     entry_mod._flagship_run(sf_dir)
