@@ -644,3 +644,54 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 10):
         ).materialize()
 
     return merges
+
+
+def bpe_encode(ds, merges, text_col: str = "text"):
+    """Apply learned BPE merges (from ``bpe_train``) to a corpus:
+    returns the input with ``n_bpe_tokens`` appended (sub-word token
+    count per document — the number a training-data pipeline budgets
+    shards and packing by).
+
+    The merge table broadcasts as a rank dict; each batch tokenizes,
+    encodes each DISTINCT word once (greedy lowest-rank adjacent pair,
+    the reference BPE apply algorithm), and maps counts back to rows —
+    per-word work is vocabulary-bounded per batch, the corpus pass is
+    batch-local, and nothing shuffles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    def encode_word(w: str) -> int:
+        syms = list(w)
+        while len(syms) > 1:
+            best, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, best_i = r, i
+            if best is None:
+                break
+            syms[best_i : best_i + 2] = [
+                syms[best_i] + syms[best_i + 1]
+            ]
+        return len(syms)
+
+    def per_batch(df: "pd.DataFrame") -> "pd.DataFrame":
+        cache: dict = {}
+        counts = np.zeros(len(df), dtype=np.int64)
+        for i, t in enumerate(df[text_col]):
+            n = 0
+            for w in _BPE_WORD_RE.findall(t.lower()):
+                k = cache.get(w)
+                if k is None:
+                    k = encode_word(w)
+                    cache[w] = k
+                n += k
+            counts[i] = n
+        out = df.copy()
+        out["n_bpe_tokens"] = counts
+        return out
+
+    return ds.map_batches(per_batch, batch_format="pandas")

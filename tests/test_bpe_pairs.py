@@ -104,3 +104,53 @@ def test_bpe_train_matches_reference(ray_session):
             ray.data.from_pandas(df).repartition(parts), n_merges=8
         )
         assert got == expected
+
+
+def test_bpe_encode_counts_match_reference(ray_session):
+    """Train merges, encode the corpus: per-doc sub-word counts equal a
+    pure-Python greedy-merge reference; more merges never increase a
+    count; zero merges = character count."""
+    from cex_crawler_ray.stages.textstats import bpe_encode, bpe_train
+
+    texts = [
+        "the lower the newer the newest newest newest",
+        "low lower lowest newer new new new",
+        "wide wider widest low low low lowest",
+    ]
+    df = pd.DataFrame({"text": texts})
+    ds = ray.data.from_pandas(df)
+    merges = bpe_train(ds, n_merges=6)
+
+    def ref_encode(t, merges):
+        import re
+
+        ranks = {tuple(m): i for i, m in enumerate(merges)}
+        total = 0
+        for w in re.findall(r"[a-z0-9_]+", t.lower()):
+            syms = list(w)
+            while len(syms) > 1:
+                cand = [
+                    (ranks[(a, b)], i)
+                    for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                    if (a, b) in ranks
+                ]
+                if not cand:
+                    break
+                _, i = min(cand)
+                syms[i : i + 2] = [syms[i] + syms[i + 1]]
+            total += len(syms)
+        return total
+
+    out = bpe_encode(ds, merges).to_pandas()
+    got = dict(zip(out["text"], out["n_bpe_tokens"]))
+    for t in texts:
+        assert got[t] == ref_encode(t, merges)
+
+    none = bpe_encode(ds, []).to_pandas()
+    chars = {
+        t: sum(len(w) for w in __import__("re").findall(r"[a-z0-9_]+", t))
+        for t in texts
+    }
+    for t in texts:
+        assert dict(zip(none["text"], none["n_bpe_tokens"]))[t] == chars[t]
+        assert got[t] <= chars[t]
