@@ -492,7 +492,7 @@ def bootstrap_robots(
     )
 
     def parse(batch: pa.Table) -> pa.Table:
-        out_h, out_p, out_d, out_s = [], [], [], []
+        out_h, out_p, out_d, out_s, out_a = [], [], [], [], []
         for url, html, status in zip(
             batch["url"].to_pylist(),
             batch["html"].to_pylist(),
@@ -511,12 +511,14 @@ def bootstrap_robots(
             out_p.append(_json.dumps(list(pol.disallow.get(host, ()))))
             out_d.append(pol.crawl_delay_ms.get(host, -1))
             out_s.append(_json.dumps(list(pol.sitemaps.get(host, ()))))
+            out_a.append(_json.dumps(list(pol.allow.get(host, ()))))
         return pa.table(
             {
                 "host": pa.array(out_h, pa.string()),
                 "prefixes": pa.array(out_p, pa.string()),
                 "delay_ms": pa.array(out_d, pa.int64()),
                 "sitemaps": pa.array(out_s, pa.string()),
+                "allows": pa.array(out_a, pa.string()),
             }
         )
 
@@ -534,11 +536,17 @@ def bootstrap_robots(
         for r in rows
         if r["sitemaps"] != "[]"
     }
+    allow = {
+        r["host"]: _json.loads(r["allows"])
+        for r in rows
+        if r["allows"] != "[]"
+    }
     return RobotsPolicy(
         disallow=disallow,
         crawl_delay_ms=delays,
         default_delay_ms=default_delay_ms,
         sitemaps=sitemaps,
+        allow=allow,
     )
 
 

@@ -28,8 +28,12 @@ class RobotsPolicy:
         crawl_delay_ms: dict | None = None,
         default_delay_ms: int = 1000,
         sitemaps: dict | None = None,
+        allow: dict | None = None,
     ):
         self.disallow = {h: tuple(p) for h, p in (disallow or {}).items()}
+        # RFC 9309 Allow rules: only consulted when a Disallow also
+        # matches — longest match wins, Allow wins a length tie
+        self.allow = {h: tuple(p) for h, p in (allow or {}).items()}
         self.crawl_delay_ms = dict(crawl_delay_ms or {})
         self.default_delay_ms = default_delay_ms
         # host -> tuple of sitemap urls (RFC 9309: Sitemap lines are
@@ -42,9 +46,19 @@ class RobotsPolicy:
         parts = urlsplit(url)
         host = parts.netloc.lower().partition(":")[0]
         path = parts.path or "/"
-        return not any(
-            path.startswith(p) for p in self.disallow.get(host, ())
+        dis = max(
+            (len(p) for p in self.disallow.get(host, ()) if path.startswith(p)),
+            default=-1,
         )
+        if dis < 0:
+            return True
+        alw = max(
+            (len(p) for p in self.allow.get(host, ()) if path.startswith(p)),
+            default=-1,
+        )
+        # RFC 9309 §2.2.2: most specific (longest) rule wins; Allow
+        # wins an exact length tie
+        return alw >= dis
 
     def tokens_per_round(self, host: str, round_ms: int = 10_000) -> int:
         """Deterministic per-round fetch budget for a host."""
@@ -75,6 +89,7 @@ class RobotsPolicy:
         caches one parsed policy per host exactly like the reference
         caches its buildId (``exchange/gate.py:52``)."""
         disallow: dict = {}
+        allow: dict = {}
         delays: dict = {}
         sitemaps: dict = {}
         ua = user_agent.lower()
@@ -92,7 +107,12 @@ class RobotsPolicy:
                 val = val.strip()
                 if key == "user-agent":
                     if not in_ua_run:
-                        cur = {"agents": set(), "rules": [], "delay": None}
+                        cur = {
+                            "agents": set(),
+                            "rules": [],
+                            "allows": [],
+                            "delay": None,
+                        }
                         groups.append(cur)
                         in_ua_run = True
                     cur["agents"].add(val.lower())
@@ -103,13 +123,16 @@ class RobotsPolicy:
                     in_ua_run = False
                     if val:
                         sitemaps.setdefault(host, []).append(val)
-                elif key in ("disallow", "crawl-delay"):
+                elif key in ("disallow", "allow", "crawl-delay"):
                     in_ua_run = False
                     if cur is None:
                         continue
                     if key == "disallow":
                         if val:
                             cur["rules"].append(val)
+                    elif key == "allow":
+                        if val:
+                            cur["allows"].append(val)
                     else:
                         try:
                             cur["delay"] = int(float(val) * 1000)
@@ -120,12 +143,16 @@ class RobotsPolicy:
             if not matched:
                 matched = [g for g in groups if "*" in g["agents"]]
             rules: list = []
+            allows: list = []
             delay = None
             for g in matched:
                 rules.extend(g["rules"])
+                allows.extend(g["allows"])
                 if delay is None:
                     delay = g["delay"]
             disallow[host] = rules
+            if allows:
+                allow[host] = allows
             if delay is not None:
                 delays[host] = delay
         return cls(
@@ -133,4 +160,5 @@ class RobotsPolicy:
             crawl_delay_ms=delays,
             default_delay_ms=default_delay_ms,
             sitemaps=sitemaps,
+            allow=allow,
         )

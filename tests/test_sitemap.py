@@ -132,3 +132,64 @@ def test_crawl_from_sitemap_seeds_fetches_allowed_articles(
     assert len(fetched) == len(set(fetched))
     blocked = sum(m.robots_blocked for m in run.metrics)
     assert len(fetched) + blocked == n_seeds
+
+
+def test_allow_longest_match_precedence():
+    """RFC 9309 §2.2.2: most specific rule wins; Allow wins a length
+    tie.  Disallow /foo + Allow /foo/bar admits /foo/bar/x but blocks
+    /foo/other."""
+    from cex_crawler_ray.state.politeness import RobotsPolicy
+
+    text = (
+        "User-agent: *\n"
+        "Disallow: /foo\n"
+        "Allow: /foo/bar\n"
+        "Disallow: /exact\n"
+        "Allow: /exact\n"
+    )
+    pol = RobotsPolicy.from_robots_txt({"h.test": text})
+    assert not pol.allowed("https://h.test/foo/other")
+    assert pol.allowed("https://h.test/foo/bar/x")
+    assert pol.allowed("https://h.test/foo/bar")
+    # equal-length tie: Allow wins
+    assert pol.allowed("https://h.test/exact")
+    # longer Disallow beats shorter Allow
+    pol2 = RobotsPolicy.from_robots_txt(
+        {"h.test": "User-agent: *\nAllow: /a\nDisallow: /a/b\n"}
+    )
+    assert pol2.allowed("https://h.test/a/c")
+    assert not pol2.allowed("https://h.test/a/b/c")
+    # unrelated paths untouched
+    assert pol.allowed("https://h.test/zzz")
+
+
+def test_allow_rules_survive_bootstrap(ray_session, tmp_path):
+    """Allow rules round-trip through the worker-side robots bootstrap."""
+    import datetime as dt
+
+    from cex_crawler_ray.pipelines.crawl import bootstrap_robots
+    from cex_crawler_ray.sources.page_store import PageStore
+
+    body = (
+        b"User-agent: *\nDisallow: /articles/1\nAllow: /articles/12\n"
+    )
+    ps = PageStore(str(tmp_path / "ps_allow"), num_buckets=4)
+    ps.write(
+        ray.data.from_items(
+            [
+                {
+                    "url": "https://h0.test/robots.txt",
+                    "warc_ts": dt.datetime(
+                        2024, 3, 1, tzinfo=dt.timezone.utc
+                    ),
+                    "html": body,
+                    "text": "",
+                    "lang": "en",
+                }
+            ]
+        )
+    )
+    pol = bootstrap_robots(ps, ["h0.test"])
+    assert pol.allow["h0.test"] == ("/articles/12",)
+    assert not pol.allowed("https://h0.test/articles/13")
+    assert pol.allowed("https://h0.test/articles/124")
