@@ -18,7 +18,31 @@ fetch actors would lazily fill a per-actor robots cache keyed by host
 
 from __future__ import annotations
 
+import re as _re
 from urllib.parse import urlsplit
+
+# RFC 9309 §2.2.3 special characters in rule paths: '*' matches any
+# run of octets, '$' anchors the end.  Plain rules (the overwhelming
+# majority) keep the prefix fast path; wildcard rules compile once
+# into a process-global memo.
+_RULE_RE_CACHE: dict = {}
+
+
+def _rule_matches(rule: str, path: str) -> bool:
+    if "*" not in rule and not rule.endswith("$"):
+        return path.startswith(rule)
+    rx = _RULE_RE_CACHE.get(rule)
+    if rx is None:
+        pat = rule
+        anchored = pat.endswith("$")
+        if anchored:
+            pat = pat[:-1]
+        pat = "".join(
+            ".*" if c == "*" else _re.escape(c) for c in pat
+        )
+        rx = _re.compile("^" + pat + ("$" if anchored else ""))
+        _RULE_RE_CACHE[rule] = rx
+    return rx.match(path) is not None
 
 
 class RobotsPolicy:
@@ -47,17 +71,25 @@ class RobotsPolicy:
         host = parts.netloc.lower().partition(":")[0]
         path = parts.path or "/"
         dis = max(
-            (len(p) for p in self.disallow.get(host, ()) if path.startswith(p)),
+            (
+                len(p)
+                for p in self.disallow.get(host, ())
+                if _rule_matches(p, path)
+            ),
             default=-1,
         )
         if dis < 0:
             return True
         alw = max(
-            (len(p) for p in self.allow.get(host, ()) if path.startswith(p)),
+            (
+                len(p)
+                for p in self.allow.get(host, ())
+                if _rule_matches(p, path)
+            ),
             default=-1,
         )
-        # RFC 9309 §2.2.2: most specific (longest) rule wins; Allow
-        # wins an exact length tie
+        # RFC 9309 §2.2.2: most specific (longest rule string) wins;
+        # Allow wins an exact length tie
         return alw >= dis
 
     def tokens_per_round(self, host: str, round_ms: int = 10_000) -> int:

@@ -193,3 +193,40 @@ def test_allow_rules_survive_bootstrap(ray_session, tmp_path):
     assert pol.allow["h0.test"] == ("/articles/12",)
     assert not pol.allowed("https://h0.test/articles/13")
     assert pol.allowed("https://h0.test/articles/124")
+
+
+def test_robots_wildcard_and_anchor_rules():
+    """RFC 9309 §2.2.3: '*' matches any octet run, '$' anchors the
+    end; plain prefixes keep their old semantics."""
+    from cex_crawler_ray.state.politeness import RobotsPolicy
+
+    pol = RobotsPolicy.from_robots_txt(
+        {
+            "h.test": (
+                "User-agent: *\n"
+                "Disallow: /*.pdf$\n"
+                "Disallow: /tmp/*/draft\n"
+                "Disallow: /exactfile$\n"
+            )
+        }
+    )
+    assert not pol.allowed("https://h.test/docs/a.pdf")
+    assert pol.allowed("https://h.test/docs/a.pdfx")  # $ anchored
+    assert pol.allowed("https://h.test/docs/a.html")
+    assert not pol.allowed("https://h.test/tmp/x/draft")
+    assert not pol.allowed("https://h.test/tmp/x/y/draftz")
+    assert pol.allowed("https://h.test/tmp/x/final")
+    assert not pol.allowed("https://h.test/exactfile")
+    assert pol.allowed("https://h.test/exactfile2")
+    # wildcard Allow overrides by rule-string length
+    pol2 = RobotsPolicy.from_robots_txt(
+        {
+            "h.test": (
+                "User-agent: *\n"
+                "Disallow: /dl\n"
+                "Allow: /dl/*.txt$\n"
+            )
+        }
+    )
+    assert not pol2.allowed("https://h.test/dl/a.bin")
+    assert pol2.allowed("https://h.test/dl/a.txt")
