@@ -202,26 +202,39 @@ class _LinkCollector(HTMLParser):
     ``exchange/blofin.py:30-77``).
     """
 
-    def __init__(self):
+    def __init__(self, honor_nofollow: bool = True):
         super().__init__(convert_charrefs=True)
         self._href = None
         self._text: list = []
         self.links: list = []
+        self._honor_nofollow = honor_nofollow
+        self._skip_current = False
+        self.meta_nofollow = False  # <meta name=robots content=...nofollow...>
 
     def handle_starttag(self, tag, attrs):
         if tag == "a":
             self._flush()
-            self._href = dict(attrs).get("href")
+            d = dict(attrs)
+            self._href = d.get("href")
+            rel = (d.get("rel") or "").lower().split()
+            self._skip_current = self._honor_nofollow and "nofollow" in rel
             self._text = []
+        elif tag == "meta" and self._honor_nofollow:
+            d = {k.lower(): (v or "") for k, v in attrs}
+            if d.get("name", "").lower() == "robots" and "nofollow" in d.get(
+                "content", ""
+            ).lower():
+                self.meta_nofollow = True
 
     def handle_endtag(self, tag):
         if tag == "a":
             self._flush()
 
     def _flush(self):
-        if self._href is not None:
+        if self._href is not None and not self._skip_current:
             self.links.append((self._href, "".join(self._text).strip()))
         self._href = None
+        self._skip_current = False
         self._text = []
 
     def handle_data(self, data):
@@ -229,12 +242,19 @@ class _LinkCollector(HTMLParser):
             self._text.append(data)
 
 
-def extract_links(html: str):
-    """All (href, text) anchors in document order."""
-    p = _LinkCollector()
+def extract_links(html: str, honor_nofollow: bool = True):
+    """All (href, text) anchors in document order.
+
+    ``honor_nofollow`` (default on — a polite crawler's behavior, and
+    a no-op on pages without the attribute) drops ``rel=nofollow``
+    anchors and returns NO links when the page carries
+    ``<meta name="robots" content="...nofollow...">``."""
+    p = _LinkCollector(honor_nofollow=honor_nofollow)
     p.feed(html)
     p.close()
     p._flush()
+    if p.meta_nofollow:
+        return []
     return p.links
 
 

@@ -190,3 +190,34 @@ def test_json_detail_page_extraction_matches_oracle_text():
         assert "__NEXT_DATA__" in html
         got = extract_with_profile(html, prof)
         assert got == expected_extracted_text(doc_id, "en", src, "body text here")
+
+
+def test_nofollow_link_and_meta_semantics():
+    """rel=nofollow anchors are dropped; a robots-meta nofollow page
+    yields no links; honor_nofollow=False restores raw extraction."""
+    from cex_crawler_ray.functions.html_text import extract_links
+
+    html = (
+        "<html><body>"
+        '<a href="/a">A</a>'
+        '<a href="/b" rel="nofollow">B</a>'
+        '<a href="/c" rel="external NOFOLLOW">C</a>'
+        '<a href="/d" rel="author">D</a>'
+        "</body></html>"
+    )
+    assert [h for h, _ in extract_links(html)] == ["/a", "/d"]
+    assert [h for h, _ in extract_links(html, honor_nofollow=False)] == [
+        "/a",
+        "/b",
+        "/c",
+        "/d",
+    ]
+
+    meta = (
+        '<html><head><meta name="robots" content="noindex, nofollow">'
+        '</head><body><a href="/x">X</a></body></html>'
+    )
+    assert extract_links(meta) == []
+    assert [h for h, _ in extract_links(meta, honor_nofollow=False)] == [
+        "/x"
+    ]
