@@ -396,3 +396,39 @@ def get_next_data(html: str, script_id: str = "__NEXT_DATA__"):
         return json.loads(content)
     except json.JSONDecodeError:
         return None
+
+
+_BASE_HREF_RE = re.compile(
+    r"<base\s[^>]*?href\s*=\s*([\"'])(.*?)\1", re.IGNORECASE | re.DOTALL
+)
+_CANONICAL_LINK_RE = re.compile(
+    r"<link\s[^>]*?rel\s*=\s*([\"'])canonical\1[^>]*?"
+    r"href\s*=\s*([\"'])(.*?)\2",
+    re.IGNORECASE | re.DOTALL,
+)
+_CANONICAL_LINK_RE2 = re.compile(
+    r"<link\s[^>]*?href\s*=\s*([\"'])(.*?)\1[^>]*?"
+    r"rel\s*=\s*([\"'])canonical\3",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def base_href(html: str) -> str | None:
+    """The document's ``<base href>`` (first wins, per HTML spec), or
+    None.  Relative-link resolution must use it as the join base when
+    present — browsers do, so a crawler that doesn't computes
+    different urls than users see."""
+    m = _BASE_HREF_RE.search(html)
+    return m.group(2).strip() or None if m else None
+
+
+def canonical_link(html: str) -> str | None:
+    """The page's ``<link rel="canonical" href=...>`` target, or None.
+    Attribute order is free in HTML, so both orders are matched.  A
+    dedup-aware crawler keys its seen-set / dedup on the canonical
+    target when a page declares one."""
+    m = _CANONICAL_LINK_RE.search(html)
+    if m:
+        return m.group(3).strip() or None
+    m = _CANONICAL_LINK_RE2.search(html)
+    return m.group(2).strip() or None if m else None

@@ -886,7 +886,7 @@ class DiscoverStage:
         self.max_depth = max_depth
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.html_text import links_from_page
+        from ..functions.html_text import base_href, links_from_page
 
         out_urls, out_titles, out_prio, out_depth = [], [], [], []
         for url, html, status, prio, depth in zip(
@@ -898,10 +898,23 @@ class DiscoverStage:
         ):
             if status != 200 or html is None or depth >= self.max_depth:
                 continue
-            for href, text in links_from_page(html.decode("utf-8", "replace")):
+            doc = html.decode("utf-8", "replace")
+            # <base href> overrides the page url as join base (HTML
+            # spec; itself resolved against the page for relative
+            # bases).  Plain urljoin — canonicalize would strip the
+            # trailing slash the relative join depends on.  Absent on
+            # the synthetic web -> no-op there.
+            b = base_href(doc)
+            if b:
+                from urllib.parse import urljoin as _urljoin
+
+                join_base = _urljoin(url, b)
+            else:
+                join_base = url
+            for href, text in links_from_page(doc):
                 if not href or href.startswith(("javascript:", "mailto:", "#")):
                     continue
-                out_urls.append(canonicalize(href, base=url))
+                out_urls.append(canonicalize(href, base=join_base))
                 out_titles.append(text)
                 out_prio.append(prio)
                 out_depth.append(depth + 1)

@@ -221,3 +221,50 @@ def test_nofollow_link_and_meta_semantics():
     assert [h for h, _ in extract_links(meta, honor_nofollow=False)] == [
         "/x"
     ]
+
+
+def test_base_href_and_canonical_link_extraction():
+    from cex_crawler_ray.functions.html_text import (
+        base_href,
+        canonical_link,
+    )
+
+    html = (
+        "<html><head>"
+        '<base href="https://cdn.h.test/root/">'
+        '<link rel="canonical" href="https://h.test/true-url">'
+        "</head><body></body></html>"
+    )
+    assert base_href(html) == "https://cdn.h.test/root/"
+    assert canonical_link(html) == "https://h.test/true-url"
+    # reversed attribute order on <link>
+    rev = '<link href="https://h.test/x" rel="canonical">'
+    assert canonical_link(rev) == "https://h.test/x"
+    assert base_href("<html><body>no base</body></html>") is None
+    assert canonical_link("<html><body>none</body></html>") is None
+
+
+def test_discover_resolves_links_against_base_href(ray_session):
+    import pyarrow as pa
+
+    from cex_crawler_ray.pipelines.crawl import DiscoverStage
+
+    html = (
+        "<html><head>"
+        '<base href="https://other.test/dir/">'
+        '</head><body><a href="page1">P1</a>'
+        '<a href="/abs">ABS</a></body></html>'
+    ).encode("utf-8")
+    batch = pa.table(
+        {
+            "url": pa.array(["https://h0.test/hub"], pa.string()),
+            "html": pa.array([html], pa.binary()),
+            "status": pa.array([200], pa.int32()),
+            "priority": pa.array([0], pa.int32()),
+            "depth": pa.array([0], pa.int32()),
+        }
+    )
+    out = DiscoverStage()(batch)
+    urls = out["url"].to_pylist()
+    assert "https://other.test/dir/page1" in urls
+    assert "https://other.test/abs" in urls
