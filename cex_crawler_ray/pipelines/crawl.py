@@ -882,8 +882,44 @@ class DiscoverStage:
     reference hub-page scans ``exchange/weex.py:30-60``).  Children carry
     ``depth = parent depth + 1``; pages at ``max_depth`` emit nothing."""
 
-    def __init__(self, max_depth: int = 8):
+    # crawler-trap guards (all vectorizable string checks, applied
+    # per-href before canonicalization):
+    # - binary extensions a text crawler never wants,
+    # - an absolute url-length cap (infinite-calendar / session-id
+    #   traps grow urls without bound; 2048 is the de-facto web cap),
+    # - a repeated-path-segment cap (the classic /a/b/a/b/a/b loop
+    #   trap: any segment appearing more than seg_repeat_max times is
+    #   a cycle no real site needs; 2 allows /en/docs/en-style reuse
+    #   once while catching the third lap of a loop).
+    SKIP_EXTENSIONS = (
+        ".jpg", ".jpeg", ".png", ".gif", ".webp", ".ico", ".svg",
+        ".mp4", ".mp3", ".avi", ".mov", ".zip", ".gz", ".tar", ".rar",
+        ".exe", ".dmg", ".iso", ".woff", ".woff2", ".ttf", ".css",
+    )
+
+    def __init__(
+        self,
+        max_depth: int = 8,
+        max_url_len: int = 2048,
+        seg_repeat_max: int = 2,
+    ):
         self.max_depth = max_depth
+        self.max_url_len = max_url_len
+        self.seg_repeat_max = seg_repeat_max
+
+    def _trapped(self, url: str) -> bool:
+        if len(url) > self.max_url_len:
+            return True
+        path = url.split("://", 1)[-1].split("?", 1)[0]
+        segs = [s for s in path.split("/")[1:] if s]
+        if len(segs) > self.seg_repeat_max:
+            counts: dict = {}
+            for s in segs:
+                n = counts.get(s, 0) + 1
+                if n > self.seg_repeat_max:
+                    return True
+                counts[s] = n
+        return False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.html_text import base_href, links_from_page
@@ -914,7 +950,13 @@ class DiscoverStage:
             for href, text in links_from_page(doc):
                 if not href or href.startswith(("javascript:", "mailto:", "#")):
                     continue
-                out_urls.append(canonicalize(href, base=join_base))
+                low = href.lower().split("?", 1)[0]
+                if low.endswith(self.SKIP_EXTENSIONS):
+                    continue
+                u = canonicalize(href, base=join_base)
+                if self._trapped(u):
+                    continue
+                out_urls.append(u)
                 out_titles.append(text)
                 out_prio.append(prio)
                 out_depth.append(depth + 1)

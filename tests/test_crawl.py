@@ -544,3 +544,38 @@ def test_bootstrap_robots_roundtrip(store, crawl_inputs, sf_tiny):
     for s in sources:
         u = f"https://{host_for(s)}/articles/12"
         assert boot.allowed(u) == robots.allowed(u), u
+
+
+def test_discover_trap_guards(ray_session):
+    """Binary-extension links, over-long urls and repeated-segment
+    loop traps are dropped at discovery; normal article links pass."""
+    import pyarrow as pa
+
+    from cex_crawler_ray.pipelines.crawl import DiscoverStage
+
+    long_url = "/deep/" + "x" * 3000
+    html = (
+        "<html><body>"
+        '<a href="/articles/5">ok</a>'
+        '<a href="/img/logo.PNG">img</a>'
+        '<a href="/styles/site.css?v=2">css</a>'
+        f'<a href="{long_url}">long</a>'
+        '<a href="/a/b/a/b/a/b/page">loop</a>'
+        '<a href="/a/b/c/page">fine</a>'
+        "</body></html>"
+    ).encode("utf-8")
+    batch = pa.table(
+        {
+            "url": pa.array(["https://h0.test/hub"], pa.string()),
+            "html": pa.array([html], pa.binary()),
+            "status": pa.array([200], pa.int32()),
+            "priority": pa.array([0], pa.int32()),
+            "depth": pa.array([0], pa.int32()),
+        }
+    )
+    urls = DiscoverStage()(batch)["url"].to_pylist()
+    assert "https://h0.test/articles/5" in urls
+    assert "https://h0.test/a/b/c/page" in urls
+    assert not any(".png" in u.lower() or ".css" in u.lower() for u in urls)
+    assert not any(len(u) > 2048 for u in urls)
+    assert not any("/a/b/a/b/a/b/" in u for u in urls)
