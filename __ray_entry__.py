@@ -9278,6 +9278,101 @@ ORDER BY lang
 _Q7_NATIONS = ("NATION_3", "NATION_19")
 
 
+def q_gini_mean_difference(sf_dir: str):
+    """Per-group Gini mean difference — mean |x_i - x_j| over ordered
+    pairs, the robust dispersion measure — computed EXACTLY from a
+    mergeable value histogram, no per-group sort of raw rows.
+
+    Identity: with the group's distinct cents values sorted, a tie
+    block of count c at value v starting after prefix-count P occupies
+    ranks P+1..P+c, so its numerator contribution is
+    ``v * c * (2P + c - n)`` (from sum(2r - n - 1) over the block).
+    Per-batch (group, cents) count partials -> one coarse shuffle
+    carrying at most one row per (batch, group, distinct-cent) -> the
+    per-group finish is a vectorized prefix scan over the HISTOGRAM
+    (bounded by the value domain, not the group size).  Returns exact
+    integer (gmd_num, gmd_den); gmd = num/den in cents."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(df: "pd.DataFrame") -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"].to_numpy(),
+                    "cents": _cents(df["value"].to_numpy()),
+                }
+            )
+            .groupby(["event_type", "cents"], as_index=False)
+            .size()
+        )
+        g["c"] = g["size"].astype(np.int64)
+        # coarse-partition key: hash of the group name
+        g["gh"] = pd.util.hash_array(
+            g["event_type"].to_numpy(object)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(
+            g[["event_type", "cents", "c", "gh"]], preserve_index=False
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        df = (
+            group.to_pandas()
+            .groupby(["event_type", "cents"], as_index=False)["c"]
+            .sum()
+            .sort_values(["event_type", "cents"], kind="mergesort")
+        )
+        out_t, out_num, out_den = [], [], []
+        for et, sub in df.groupby("event_type", sort=True):
+            v = sub["cents"].to_numpy(np.int64)
+            c = sub["c"].to_numpy(np.int64)
+            n = int(c.sum())
+            p = np.concatenate([[0], np.cumsum(c)[:-1]])
+            num = int((v * c * (2 * p + c - n)).sum())
+            out_t.append(et)
+            out_num.append(num)
+            out_den.append(n * (n - 1))
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "gmd_num": pa.array(out_num, pa.int64()),
+                "gmd_den": pa.array(out_den, pa.int64()),
+            }
+        )
+
+    out = _coarse_group_apply(
+        ev.map_batches(partial, batch_format="pandas"),
+        "gh",
+        finish,
+        num_parts=16,
+    ).to_pandas()
+    return out.sort_values("event_type", kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+_GMD_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(sum((2 * rn - n - 1) * cents) AS BIGINT) AS gmd_num,
+       CAST(any_value(n) * (any_value(n) - 1) AS BIGINT) AS gmd_den
+FROM c
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_volume_shipping(sf_dir: str):
     """TPC-H-Q7-shaped nation-pair trade matrix: revenue shipped
     between two specific nations (both directions), per order year.
@@ -9754,6 +9849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_matrix": q_gram_matrix,
         "warc_roundtrip": q_warc_roundtrip,
         "volume_shipping": q_volume_shipping,
+        "gini_mean_difference": q_gini_mean_difference,
         "market_share": q_market_share,
         "transition_matrix": q_transition_matrix,
         "cm_event_counts": q_cm_event_counts,
@@ -11223,6 +11319,7 @@ GROUP BY 1, 2
         "gram_matrix": _GRAM_MATRIX_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "volume_shipping": _VOLUME_SHIPPING_SQL,
+        "gini_mean_difference": _GMD_SQL,
         "market_share": _MARKET_SHARE_SQL,
         "transition_matrix": _TRANSITION_MATRIX_SQL,
         "rolling_median": _ROLLING_MEDIAN_SQL,

@@ -363,6 +363,7 @@ def bench_queries(sf_dir: str) -> dict:
         "volume_shipping",
         "market_share",
         "crawl_sitemap_status",
+        "gini_mean_difference",
     ]
     extended = [
         "strip_boilerplate",
