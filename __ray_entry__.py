@@ -422,6 +422,29 @@ ORDER BY url
 """
 
 
+def q_crawl_per_host_counts(sf_dir: str):
+    """T5-adjacent crawl accounting: fetched pages per host from the
+    (shared) flagship run — the per-host slice of the fetch set the
+    SQL crawl model recomputes (articles surviving robots + M12 title
+    filters, plus each host's hub)."""
+    import pandas as pd
+
+    t = _flagship_run(sf_dir).fetched_table()
+    urls = t["url"].to_pylist()
+    hosts = [u.split("://", 1)[1].split("/", 1)[0] for u in urls]
+    g = (
+        pd.DataFrame({"host": hosts})
+        .groupby("host", as_index=False)
+        .size()
+    )
+    return pd.DataFrame(
+        {
+            "host": g["host"],
+            "n_fetched": g["size"].astype("int64"),
+        }
+    ).sort_values("host", kind="mergesort").reset_index(drop=True)
+
+
 def q_curation_pipeline(sf_dir: str):
     """End-to-end training-data curation over documents: quality gate
     -> exact dedup (keep min-id per text) -> language filter (en) ->
@@ -9737,6 +9760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_extract": q_crawl_extract,
         "crawl_fetch_status": q_crawl_fetch_status,
         "crawl_sitemap_status": q_crawl_sitemap_status,
+        "crawl_per_host_counts": q_crawl_per_host_counts,
         "crawl_live_fetch_status": q_crawl_live_fetch_status,
         "curation_pipeline": q_curation_pipeline,
         "crawl_records": q_crawl_records,
@@ -10312,6 +10336,16 @@ SELECT DISTINCT 'https://' || source || '.test/hub' AS url, 200 AS status
 FROM documents
 """,
         "crawl_sitemap_status": _CRAWL_SITEMAP_STATUS_SQL,
+        "crawl_per_host_counts": _CRAWL_CTE
+        + """
+SELECT host, CAST(count(*) AS BIGINT) AS n_fetched FROM (
+  SELECT source || '.test' AS host FROM ex
+  UNION ALL
+  SELECT DISTINCT source || '.test' AS host FROM documents
+)
+GROUP BY host
+ORDER BY host
+""",
         "crawl_live_fetch_status": _CRAWL_CTE
         + """
 SELECT url, 200 AS status FROM ex
