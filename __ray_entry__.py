@@ -8856,14 +8856,17 @@ def q_idle_customers(sf_dir: str):
     )
 
     def bal_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        # integer-cent partials: a float sum is batch-order-dependent
+        # and a balance within an ulp of the avg could flip the filter
         pos = df["c_acctbal"].to_numpy(np.float64)
-        pos = pos[pos > 0.0]
+        pos_cents = _cents(pos[pos > 0.0])
         return pd.DataFrame(
-            {"s": [float(pos.sum())], "n": [np.int64(len(pos))]}
+            {"s": [np.int64(pos_cents.sum())], "n": [np.int64(len(pos_cents))]}
         )
 
     agg = cust_bal.map_batches(bal_partial, batch_format="pandas").to_pandas()
-    avg_bal = float(agg["s"].sum()) / max(1, int(agg["n"].sum()))
+    sum_cents = int(agg["s"].sum())
+    n_pos = max(1, int(agg["n"].sum()))
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
@@ -8908,10 +8911,11 @@ def q_idle_customers(sf_dir: str):
     )
 
     def rich(batch: pa.Table) -> pa.Table:
+        # exact integer compare: bal > sum/n  <=>  bal_cents*n > sum_cents
         bal = batch["c_acctbal"].combine_chunks().to_numpy(
             zero_copy_only=False
         )
-        return batch.filter(pa.array(bal > avg_bal))
+        return batch.filter(pa.array(_cents(bal) * n_pos > sum_cents))
 
     joined = hash_join(
         cust.map_batches(rich, batch_format="pyarrow"),
@@ -8952,9 +8956,10 @@ SELECT c.c_mktsegment,
        CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
          AS total_acctbal_cents
 FROM customer c
-WHERE c.c_acctbal > (
-    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
-  )
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+      * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+    > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+       FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (
     SELECT 1 FROM orders o
     WHERE o.o_custkey = c.c_custkey

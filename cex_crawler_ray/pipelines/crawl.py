@@ -629,14 +629,16 @@ def sitemap_seeds(
         )
         seen.update(current)
     if not page_parts:
-        return ray.data.from_items([]).map_batches(
-            lambda b: pa.table(
+        # from_arrow, not from_items([]): a zero-block dataset has a
+        # None schema, so downstream consumers inspecting seed columns
+        # would break on the no-sitemaps path
+        return ray.data.from_arrow(
+            pa.table(
                 {
                     "url": pa.array([], pa.string()),
                     "priority": pa.array([], pa.int64()),
                 }
-            ),
-            batch_format="pyarrow",
+            )
         )
     out = page_parts[0]
     for p in page_parts[1:]:
@@ -950,7 +952,9 @@ class DiscoverStage:
             for href, text in links_from_page(doc):
                 if not href or href.startswith(("javascript:", "mailto:", "#")):
                     continue
-                low = href.lower().split("?", 1)[0]
+                # strip fragment AND query before the extension check:
+                # 'photo.png#gallery' must not bypass SKIP_EXTENSIONS
+                low = href.lower().split("#", 1)[0].split("?", 1)[0]
                 if low.endswith(self.SKIP_EXTENSIONS):
                     continue
                 u = canonicalize(href, base=join_base)

@@ -34,6 +34,7 @@ import hashlib
 import os
 
 import pyarrow as pa
+from ray.data import Datasink
 
 _CRLF = b"\r\n"
 
@@ -58,6 +59,49 @@ def _format_record(
     return head + payload + _CRLF + _CRLF
 
 
+class _WarcDatasink(Datasink):
+    """Worker-written .warc shards.  The shard name carries the write
+    task's deterministic ``task_idx`` plus the block ordinal, THEN the
+    content hash: two distinct blocks that happen to serialize to
+    identical bytes (replicated/tiled corpora) land in distinct files
+    (multiset semantics preserved), while a re-executed task overwrites
+    the very same names (idempotent resume).  Atomic rename so readers
+    never see a torn shard."""
+
+    def __init__(self, out_dir, url_col, ts_col, lang_col, payload_col):
+        self.out_dir = out_dir
+        self.cols = (url_col, ts_col, lang_col, payload_col)
+
+    def on_write_start(self) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+
+    def write(self, blocks, ctx) -> int:
+        url_col, ts_col, lang_col, payload_col = self.cols
+        written = 0
+        for i, block in enumerate(blocks):
+            batch = pa.table(block) if not isinstance(block, pa.Table) else block
+            urls = batch[url_col].to_pylist()
+            ts = batch[ts_col].to_pylist()
+            langs = batch[lang_col].to_pylist()
+            payloads = batch[payload_col].to_pylist()
+            buf = bytearray()
+            for u, t, lg, p in zip(urls, ts, langs, payloads):
+                if isinstance(p, str):
+                    p = p.encode("utf-8")
+                iso = t.strftime("%Y-%m-%dT%H:%M:%SZ")
+                buf += _format_record(u, iso, lg or "", p or b"")
+            data = bytes(buf)
+            digest = hashlib.sha256(data).hexdigest()[:16]
+            name = f"part-{ctx.task_idx:05d}-{i:03d}-{digest}.warc"
+            path = os.path.join(self.out_dir, name)
+            tmp = path + f".tmp-{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+            written += batch.num_rows
+        return written
+
+
 def write_warc(
     ds,
     out_dir: str,
@@ -66,33 +110,12 @@ def write_warc(
     lang_col: str = "lang",
     payload_col: str = "html",
 ) -> None:
-    """Serialize each block to one .warc shard, written BY THE WORKER
-    (content-hash file name -> idempotent under task re-execution)."""
-    os.makedirs(out_dir, exist_ok=True)
-
-    def dump(batch: pa.Table) -> pa.Table:
-        urls = batch[url_col].to_pylist()
-        ts = batch[ts_col].to_pylist()
-        langs = batch[lang_col].to_pylist()
-        payloads = batch[payload_col].to_pylist()
-        buf = bytearray()
-        for u, t, lg, p in zip(urls, ts, langs, payloads):
-            if isinstance(p, str):
-                p = p.encode("utf-8")
-            iso = t.strftime("%Y-%m-%dT%H:%M:%SZ")
-            buf += _format_record(u, iso, lg or "", p or b"")
-        data = bytes(buf)
-        name = hashlib.sha256(data).hexdigest()[:24]
-        path = os.path.join(out_dir, f"part-{name}.warc")
-        if not os.path.exists(path):  # idempotent re-execution
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, path)
-        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
-
-    # consume the tiny count stream to drive execution
-    ds.map_batches(dump, batch_format="pyarrow").count()
+    """Serialize blocks to .warc shards, written BY THE WORKER via a
+    Datasink (task-idx-discriminated names -> idempotent under task
+    re-execution AND no collapse of identical-byte blocks)."""
+    ds.write_datasink(
+        _WarcDatasink(out_dir, url_col, ts_col, lang_col, payload_col)
+    )
 
 
 def parse_warc_bytes(data: bytes) -> dict:

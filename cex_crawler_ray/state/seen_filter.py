@@ -131,9 +131,11 @@ class _Cuckoo:
         placed[order[ok]] = True
         return placed
 
-    def add(self, hashes: np.ndarray) -> bool:
-        """Insert all (assumed not-contained) keys; returns False if a
-        kick loop overflowed (filter effectively full)."""
+    def add(self, hashes: np.ndarray) -> np.ndarray:
+        """Insert all (assumed not-contained) keys; returns the mask of
+        keys actually inserted.  A False entry means the kick loop
+        overflowed (filter effectively full) — callers must NOT treat
+        that key as recorded, or it will be re-admitted later."""
         fp, i1, i2 = self._candidates(hashes)
         placed = self._bulk_place(i1, fp)
         rem = ~placed
@@ -141,12 +143,12 @@ class _Cuckoo:
             placed2 = np.zeros(len(hashes), dtype=bool)
             placed2[rem] = self._bulk_place(i2[rem], fp[rem])
             rem &= ~placed2
-        failed = 0
+        inserted = ~rem
         for j in np.nonzero(rem)[0]:
-            if not self._kick_insert(int(i1[j]), fp[j]):
-                failed += 1
-        self.count += int(len(hashes)) - failed
-        return failed == 0
+            if self._kick_insert(int(i1[j]), fp[j]):
+                inserted[j] = True
+        self.count += int(inserted.sum())
+        return inserted
 
     def _kick_insert(self, bucket: int, f: np.uint16) -> bool:
         rng = np.random.default_rng(int(f) * 2654435761 % (1 << 32))
@@ -275,7 +277,14 @@ class SeenShard:
             first = np.zeros(len(hashes), dtype=bool)
             first[first_idx] = True
             new = (~maybe_seen) & first
-            self.cuckoo.add(hashes[new])
+            # kick-loop overflow (filter full) must demote the key to
+            # not-new: an unrecorded key reported new would be admitted
+            # again on a later batch and the count would drift from the
+            # filter contents (and restore() would persist the drift)
+            inserted = self.cuckoo.add(hashes[new])
+            if not inserted.all():
+                idx = np.nonzero(new)[0]
+                new[idx[~inserted]] = False
         else:
             maybe_seen = self.bloom.contains(hashes)
             # in-batch first-wins on top of the filter

@@ -558,6 +558,7 @@ def test_discover_trap_guards(ray_session):
         "<html><body>"
         '<a href="/articles/5">ok</a>'
         '<a href="/img/logo.PNG">img</a>'
+        '<a href="/img/photo.png#gallery">img-frag</a>'
         '<a href="/styles/site.css?v=2">css</a>'
         f'<a href="{long_url}">long</a>'
         '<a href="/a/b/a/b/a/b/page">loop</a>'

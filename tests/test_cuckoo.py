@@ -18,7 +18,7 @@ def test_cuckoo_no_false_negatives_and_bounded_fpp():
     c = _Cuckoo(1 << 15)  # 32k buckets * 4 slots = 131k capacity
     keys = _keys(60_000)  # ~0.46 load
     assert not c.contains(keys).any()
-    assert c.add(keys)
+    assert c.add(keys).all()
     assert c.contains(keys).all()  # cuckoo filters have NO false negatives
 
     fresh = _keys(60_000, seed=2)
@@ -33,7 +33,7 @@ def test_cuckoo_kick_loop_near_capacity():
 
     c = _Cuckoo(1 << 8)  # 256 buckets * 4 = 1024 slots
     keys = _keys(870, seed=3)  # ~0.85 load: bulk passes overflow, kicks run
-    assert c.add(keys)
+    assert c.add(keys).all()
     assert c.contains(keys).all()
 
 
@@ -49,7 +49,7 @@ def test_cuckoo_delete_then_readmit():
     # deleting again finds nothing (fingerprints are gone)
     assert not c.delete(victim).any()
     # re-inserting works
-    assert c.add(victim)
+    assert c.add(victim).all()
     assert c.contains(victim).all()
 
 
@@ -134,3 +134,24 @@ def test_cuckoo_delete_compacts_rows_no_overwrite():
     # heavy re-insert pressure on the holed rows
     c.add(_keys(1_500, seed=10))
     assert c.contains(keep_set).all()  # no survivor lost its fingerprint
+
+
+def test_cuckoo_overflow_keys_reported_not_new():
+    """Kick-loop overflow must demote the key to not-new in the shard:
+    an unrecorded key reported new would be re-admitted on a later
+    batch, and shard count would drift from filter contents."""
+    from cex_crawler_ray.state.seen_filter import SeenShard
+
+    # plain-class instantiation of the actor body (no cluster needed)
+    cls = SeenShard.__ray_metadata__.modified_class
+    shard = cls(mode="cuckoo", cuckoo_buckets=1 << 4)  # 64 slots
+    keys = _keys(400, seed=11)  # way past capacity -> overflow certain
+    new = shard.check_and_add(keys)
+    admitted = int(new.sum())
+    assert admitted < len(keys)  # some inserts failed
+    # count matches what the filter actually holds
+    assert shard.count == admitted == int(shard.cuckoo.count)
+    # an overflowed key (reported not-new) is genuinely absent, so a
+    # retry may admit it once capacity frees up — never silently lost
+    failed = keys[~new]
+    assert not shard.cuckoo.contains(failed).all()

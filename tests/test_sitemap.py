@@ -230,3 +230,19 @@ def test_robots_wildcard_and_anchor_rules():
     )
     assert not pol2.allowed("https://h.test/dl/a.bin")
     assert pol2.allowed("https://h.test/dl/a.txt")
+
+
+def test_sitemap_seeds_empty_policy_keeps_schema(
+    ray_session, sitemap_store
+):
+    """No-sitemaps fallback must carry the real (url, priority) schema
+    — a zero-block from_items([]) dataset has schema None and breaks
+    consumers that inspect seed columns."""
+    from cex_crawler_ray.pipelines.crawl import sitemap_seeds
+    from cex_crawler_ray.state.politeness import RobotsPolicy
+
+    seeds = sitemap_seeds(sitemap_store, RobotsPolicy())
+    schema = seeds.schema()
+    assert schema is not None
+    assert schema.names == ["url", "priority"]
+    assert seeds.count() == 0

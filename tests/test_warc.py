@@ -77,3 +77,21 @@ def test_warc_parser_handles_concatenated_records():
     assert rec["url"] == ["https://a.test/1", "https://a.test/2"]
     assert rec["payload"] == [b"abc", b""]
     assert rec["lang"] == ["en", "ko"]
+
+
+def test_warc_identical_blocks_do_not_collapse(ray_session, tmp_path):
+    """Two distinct blocks with identical bytes (replicated corpus)
+    must land in distinct shards — multiset, not set, semantics."""
+    from cex_crawler_ray.sources.warc import read_warc, write_warc
+
+    df = _pages()
+    out = str(tmp_path / "warc_dup")
+    # two single-block datasets with the same rows, unioned: the union
+    # keeps both blocks, and each serializes to identical bytes
+    a = ray.data.from_pandas(df)
+    b = ray.data.from_pandas(df)
+    write_warc(a.union(b), out)
+    back = read_warc(out)
+    assert back.count() == 2 * len(df)
+    urls = sorted(r["url"] for r in back.take_all())
+    assert urls == sorted(list(df["url"]) * 2)
