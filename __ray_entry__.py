@@ -590,9 +590,10 @@ def q_minhash_dup_pairs(sf_dir: str):
 
 def q_ngram_jaccard_pairs(sf_dir: str):
     """n-gram Jaccard near-dup: LSH candidates verified by TRUE k-gram
-    Jaccard >= 0.8 through the distributed pair-text join (no SQL
-    oracle: bespoke shingle hash; exact-dup recall is implied by
-    minhash_dup_pairs' oracle)."""
+    Jaccard >= 0.8 through the distributed pair-text join.  Direct SQL
+    oracle: exact shingle-unnest Jaccard over the same corpus (valid
+    because banded-MinHash recall at 0.8 is total on this corpus —
+    pair-set equality checked at sf0.001/sf0.01)."""
     from cex_crawler_ray.stages.dedup import (
         minhash_lsh_pairs,
         verify_pairs_jaccard,
@@ -2082,8 +2083,13 @@ def q_topk_orders(sf_dir: str):
 
 
 def q_simhash_dup_pairs(sf_dir: str):
-    """SimHash near-dup candidates (no SQL oracle: probabilistic
-    blocking; pytest checks injected-dup recall)."""
+    """SimHash near-dup pairs at hamming <= 3.  DIRECT SQL oracle:
+    4x16-bit banding is LOSSLESS at this threshold (pigeonhole — a
+    pair differing in <= 3 bits agrees on >= 1 of 4 bands), so the
+    emitted set is exactly ALL pairs within hamming 3; DuckDB
+    recomputes the polynomial shingle hashes (HUGEINT mod 2^64), the
+    64 per-bit majorities, and bit_count(xor) over the full cross
+    join."""
     from cex_crawler_ray.stages.dedup import simhash_pairs
 
     return simhash_pairs(_dedup_corpus(sf_dir))
@@ -10434,6 +10440,95 @@ FROM corpus GROUP BY text
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
 """,
+        # DIRECT full-threshold SimHash oracle.  Valid as a direct
+        # oracle because 4x16-bit banding is LOSSLESS at hamming <= 3
+        # (pigeonhole), so the Ray pipeline emits exactly every pair
+        # within the threshold.  The SQL recomputes the whole chain:
+        # polynomial k-gram hashes over the whitespace-collapsed text
+        # (HUGEINT arithmetic mod 2^64; the power constants are
+        # 1099511628211^{4..0} mod 2^64, matching
+        # stages/dedup.shingle_hashes_vec), DISTINCT hashes per doc,
+        # the 64 per-bit +/-1 majorities (bit set iff acc > 0), and
+        # bit_count(xor(sig_a, sig_b)) <= 3 over the full cross join
+        # (fine at oracle scale; the Ray side stays banded).
+        "simhash_dup_pairs": _DEDUP_CORPUS_CTE.rstrip()
+        + """,
+norm AS (
+  SELECT doc_id,
+         CASE WHEN length(t) < 5 THEN rpad(t, 5, ' ') ELSE t END AS t
+  FROM (SELECT doc_id,
+               regexp_replace(text, '\\s+', ' ', 'g') AS t
+        FROM corpus)
+),
+ghash AS (
+  SELECT DISTINCT doc_id,
+    (  unicode(substr(t, CAST(i AS INT),     1))::HUGEINT
+         * 11527715348014283921::HUGEINT
+     + unicode(substr(t, CAST(i AS INT) + 1, 1))::HUGEINT
+         * 624165263380053675::HUGEINT
+     + unicode(substr(t, CAST(i AS INT) + 2, 1))::HUGEINT
+         * 956575116354345::HUGEINT
+     + unicode(substr(t, CAST(i AS INT) + 3, 1))::HUGEINT
+         * 1099511628211::HUGEINT
+     + unicode(substr(t, CAST(i AS INT) + 4, 1))::HUGEINT
+    ) % 18446744073709551616::HUGEINT AS h
+  FROM norm, UNNEST(range(1, length(t) - 3)) AS u(i)
+),
+bitacc AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h // (1::HUGEINT << CAST(b AS INT))) % 2 = 1
+                  THEN 1 ELSE -1 END) AS acc
+  FROM ghash, UNNEST(range(0, 64)) AS v(b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::HUGEINT << CAST(b AS INT))
+                  ELSE 0::HUGEINT END) AS s
+  FROM bitacc GROUP BY doc_id
+),
+sig64 AS (
+  SELECT doc_id,
+         CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                   THEN s - 18446744073709551616::HUGEINT
+                   ELSE s END AS BIGINT) AS s64
+  FROM sig
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.s64, b.s64)) AS BIGINT) AS hamming
+FROM sig64 a JOIN sig64 b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s64, b.s64)) <= 3
+""",
+        # DIRECT exact k-gram Jaccard oracle: shingle the normalized
+        # text positionally (substr twin of the Python kernel — i in
+        # 1..max(1, len-k+1), k=5), DISTINCT per doc, intersection via
+        # a gram self-join, |A u B| = |A| + |B| - |A n B|.  Both sides
+        # compare isect/union to 0.8 in IEEE double over identical
+        # integers, so the predicate can't diverge.  Valid as a direct
+        # (not constraint) oracle because banded MinHash recall over
+        # this corpus is total at the 0.8 threshold — verified
+        # pair-set-equal at sf0.001 and sf0.01.
+        "ngram_jaccard_pairs": _DEDUP_CORPUS_CTE.rstrip()
+        + """,
+norm AS (
+  SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS t FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS g
+  FROM norm, UNNEST(range(1, greatest(2, length(t) - 3))) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS isect
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(isect AS DOUBLE) / (sa.n + sb.n - isect) >= 0.8
+""",
         "top_df_tokens": """
 WITH toks AS (
   SELECT doc_id,
@@ -12590,11 +12685,12 @@ SELECT o_custkey, rank, o_orderkey FROM (
   FROM orders
 ) t WHERE rank <= 3
 """,
-        # simhash_dup_pairs / knn_lsh / knn_ivf / winnow_fingerprints /
-        # ngram_jaccard_pairs: intentionally no DIRECT SQL oracle
-        # (probabilistic blocking / bespoke hashing), but each is
-        # anchored by an oracle-backed companion above —
-        # simhash_exact_dup_pairs, knn_{lsh,ivf}_top50_guard,
-        # winnow_bounds, and minhash_dup_pairs' exact-verify —
-        # plus pytest recall/property tests.
+        # knn_lsh / knn_ivf / winnow_fingerprints: intentionally no
+        # DIRECT SQL oracle (approximate by construction / bespoke
+        # rolling hash), but each is anchored by an oracle-backed
+        # companion above — knn_{lsh,ivf}_top50_guard, winnow_bounds —
+        # plus pytest recall/property tests.  (simhash_dup_pairs and
+        # ngram_jaccard_pairs both gained DIRECT oracles: the SimHash
+        # banding is lossless at hamming <= 3 and the Jaccard LSH has
+        # total recall at 0.8 on this corpus.)
     }
