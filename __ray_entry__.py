@@ -9040,6 +9040,68 @@ ORDER BY id_a, id_b
 """
 
 
+def q_mutual_knn_ann(sf_dir: str):
+    """ANN-backed reciprocal nearest-neighbor pairs — the 100-TB
+    default for mutual-kNN (the exact path stays as the oracle twin,
+    ``mutual_knn_pairs``): IVF candidate generation (each query scans
+    ~nprobe/num_lists of the corpus) + exact re-verify of candidate-
+    pair nodes only (linear in corpus).  No direct SQL oracle
+    (approximate recall by construction); precision and near-dup
+    recall are pinned by ``mutual_knn_ann_guard``."""
+    from cex_crawler_ray.stages.similarity import mutual_knn_pairs_ann
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return mutual_knn_pairs_ann(emb, k=5)
+
+
+def q_mutual_knn_ann_guard(sf_dir: str):
+    """Constraint oracle for the ANN mutual-kNN: over the injected
+    near-duplicate corpus (every vec_id % 10 == 0 row gains a ~0.99-
+    cosine copy, the ``_EMB_CORPUS_CTE`` twin), (a) every injected
+    (orig, copy) pair — each the other's #1 exact neighbor — MUST be
+    found by the ANN path (near-identical rows land in the same IVF
+    list, so a recall collapse on genuinely-close pairs goes red), and
+    (b) every emitted pair must be in the EXACT mutual set, recomputed
+    here independently with the O(N^2) exact path (pins the
+    verify_exact machinery).  SQL supplies (n_injected, 0, 0)."""
+    from cex_crawler_ray.stages.similarity import (
+        mutual_knn_pairs,
+        mutual_knn_pairs_ann,
+    )
+
+    corpus = _emb_near_corpus(sf_dir)
+    ann = mutual_knn_pairs_ann(corpus, k=5)
+    exact = mutual_knn_pairs(corpus, k=5)
+    ap = set(zip(ann["id_a"], ann["id_b"]))
+    ep = set(zip(exact["id_a"], exact["id_b"]))
+
+    raw_ids = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).to_pandas()["vec_id"]
+    injected = {
+        (int(i), int(i) + 1_000_000) for i in raw_ids if int(i) % 10 == 0
+    }
+    return pa.table(
+        {
+            "n_injected": pa.array([len(injected)], pa.int64()),
+            "n_injected_missed": pa.array(
+                [len(injected - ap)], pa.int64()
+            ),
+            "n_outside_exact": pa.array([len(ap - ep)], pa.int64()),
+        }
+    )
+
+
+_MUTUAL_KNN_ANN_GUARD_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_injected,
+       CAST(0 AS BIGINT) AS n_injected_missed,
+       CAST(0 AS BIGINT) AS n_outside_exact
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
 def q_pareto_orders(sf_dir: str):
     """Two-phase distributed skyline (Borzsony et al. 2001): orders on
     the (maximize o_totalprice, minimize o_orderdate) Pareto front —
@@ -9880,6 +9942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_customers": q_idle_customers,
         "bpe_pair_counts": q_bpe_pair_counts,
         "mutual_knn_pairs": q_mutual_knn_pairs,
+        "mutual_knn_ann": q_mutual_knn_ann,
+        "mutual_knn_ann_guard": q_mutual_knn_ann_guard,
         "pareto_orders": q_pareto_orders,
         "gram_matrix": q_gram_matrix,
         "warc_roundtrip": q_warc_roundtrip,
@@ -11449,6 +11513,10 @@ GROUP BY 1, 2
         "idle_customers": _IDLE_CUSTOMERS_SQL,
         "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
         "mutual_knn_pairs": _MUTUAL_KNN_SQL,
+        # mutual_knn_ann: intentionally no direct oracle (IVF recall is
+        # approximate by construction); mutual_knn_ann_guard pins
+        # precision (subset of exact) and near-dup recall.
+        "mutual_knn_ann_guard": _MUTUAL_KNN_ANN_GUARD_SQL,
         "pareto_orders": _PARETO_ORDERS_SQL,
         "gram_matrix": _GRAM_MATRIX_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,

@@ -357,6 +357,7 @@ def bench_queries(sf_dir: str) -> dict:
         "idle_customers",
         "bpe_pair_counts",
         "mutual_knn_pairs",
+        "mutual_knn_ann",
         "pareto_orders",
         "gram_matrix",
         "warc_roundtrip",

@@ -543,11 +543,16 @@ def mutual_knn_pairs(
     space per shard above that).  Only the mutual pairs (a small,
     dup-density-bounded set) reach the driver.
     """
-    import pandas as pd
+    queries = _self_queries(corpus, id_col, emb_col)
+    # k+1 candidates per block so dropping the self row leaves k
+    cand = _bf_cand_ds(corpus, queries, k + 1, id_col, emb_col)
+    topk = _reduce_topk_per_query_ds(cand, k, exclude_self=True)
+    return _mutual_from_topk(topk)
 
-    from .join import hash_join
 
-    queries = corpus.map_batches(
+def _self_queries(corpus, id_col: str, emb_col: str):
+    """The corpus itself as a query Dataset (self-kNN shape)."""
+    return corpus.map_batches(
         lambda b: pa.table(
             {
                 "query_id": b[id_col],
@@ -556,9 +561,18 @@ def mutual_knn_pairs(
         ),
         batch_format="pyarrow",
     )
-    # k+1 candidates per block so dropping the self row leaves k
-    cand = _bf_cand_ds(corpus, queries, k + 1, id_col, emb_col)
-    topk = _reduce_topk_per_query_ds(cand, k, exclude_self=True)
+
+
+def _mutual_from_topk(topk):
+    """Mutuality test shared by the exact and ANN variants: ONE
+    co-partition hash join of the (query_id, vec_id) edge list against
+    its own reversal — edge (src, dst) packs to src<<32|dst and joins
+    dst<<32|src; ids must fit 32 bits (partition the id space per
+    shard above that).  Only the mutual pairs (a small,
+    dup-density-bounded set) reach the driver."""
+    import pandas as pd
+
+    from .join import hash_join
 
     def pack(flip: bool, key_name: str):
         def fn(df: "pd.DataFrame") -> "pd.DataFrame":
@@ -606,6 +620,28 @@ def knn_ivf_ds(
     ``knn_ivf`` (broadcast centroids), but probe-list assignment happens
     INSIDE the corpus tasks per query block, and scoring masks each
     query to its probed lists fully vectorized (no per-query loop)."""
+    cand = _ivf_cand_ds(
+        corpus, queries, k, num_lists, nprobe, id_col, emb_col,
+        query_id_col,
+    )
+    return _reduce_topk_per_query(cand, k)
+
+
+def _ivf_cand_ds(
+    corpus,
+    queries,
+    k: int,
+    num_lists: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+):
+    """IVF candidate stream (query_id, vec_id, sim), k per
+    (query, corpus-batch): centroids trained on a bounded sample and
+    broadcast via ``ray.put``; each corpus task assigns its rows to
+    lists and scores each query only against its ``nprobe`` probed
+    lists."""
     sample_rows = corpus.limit(4096).take_all()
     sample = _norm_rows(
         np.stack(
@@ -660,8 +696,82 @@ def knn_ivf_ds(
             )
         return pa.concat_tables(outs)
 
-    cand = corpus.map_batches(partial, batch_format="pyarrow")
-    return _reduce_topk_per_query(cand, k)
+    return corpus.map_batches(partial, batch_format="pyarrow")
+
+
+def mutual_knn_pairs_ann(
+    corpus,
+    k: int = 5,
+    num_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    verify_exact: bool = True,
+):
+    """ANN-backed reciprocal nearest-neighbor pairs — the 100-TB shape
+    of ``mutual_knn_pairs``: candidate generation goes through the IVF
+    index (each query scored only against its ``nprobe`` probed lists,
+    ~nprobe/num_lists of the corpus) instead of the exact O(N^2)
+    blocked matmul; the per-query top-k reduce and the co-partition
+    reversal-join mutuality test are shared with the exact path.
+
+    ``verify_exact`` (default): re-verify the surviving candidate
+    pairs with EXACT top-k — but only for the nodes that appear in a
+    candidate pair (a small, dup-density-bounded set M), so the check
+    is one |M| x N blocked matmul, linear in the corpus, not N^2.
+    With it, every returned pair is in the exact mutual-kNN set BY
+    CONSTRUCTION (precision 1.0); recall remains that of the IVF
+    candidates (high for genuinely close pairs — near-identical rows
+    land in the same list — and measured against the exact oracle by
+    ``mutual_knn_ann_guard``)."""
+    queries = _self_queries(corpus, id_col, emb_col)
+    cand = _ivf_cand_ds(
+        corpus, queries, k + 1, num_lists, nprobe, id_col, emb_col
+    )
+    topk = _reduce_topk_per_query_ds(cand, k, exclude_self=True)
+    pairs = _mutual_from_topk(topk)
+    if not verify_exact or not len(pairs):
+        return pairs
+
+    node_arr = np.unique(
+        np.concatenate(
+            [pairs["id_a"].to_numpy(np.int64), pairs["id_b"].to_numpy(np.int64)]
+        )
+    )
+    nodes_ref = ray.put(node_arr)
+
+    def pick_nodes(batch: pa.Table) -> pa.Table:
+        ids = col_to_numpy(batch[id_col], np.int64)
+        keep = np.isin(ids, ray.get(nodes_ref))
+        sub = batch.filter(pa.array(keep))
+        return pa.table(
+            {"query_id": sub[id_col], emb_col: sub[emb_col]}
+        )
+
+    node_queries = corpus.map_batches(pick_nodes, batch_format="pyarrow")
+    exact_cand = _bf_cand_ds(corpus, node_queries, k + 1, id_col, emb_col)
+    exact_topk = _reduce_topk_per_query(exact_cand, k + 1)
+    q = col_to_numpy(exact_topk["query_id"], np.int64)
+    v = col_to_numpy(exact_topk["vec_id"], np.int64)
+    r = col_to_numpy(exact_topk["rank"], np.int64)
+    # drop the self row, then keep rank <= k over true neighbors
+    nonself = q != v
+    q, v, r = q[nonself], v[nonself], r[nonself]
+    # ranks were assigned with self included; recompute by stable order
+    order = np.lexsort((r, q))
+    q, v = q[order], v[order]
+    newrank = np.ones(len(q), np.int64)
+    if len(q):
+        same = np.concatenate([[False], q[1:] == q[:-1]])
+        idx = np.arange(len(q))
+        start = np.maximum.accumulate(np.where(~same, idx, 0))
+        newrank = idx - start + 1
+    edge_ok = {(a, b) for a, b, rr in zip(q, v, newrank) if rr <= k}
+    keep = [
+        (a, b) in edge_ok and (b, a) in edge_ok
+        for a, b in zip(pairs["id_a"], pairs["id_b"])
+    ]
+    return pairs[keep].reset_index(drop=True)
 
 
 # ------------------------------------------------------------------ PQ

@@ -92,3 +92,31 @@ def test_pca_power_iteration_matches_eigh(ray_session):
         ref_v = -ref_v
     assert abs(lam - ref_lam) / abs(ref_lam) < 1e-9
     assert np.abs(v - ref_v).max() < 1e-6
+
+
+def test_mutual_knn_ann_precision_and_planted_recall(ray_session):
+    """ANN path: (a) structurally a subset of the exact mutual set
+    (verify_exact re-checks candidate-pair nodes with exact top-k);
+    (b) planted near-identical pairs — each the other's #1 neighbor —
+    are always found (same IVF list)."""
+    from cex_crawler_ray.stages.similarity import (
+        mutual_knn_pairs,
+        mutual_knn_pairs_ann,
+    )
+
+    rng = np.random.default_rng(21)
+    n, d, k = 240, 8, 4
+    vecs = rng.normal(size=(n, d)).astype(np.float64)
+    # planted near-duplicates (tiny perturbation -> cosine ~ 1)
+    vecs[7] = vecs[3] + 1e-6
+    vecs[55] = vecs[20] + 1e-6
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    exact = mutual_knn_pairs(ds, k=k)
+    ann = mutual_knn_pairs_ann(ds, k=k, num_lists=8, nprobe=2)
+    ep = set(zip(exact["id_a"], exact["id_b"]))
+    ap = set(zip(ann["id_a"], ann["id_b"]))
+    assert ap <= ep  # precision 1.0 by construction
+    assert (3, 7) in ap and (20, 55) in ap  # planted pairs found
