@@ -23,6 +23,107 @@ import pyarrow as pa
 
 import ray
 
+# Arrow IPC compression for packed-payload shuffles; lz4 is in every
+# pyarrow wheel but stay defensive for exotic builds.
+_PACK_CODEC = "lz4" if pa.Codec.is_available("lz4") else None
+
+
+def _pack_table(t: pa.Table) -> bytes:
+    """Serialize a table to (compressed) Arrow IPC stream bytes."""
+    sink = pa.BufferOutputStream()
+    opts = pa.ipc.IpcWriteOptions(compression=_PACK_CODEC)
+    with pa.ipc.new_stream(sink, t.schema, options=opts) as w:
+        w.write_table(t)
+    return sink.getvalue().to_pybytes()
+
+
+def _unpack_table(payload: bytes) -> pa.Table:
+    return pa.ipc.open_stream(pa.BufferReader(payload)).read_all()
+
+
+def _as_pa_schema(schema) -> pa.Schema:
+    """Ray's Dataset.schema() wrapper -> a real pa.Schema.
+
+    Arrow-backed datasets report pa.DataType entries; pandas-backed
+    blocks can report numpy dtypes or raw Python classes.  Only used
+    to build EMPTY side tables for one-sided partitions, so a lossy
+    object->string mapping is safe (merge semantics on an empty frame
+    depend on column names, not dtypes)."""
+    fields = []
+    for name, typ in zip(schema.names, schema.types):
+        if isinstance(typ, pa.DataType):
+            fields.append((name, typ))
+            continue
+        try:
+            fields.append((name, pa.from_numpy_dtype(np.dtype(typ))))
+        except Exception:  # object dtype and friends
+            fields.append((name, pa.string()))
+    return pa.schema(fields)
+
+
+def _pack_side(side: str, key: str, num_parts: int):
+    """map_batches fn: split a batch by hash(key) % num_parts and emit
+    ONE packed row per local partition — (__part, __side, __payload)
+    where __payload is the side's OWN columns as Arrow IPC bytes.
+
+    This is the two-stream co-group exchange shape: the shuffle carries
+    each side's real bytes exactly once (lz4-compressed, types intact),
+    instead of both sides null-padded to the union schema (which ships
+    a full-width null lattice and floats pandas ints)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "__part": pa.array([], pa.int64()),
+                "__side": pa.array([], pa.string()),
+                "__payload": pa.array([], pa.large_binary()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        k = (
+            batch[key]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64, copy=False)
+        )
+        part = (
+            (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_parts)
+        ).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        sorted_tbl = batch.take(pa.array(order))
+        sp = part[order]
+        uniq, starts = np.unique(sp, return_index=True)
+        ends = np.append(starts[1:], len(sp))
+        payloads = [
+            _pack_table(sorted_tbl.slice(int(s), int(e - s)))
+            for s, e in zip(starts, ends)
+        ]
+        return pa.table(
+            {
+                "__part": pa.array(uniq, pa.int64()),
+                "__side": pa.array([side] * len(uniq), pa.string()),
+                "__payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    return fn
+
+
+def _unpack_sides(
+    grp: pa.Table,
+    lschema: pa.Schema,
+    rschema: pa.Schema,
+) -> tuple[pa.Table, pa.Table]:
+    """Reassemble one partition's left/right tables from packed rows."""
+    sides = grp["__side"].to_pylist()
+    payloads = grp["__payload"].to_pylist()
+    ltabs = [_unpack_table(p) for s, p in zip(sides, payloads) if s == "l"]
+    rtabs = [_unpack_table(p) for s, p in zip(sides, payloads) if s == "r"]
+    lp = pa.concat_tables(ltabs) if ltabs else lschema.empty_table()
+    rp = pa.concat_tables(rtabs) if rtabs else rschema.empty_table()
+    return lp, rp
+
 
 def hash_join(
     left: "ray.data.Dataset",
@@ -33,6 +134,61 @@ def hash_join(
     how: str = "inner",
 ) -> "ray.data.Dataset":
     """Partitioned hash join of two Datasets on integer keys.
+
+    Two-stream co-group exchange: each side's batches are locally
+    split by ``hash(key) % num_parts`` and PACKED — one
+    (__part, __side, __payload) row per local partition, the payload
+    being that side's own columns as lz4 Arrow IPC bytes.  The single
+    all-to-all then moves each side's real (compressed) bytes exactly
+    once — no null-padded union schema, so roughly half the exchange
+    bytes of the padded variant (kept as ``hash_join_padded`` and
+    equality-tested) — and each partition deserializes its two sides
+    and runs a local pandas merge.  Column types survive the IPC
+    roundtrip exactly, so no int64 restore casts are needed.
+    """
+    ls, rs = left.schema(), right.schema()
+    lcols, rcols = list(ls.names), list(rs.names)
+    overlap = (set(lcols) & set(rcols)) - {left_key, right_key}
+    assert not overlap, f"ambiguous columns: {overlap}"
+    # Ray's Schema wrapper -> real pa.Schema (for empty-side tables)
+    lschema = _as_pa_schema(ls)
+    rschema = _as_pa_schema(rs)
+
+    # big pack batches: each payload row is one (batch, part) slice, so
+    # small batches would fragment into thousands of tiny IPC payloads
+    tagged = left.map_batches(
+        _pack_side("l", left_key, num_parts),
+        batch_format="pyarrow",
+        batch_size=65536,
+    ).union(
+        right.map_batches(
+            _pack_side("r", right_key, num_parts),
+            batch_format="pyarrow",
+            batch_size=65536,
+        )
+    )
+
+    def join_part(grp: pa.Table) -> pd.DataFrame:
+        lp, rp = _unpack_sides(grp, lschema, rschema)
+        return lp.to_pandas().merge(
+            rp.to_pandas(), left_on=left_key, right_on=right_key, how=how
+        )
+
+    return tagged.groupby("__part").map_groups(
+        join_part, batch_format="pyarrow"
+    )
+
+
+def hash_join_padded(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    num_parts: int = 64,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Null-padded union-schema variant (the round-1..3 hash_join),
+    kept as the equality twin for the packed exchange above.
 
     Both sides are tagged, union-ed, shuffled once on
     ``hash(key) % num_parts``, and each partition runs a local pandas
