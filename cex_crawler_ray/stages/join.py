@@ -276,63 +276,40 @@ def asof_join(
     columns only.  Right-side (key, ts) pairs must be unique — ties
     make "the" as-of row ambiguous in any engine; pre-aggregate first.
     Inner semantics: left rows with no as-of match are dropped.
+    Exchange shape: same packed-payload co-group as ``hash_join`` —
+    each side ships its own columns once as lz4 Arrow IPC bytes, no
+    null-padded union schema.
     """
-    lschema, rschema = left.schema(), right.schema()
-    lcols, rcols = list(lschema.names), list(rschema.names)
+    ls, rs = left.schema(), right.schema()
+    lcols, rcols = list(ls.names), list(rs.names)
     overlap = (set(lcols) & set(rcols)) - {left_key, right_key}
     assert not overlap, f"ambiguous columns: {overlap}"
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    lschema = _as_pa_schema(ls)
+    rschema = _as_pa_schema(rs)
     all_cols = lcols + [c for c in rcols if c not in lcols]
-    all_types = {**rtypes, **ltypes}
-
-    def tag(side: str, key: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            k = (
-                batch[key]
-                .combine_chunks()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.uint64, copy=False)
-            )
-            part = pa.array(
-                (
-                    (k * np.uint64(0x9E3779B97F4A7C15))
-                    % np.uint64(num_parts)
-                ).astype(np.int64),
-                pa.int64(),
-            )
-            arrays = []
-            for c in all_cols:
-                if c in batch.column_names:
-                    arrays.append(batch[c].combine_chunks())
-                else:
-                    arrays.append(pa.nulls(n, all_types[c]))
-            out = pa.Table.from_arrays(arrays, names=all_cols)
-            return out.append_column("__part", part).append_column(
-                "__side", pa.array([side] * n, pa.string())
-            )
-
-        return fn
+    rtypes = dict(zip(rs.names, rs.types))
+    int_r = {
+        c: "int64"
+        for c in rcols
+        if isinstance(rtypes[c], pa.DataType) and pa.types.is_integer(rtypes[c])
+    }
 
     tagged = left.map_batches(
-        tag("l", left_key), batch_format="pyarrow"
-    ).union(right.map_batches(tag("r", right_key), batch_format="pyarrow"))
-
-    int_l = {c: "int64" for c in lcols if pa.types.is_integer(ltypes[c])}
-    int_r = {c: "int64" for c in rcols if pa.types.is_integer(rtypes[c])}
-
-    def join_part(df: pd.DataFrame) -> pd.DataFrame:
-        lp = (
-            df[df["__side"] == "l"][lcols]
-            .astype(int_l)
-            .sort_values([left_ts, left_key], kind="mergesort")
+        _pack_side("l", left_key, num_parts),
+        batch_format="pyarrow",
+        batch_size=65536,
+    ).union(
+        right.map_batches(
+            _pack_side("r", right_key, num_parts),
+            batch_format="pyarrow",
+            batch_size=65536,
         )
-        rp = (
-            df[df["__side"] == "r"][rcols]
-            .astype(int_r)
-            .sort_values([right_ts, right_key], kind="mergesort")
-        )
+    )
+
+    def join_part(grp: pa.Table) -> pd.DataFrame:
+        lt, rt = _unpack_sides(grp, lschema, rschema)
+        lp = lt.to_pandas().sort_values([left_ts, left_key], kind="mergesort")
+        rp = rt.to_pandas().sort_values([right_ts, right_key], kind="mergesort")
         if lp.empty or rp.empty:
             return pd.DataFrame(
                 {c: pd.Series(dtype=object) for c in all_cols}
@@ -353,7 +330,7 @@ def asof_join(
         return out.astype(int_r)
 
     return tagged.groupby("__part").map_groups(
-        join_part, batch_format="pandas"
+        join_part, batch_format="pyarrow"
     )
 
 
@@ -446,69 +423,49 @@ def semi_anti_join(
     the same shape as the crawl's frontier-admission anti-join against
     the seen set (``state/seen_filter.py``), expressed as a Dataset op.
     """
-    lschema = left.schema()
-    lcols = list(lschema.names)
-    ltypes = dict(zip(lschema.names, lschema.types))
+    ls = left.schema()
+    lcols = list(ls.names)
     assert left_key in lcols
+    lschema = _as_pa_schema(ls)
+    kschema = pa.schema([("__k", pa.int64())])
 
-    def tag_left(batch: pa.Table) -> pa.Table:
-        k = (
-            batch[left_key]
-            .combine_chunks()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.uint64, copy=False)
-        )
-        part = pa.array(
-            (
-                (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_parts)
-            ).astype(np.int64),
-            pa.int64(),
-        )
-        return batch.append_column("__part", part).append_column(
-            "__side", pa.array(["l"] * batch.num_rows, pa.string())
-        )
-
-    def tag_right(batch: pa.Table) -> pa.Table:
+    def dedup_keys(batch: pa.Table) -> pa.Table:
         k = np.unique(
             batch[right_key]
             .combine_chunks()
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        part = pa.array(
-            (
-                (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-                % np.uint64(num_parts)
-            ).astype(np.int64),
-            pa.int64(),
-        )
-        arrays = []
-        for c in lcols:
-            if c == left_key:
-                arrays.append(pa.array(k, pa.int64()))
-            else:
-                arrays.append(pa.nulls(len(k), ltypes[c]))
-        out = pa.Table.from_arrays(arrays, names=lcols)
-        return out.append_column("__part", part).append_column(
-            "__side", pa.array(["r"] * len(k), pa.string())
-        )
+        return pa.table({"__k": pa.array(k, pa.int64())})
 
-    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
-        right.map_batches(tag_right, batch_format="pyarrow")
+    tagged = left.map_batches(
+        _pack_side("l", left_key, num_parts),
+        batch_format="pyarrow",
+        batch_size=65536,
+    ).union(
+        right.map_batches(
+            dedup_keys, batch_format="pyarrow", batch_size=65536
+        ).map_batches(
+            _pack_side("r", "__k", num_parts),
+            batch_format="pyarrow",
+            batch_size=65536,
+        )
     )
 
-    int_l = {c: "int64" for c in lcols if pa.types.is_integer(ltypes[c])}
-
-    def filter_part(df: pd.DataFrame) -> pd.DataFrame:
-        lp = df[df["__side"] == "l"][lcols].astype(int_l)
-        rk = df.loc[df["__side"] == "r", left_key].to_numpy(dtype=np.int64)
-        mask = np.isin(lp[left_key].to_numpy(dtype=np.int64), rk)
+    def filter_part(grp: pa.Table) -> pa.Table:
+        lt, rt = _unpack_sides(grp, lschema, kschema)
+        if lt.num_rows == 0:
+            return lt
+        rk = rt["__k"].to_numpy(zero_copy_only=False)
+        mask = np.isin(
+            lt[left_key].to_numpy(zero_copy_only=False).astype(np.int64), rk
+        )
         if anti:
             mask = ~mask
-        return lp[mask]
+        return lt.filter(pa.array(mask))
 
     return tagged.groupby("__part").map_groups(
-        filter_part, batch_format="pandas"
+        filter_part, batch_format="pyarrow"
     )
 
 
