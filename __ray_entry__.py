@@ -1033,6 +1033,49 @@ def q_image_decode_stats(sf_dir: str):
     )
 
 
+def q_png_decode_stats(sf_dir: str):
+    """REAL PNG decode (stdlib zlib inflate + numpy scanline
+    unfiltering, functions/codecs.py): each doc synthesizes a
+    NON-constant gradient image (pixel = (x*7 + y*13 + doc_id +
+    ch*31) % 256, so the zlib stream and filters do real work),
+    encodes it as an 8-bit PNG (gray for even doc_id, RGB for odd),
+    and the decoder recovers width/height/mean — closed-form in SQL
+    as an average over the pixel index range."""
+    from cex_crawler_ray.functions.codecs import decode_image, encode_png
+    from cex_crawler_ray.stages.multimodal import BlobFeatureStage
+
+    def to_png(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            w = 8 + i % 16
+            h = 8 + (i // 16) % 16
+            c = 1 if i % 2 == 0 else 3
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            ch = np.arange(c)[None, None, :]
+            px = ((x * 7 + y * 13 + i + ch * 31) % 256).astype(np.uint8)
+            payloads.append(encode_png(px))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    stage = BlobFeatureStage(decode=decode_image)  # REAL PNG decode
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(to_png, batch_format="pyarrow")
+        .map_batches(stage.__call__, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(["doc_id", "width", "height", "mean_value"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_audio_decode_stats(sf_dir: str):
     """REAL WAV decode (stdlib wave + numpy): deterministic PCM
     payloads (constant amplitude, length keyed to doc_id) -> sample
@@ -9880,6 +9923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_bounds": q_winnow_bounds,
         "blob_meta": q_blob_meta,
         "image_decode_stats": q_image_decode_stats,
+        "png_decode_stats": q_png_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
         "video_frame_sample": q_video_frame_sample,
         "approx_distinct_users": q_approx_distinct_users,
@@ -11221,6 +11265,31 @@ SELECT doc_id,
        CAST(height AS INT) AS height,
        CAST(v AS DOUBLE) / 255.0 AS mean_value
 FROM dims
+""",
+        # PNG gradient: pixel = (x*7 + y*13 + doc_id + ch*31) % 256;
+        # mean over all pixel positions has a closed form as an
+        # average over the flat index range (ordering is irrelevant)
+        "png_decode_stats": """
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 16          AS w,
+         8 + (doc_id // 16) % 16  AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         unnest(range(d.w * d.h * d.c)) AS i
+  FROM dims d
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       avg(CAST(((i % w) * 7 + ((i // w) % h) * 13 + doc_id
+                 + (i // (w * h)) * 31) % 256 AS DOUBLE)) / 255.0
+         AS mean_value
+FROM px
+GROUP BY doc_id, w, h
 """,
         "audio_decode_stats": """
 SELECT doc_id,

@@ -9,6 +9,10 @@ the standard library, and those decoders are implemented here for real:
   (https://netpbm.sourceforge.net/doc/ppm.html).
 - **BMP (Windows BITMAPINFOHEADER, 24-bit uncompressed)** — the only
   BMP layout a data pipeline should ever synthesize itself.
+- **PNG (non-interlaced, 8-bit)** — stdlib ``zlib`` inflate + numpy
+  per-scanline unfiltering (all five filter types of the PNG spec,
+  https://www.w3.org/TR/png-3/#9Filters); gray / RGB / palette /
+  alpha color types.
 - **WAV (RIFF PCM)** — via the stdlib ``wave`` module + numpy.
 - **YUV4MPEG2 (.y4m)** — ffmpeg's uncompressed video interchange
   format: a text header then ``FRAME\\n`` + planar YUV per frame;
@@ -133,18 +137,218 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+# -------------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (before palette expansion)
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) chunks; stops at IEND.  CRCs are not
+    verified — this is a decode kernel, not a validator."""
+    pos = len(_PNG_SIG)
+    n = len(payload)
+    while pos + 8 <= n:
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length  # length + type + data + crc
+    raise ValueError("PNG missing IEND")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters.  ``raw`` is the inflated byte stream
+    ((1 + stride) bytes per row); returns (h, stride) uint8.
+
+    None/Up are whole-row vectorized; Sub is a per-lane cumsum; Average
+    and Paeth walk pixels within the row (previous-pixel dependency) —
+    rare in synthesized data, required for spec completeness."""
+    rows = raw.reshape(h, 1 + stride)
+    filters = rows[:, 0]
+    data = rows[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(filters[y])
+        row = data[y]
+        if f == 0:  # None
+            cur = row
+        elif f == 1:  # Sub: out[i] = row[i] + out[i-bpp]
+            cur = row.copy()
+            lanes = cur.reshape(-1, bpp) if stride % bpp == 0 else None
+            if lanes is not None:
+                cur = (np.cumsum(lanes, axis=0) % 256).ravel()
+            else:  # defensive; stride is always a multiple of bpp
+                for i in range(bpp, stride):
+                    cur[i] = (cur[i] + cur[i - bpp]) % 256
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f == 3:  # Average
+            cur = row.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + (a + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            cur = row.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def png_pixels(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG to (H, W, C) uint8.
+
+    Supports color types 0 (gray), 2 (RGB), 3 (palette -> RGB),
+    4 (gray+alpha), 6 (RGBA).  Interlaced (Adam7) and sub-8-bit depths
+    raise — synthesize those via an image library outside the engine."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    w = h = None
+    color_type = bit_depth = None
+    palette = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth = data[8]
+            color_type = data[9]
+            if data[10] != 0 or data[11] != 0:
+                raise ValueError("bad PNG compression/filter method")
+            if data[12] != 0:
+                raise ValueError("interlaced PNG unsupported")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if bit_depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (got {bit_depth})")
+    spp = _PNG_SAMPLES.get(color_type)
+    if spp is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    stride = w * spp
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG inflated size mismatch")
+    px = _png_unfilter(raw, h, stride, spp).reshape(h, w, spp)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG -> the BlobFeatureStage metadata contract."""
+    px = png_pixels(payload)
+    return {
+        "width": px.shape[1],
+        "height": px.shape[0],
+        "channels": px.shape[2],
+        "mean_value": float(px.astype(np.float64).mean() / 255.0),
+    }
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(H, W, 1|2|3|4) uint8 -> non-interlaced 8-bit PNG (filter 0 rows;
+    test/synthesis helper)."""
+    import zlib
+
+    h, w, c = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    rows = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * c)], axis=1
+    )
+    idat = zlib.compress(rows.tobytes(), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            len(data).to_bytes(4, "big")
+            + body
+            + (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 # ----------------------------------------------------------------- images
 
 _UNSUPPORTED_MAGICS = {
     b"\xff\xd8": "JPEG",
-    b"\x89P": "PNG",
     b"GI": "GIF",
     b"RI": "RIFF (WEBP/AVI)",
 }
 
 
+def bmp_pixels(payload: bytes) -> np.ndarray:
+    """(H, W, 3) RGB uint8 of an uncompressed 24-bit BMP (rows are
+    stored bottom-up BGR; both are undone here)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP (got bpp={bpp})")
+    height = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=height * stride, offset=data_off
+    ).reshape(height, stride)[:, : w * 3].reshape(height, w, 3)
+    if h > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, ::-1])  # BGR -> RGB
+
+
+def image_pixels(payload: bytes) -> np.ndarray:
+    """(H, W, C) uint8 for any decodable still image (PNM/BMP/PNG) —
+    the pixel-level sniffing twin of ``decode_image``."""
+    p = payload or b""
+    if p[:2] in (b"P6", b"P5"):
+        return pnm_pixels(p)
+    if p[:2] == b"BM":
+        return bmp_pixels(p)
+    if p.startswith(_PNG_SIG):
+        return png_pixels(p)
+    raise ValueError("unsupported image format for pixel decode")
+
+
 def decode_image(payload: bytes) -> dict:
-    """Sniff + decode PPM/PGM/BMP; raise for compressed formats.
+    """Sniff + decode PPM/PGM/BMP/PNG; raise for formats needing an
+    external codec (JPEG/GIF/WEBP).
 
     The stage contract (``BlobFeatureStage``) consumes
     ``width/height/mean_value``; ``channels`` rides along."""
@@ -153,19 +357,25 @@ def decode_image(payload: bytes) -> dict:
         return decode_pnm(p)
     if p[:2] == b"BM":
         return decode_bmp(p)
+    if p.startswith(_PNG_SIG):
+        return decode_png(p)
     name = _UNSUPPORTED_MAGICS.get(p[:2], "unknown")
     raise ValueError(
-        f"unsupported image format ({name}): only uncompressed PPM/PGM/"
-        "BMP decode without an image library; inject decode= for others"
+        f"unsupported image format ({name}): PPM/PGM/BMP/PNG decode "
+        "without an image library; inject decode= for others"
     )
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real nearest-neighbor resize of a P6/P5 payload -> P6/P5 bytes.
+    """Real nearest-neighbor resize of any decodable still image
+    (PNM/BMP/PNG in, P6/P5 out — the stage contract normalizes the
+    output container to Netpbm).
 
     Nearest-neighbor with pixel-center sampling (the classic
     ``floor((i + 0.5) * src / dst)`` grid) — fully vectorized."""
-    src = pnm_pixels(payload)
+    src = image_pixels(payload)
+    if src.shape[2] in (2, 4):  # strip alpha for the P6/P5 container
+        src = src[:, :, : src.shape[2] - 1]
     sh, sw = src.shape[:2]
     ys = np.minimum(
         ((np.arange(height) + 0.5) * sh / height).astype(np.int64), sh - 1

@@ -22,11 +22,12 @@ import pyarrow as pa
 
 
 def real_decode_image(payload: bytes):
-    """Real decoder for the uncompressed public formats (PPM/PGM/BMP),
-    implemented in pure numpy (``functions/codecs.py``).  Compressed
-    formats (JPEG/PNG/…) still need an image library not present in
-    this container — ``decode_image`` raises ValueError for those;
-    inject a decode= callable into BlobFeatureStage to handle them."""
+    """Real decoder for the library-free public formats (PPM/PGM/BMP
+    in pure numpy, PNG via stdlib zlib + numpy unfiltering —
+    ``functions/codecs.py``).  JPEG/GIF/WEBP still need an image
+    library not present in this container — ``decode_image`` raises
+    ValueError for those; inject a decode= callable into
+    BlobFeatureStage to handle them."""
     from ..functions.codecs import decode_image
 
     return decode_image(payload)
@@ -278,8 +279,8 @@ class PhashStage:
 
     The fixed-point DCT basis is built ONCE per actor in ``__init__``
     (the codec-load analog); ``__call__`` hashes a batch.  Default
-    pixel source is the pure-numpy PNM decoder; inject ``pixels_fn``
-    for other formats (BMP via ``codecs.decode_bmp`` raw rows, or a
+    pixel source sniffs PNM/BMP/PNG (``codecs.image_pixels``); inject
+    ``pixels_fn`` for formats needing an external codec (JPEG via a
     real PIL decode outside this container).
     """
 
@@ -289,11 +290,11 @@ class PhashStage:
         id_col: str = "doc_id",
         pixels_fn=None,
     ):
-        from ..functions.codecs import dct_matrix_fixed, pnm_pixels
+        from ..functions.codecs import dct_matrix_fixed, image_pixels
 
         self.payload_col = payload_col
         self.id_col = id_col
-        self.pixels = pixels_fn if pixels_fn is not None else pnm_pixels
+        self.pixels = pixels_fn if pixels_fn is not None else image_pixels
         self.dct = dct_matrix_fixed()
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -207,3 +207,209 @@ def test_audio_feature_stage_real_wav():
     assert out["sample_rate"].to_pylist() == [16000, 8000]
     assert out["duration_ms"].to_pylist() == [10, 10]
     assert out["rms"].to_pylist() == [25.0, 0.0]
+
+
+# ------------------------------------------------------------------- PNG
+
+
+def _rand_px(h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+
+
+def test_png_roundtrip_rgb():
+    px = _rand_px(13, 7, 3)
+    assert (codecs.png_pixels(codecs.encode_png(px)) == px).all()
+
+
+def test_png_roundtrip_gray_and_alpha():
+    for c in (1, 2, 4):
+        px = _rand_px(5, 9, c, seed=c)
+        out = codecs.png_pixels(codecs.encode_png(px))
+        assert out.shape == (5, 9, c) and (out == px).all()
+
+
+def test_png_decode_image_contract():
+    px = np.full((4, 6, 3), 100, dtype=np.uint8)
+    meta = codecs.decode_image(codecs.encode_png(px))
+    assert meta["width"] == 6 and meta["height"] == 4
+    assert meta["channels"] == 3
+    assert abs(meta["mean_value"] - 100 / 255) < 1e-12
+
+
+def _png_with_filters(px, filters):
+    """Encode (H, W, C) with a given per-row filter list — exercises the
+    decoder against spec-filtered streams (the encoder itself always
+    writes filter 0)."""
+    import zlib
+
+    h, w, c = px.shape
+    p = px.astype(np.int64)
+    rows = []
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        cur = p[y].ravel()
+        f = filters[y % len(filters)]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - np.concatenate([np.zeros(c, np.int64), cur[:-c]])) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            enc = cur.copy()
+            for i in range(w * c):
+                a = cur[i - c] if i >= c else 0
+                enc[i] = (cur[i] - (a + prev[i]) // 2) % 256
+        elif f == 4:
+            enc = cur.copy()
+            for i in range(w * c):
+                a = cur[i - c] if i >= c else 0
+                b = prev[i]
+                cc = prev[i - c] if i >= c else 0
+                q = a + b - cc
+                qa, qb, qc = abs(q - a), abs(q - b), abs(q - cc)
+                pred = a if (qa <= qb and qa <= qc) else (b if qb <= qc else cc)
+                enc[i] = (cur[i] - pred) % 256
+        rows.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, {1: 0, 3: 2}[c], 0, 0, 0])
+    )
+    idat = zlib.compress(b"".join(rows))
+
+    def chunk(t, d):
+        body = t + d
+        return len(d).to_bytes(4, "big") + body + (zlib.crc32(body)).to_bytes(4, "big")
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types():
+    px = _rand_px(10, 6, 3, seed=42)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        out = codecs.png_pixels(_png_with_filters(px, filters))
+        assert (out == px).all(), f"filters {filters}"
+
+
+def test_png_palette():
+    import zlib
+
+    pal = _rand_px(1, 256, 3, seed=3).reshape(256, 3)
+    idx = _rand_px(4, 5, 1, seed=4)
+    ihdr = (5).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    rows = b"".join(b"\x00" + bytes(idx[y].ravel()) for y in range(4))
+
+    def chunk(t, d):
+        body = t + d
+        return len(d).to_bytes(4, "big") + body + (zlib.crc32(body)).to_bytes(4, "big")
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b"")
+    )
+    out = codecs.png_pixels(payload)
+    assert out.shape == (4, 5, 3)
+    assert (out == pal[idx[:, :, 0]]).all()
+
+
+def test_png_multi_idat():
+    # IDAT zlib stream split across two chunks must reassemble
+    import zlib
+
+    px = _rand_px(6, 6, 3, seed=7)
+    full = codecs.encode_png(px)
+    # re-split: decode chunks, split IDAT payload in half
+    chunks = list(codecs._png_chunks(full))
+    idat = next(d for t, d in chunks if t == b"IDAT")
+
+    def chunk(t, d):
+        body = t + d
+        return len(d).to_bytes(4, "big") + body + (zlib.crc32(body)).to_bytes(4, "big")
+
+    ihdr = next(d for t, d in chunks if t == b"IHDR")
+    half = len(idat) // 2
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat[:half]) + chunk(b"IDAT", idat[half:])
+        + chunk(b"IEND", b"")
+    )
+    assert (codecs.png_pixels(payload) == px).all()
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError):
+        codecs.png_pixels(b"\x89PNG\r\n\x1a\njunk")
+    # 16-bit depth
+    import zlib
+
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
+
+    def chunk(t, d):
+        body = t + d
+        return len(d).to_bytes(4, "big") + body + (zlib.crc32(body)).to_bytes(4, "big")
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        codecs.png_pixels(payload)
+
+
+def test_phash_png_equals_ppm():
+    px = _rand_px(32, 32, 3, seed=11)
+    h_ppm = codecs.phash64(codecs.pnm_pixels(codecs.encode_ppm(px)))
+    h_png = codecs.phash64(codecs.png_pixels(codecs.encode_png(px)))
+    assert h_ppm == h_png
+
+
+def test_resize_png_input():
+    px = np.full((8, 8, 3), 33, dtype=np.uint8)
+    out = codecs.pnm_pixels(codecs.resize_image(codecs.encode_png(px), 4, 4))
+    assert out.shape == (4, 4, 3) and (out == 33).all()
+
+
+def test_bmp_pixels_orientation():
+    # 2x2 BMP: distinct corner colors, bottom-up storage, BGR order
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [7, 8, 9]]], np.uint8
+    )
+    h, w = 2, 2
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        r = b"".join(bytes([px[y, x, 2], px[y, x, 1], px[y, x, 0]]) for x in range(w))
+        rows += r + b"\x00" * (stride - w * 3)
+    hdr = (
+        b"BM" + (54 + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    out = codecs.bmp_pixels(hdr + rows)
+    assert (out == px).all()
+
+
+def test_phash_stage_sniffs_png():
+    from cex_crawler_ray.stages.multimodal import PhashStage
+
+    px = _rand_px(32, 32, 3, seed=19)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array(
+                [codecs.encode_ppm(px), codecs.encode_png(px)], pa.binary()
+            ),
+        }
+    )
+    out = PhashStage()(t)
+    hashes = out["phash"].to_pylist()
+    assert hashes[0] == hashes[1]
