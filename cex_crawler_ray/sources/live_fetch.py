@@ -75,6 +75,14 @@ class LiveFetcher:
         self._host_fails: dict = {}
         self._host_open_until: dict = {}
 
+    def __del__(self):  # actor teardown: release browser/session
+        close = getattr(self.transport, "close", None)
+        if callable(close):
+            try:
+                close()
+            except Exception:
+                pass
+
     def _fetch_one(self, url: str, if_modified_since=None):
         attempts = 0
         backoff_total = 0
@@ -280,6 +288,115 @@ def http_transport_factory(
             warc_ts = _dt.datetime.now(_dt.timezone.utc)
             return status, html, warc_ts, retry_after_s
 
+        return transport
+
+    return factory
+
+
+def playwright_transport_factory(
+    robots_policy=None,
+    timeout_s: float = 30.0,
+    sleep_fn=None,
+    clock=None,
+    browser_factory=None,
+    browser: str = "chromium",
+    launch_kwargs: dict | None = None,
+):
+    """Headless-browser transport: one Playwright browser per actor.
+
+    Mirrors the reference's browser lifecycle
+    (``exchange/base_scraper.py:78-143``): launch ONCE in actor setup,
+    one ``new_page`` + ``goto`` + ``content`` per fetch, page closed
+    per fetch, browser closed at actor teardown (``transport.close()``,
+    invoked by ``LiveFetcher.__del__``).  The JS-challenge retry loop
+    stays in ``LiveFetcher`` — a challenge body returned through this
+    transport hits the same content-sniff path as the HTTP transport.
+
+    ``playwright`` is imported lazily inside the factory so the module
+    stays importable without it (this container has no browser engine —
+    the seam is exercised by a stub via ``browser_factory``, which must
+    return an object with the sync-Playwright browser surface:
+    ``new_page() -> page`` with ``set_extra_http_headers(dict)``,
+    ``goto(url, timeout=ms) -> resp(.status)``, ``content() -> str``,
+    ``close()``; and ``close()`` on the browser itself).
+
+    Per-host pacing is identical to ``http_transport_factory``: when
+    ``robots_policy`` is given, consecutive same-host requests from
+    this actor are spaced by the host's crawl delay.  Any exception
+    from the browser (crash, nav timeout, closed context) surfaces as
+    status 0 with no body — retried then dead-lettered by
+    ``LiveFetcher``, never raised into the Ray task.
+    """
+
+    def factory():
+        import datetime as _dt
+        import time as _time
+        from urllib.parse import urlsplit
+
+        if browser_factory is not None:
+            pw, br = None, browser_factory()
+        else:  # pragma: no cover - needs a real browser install
+            from playwright.sync_api import sync_playwright
+
+            pw = sync_playwright().start()
+            br = getattr(pw, browser).launch(
+                headless=True, **(launch_kwargs or {})
+            )
+
+        sleep = sleep_fn if sleep_fn is not None else _time.sleep
+        now = clock if clock is not None else _time.monotonic
+        last_req: dict = {}
+
+        def transport(url: str, headers: dict):
+            host = urlsplit(url).netloc.lower().partition(":")[0]
+            if robots_policy is not None:
+                delay_s = (
+                    robots_policy.crawl_delay_ms.get(
+                        host, robots_policy.default_delay_ms
+                    )
+                    / 1000.0
+                )
+                prev = last_req.get(host)
+                if prev is not None:
+                    wait = delay_s - (now() - prev)
+                    if wait > 0:
+                        sleep(wait)
+            status, html = 0, None
+            page = None
+            try:
+                page = br.new_page()
+                page.set_extra_http_headers(headers)
+                resp = page.goto(url, timeout=timeout_s * 1000)
+                # goto may legally return None (about:blank etc.)
+                status = resp.status if resp is not None else 0
+                body = page.content()
+                html = (
+                    body.encode("utf-8") if isinstance(body, str) else body
+                )
+            except Exception:
+                status, html = 0, None
+            finally:
+                if page is not None:
+                    try:
+                        page.close()
+                    except Exception:
+                        pass
+            last_req[host] = now()
+            warc_ts = _dt.datetime.now(_dt.timezone.utc)
+            return status, html, warc_ts
+
+        def close():
+            try:
+                br.close()
+            except Exception:
+                pass
+            if pw is not None:
+                try:
+                    pw.stop()
+                except Exception:
+                    pass
+
+        transport.close = close
         return transport
 
     return factory
