@@ -12,13 +12,19 @@ Faithful Ray Data re-expression of the reference's CSV merge
 
 Duplicate-column quirk: the reference selects ``content`` twice
 (``main.py:65``); we keep a single ``content`` column.
+
+All distributed batch functions run on zero-copy Arrow tables with
+``pyarrow.compute`` string kernels; the only pandas left is the
+driver-side pivot over the (days x exchanges)-sized grouped result,
+imported locally where it runs.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
 
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -36,28 +42,48 @@ FULL_COLUMNS = [
 ]
 
 
-def _clean_batch(df: pd.DataFrame, today_str: str) -> pd.DataFrame:
-    """A2 filter chain (``main.py:56-66``), vectorized per batch."""
-    df = df[df["time"] != "待定"]
-    df = df[
-        df["symbol"].notna()
-        & (df["action"] != "")
-        & df["action"].notna()
-    ].copy()
-    short = df["time"].isna() | (df["time"].str.len() < 10)
-    df["comments"] = ""
-    df.loc[short, "comments"] = "待确定"
-    df.loc[short, "time"] = today_str
-    return df
+def _clean_batch(t: pa.Table, today_str: str) -> pa.Table:
+    """A2 filter chain (``main.py:56-66``), Arrow kernels per batch.
 
-
-def _description(df: pd.DataFrame) -> pd.Series:
-    """A6 (``main.py:77``): comments + action + ' ' + symbol stripped of
-    USDT quote + newline."""
-    sym = df["symbol"].str.replace("/USDT", "", regex=False).str.replace(
-        "USDT", "", regex=False
+    Null semantics match the pandas original: a null ``time`` passes
+    the != '待定' filter; null symbol/action rows drop."""
+    time = t["time"]
+    action = t["action"]
+    keep = pc.and_(
+        pc.and_(
+            pc.fill_null(pc.not_equal(time, "待定"), True),
+            pc.is_valid(t["symbol"]),
+        ),
+        pc.fill_null(pc.not_equal(action, ""), False),
     )
-    return df["comments"] + df["action"] + " " + sym + "\n"
+    t = t.filter(keep)
+    time = t["time"]
+    short = pc.or_kleene(
+        pc.is_null(time), pc.less(pc.utf8_length(time), 10)
+    )
+    comments = pc.if_else(short, "待确定", "")
+    fixed_time = pc.if_else(short, today_str, time)
+    t = t.set_column(
+        t.schema.get_field_index("time"), "time", fixed_time
+    )
+    if "comments" in t.column_names:
+        t = t.set_column(
+            t.schema.get_field_index("comments"), "comments", comments
+        )
+    else:
+        t = t.append_column("comments", comments)
+    return t
+
+
+def _description(t: pa.Table) -> pa.Array:
+    """A6 (``main.py:77``): comments + action + ' ' + symbol stripped of
+    USDT quote + newline — one element-wise binary join."""
+    sym = pc.replace_substring(
+        pc.replace_substring(t["symbol"], "/USDT", ""), "USDT", ""
+    )
+    return pc.binary_join_element_wise(
+        t["comments"], t["action"], " ", sym, "\n", ""
+    )
 
 
 def build_report(
@@ -70,9 +96,10 @@ def build_report(
     """records Dataset -> {'full': Dataset, 'spot': df, 'futures': df}.
 
     The wide work (filters, fills, description) streams through
-    ``map_batches``; the group-concat is a ``groupby(time, exchange)``
-    ``map_groups``; the pivot runs on the driver over the (tiny) grouped
-    result, like the reference's in-memory pivot (``main.py:81-84``).
+    ``map_batches`` on Arrow; the group-concat is a ``groupby(time,
+    exchange)`` ``map_groups``; the pivot runs on the driver over the
+    (tiny) grouped result, like the reference's in-memory pivot
+    (``main.py:81-84``).
     """
     today = _dt.date.fromisoformat(as_of)
     today_str = today.isoformat()
@@ -80,68 +107,93 @@ def build_report(
     release_floor = (today - _dt.timedelta(days=offset_days)).isoformat()
 
     cleaned = records_ds.map_batches(
-        lambda df: _clean_batch(df, today_str), batch_format="pandas"
+        lambda t: _clean_batch(t, today_str), batch_format="pyarrow"
     )
 
     # A4 global sort (release_date desc, exchange desc + deterministic
     # tie-break); Ray ds.sort is the distributed path for big tables
-    def add_release_date(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["release_date"] = df["release_time"].str.slice(0, 10)
-        return df
+    def add_release_date(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "release_date",
+            pc.utf8_slice_codeunits(t["release_time"], 0, 10),
+        )
 
     full = (
-        cleaned.map_batches(add_release_date, batch_format="pandas")
-        .sort(["release_date", "exchange", "release_time", "url"], descending=[True, True, True, False])
+        cleaned.map_batches(add_release_date, batch_format="pyarrow")
+        .sort(
+            ["release_date", "exchange", "release_time", "url"],
+            descending=[True, True, True, False],
+        )
         .drop_columns(["release_date"])
         .select_columns(FULL_COLUMNS)
     )
 
     # A5 windows + A6 description
-    def windowed(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["time"] >= start_date]
-        df = df[df["release_time"] >= release_floor].copy()
-        if len(df):
-            df["description"] = _description(df)
-            df["release_date"] = df["release_time"].str.slice(0, 10)
-        else:
-            df["description"] = pd.Series([], dtype=str)
-            df["release_date"] = pd.Series([], dtype=str)
-        return df
+    def windowed(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.fill_null(pc.greater_equal(t["time"], start_date), False),
+            pc.fill_null(
+                pc.greater_equal(t["release_time"], release_floor), False
+            ),
+        )
+        t = t.filter(keep)
+        return t.append_column(
+            "description", _description(t)
+        ).append_column(
+            "release_date",
+            pc.utf8_slice_codeunits(t["release_time"], 0, 10),
+        )
 
-    win = cleaned.map_batches(windowed, batch_format="pandas")
+    win = cleaned.map_batches(windowed, batch_format="pyarrow")
 
     def grouped(ds, cexes, market):
-        cexset = list(cexes)
+        cexset = pa.array(list(cexes), pa.string())
 
-        def market_filter(df: pd.DataFrame) -> pd.DataFrame:
-            return df[(df["type"] == market) & df["exchange"].isin(cexset)]
-
-        sub = ds.map_batches(market_filter, batch_format="pandas")
-
-        def concat_group(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.sort_values(
-                ["release_date", "release_time", "url", "symbol"],
-                ascending=[False, False, True, True],
+        def market_filter(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.and_(
+                    pc.fill_null(pc.equal(t["type"], market), False),
+                    pc.fill_null(
+                        pc.is_in(t["exchange"], value_set=cexset), False
+                    ),
+                )
             )
-            return pd.DataFrame(
+
+        sub = ds.map_batches(market_filter, batch_format="pyarrow")
+
+        def concat_group(t: pa.Table) -> pa.Table:
+            t = t.sort_by(
+                [
+                    ("release_date", "descending"),
+                    ("release_time", "descending"),
+                    ("url", "ascending"),
+                    ("symbol", "ascending"),
+                ]
+            )
+            return pa.table(
                 {
-                    "time": [df["time"].iloc[0]],
-                    "exchange": [df["exchange"].iloc[0]],
-                    "description": [" ".join(df["description"])],
+                    "time": t["time"].slice(0, 1),
+                    "exchange": t["exchange"].slice(0, 1),
+                    "description": pa.array(
+                        [" ".join(t["description"].to_pylist())],
+                        pa.string(),
+                    ),
                 }
             )
 
         return sub.groupby(["time", "exchange"]).map_groups(
-            concat_group, batch_format="pandas"
+            concat_group, batch_format="pyarrow"
         )
 
     spot_g = grouped(win, spot_cex, "现货")
     fut_g = grouped(win, futures_cex, "合约")
 
-    def pivot(grouped_ds, cexes) -> pd.DataFrame:
+    def pivot(grouped_ds, cexes):
         # A9: the grouped result is small (days x exchanges); driver-side
-        # pivot like the reference (main.py:81-84)
+        # pandas pivot like the reference (main.py:81-84) — the one
+        # deliberate pandas use in this layer
+        import pandas as pd
+
         df = grouped_ds.to_pandas()
         if len(df) == 0:
             out = pd.DataFrame(columns=cexes)
