@@ -170,17 +170,33 @@ def bench_frontier(sf_dir: str) -> dict:
         import pyarrow as _pa
 
         def _amplify(batch: "pa.Table") -> "pa.Table":
-            base = batch["url"].to_pylist()
-            out = [f"{u}?r={i}" for i in range(amp) for u in base]
-            return _pa.table({"url": _pa.array(out, _pa.string())})
+            import pyarrow.compute as _pc
+
+            base = batch["url"]
+            if isinstance(base, _pa.ChunkedArray):
+                base = base.combine_chunks()
+            out = _pa.concat_arrays(
+                [
+                    _pc.binary_join_element_wise(base, f"?r={i}", "")
+                    for i in range(amp)
+                ]
+            )
+            return _pa.table({"url": out})
 
         urls = urls.map_batches(_amplify, batch_format="pyarrow")
 
     def run_once(p):
         t0 = time.perf_counter()
         n = (
-            urls.map_batches(canonicalize_batch, batch_format="pyarrow")
-            .map_batches(SeenCheckStage(p), batch_format="pyarrow")
+            urls.map_batches(
+                canonicalize_batch, batch_format="pyarrow", batch_size=None
+            )
+            # whole-block batches: admission RPCs = batches x shards, so
+            # block-sized batches (~31k urls) amortize the shard fan-out
+            # that bounded round-3's admission ceiling
+            .map_batches(
+                SeenCheckStage(p), batch_format="pyarrow", batch_size=None
+            )
             .count()
         )
         return n, time.perf_counter() - t0
@@ -247,7 +263,14 @@ def _crawl_dist_child(sf_dir: str) -> None:
         dt = time.perf_counter() - t0
         n = run.fetched_table().num_rows
         print(
-            json.dumps({"pages": n, "sec": dt, "pages_per_sec": n / dt})
+            json.dumps(
+                {
+                    "pages": n,
+                    "sec": dt,
+                    "pages_per_sec": n / dt,
+                    "driver_peak_rss_mb": round(_peak_rss_mb(), 1),
+                }
+            )
         )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -547,6 +570,13 @@ def run_scaling() -> None:
             GRAFT_BENCH_REPLICATE=os.environ.get(
                 "GRAFT_SCALE_REPLICATE", "200"
             ),
+            # 16M admissions: the round-4 vectorized kernel + block-sized
+            # shard RPCs push admission to ~2M urls/s at 24 cpus, so the
+            # default 4M-url job finishes in ~2s and reads fixed cost,
+            # not scaling — amplify keeps the hi run >=5s of real work
+            GRAFT_FRONTIER_AMPLIFY=os.environ.get(
+                "GRAFT_SCALE_AMPLIFY", "16"
+            ),
             GRAFT_BENCH_ONLY="fe,frontier",
         )
         proc = subprocess.run(
@@ -623,6 +653,157 @@ def run_stats() -> None:
     ray.shutdown()
 
 
+def _rss_mb() -> float:
+    """Current resident set of THIS process (driver), MiB."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def _peak_rss_mb() -> float:
+    """Process-lifetime peak resident set (VmHWM), MiB."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmHWM:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+_STRESS_ROOT = "/tmp/cex_crawler_ray_stress"
+
+
+def build_stress_docs(src_sf: str, factor: int = 10) -> str:
+    """Synthesize an sf1-scale documents dir: ``factor`` replicas of
+    ``{src_sf}/documents.parquet`` with replica-tagged words.
+
+    Tagging every word (``' ' -> ' r{k}'``) gives each replica the SAME
+    intra-replica duplicate/similarity structure as the original corpus
+    while keeping cross-replica similarity far below near-dup
+    thresholds — so pair counts and total work scale LINEARLY with
+    ``factor`` (untagged replication would scale dup pairs
+    quadratically and measure pair explosion, not engine scaling).
+    Deterministic; cached on disk."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = f"{src_sf}/documents.parquet"
+    st = os.stat(src)
+    out_dir = os.path.join(
+        _STRESS_ROOT, f"f{factor}_{st.st_size}_{int(st.st_mtime)}"
+    )
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(src)
+    base_n = t.num_rows
+    parts = [t]
+    for k in range(1, factor):
+        text = pc.replace_substring(t["text"], " ", f" r{k}")
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": pc.add(t["doc_id"], k * 10_000_000),
+                    "text": text,
+                    "lang": t["lang"],
+                    "source": t["source"],
+                    "n_chars": pc.utf8_length(text),
+                }
+            )
+        )
+    big = pa.concat_tables(parts)
+    pq.write_table(big, os.path.join(out_dir, "documents.parquet"))
+    with open(marker, "w") as f:
+        f.write(f"{base_n * factor}")
+    return out_dir
+
+
+def run_stress() -> None:
+    """sf1 scale-stress: the heaviest document pipelines at 10x the
+    sf0.1 corpus, with driver RSS tracked — evidence that driver memory
+    stays FLAT as the data grows (nothing corpus-sized is ever
+    materialized on the driver).
+
+    Rows compared: minhash_dup_pairs + tfidf_cosine_pairs at sf0.1 vs
+    the 10x stress corpus, and the distributed-frontier crawl at both
+    scales (child processes report their own VmHWM)."""
+    import importlib
+
+    import ray
+
+    factor = int(os.environ.get("GRAFT_STRESS_FACTOR", "10"))
+    base_sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    stress_dir = build_stress_docs(base_sf, factor=factor)
+
+    ray.init(
+        address="local", num_cpus=_num_cpus(), include_dashboard=False
+    )
+    entry_mod = importlib.import_module("__ray_entry__")
+    qs = entry_mod.queries()
+
+    def run_query(name: str, sf: str) -> dict:
+        rss0 = _rss_mb()
+        t0 = time.perf_counter()
+        out = qs[name](sf)
+        if hasattr(out, "to_pandas"):
+            out = out.to_pandas()
+        dt = time.perf_counter() - t0
+        return {
+            "sec": round(dt, 3),
+            "rows": len(out),
+            "driver_rss_delta_mb": round(_rss_mb() - rss0, 1),
+            "driver_rss_mb": round(_rss_mb(), 1),
+        }
+
+    report = {"metric": "sf1_stress", "unit": "sec", "factor": factor}
+    for name in ("minhash_dup_pairs", "tfidf_cosine_pairs"):
+        base = run_query(name, base_sf)
+        big = run_query(name, stress_dir)
+        report[name] = {
+            "sf0.1": base,
+            "sf1": big,
+            "wall_ratio": round(big["sec"] / max(base["sec"], 1e-9), 2),
+            "rows_ratio": round(
+                big["rows"] / max(base["rows"], 1), 2
+            ),
+        }
+    report["driver_peak_rss_mb"] = round(_peak_rss_mb(), 1)
+    ray.shutdown()
+
+    # distributed-frontier crawl at both scales in fresh child
+    # processes (fresh Ray session; VmHWM reported by the child)
+    crawl = {}
+    for label, sf in (("sf0.1", base_sf), ("sf1", stress_dir)):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--crawl-dist-child",
+                sf,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=3000,
+            env=dict(os.environ),
+        )
+        lines = [
+            l for l in proc.stdout.splitlines() if l.startswith("{")
+        ]
+        crawl[label] = json.loads(lines[-1]) if lines else {"err": proc.stderr[-500:]}
+    report["crawl_dist"] = crawl
+    lo = crawl.get("sf0.1", {}).get("driver_peak_rss_mb")
+    hi = crawl.get("sf1", {}).get("driver_peak_rss_mb")
+    if lo and hi:
+        # flat = the 10x corpus does not grow the crawl driver's peak
+        # RSS anywhere near 10x (allow 1.5x for bookkeeping growth)
+        report["crawl_driver_rss_ratio"] = round(hi / lo, 2)
+        report["crawl_driver_rss_flat"] = hi / lo <= 1.5
+    print(json.dumps(report))
+
+
 def _run_bench_with_retry(attempts: int = 2) -> None:
     """Run the measurement in a CHILD process and retry once on a hard
     abort.  Ray core occasionally dies mid-run with an uncatchable C++
@@ -659,6 +840,8 @@ if __name__ == "__main__":
         _crawl_dist_child(sys.argv[sys.argv.index("--crawl-dist-child") + 1])
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--stress" in sys.argv:
+        run_stress()
     elif "--stats" in sys.argv:
         run_stats()
     elif "--inner" in sys.argv:

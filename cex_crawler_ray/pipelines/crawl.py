@@ -41,7 +41,12 @@ import pyarrow.compute as pc
 
 import ray
 
-from ..functions.canonical import canonicalize, host_of, url_hash64
+from ..functions.canonical import (
+    canonicalize,
+    host_of,
+    url_hash64,
+    url_hash64_arrow,
+)
 from ..schemas import FRONTIER
 from ..sources.page_store import PageStore
 from ..state.politeness import RobotsPolicy
@@ -115,56 +120,58 @@ _CANONICAL_FAST_RE = (
 
 
 def canonicalize_batch(batch: pa.Table, depth: int = 0, round_no: int = 0) -> pa.Table:
-    """urls (+optional title/priority) -> FRONTIER-schema rows."""
+    """urls (+optional title/priority) -> FRONTIER-schema rows.
+
+    The frontier hot path: batches whose every url matches the
+    canonical-fixed-point regex stay Arrow end to end (regex extract,
+    vectorized hash, zero-copy url column) — no ``to_pylist`` and no
+    per-row Python.  Only rows that FAIL the regex take the Python
+    ``canonicalize`` normalizer, and only those rows are rebuilt."""
     url_col = batch["url"].combine_chunks() if isinstance(
         batch["url"], pa.ChunkedArray
     ) else batch["url"]
-    urls = url_col.to_pylist()
-    titles = (
-        batch["title"].to_pylist()
-        if "title" in batch.column_names
-        else [""] * len(urls)
-    )
-    prios = (
-        batch["priority"].to_pylist()
-        if "priority" in batch.column_names
-        else [0] * len(urls)
-    )
-    depths = (
-        batch["depth"].to_pylist()
-        if "depth" in batch.column_names
-        else [depth] * len(urls)
-    )
-    # columnar build (no per-row dicts) — this is the frontier hot path
-    n = len(urls)
+    n = len(url_col)
     extracted = pc.extract_regex(url_col, _CANONICAL_FAST_RE)
     # null struct = no match (.field() of a null struct yields "", so
     # gate on struct validity, not the field value)
-    fast = (
-        extracted.is_valid().to_numpy(zero_copy_only=False)
-        if n
-        else np.zeros(0, dtype=bool)
-    )
-    fast_hosts = extracted.field("h").to_pylist() if n else []
-    c_url = list(urls)
-    c_host = [None] * n
-    for i, u in enumerate(urls):
-        if fast[i]:
-            c_host[i] = fast_hosts[i]
-        else:
-            cu = canonicalize(u)
+    valid = extracted.is_valid() if n else pa.array([], pa.bool_())
+    n_fast = pc.sum(valid).as_py() or 0
+    if n_fast == n:
+        c_url_arr = url_col
+        c_host_arr = (
+            extracted.field("h") if n else pa.array([], pa.string())
+        )
+    else:
+        fast = valid.to_numpy(zero_copy_only=False)
+        urls = url_col.to_pylist()
+        fast_hosts = extracted.field("h").to_pylist()
+        c_url = urls
+        c_host = fast_hosts
+        for i in np.flatnonzero(~fast):
+            cu = canonicalize(urls[i])
             c_url[i] = cu
             c_host[i] = host_of(cu)
-    c_hash = [url_hash64(u) for u in c_url]
+        c_url_arr = pa.array(c_url, pa.string())
+        c_host_arr = pa.array(c_host, pa.string())
+    c_hash = url_hash64_arrow(c_url_arr)
+
+    def _col(name, default, typ):
+        if name in batch.column_names:
+            col = batch[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.fill_null(col.cast(typ), default)
+        return pa.array(np.full(n, default), typ) if typ != pa.string() else pa.nulls(n, typ).fill_null(default)
+
     return pa.Table.from_arrays(
         [
-            pa.array(c_url, pa.string()),
-            pa.array(c_host, pa.string()),
+            c_url_arr,
+            c_host_arr,
             pa.array(c_hash, pa.uint64()),
-            pa.array([t or "" for t in titles], pa.string()),
-            pa.array([int(p or 0) for p in prios], pa.int32()),
-            pa.array([int(d) for d in depths], pa.int32()),
-            pa.array([round_no] * n, pa.int64()),
+            _col("title", "", pa.string()),
+            _col("priority", 0, pa.int32()),
+            _col("depth", depth, pa.int32()),
+            pa.array(np.full(n, round_no, dtype=np.int64), pa.int64()),
         ],
         schema=FRONTIER,
     )
@@ -1625,6 +1632,11 @@ def run_crawl(
             .map_batches(
                 SeenCheckStage(run.seen, only_kind="link"),
                 batch_format="pyarrow",
+                # whole-block batches: each seen-check batch fans out one
+                # RPC per shard, so RPC count = batches x shards — tiny
+                # default batches made the shard RPC path the measured
+                # admission ceiling (BENCH/BASELINE.md round-4 note)
+                batch_size=None,
             )
         )
         if run.disk_rounds:

@@ -53,9 +53,15 @@ def page_store_for(
     # itself is ever regenerated
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
+    # hash_fp ties the cache to the CURRENT url_hash64: the on-disk
+    # bucket column is `url_hash64(url) % num_buckets`, so a store built
+    # under a different hash function would silently 404 every fetch
+    from ..functions.canonical import url_hash64
+
+    hash_fp = url_hash64("store-bucket-probe")
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{replicate}:{num_buckets}:{pad}"
-        f":{st.st_size}:{int(st.st_mtime)}:v5"
+        f":{st.st_size}:{int(st.st_mtime)}:v5:h{hash_fp}"
         f"{':sm' if include_sitemaps else ''}".encode()
     ).hexdigest()[:12]
     path = os.path.join(_STORE_ROOT, key)

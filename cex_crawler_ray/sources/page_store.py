@@ -29,17 +29,21 @@ import pyarrow.compute as pc
 
 import ray
 
-from ..functions.canonical import url_hash64
+from ..functions.canonical import url_hash64, url_hash64_arrow
 
 FETCH_COLS = ["url", "warc_ts", "html"]
 
 
 def _bucket_of_urls(urls, num_buckets: int) -> np.ndarray:
-    return np.fromiter(
-        (url_hash64(u) % num_buckets for u in urls),
-        dtype=np.int64,
-        count=len(urls),
-    )
+    """Bucket key per url.  Accepts a pyarrow string column (vectorized
+    hash, the hot path) or any iterable of str."""
+    if isinstance(urls, (pa.Array, pa.ChunkedArray)):
+        h = url_hash64_arrow(urls)
+    else:
+        h = np.fromiter(
+            (url_hash64(u) for u in urls), dtype=np.uint64, count=len(urls)
+        )
+    return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
 class PageStore:
@@ -51,7 +55,7 @@ class PageStore:
         nb = self.num_buckets
 
         def add_bucket(batch: pa.Table) -> pa.Table:
-            b = _bucket_of_urls(batch["url"].to_pylist(), nb)
+            b = _bucket_of_urls(batch["url"], nb)
             return batch.append_column("bucket", pa.array(b, pa.int64()))
 
         # sort by bucket before the hive-partitioned write: without it
@@ -107,12 +111,10 @@ class PageStore:
         """Precompute the sorted url-hash membership array for
         ``fetch_broadcast`` (hoist out of timed/looped regions — hashing
         10^5+ urls costs driver seconds)."""
-        from ..functions.canonical import url_hash64
-
+        if isinstance(frontier_urls, (pa.Array, pa.ChunkedArray)):
+            return np.sort(url_hash64_arrow(frontier_urls))
         return np.sort(
-            np.fromiter(
-                (url_hash64(u) for u in frontier_urls), dtype=np.uint64
-            )
+            url_hash64_arrow(pa.array(list(frontier_urls), pa.string()))
         )
 
     def fetch_broadcast(
@@ -152,11 +154,7 @@ class PageStore:
                 return empty.append_column(
                     "status", pa.array([], pa.int32())
                 )
-            h = np.fromiter(
-                (url_hash64(u) for u in batch["url"].to_pylist()),
-                dtype=np.uint64,
-                count=batch.num_rows,
-            )
+            h = url_hash64_arrow(batch["url"])
             idx = np.searchsorted(sorted_hashes, h)
             idx[idx >= len(sorted_hashes)] = 0
             mask = sorted_hashes[idx] == h
@@ -210,7 +208,7 @@ class PageStore:
             )
 
         def add_bucket(batch: pa.Table) -> pa.Table:
-            b = _bucket_of_urls(batch["url"].to_pylist(), nb)
+            b = _bucket_of_urls(batch["url"], nb)
             return batch.append_column(
                 "_store_bucket", pa.array(b, pa.int64())
             )
@@ -255,8 +253,7 @@ class PageStore:
         = chunks per bucket; leave None unless a single bucket's
         frontier slice can't fit a worker).
         """
-        urls = frontier_tbl["url"].to_pylist()
-        buckets = _bucket_of_urls(urls, self.num_buckets)
+        buckets = _bucket_of_urls(frontier_tbl["url"], self.num_buckets)
         order = np.argsort(buckets, kind="stable")
         sorted_tbl = frontier_tbl.take(pa.array(order))
         sorted_b = buckets[order]
@@ -320,8 +317,7 @@ def _fetch_batch(batch: pa.Table, path: str, num_buckets: int) -> pa.Table:
     cache measured ~10 GB across 32 workers and degraded repeat runs).
     Callers keep per-task bucket fan-in low via ``fetch_aligned``.
     """
-    urls = batch["url"].to_pylist()
-    buckets = _bucket_of_urls(urls, num_buckets)
+    buckets = _bucket_of_urls(batch["url"], num_buckets)
     parts = []
     for b in np.unique(buckets):
         sub = batch.filter(pa.array(buckets == b))

@@ -49,3 +49,61 @@ def test_host_of_and_bucket():
     assert host_of("https://A.TEST:443/x") == "a.test"
     b = host_bucket("a.test", 16)
     assert 0 <= b < 16 and b == host_bucket("a.test", 16)
+
+
+def test_url_hash64_arrow_parity():
+    """Vectorized hash == scalar hash element-for-element, across
+    string type variants, slices, chunking, nulls, and unicode."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cex_crawler_ray.functions.canonical import url_hash64_arrow
+
+    urls = [
+        "https://a.test/x",
+        "",
+        "https://b.test/" + "p" * 500,
+        "héllo/ünicode",
+        "a",
+        "https://a.test/y?q=1#f",
+        "\t tab and space ",
+        "日本語テキスト",
+        "https://c.test/" + "q" * 500,  # same length as the b.test one
+    ]
+    expect = np.array([url_hash64(u) for u in urls], dtype=np.uint64)
+
+    arr = pa.array(urls, pa.string())
+    assert (url_hash64_arrow(arr) == expect).all()
+    assert (url_hash64_arrow(pa.array(urls, pa.large_string())) == expect).all()
+    # sliced array (nonzero offset into shared buffers)
+    assert (url_hash64_arrow(arr.slice(2, 5)) == expect[2:7]).all()
+    # chunked
+    ch = pa.chunked_array([arr.slice(0, 3), arr.slice(3)])
+    assert (url_hash64_arrow(ch) == expect).all()
+    # nulls hash like empty strings
+    vn = url_hash64_arrow(pa.array(["x", None, ""], pa.string()))
+    assert vn[1] == url_hash64("") == vn[2]
+    # degenerate columns (no data buffer)
+    assert (
+        url_hash64_arrow(pa.array(["", ""], pa.string())) == url_hash64("")
+    ).all()
+    assert len(url_hash64_arrow(pa.array([], pa.string()))) == 0
+
+
+def test_url_hash64_arrow_random_parity():
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from cex_crawler_ray.functions.canonical import url_hash64_arrow
+
+    rng = random.Random(7)
+    alphabet = "abcdefghij/.:?&=%20é中"
+    urls = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(2000)
+    ]
+    expect = np.array([url_hash64(u) for u in urls], dtype=np.uint64)
+    got = url_hash64_arrow(pa.array(urls, pa.string()))
+    assert (got == expect).all()
