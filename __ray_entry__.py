@@ -3770,6 +3770,41 @@ def q_source_concentration(sf_dir: str):
     )
 
 
+def q_recrawl_priority(sf_dir: str):
+    """Recrawl scheduling (Cho & Garcia-Molina 2003): per-page change
+    rate from an observation log + integer-exact staleness priority
+    ``age_s * n_changes // n_obs`` — what a 10^10-url deployment uses
+    to spend a bounded recrawl budget (the reference refetches every
+    source each cron tick, reference ``main.py`` loop).  One per-batch
+    combiner collapses the log to per-key partials; only those shuffle.
+    Pages = user_id streams of the events log; "changed" = purchase or
+    error observations."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cex_crawler_ray.stages.recrawl import change_rate_priorities
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def mark(batch: "pa.Table") -> "pa.Table":
+        changed = pc.is_in(
+            batch["event_type"],
+            value_set=pa.array(["purchase", "error"]),
+        )
+        return pa.table(
+            {
+                "page_key": batch["user_id"],
+                "ts": batch["ts"],
+                "changed": changed,
+            }
+        )
+
+    obs = ds.map_batches(mark, batch_format="pyarrow")
+    return change_rate_priorities(obs)
+
+
 def q_interarrival_stats(sf_dir: str):
     """Per-user inter-arrival statistics: exact mean gap (telescoping
     (last-first)/(n-1), half-up integer microseconds) and max gap (one
@@ -10030,6 +10065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_evolved": q_union_evolved,
         "lang_confusion": q_lang_confusion,
         "source_concentration": q_source_concentration,
+        "recrawl_priority": q_recrawl_priority,
         "interarrival_stats": q_interarrival_stats,
         "cluster_size_hist": q_cluster_size_hist,
         "forward_fill": q_forward_fill,
@@ -11938,6 +11974,23 @@ SELECT r.source, CAST(r.rnk AS BIGINT) AS rnk,
        CAST((r.cum * 1000000 + t.tot // 2) // t.tot AS BIGINT)
          AS cum_share_e6
 FROM r CROSS JOIN t
+""",
+        "recrawl_priority": """
+WITH g AS (
+  SELECT user_id AS page_key,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         CAST(sum(CASE WHEN event_type IN ('purchase', 'error')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         max(CAST(epoch_us(ts) AS BIGINT)) AS last_us
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT max(last_us) AS now_us FROM g
+)
+SELECT page_key, n_obs, n_changes,
+       (m.now_us - g.last_us) // 1000000 AS age_s,
+       (((m.now_us - g.last_us) // 1000000) * n_changes) // n_obs
+         AS priority
+FROM g, m
 """,
         "interarrival_stats": """
 WITH g AS (
