@@ -445,6 +445,128 @@ def q_crawl_per_host_counts(sf_dir: str):
     ).sort_values("host", kind="mergesort").reset_index(drop=True)
 
 
+def q_url_templates(sf_dir: str):
+    """URL template mining — collapse the url space to path templates
+    by replacing digit runs with ``{n}`` and counting instances per
+    template.  Frontier compression for infinite/parameterized url
+    spaces (a crawler schedules templates, not raw urls, when a single
+    pattern covers 10^8 pages); the reference hardcodes each site's url
+    pattern by hand (reference ``exchange/*.py`` url builders).
+    Vectorized regex kernel + per-batch count combiner; only (template,
+    n) partial rows shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    )
+
+    def to_urls(batch: "pa.Table") -> "pa.Table":
+        url = pc.binary_join_element_wise(
+            "https://",
+            batch["source"].combine_chunks().cast(pa.string()),
+            ".test/articles/",
+            pc.cast(batch["doc_id"], pa.string()),
+            "?lang=",
+            batch["lang"].combine_chunks().cast(pa.string()),
+            "",
+        )
+        return pa.table({"url": url})
+
+    def template_partial(batch: "pa.Table") -> "pa.Table":
+        tmpl = pc.replace_substring_regex(
+            batch["url"], r"[0-9]+", "{n}"
+        )
+        counts = pa.table({"template": tmpl}).group_by("template").aggregate(
+            [("template", "count")]
+        )
+        return pa.table(
+            {
+                "template": counts["template"],
+                "n": counts["template_count"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(to_urls, batch_format="pyarrow")
+        .map_batches(template_partial, batch_format="pyarrow")
+        .groupby("template")
+        .sum("n")
+        .map_batches(
+            lambda b: pa.table(
+                {"template": b["template"], "n_urls": b["sum(n)"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_host_budget_allocation(sf_dir: str):
+    """Per-host crawl-budget apportionment: split a global budget of
+    1000 fetch slots across hosts proportional to demand (article count
+    per host) with Hamilton's largest-remainder method — exact integer
+    quotas, no float drift, allocations sum to the budget exactly.
+    The corpus-sized work is the demand combiner; the apportionment
+    itself runs on the host aggregate (inherently small — one row per
+    host at any corpus size)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    BUDGET = 1000
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source"]
+    )
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        c = pa.table(
+            {"source": batch["source"]}
+        ).group_by("source").aggregate([("source", "count")])
+        return pa.table(
+            {
+                "source": c["source"],
+                "n": c["source_count"].cast(pa.int64()),
+            }
+        )
+
+    hosts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum("n")
+        .to_pandas()
+    )
+    return _hamilton_apportion(
+        hosts["source"].to_numpy(),
+        hosts["sum(n)"].to_numpy(dtype=np.int64),
+        BUDGET,
+    )
+
+
+def _hamilton_apportion(names, demand, budget: int):
+    """Largest-remainder (Hamilton) apportionment: exact integer
+    quotas; allocations sum to ``budget``; +1 to the hosts with the
+    largest remainder, name ascending on ties (the SQL twin ranks
+    identically)."""
+    import numpy as np
+    import pandas as pd
+
+    demand = np.asarray(demand, dtype=np.int64)
+    total = int(demand.sum())
+    floors = demand * budget // total
+    rem = demand * budget % total
+    leftover = budget - int(floors.sum())
+    order = np.lexsort((np.asarray(names), -rem))
+    bonus = np.zeros(len(demand), dtype=np.int64)
+    bonus[order[:leftover]] = 1
+    return pd.DataFrame(
+        {
+            "host": names,
+            "demand": demand,
+            "allocated": floors + bonus,
+        }
+    )
+
+
 def q_curation_pipeline(sf_dir: str):
     """End-to-end training-data curation over documents: quality gate
     -> exact dedup (keep min-id per text) -> language filter (en) ->
@@ -9914,6 +10036,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_per_host_counts": q_crawl_per_host_counts,
         "crawl_live_fetch_status": q_crawl_live_fetch_status,
         "curation_pipeline": q_curation_pipeline,
+        "url_templates": q_url_templates,
+        "host_budget_allocation": q_host_budget_allocation,
         "crawl_records": q_crawl_records,
         "records_partitioned_sink": q_records_partitioned_sink,
         "report_full": q_report_full,
@@ -11233,6 +11357,38 @@ SELECT doc_id, n_chars, n_words, mean_word_len, stopword_ratio,
        (n_words >= 10 AND mean_word_len BETWEEN 2.0 AND 12.0)
          AS quality_keep
 FROM f
+""",
+        "url_templates": r"""
+WITH u AS (
+  SELECT 'https://' || source || '.test/articles/'
+           || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+  FROM documents
+)
+SELECT regexp_replace(url, '[0-9]+', '{n}', 'g') AS template,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM u GROUP BY 1
+""",
+        "host_budget_allocation": """
+WITH d AS (
+  SELECT source AS host, CAST(count(*) AS BIGINT) AS demand
+  FROM documents GROUP BY source
+), t AS (
+  SELECT sum(demand) AS total FROM d
+), q AS (
+  SELECT host, demand,
+         CAST(demand * 1000 // t.total AS BIGINT) AS fl,
+         CAST(demand * 1000 % t.total AS BIGINT) AS rem
+  FROM d, t
+), r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) AS rnk,
+         (SELECT CAST(1000 - sum(fl) AS BIGINT) FROM q) AS leftover
+  FROM q
+)
+SELECT host, demand,
+       CAST(fl + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS allocated
+FROM r
 """,
         "curation_pipeline": r"""
 WITH w AS (
