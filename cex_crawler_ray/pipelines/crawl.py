@@ -86,6 +86,12 @@ class CrawlConfig:
     # generation instead of Σ rounds' worth.  The manifest-named paths
     # are always kept, so crash-resume is unaffected.
     auto_compact: bool = True
+    # AIMD adaptive politeness (state/politeness.AdaptiveDelay): when
+    # set, each round's per-host (ok, throttled) outcome counts update
+    # the host's delay multiplier, and next round's token budget uses
+    # the effective delay.  Deterministic fold over statuses — crawl
+    # ordering stays reproducible.  None -> static robots budgets.
+    adaptive: object | None = None
     # Rank-aware round capacity: when a cluster's total fetch capacity
     # per round is smaller than Σ per-host politeness budgets, cap the
     # round at ``round_fetch_cap`` fetches, allocated to hosts by
@@ -1652,10 +1658,11 @@ def run_crawl(
             )
             link_dir = os.path.join(rd, "union", "kind=link")
             stat_tbl = _read_union_part(
-                rd, "page", ["status", "xstatus", "url"], None
+                rd, "page", ["status", "xstatus", "url", "host"], None
             )
             page_status = stat_tbl["status"]
             xstatus = stat_tbl["xstatus"]
+            page_hosts = stat_tbl["host"]
             page_urls_for_lineage = stat_tbl["url"]
             n_pages = stat_tbl.num_rows
             if fused:
@@ -1710,6 +1717,7 @@ def run_crawl(
             )
             page_status = pages_tbl["status"]
             xstatus = pages_tbl["xstatus"]
+            page_hosts = pages_tbl["host"]
             page_urls_for_lineage = pages_tbl["url"]
             n_pages = pages_tbl.num_rows
             run._fetched.append(fetched_slim)
@@ -1726,6 +1734,39 @@ def run_crawl(
             ).as_py()
             or 0
         )
+        if cfg.adaptive is not None and n_pages:
+            # AIMD politeness: fold this round's per-host outcomes into
+            # the delay multipliers and refresh next round's budgets.
+            # The aggregate is host-cardinality-sized (driver-cheap);
+            # statuses 429/503 are the throttle signals (RFC 6585 /
+            # Retry-After semantics the live fetcher also honors).
+            ht = pa.table(
+                {
+                    "h": page_hosts.combine_chunks(),
+                    "thr": pc.cast(
+                        pc.is_in(
+                            page_status,
+                            value_set=pa.array([429, 503], pa.int32()),
+                        ),
+                        pa.int64(),
+                    ),
+                    "ok": pc.cast(
+                        pc.equal(page_status, 200), pa.int64()
+                    ),
+                }
+            )
+            hagg = ht.group_by("h").aggregate(
+                [("thr", "sum"), ("ok", "sum")]
+            )
+            for h, nt, nk in zip(
+                hagg["h"].to_pylist(),
+                hagg["thr_sum"].to_pylist(),
+                hagg["ok_sum"].to_pylist(),
+            ):
+                cfg.adaptive.observe(h, int(nk or 0), int(nt or 0))
+                budgets[h] = cfg.adaptive.tokens_per_round(
+                    robots, h, cfg.round_ms
+                )
         # per-partition lineage: content hashes tying each round's
         # outputs to its inputs (recorded in the checkpoint manifest; a
         # resumed run verifies it is continuing the same crawl)

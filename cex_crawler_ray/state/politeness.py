@@ -194,3 +194,51 @@ class RobotsPolicy:
             sitemaps=sitemaps,
             allow=allow,
         )
+
+
+class AdaptiveDelay:
+    """AIMD per-host crawl-delay adaptation (TCP-congestion-shaped).
+
+    Robots ``Crawl-delay`` is a static floor; a polite production
+    crawler ALSO backs off when the server signals pressure (429/503)
+    and re-accelerates gently when fetches succeed — multiplicative
+    increase of the delay on throttle signals, additive decrease toward
+    the floor on clean rounds.  The reference sleeps a fixed random
+    interval regardless of server responses (reference
+    ``exchange/base_scraper.py:160-181``).
+
+    Deterministic by construction (no randomness, no wall clock): the
+    multiplier is a pure fold over the observed (ok, throttled) round
+    counts, so crawl ordering stays reproducible (north_rule) with
+    adaptation enabled.  State is one float per host that ever
+    throttled — driver-held, bounded by host cardinality, checkpointed
+    trivially."""
+
+    def __init__(
+        self,
+        increase: float = 2.0,
+        decrease: float = 0.25,
+        max_mult: float = 16.0,
+    ):
+        self.increase = increase
+        self.decrease = decrease
+        self.max_mult = max_mult
+        self.mult: dict = {}
+
+    def observe(self, host: str, n_ok: int, n_throttled: int) -> None:
+        m = self.mult.get(host, 1.0)
+        if n_throttled > 0:
+            m = min(self.max_mult, m * self.increase)
+        elif n_ok > 0:
+            m = max(1.0, m - self.decrease)
+        if m == 1.0:
+            self.mult.pop(host, None)
+        else:
+            self.mult[host] = m
+
+    def tokens_per_round(
+        self, robots: "RobotsPolicy", host: str, round_ms: int
+    ) -> int:
+        base = robots.crawl_delay_ms.get(host, robots.default_delay_ms)
+        eff = base * self.mult.get(host, 1.0)
+        return max(1, int(round_ms // max(1.0, eff)))
