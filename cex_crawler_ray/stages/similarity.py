@@ -398,6 +398,40 @@ def _reduce_topk_per_query_ds(
     matches in a self-kNN) BEFORE the head(k), so ranks are 1..k over
     true neighbors."""
 
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        # combiner: top-k is associative, so each batch pre-cuts to at
+        # most k rows per query BEFORE the groupby shuffle (candidates
+        # arrive ~nprobe-lists-per-query wide; the cut shrinks the
+        # exchange ~nprobe x and the merge's sort input with it)
+        q = col_to_numpy(batch["query_id"], np.int64)
+        v = col_to_numpy(batch["vec_id"], np.int64)
+        s = col_to_numpy(batch["sim"], np.float64)
+        if exclude_self:
+            m = q != v
+            q, v, s = q[m], v[m], s[m]
+        if len(q) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        order = np.lexsort((v, -s, q))
+        qo = q[order]
+        new_q = np.concatenate(([True], qo[1:] != qo[:-1]))
+        starts = np.flatnonzero(new_q)
+        lens = np.diff(np.concatenate((starts, [len(qo)])))
+        local = np.arange(len(qo)) - np.repeat(starts, lens)
+        keep = order[local < k]
+        return pa.table(
+            {
+                "query_id": pa.array(q[keep], pa.int64()),
+                "vec_id": pa.array(v[keep], pa.int64()),
+                "sim": pa.array(s[keep], pa.float64()),
+            }
+        )
+
     def add_part(batch: pa.Table) -> pa.Table:
         q = col_to_numpy(batch["query_id"], np.uint64)
         part = pa.array(
@@ -419,7 +453,8 @@ def _reduce_topk_per_query_ds(
         return top[["query_id", "rank", "vec_id"]]
 
     return (
-        cand.map_batches(add_part, batch_format="pyarrow")
+        cand.map_batches(partial_topk, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(merge_part, batch_format="pandas")
     )
@@ -573,6 +608,13 @@ def _mutual_from_topk(topk):
     import pandas as pd
 
     from .join import hash_join
+
+    # the edge list is consumed TWICE (itself + its reversal): pin the
+    # k x queries rows in the object store so the candidate pipeline
+    # upstream runs once, not once per consumer (measured ~2x on the
+    # ANN path — Ray re-executes a lazy graph per consumer)
+    if hasattr(topk, "materialize"):
+        topk = topk.materialize()
 
     def pack(flip: bool, key_name: str):
         def fn(df: "pd.DataFrame") -> "pd.DataFrame":
