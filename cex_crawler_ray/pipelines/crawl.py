@@ -1178,6 +1178,12 @@ class CrawlRun:
             "metrics": [m.__dict__ for m in self.metrics],
             "lineage": self.lineage,
         }
+        # adaptive-politeness multipliers survive resume: a host that
+        # throttled before the crash stays slowed on the next
+        # invocation (cron tick) instead of hammering it again at the
+        # static budget
+        if getattr(self.cfg, "adaptive", None) is not None:
+            manifest["adaptive_mult"] = dict(self.cfg.adaptive.mult)
         tmp = os.path.join(self.checkpoint_dir, "manifest.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -1249,6 +1255,14 @@ class CrawlRun:
         self.seen.restore(snaps)
         self.metrics = [RoundMetrics(**m) for m in manifest["metrics"]]
         self.lineage = manifest.get("lineage", [])
+        if (
+            getattr(self.cfg, "adaptive", None) is not None
+            and "adaptive_mult" in manifest
+        ):
+            self.cfg.adaptive.mult = {
+                str(h): float(m)
+                for h, m in manifest["adaptive_mult"].items()
+            }
         self.rounds_done = k
         fr = manifest.get("frontier")
         if fr is not None:
@@ -1488,6 +1502,13 @@ def run_crawl(
         h: robots.tokens_per_round(h, cfg.round_ms)
         for h in set(robots.crawl_delay_ms)
     }
+    if cfg.adaptive is not None:
+        # resumed multipliers (or a pre-seeded AdaptiveDelay) shape the
+        # very first round's budgets, not just post-observation rounds
+        for h in cfg.adaptive.mult:
+            budgets[h] = cfg.adaptive.tokens_per_round(
+                robots, h, cfg.round_ms
+            )
     default_tokens = max(1, cfg.round_ms // max(1, robots.default_delay_ms))
     threshold = (
         cfg.driver_schedule_max_rows

@@ -97,3 +97,68 @@ def test_crawl_loop_folds_throttles(ray_session, sf_tiny, tmp_path):
     # budget math: the sick host's next-round tokens are cut vs static
     static = robots.tokens_per_round(sick, cfg.round_ms)
     assert ad.tokens_per_round(robots, sick, cfg.round_ms) < static
+
+
+def test_adaptive_state_survives_resume(ray_session, sf_tiny, tmp_path):
+    """Multipliers checkpoint with the manifest: a resumed crawl keeps
+    the sick host slowed instead of resetting to the static budget."""
+    from cex_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from cex_crawler_ray.sources.page_store import PageStore
+    from cex_crawler_ray.sources.pages import (
+        pages_from_documents,
+        robots_rules,
+        seeds_for_sources,
+        sources_in,
+    )
+    from cex_crawler_ray.stages.extract import profiles_for_sources
+
+    store = PageStore(str(tmp_path / "store"), num_buckets=8)
+    store.write(pages_from_documents(sf_tiny))
+    sources = sources_in(sf_tiny)
+    robots = RobotsPolicy(
+        disallow=robots_rules(sources), default_delay_ms=500
+    )
+    sick = "src1.test"
+
+    def throttled_fetch(tbl: pa.Table):
+        ds = store.fetch_aligned(tbl)
+
+        def throttle(batch: pa.Table) -> pa.Table:
+            is_sick = pc.equal(batch["host"], sick)
+            status = pc.if_else(
+                is_sick, pa.scalar(429, pa.int32()), batch["status"]
+            )
+            return batch.set_column(
+                batch.column_names.index("status"), "status", status
+            )
+
+        return ds.map_batches(throttle, batch_format="pyarrow")
+
+    ckpt = str(tmp_path / "ckpt")
+    kwargs = dict(
+        seen_shards=2,
+        profiles=profiles_for_sources(sources),
+        as_of_hk="2024-03-08 09:00:00",
+        offset_days=7,
+        fetch_fn=throttled_fetch,
+    )
+    ad1 = AdaptiveDelay()
+    run_crawl(
+        store,
+        seeds_for_sources(sources),
+        robots,
+        CrawlConfig(max_rounds=2, adaptive=ad1, **kwargs),
+        checkpoint_dir=ckpt,
+    )
+    assert ad1.mult.get(sick, 1.0) >= 2.0
+
+    # fresh AdaptiveDelay object, resumed checkpoint -> state restored
+    ad2 = AdaptiveDelay()
+    run_crawl(
+        store,
+        seeds_for_sources(sources),
+        robots,
+        CrawlConfig(max_rounds=1, adaptive=ad2, **kwargs),
+        checkpoint_dir=ckpt,
+    )
+    assert ad2.mult.get(sick, 1.0) >= ad1.mult.get(sick, 1.0) - 0.25
