@@ -329,6 +329,9 @@ def bench_queries(sf_dir: str) -> dict:
         "exact_dedup",
         "minhash_dup_pairs",
         "knn_topk",
+        "recrawl_priority",
+        "url_templates",
+        "host_budget_allocation",
         "token_stats",
         "quality_scores",
         "lang_id",
