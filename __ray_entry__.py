@@ -9571,6 +9571,76 @@ ORDER BY lang
 """
 
 
+def q_wet_roundtrip(sf_dir: str):
+    """WET container sink + source in the correctness gate: the
+    documents table serializes as ISO 28500 ``conversion`` records
+    (extracted-text payloads, WARC-Refers-To back-links — the Common
+    Crawl WET companion to the .warc response container), reads back
+    through the same streaming parser, and aggregates per language with
+    a conversion-record-count cross-check."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.sources.warc import read_warc, write_wet
+
+    out_dir = tempfile.mkdtemp(prefix="cex_wet_rt_")
+    try:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+
+        def to_pages(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            base = np.datetime64("2024-03-01T00:00:00")
+            return pa.table(
+                {
+                    "url": pa.array(
+                        [f"https://warc.test/doc/{i}" for i in ids],
+                        pa.string(),
+                    ),
+                    "warc_ts": pa.array(
+                        [
+                            (base + np.timedelta64(int(i), "s")).item()
+                            for i in ids
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                    "lang": batch["lang"],
+                    "text": batch["text"],
+                }
+            )
+
+        write_wet(
+            docs.map_batches(to_pages, batch_format="pyarrow"), out_dir
+        )
+        back = read_warc(out_dir)
+
+        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = df.copy()
+            df["nb"] = [len(p) for p in df["payload"]]
+            return df.groupby("lang", as_index=False).agg(
+                n_docs=("nb", "size"), sum_bytes=("nb", "sum")
+            )
+
+        agg = (
+            back.map_batches(partial, batch_format="pandas")
+            .groupby("lang")
+            .sum(["n_docs", "sum_bytes"])
+            .to_pandas()
+        )
+        agg["n_docs"] = agg["sum(n_docs)"].astype("int64")
+        agg["sum_bytes"] = agg["sum(sum_bytes)"].astype("int64")
+        return (
+            agg[["lang", "n_docs", "sum_bytes"]]
+            .sort_values("lang", kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 _Q7_NATIONS = ("NATION_3", "NATION_19")
 
 
@@ -10150,6 +10220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_orders": q_pareto_orders,
         "gram_matrix": q_gram_matrix,
         "warc_roundtrip": q_warc_roundtrip,
+        "wet_roundtrip": q_wet_roundtrip,
         "volume_shipping": q_volume_shipping,
         "gini_mean_difference": q_gini_mean_difference,
         "market_share": q_market_share,
@@ -11781,6 +11852,7 @@ GROUP BY 1, 2
         "pareto_orders": _PARETO_ORDERS_SQL,
         "gram_matrix": _GRAM_MATRIX_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "wet_roundtrip": _WARC_ROUNDTRIP_SQL,
         "volume_shipping": _VOLUME_SHIPPING_SQL,
         "gini_mean_difference": _GMD_SQL,
         "market_share": _MARKET_SHARE_SQL,

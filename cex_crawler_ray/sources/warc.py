@@ -40,18 +40,33 @@ _CRLF = b"\r\n"
 
 
 def _format_record(
-    url: str, ts_iso: str, lang: str, payload: bytes
+    url: str,
+    ts_iso: str,
+    lang: str,
+    payload: bytes,
+    record_type: str = "response",
 ) -> bytes:
     rid = hashlib.md5(
         (url + "|" + ts_iso).encode("utf-8")
     ).hexdigest()  # deterministic record id (no uuid4: resumable)
     head = (
         b"WARC/1.0" + _CRLF
-        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Type: " + record_type.encode("ascii") + _CRLF
         + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
         + b"WARC-Date: " + ts_iso.encode("ascii") + _CRLF
         + b"WARC-Record-ID: <urn:md5:" + rid.encode("ascii") + b">" + _CRLF
-        + b"WARC-Identified-Content-Language: "
+    )
+    if record_type == "conversion":
+        # WET convention: a conversion record points at the response
+        # record it was derived from.  The id is the same deterministic
+        # (url, ts) digest, so the WET and WARC sides of a corpus link
+        # without any lookup table.
+        head += (
+            b"WARC-Refers-To: <urn:md5:" + rid.encode("ascii") + b">"
+            + _CRLF
+        )
+    head += (
+        b"WARC-Identified-Content-Language: "
         + lang.encode("utf-8") + _CRLF
         + b"Content-Length: " + str(len(payload)).encode("ascii") + _CRLF
         + _CRLF
@@ -68,9 +83,18 @@ class _WarcDatasink(Datasink):
     the very same names (idempotent resume).  Atomic rename so readers
     never see a torn shard."""
 
-    def __init__(self, out_dir, url_col, ts_col, lang_col, payload_col):
+    def __init__(
+        self,
+        out_dir,
+        url_col,
+        ts_col,
+        lang_col,
+        payload_col,
+        record_type: str = "response",
+    ):
         self.out_dir = out_dir
         self.cols = (url_col, ts_col, lang_col, payload_col)
+        self.record_type = record_type
 
     def on_write_start(self) -> None:
         os.makedirs(self.out_dir, exist_ok=True)
@@ -89,10 +113,15 @@ class _WarcDatasink(Datasink):
                 if isinstance(p, str):
                     p = p.encode("utf-8")
                 iso = t.strftime("%Y-%m-%dT%H:%M:%SZ")
-                buf += _format_record(u, iso, lg or "", p or b"")
+                buf += _format_record(
+                    u, iso, lg or "", p or b"", self.record_type
+                )
             data = bytes(buf)
             digest = hashlib.sha256(data).hexdigest()[:16]
-            name = f"part-{ctx.task_idx:05d}-{i:03d}-{digest}.warc"
+            ext = (
+                "warc.wet" if self.record_type == "conversion" else "warc"
+            )
+            name = f"part-{ctx.task_idx:05d}-{i:03d}-{digest}.{ext}"
             path = os.path.join(self.out_dir, name)
             tmp = path + f".tmp-{os.getpid()}"
             with open(tmp, "wb") as f:
@@ -109,12 +138,40 @@ def write_warc(
     ts_col: str = "warc_ts",
     lang_col: str = "lang",
     payload_col: str = "html",
+    record_type: str = "response",
 ) -> None:
     """Serialize blocks to .warc shards, written BY THE WORKER via a
     Datasink (task-idx-discriminated names -> idempotent under task
     re-execution AND no collapse of identical-byte blocks)."""
     ds.write_datasink(
-        _WarcDatasink(out_dir, url_col, ts_col, lang_col, payload_col)
+        _WarcDatasink(
+            out_dir, url_col, ts_col, lang_col, payload_col, record_type
+        )
+    )
+
+
+def write_wet(
+    ds,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> None:
+    """WET sink: ISO 28500 ``conversion`` records carrying extracted
+    TEXT — the Common Crawl companion format to the response-record
+    .warc container (one WET record per page, WARC-Refers-To linking it
+    to its response record by the same deterministic id).  Shards are
+    ``.warc.wet``; ``read_warc`` parses them identically (the format is
+    header-compatible, only WARC-Type and the payload differ)."""
+    write_warc(
+        ds,
+        out_dir,
+        url_col=url_col,
+        ts_col=ts_col,
+        lang_col=lang_col,
+        payload_col=text_col,
+        record_type="conversion",
     )
 
 
@@ -123,6 +180,7 @@ def parse_warc_bytes(data: bytes) -> dict:
     payload bytes).  Length-prefixed records: O(bytes), no scanning
     inside payloads."""
     urls, tss, langs, payloads = [], [], [], []
+    types, refers = [], []
     pos, n = 0, len(data)
     while pos < n:
         head_end = data.find(_CRLF + _CRLF, pos)
@@ -140,8 +198,17 @@ def parse_warc_bytes(data: bytes) -> dict:
         tss.append(fields.get("warc-date", ""))
         langs.append(fields.get("warc-identified-content-language", ""))
         payloads.append(payload)
+        types.append(fields.get("warc-type", ""))
+        refers.append(fields.get("warc-refers-to", ""))
         pos = body_start + clen + 4  # skip payload + record separator
-    return {"url": urls, "warc_ts": tss, "lang": langs, "payload": payloads}
+    return {
+        "url": urls,
+        "warc_ts": tss,
+        "lang": langs,
+        "payload": payloads,
+        "warc_type": types,
+        "refers_to": refers,
+    }
 
 
 def read_warc(path_or_dir: str):

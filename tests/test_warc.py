@@ -95,3 +95,81 @@ def test_warc_identical_blocks_do_not_collapse(ray_session, tmp_path):
     assert back.count() == 2 * len(df)
     urls = sorted(r["url"] for r in back.take_all())
     assert urls == sorted(list(df["url"]) * 2)
+
+
+def test_wet_conversion_records(ray_session, tmp_path):
+    """WET sink writes ISO 28500 conversion records: text payloads,
+    WARC-Type: conversion, WARC-Refers-To linking to the response
+    record's deterministic id; read_warc parses them identically."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    from cex_crawler_ray.sources.warc import (
+        parse_warc_bytes,
+        read_warc,
+        write_wet,
+    )
+
+    ts = pd.Timestamp("2024-03-01 12:00:00")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(
+                    ["https://a.test/1", "https://a.test/2"], pa.string()
+                ),
+                "warc_ts": pa.array([ts, ts]),
+                "lang": pa.array(["en", "zh"], pa.string()),
+                "text": pa.array(
+                    ["extracted text one", "正文テキスト"], pa.string()
+                ),
+            }
+        )
+    )
+    out = str(tmp_path / "wet")
+    write_wet(ds, out)
+    shards = glob.glob(os.path.join(out, "*.warc.wet"))
+    assert shards, "WET shards use the .warc.wet extension"
+    rec = parse_warc_bytes(open(shards[0], "rb").read())
+    assert set(rec["warc_type"]) == {"conversion"}
+    # refers-to carries the deterministic (url, ts) id
+    assert all(r.startswith("<urn:md5:") for r in rec["refers_to"])
+    back = (
+        read_warc(out)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert back["url"].tolist() == ["https://a.test/1", "https://a.test/2"]
+    assert back["payload"].tolist() == [
+        b"extracted text one",
+        "正文テキスト".encode("utf-8"),
+    ]
+
+
+def test_wet_refers_to_matches_warc_record_id(tmp_path):
+    """The WET conversion record's Refers-To equals the id the WARC
+    response record for the same (url, ts) gets — the two corpora link
+    with no lookup table."""
+    from cex_crawler_ray.sources.warc import _format_record, parse_warc_bytes
+
+    resp = parse_warc_bytes(
+        _format_record("https://a.test/x", "2024-03-01T12:00:00Z", "en", b"<html>")
+    )
+    conv = parse_warc_bytes(
+        _format_record(
+            "https://a.test/x", "2024-03-01T12:00:00Z", "en", b"text",
+            record_type="conversion",
+        )
+    )
+    assert resp["warc_type"] == ["response"] and resp["refers_to"] == [""]
+    # recover the response record id from its raw bytes
+    raw = _format_record(
+        "https://a.test/x", "2024-03-01T12:00:00Z", "en", b"<html>"
+    ).decode()
+    rid = [l for l in raw.splitlines() if l.startswith("WARC-Record-ID")][0]
+    rid = rid.split(": ", 1)[1]
+    assert conv["refers_to"] == [rid]
