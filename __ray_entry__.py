@@ -9644,6 +9644,95 @@ def q_wet_roundtrip(sf_dir: str):
 _Q7_NATIONS = ("NATION_3", "NATION_19")
 
 
+def q_wat_outlinks(sf_dir: str):
+    """WAT container sink + source: hub pages' outlinks serialize as
+    ISO 28500 ``metadata`` records (JSON payloads — the Common Crawl
+    WAT companion), read back through the shared streaming parser, and
+    reduce to per-host outdegree.  SQL twin: a hub lists every article
+    of its host, so outdegree == article count per source.  Link
+    extraction runs in the workers on the same ``links_from_page``
+    kernel the crawl uses; only (host, n) aggregate rows reach the
+    driver."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from cex_crawler_ray.functions.html_text import links_from_page
+    from cex_crawler_ray.sources.pages import pages_from_documents
+    from cex_crawler_ray.sources.warc import read_warc, write_wat
+
+    out_dir = tempfile.mkdtemp(prefix="cex_wat_rt_")
+    try:
+        pages = pages_from_documents(sf_dir)
+
+        def to_wat(batch: pa.Table) -> pa.Table:
+            base = np.datetime64("2024-03-01T00:00:00")
+            urls, payloads = [], []
+            for u, h in zip(
+                batch["url"].to_pylist(), batch["html"].to_pylist()
+            ):
+                if not u.endswith("/hub"):
+                    continue
+                if isinstance(h, bytes):
+                    h = h.decode("utf-8", "replace")
+                links = links_from_page(h)
+                payloads.append(
+                    _json.dumps(
+                        {"url": u, "links": [href for href, _t in links]},
+                        sort_keys=True,
+                    ).encode("utf-8")
+                )
+                urls.append(u)
+            n = len(urls)
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": pa.array(
+                        [base.item()] * n, pa.timestamp("us")
+                    ),
+                    "wat_json": pa.array(payloads, pa.binary()),
+                }
+            )
+
+        write_wat(
+            pages.map_batches(to_wat, batch_format="pyarrow"), out_dir
+        )
+        back = read_warc(out_dir)
+
+        def outdeg(batch: pa.Table) -> pa.Table:
+            hosts, n_links = [], []
+            for u, p in zip(
+                batch["url"].to_pylist(), batch["payload"].to_pylist()
+            ):
+                meta = _json.loads(bytes(p).decode("utf-8"))
+                hosts.append(u.split("://", 1)[1].split("/", 1)[0])
+                n_links.append(len(meta["links"]))
+            return pa.table(
+                {
+                    "host": pa.array(hosts, pa.string()),
+                    "n": pa.array(n_links, pa.int64()),
+                }
+            )
+
+        agg = (
+            back.map_batches(outdeg, batch_format="pyarrow")
+            .groupby("host")
+            .sum("n")
+            .to_pandas()
+        )
+        return pd.DataFrame(
+            {
+                "host": agg["host"],
+                "n_outlinks": agg["sum(n)"].astype("int64"),
+            }
+        ).sort_values("host", kind="mergesort").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_gini_mean_difference(sf_dir: str):
     """Per-group Gini mean difference — mean |x_i - x_j| over ordered
     pairs, the robust dispersion measure — computed EXACTLY from a
@@ -10221,6 +10310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_matrix": q_gram_matrix,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_roundtrip": q_wet_roundtrip,
+        "wat_outlinks": q_wat_outlinks,
         "volume_shipping": q_volume_shipping,
         "gini_mean_difference": q_gini_mean_difference,
         "market_share": q_market_share,
@@ -11853,6 +11943,13 @@ GROUP BY 1, 2
         "gram_matrix": _GRAM_MATRIX_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wet_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "wat_outlinks": """
+SELECT source || '.test' AS host,
+       CAST(count(*) AS BIGINT) AS n_outlinks
+FROM documents
+GROUP BY source
+ORDER BY host
+""",
         "volume_shipping": _VOLUME_SHIPPING_SQL,
         "gini_mean_difference": _GMD_SQL,
         "market_share": _MARKET_SHARE_SQL,

@@ -56,7 +56,7 @@ def _format_record(
         + b"WARC-Date: " + ts_iso.encode("ascii") + _CRLF
         + b"WARC-Record-ID: <urn:md5:" + rid.encode("ascii") + b">" + _CRLF
     )
-    if record_type == "conversion":
+    if record_type in ("conversion", "metadata"):
         # WET convention: a conversion record points at the response
         # record it was derived from.  The id is the same deterministic
         # (url, ts) digest, so the WET and WARC sides of a corpus link
@@ -104,6 +104,11 @@ class _WarcDatasink(Datasink):
         written = 0
         for i, block in enumerate(blocks):
             batch = pa.table(block) if not isinstance(block, pa.Table) else block
+            # zero-row upstream batches can surface as schema-less
+            # blocks (e.g. a filter that kept nothing) — nothing to
+            # serialize either way
+            if batch.num_rows == 0 or url_col not in batch.column_names:
+                continue
             urls = batch[url_col].to_pylist()
             ts = batch[ts_col].to_pylist()
             langs = batch[lang_col].to_pylist()
@@ -118,9 +123,10 @@ class _WarcDatasink(Datasink):
                 )
             data = bytes(buf)
             digest = hashlib.sha256(data).hexdigest()[:16]
-            ext = (
-                "warc.wet" if self.record_type == "conversion" else "warc"
-            )
+            ext = {
+                "conversion": "warc.wet",  # WET: extracted text
+                "metadata": "warc.wat",  # WAT: per-page JSON metadata
+            }.get(self.record_type, "warc")
             name = f"part-{ctx.task_idx:05d}-{i:03d}-{digest}.{ext}"
             path = os.path.join(self.out_dir, name)
             tmp = path + f".tmp-{os.getpid()}"
@@ -147,6 +153,34 @@ def write_warc(
         _WarcDatasink(
             out_dir, url_col, ts_col, lang_col, payload_col, record_type
         )
+    )
+
+
+def write_wat(
+    ds,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "wat_json",
+) -> None:
+    """WAT sink: ISO 28500 ``metadata`` records carrying per-page JSON
+    metadata (outlinks, headers — whatever the caller serialized into
+    ``payload_col``) — the Common Crawl WAT companion.  Shards are
+    ``.warc.wat``; ``read_warc`` parses them identically."""
+
+    def _blank_lang(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__lang", pa.array([""] * batch.num_rows, pa.string())
+        )
+
+    write_warc(
+        ds.map_batches(_blank_lang, batch_format="pyarrow"),
+        out_dir,
+        url_col=url_col,
+        ts_col=ts_col,
+        lang_col="__lang",
+        payload_col=payload_col,
+        record_type="metadata",
     )
 
 
