@@ -393,6 +393,8 @@ def bench_queries(sf_dir: str) -> dict:
         "gini_mean_difference",
     ]
     extended = [
+        "wet_roundtrip",
+        "wat_outlinks",
         "strip_boilerplate",
         "repetition_stats",
         "dup_spans",
