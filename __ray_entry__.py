@@ -9641,6 +9641,81 @@ def q_wet_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_warc_gz_roundtrip(sf_dir: str):
+    """.warc.gz roundtrip — the actual Common Crawl wire format:
+    one deterministic gzip member PER RECORD (concatenated members,
+    range-request random access), magic-sniffed back through the same
+    streaming parser as plain .warc.  Same aggregation and SQL twin as
+    ``warc_roundtrip``, so a compression bug (truncated member, member
+    boundary drift, double-compression) breaks the hash."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.sources.warc import read_warc, write_warc
+
+    out_dir = tempfile.mkdtemp(prefix="cex_warcgz_rt_")
+    try:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+
+        def to_pages(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            base = np.datetime64("2024-03-01T00:00:00")
+            return pa.table(
+                {
+                    "url": pa.array(
+                        [f"https://warc.test/doc/{i}" for i in ids],
+                        pa.string(),
+                    ),
+                    "warc_ts": pa.array(
+                        [
+                            (base + np.timedelta64(int(i), "s")).item()
+                            for i in ids
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                    "lang": batch["lang"],
+                    "html": pa.array(
+                        [t.encode("utf-8") for t in texts], pa.binary()
+                    ),
+                }
+            )
+
+        write_warc(
+            docs.map_batches(to_pages, batch_format="pyarrow"),
+            out_dir,
+            compress="gzip",
+        )
+        back = read_warc(out_dir)
+
+        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = df.copy()
+            df["nb"] = [len(p) for p in df["payload"]]
+            return df.groupby("lang", as_index=False).agg(
+                n_docs=("nb", "size"), sum_bytes=("nb", "sum")
+            )
+
+        agg = (
+            back.map_batches(partial, batch_format="pandas")
+            .groupby("lang")
+            .sum(["n_docs", "sum_bytes"])
+            .to_pandas()
+        )
+        agg["n_docs"] = agg["sum(n_docs)"].astype("int64")
+        agg["sum_bytes"] = agg["sum(sum_bytes)"].astype("int64")
+        return (
+            agg[["lang", "n_docs", "sum_bytes"]]
+            .sort_values("lang", kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 _Q7_NATIONS = ("NATION_3", "NATION_19")
 
 
@@ -10310,6 +10385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_matrix": q_gram_matrix,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_roundtrip": q_wet_roundtrip,
+        "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "wat_outlinks": q_wat_outlinks,
         "volume_shipping": q_volume_shipping,
         "gini_mean_difference": q_gini_mean_difference,
@@ -11943,6 +12019,7 @@ GROUP BY 1, 2
         "gram_matrix": _GRAM_MATRIX_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wet_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "warc_gz_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wat_outlinks": """
 SELECT source || '.test' AS host,
        CAST(count(*) AS BIGINT) AS n_outlinks

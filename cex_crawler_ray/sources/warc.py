@@ -21,6 +21,15 @@ next to the Parquet page store:
   payloads); per-row vectorization is impossible for a
   variable-length concatenated container, and the loop is bounded by
   records-per-shard, not corpus size.
+* ``compress="gzip"`` — the actual Common Crawl wire format is
+  ``.warc.gz`` with ONE GZIP MEMBER PER RECORD (concatenated members,
+  not whole-file compression): a consumer holding a (offset, length)
+  index can range-request and decompress a single record without
+  touching the rest of the shard.  The sink emits deterministic
+  members (``mtime=0``) so shard names stay content-addressed and
+  task re-execution is idempotent; the reader sniffs the gzip magic
+  and inflates the member stream before the record scan, so ``.warc``
+  and ``.warc.gz`` shards can coexist in one directory.
 
 Reference parity note: the reference engine has no archive format (it
 writes one JSON file per page, reference ``deepseek_analyzer.py``
@@ -30,13 +39,39 @@ Common-Crawl-shaped corpus.
 
 from __future__ import annotations
 
+import gzip
 import hashlib
 import os
+import zlib
 
 import pyarrow as pa
 from ray.data import Datasink
 
 _CRLF = b"\r\n"
+_GZ_MAGIC = b"\x1f\x8b"
+
+
+def gzip_member(record: bytes, level: int = 6) -> bytes:
+    """One deterministic gzip member per WARC record (mtime pinned to
+    0 so identical records always produce identical bytes — shard
+    names are content-hashed and resume depends on it)."""
+    return gzip.compress(record, compresslevel=level, mtime=0)
+
+
+def iter_gz_members(data: bytes):
+    """Yield the decompressed payload of each gzip member in a
+    concatenated-member stream.  This is the random-access contract of
+    .warc.gz: each member is independently inflatable, so a reader
+    with a byte-offset index needs only that member's bytes."""
+    while data[:2] == _GZ_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        yield d.decompress(data)
+        data = d.unused_data
+    if data:
+        raise ValueError(
+            "trailing non-gzip bytes after member stream (%d bytes)"
+            % len(data)
+        )
 
 
 def _format_record(
@@ -91,10 +126,14 @@ class _WarcDatasink(Datasink):
         lang_col,
         payload_col,
         record_type: str = "response",
+        compress: str | None = None,
     ):
         self.out_dir = out_dir
         self.cols = (url_col, ts_col, lang_col, payload_col)
         self.record_type = record_type
+        if compress not in (None, "gzip"):
+            raise ValueError(f"unsupported compress={compress!r}")
+        self.compress = compress
 
     def on_write_start(self) -> None:
         os.makedirs(self.out_dir, exist_ok=True)
@@ -118,15 +157,20 @@ class _WarcDatasink(Datasink):
                 if isinstance(p, str):
                     p = p.encode("utf-8")
                 iso = t.strftime("%Y-%m-%dT%H:%M:%SZ")
-                buf += _format_record(
+                rec = _format_record(
                     u, iso, lg or "", p or b"", self.record_type
                 )
+                # CC wire format: one gzip member PER RECORD so any
+                # single record is range-fetchable + inflatable alone
+                buf += gzip_member(rec) if self.compress else rec
             data = bytes(buf)
             digest = hashlib.sha256(data).hexdigest()[:16]
             ext = {
                 "conversion": "warc.wet",  # WET: extracted text
                 "metadata": "warc.wat",  # WAT: per-page JSON metadata
             }.get(self.record_type, "warc")
+            if self.compress:
+                ext += ".gz"
             name = f"part-{ctx.task_idx:05d}-{i:03d}-{digest}.{ext}"
             path = os.path.join(self.out_dir, name)
             tmp = path + f".tmp-{os.getpid()}"
@@ -145,13 +189,21 @@ def write_warc(
     lang_col: str = "lang",
     payload_col: str = "html",
     record_type: str = "response",
+    compress: str | None = None,
 ) -> None:
     """Serialize blocks to .warc shards, written BY THE WORKER via a
     Datasink (task-idx-discriminated names -> idempotent under task
-    re-execution AND no collapse of identical-byte blocks)."""
+    re-execution AND no collapse of identical-byte blocks).
+    ``compress="gzip"`` emits .warc.gz with per-record members."""
     ds.write_datasink(
         _WarcDatasink(
-            out_dir, url_col, ts_col, lang_col, payload_col, record_type
+            out_dir,
+            url_col,
+            ts_col,
+            lang_col,
+            payload_col,
+            record_type,
+            compress=compress,
         )
     )
 
@@ -162,6 +214,7 @@ def write_wat(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     payload_col: str = "wat_json",
+    compress: str | None = None,
 ) -> None:
     """WAT sink: ISO 28500 ``metadata`` records carrying per-page JSON
     metadata (outlinks, headers — whatever the caller serialized into
@@ -181,6 +234,7 @@ def write_wat(
         lang_col="__lang",
         payload_col=payload_col,
         record_type="metadata",
+        compress=compress,
     )
 
 
@@ -191,6 +245,7 @@ def write_wet(
     ts_col: str = "warc_ts",
     lang_col: str = "lang",
     text_col: str = "text",
+    compress: str | None = None,
 ) -> None:
     """WET sink: ISO 28500 ``conversion`` records carrying extracted
     TEXT — the Common Crawl companion format to the response-record
@@ -206,6 +261,7 @@ def write_wet(
         lang_col=lang_col,
         payload_col=text_col,
         record_type="conversion",
+        compress=compress,
     )
 
 
@@ -254,6 +310,10 @@ def read_warc(path_or_dir: str):
     def parse(batch: pa.Table) -> pa.Table:
         out = {"url": [], "warc_ts": [], "lang": [], "payload": []}
         for data in batch["bytes"].to_pylist():
+            if data[:2] == _GZ_MAGIC:
+                # .warc.gz: concatenated per-record members — inflate
+                # the member stream, then scan records as usual
+                data = gzip.decompress(data)
             rec = parse_warc_bytes(data)
             for k in out:
                 out[k].extend(rec[k])

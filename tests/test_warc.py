@@ -173,3 +173,85 @@ def test_wet_refers_to_matches_warc_record_id(tmp_path):
     rid = [l for l in raw.splitlines() if l.startswith("WARC-Record-ID")][0]
     rid = rid.split(": ", 1)[1]
     assert conv["refers_to"] == [rid]
+
+
+def test_warc_gz_roundtrip(ray_session, tmp_path):
+    """.warc.gz (the CC wire format): write with per-record gzip
+    members, read back through the magic-sniffing parser."""
+    from cex_crawler_ray.sources.warc import read_warc, write_warc
+
+    df = _pages()
+    out = str(tmp_path / "warcgz")
+    write_warc(ray.data.from_pandas(df), out, compress="gzip")
+    assert all(f.endswith(".warc.gz") for f in os.listdir(out))
+    back = read_warc(out).to_pandas().sort_values("url").reset_index(drop=True)
+    assert back["url"].tolist() == df["url"].tolist()
+    assert [bytes(p) for p in back["payload"]] == [
+        bytes(p) for p in df["html"]
+    ]
+
+
+def test_warc_gz_per_record_members_random_access(ray_session, tmp_path):
+    """Each record is its OWN gzip member: any single member inflates
+    alone into exactly one parseable record — the property that makes
+    (offset, length)-indexed range requests work against a shard."""
+    from cex_crawler_ray.sources.warc import (
+        iter_gz_members,
+        parse_warc_bytes,
+        write_warc,
+    )
+
+    df = _pages()
+    out = str(tmp_path / "warcgz2")
+    write_warc(ray.data.from_pandas(df), out, compress="gzip")
+    total = 0
+    for f in os.listdir(out):
+        with open(os.path.join(out, f), "rb") as fh:
+            data = fh.read()
+        for member in iter_gz_members(data):
+            rec = parse_warc_bytes(member)
+            assert len(rec["url"]) == 1  # one record per member
+            total += 1
+    assert total == len(df)
+
+
+def test_warc_gz_idempotent_and_mixed_dir(ray_session, tmp_path):
+    """Deterministic members (mtime=0) keep shard names stable across
+    re-execution; a directory mixing .warc and .warc.gz reads as one
+    dataset."""
+    from cex_crawler_ray.sources.warc import read_warc, write_warc
+
+    df = _pages()
+    out = str(tmp_path / "warcmix")
+    ds = ray.data.from_pandas(df)
+    write_warc(ds, out, compress="gzip")
+    files1 = sorted(os.listdir(out))
+    write_warc(ds, out, compress="gzip")
+    assert sorted(os.listdir(out)) == files1
+
+    df2 = df.copy()
+    df2["url"] = ["https://w.test/plain/" + str(i) for i in range(3)]
+    write_warc(ray.data.from_pandas(df2), out)  # uncompressed alongside
+    back = read_warc(out).to_pandas()
+    assert len(back) == 6
+    assert set(back["url"]) == set(df["url"]) | set(df2["url"])
+
+
+def test_wet_gz_conversion_records(ray_session, tmp_path):
+    from cex_crawler_ray.sources.warc import (
+        iter_gz_members,
+        parse_warc_bytes,
+        write_wet,
+    )
+
+    df = _pages().rename(columns={"html": "text"})
+    df["text"] = [p.decode("utf-8") for p in df["text"]]
+    out = str(tmp_path / "wetgz")
+    write_wet(ray.data.from_pandas(df), out, compress="gzip")
+    assert all(f.endswith(".warc.wet.gz") for f in os.listdir(out))
+    types = []
+    for f in os.listdir(out):
+        with open(os.path.join(out, f), "rb") as fh:
+            for member in iter_gz_members(fh.read()):
+                types += parse_warc_bytes(member)["warc_type"]
+    assert types and all(t == "conversion" for t in types)
