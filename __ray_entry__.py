@@ -9716,6 +9716,62 @@ def q_warc_gz_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_wds_roundtrip(sf_dir: str):
+    """WebDataset tar-shard container in the correctness gate: the
+    documents table packs into worker-written .tar shards (one sample
+    per doc: ``<doc_id>.txt`` payload + ``<doc_id>.cls`` label — the
+    standard training-corpus packaging), reads back through the
+    streaming per-shard tar scanner, and aggregates per label.  Same
+    SQL twin as the WARC roundtrips, so entry framing, sample
+    grouping and UTF-8 byte lengths are all on the hash."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.sources.wds import read_wds, write_wds
+
+    out_dir = tempfile.mkdtemp(prefix="cex_wds_rt_")
+    try:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        write_wds(
+            docs,
+            out_dir,
+            key_col="doc_id",
+            fields={"txt": "text", "cls": "lang"},
+        )
+        back = read_wds(out_dir, exts=("txt", "cls"))
+
+        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = pd.DataFrame(
+                {
+                    "lang": [bytes(b).decode("utf-8") for b in df["cls"]],
+                    "nb": [len(b) for b in df["txt"]],
+                }
+            )
+            return df.groupby("lang", as_index=False).agg(
+                n_docs=("nb", "size"), sum_bytes=("nb", "sum")
+            )
+
+        agg = (
+            back.map_batches(partial, batch_format="pandas")
+            .groupby("lang")
+            .sum(["n_docs", "sum_bytes"])
+            .to_pandas()
+        )
+        agg["n_docs"] = agg["sum(n_docs)"].astype("int64")
+        agg["sum_bytes"] = agg["sum(sum_bytes)"].astype("int64")
+        return (
+            agg[["lang", "n_docs", "sum_bytes"]]
+            .sort_values("lang", kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 _Q7_NATIONS = ("NATION_3", "NATION_19")
 
 
@@ -10386,6 +10442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": q_warc_roundtrip,
         "wet_roundtrip": q_wet_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
+        "wds_roundtrip": q_wds_roundtrip,
         "wat_outlinks": q_wat_outlinks,
         "volume_shipping": q_volume_shipping,
         "gini_mean_difference": q_gini_mean_difference,
@@ -12020,6 +12077,7 @@ GROUP BY 1, 2
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wet_roundtrip": _WARC_ROUNDTRIP_SQL,
         "warc_gz_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "wds_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wat_outlinks": """
 SELECT source || '.test' AS host,
        CAST(count(*) AS BIGINT) AS n_outlinks
