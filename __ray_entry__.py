@@ -9864,6 +9864,100 @@ def q_wat_outlinks(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_cdx_index(sf_dir: str):
+    """CDXJ index build over a .warc.gz corpus inside the correctness
+    gate: documents serialize as per-record-gzip-member WARC shards
+    (the Common Crawl wire format), ``build_cdxj`` scans every shard in
+    parallel, SURTs the urls (host-label reversal + query-param sort —
+    both exercised: the synthetic url has a multi-label host and
+    UNSORTED params), globally sorts on (surt, ts) and writes the
+    two-level cdx-NNNNN.gz + cluster.idx layout; the streaming index
+    reader hands back every capture row.  The SQL twin constructs the
+    expected SURT / ts14 / sha256 digest / payload length INDEPENDENTLY
+    from the documents table, so key transform, timestamp folding,
+    digesting and Content-Length framing are all value-checked.  Only
+    ~100-byte index rows cross the sort — payloads never leave the
+    scan tasks."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.sources.cdx import build_cdxj, read_cdxj
+    from cex_crawler_ray.sources.warc import write_warc
+
+    warc_dir = tempfile.mkdtemp(prefix="cex_cdx_warc_")
+    cdx_dir = tempfile.mkdtemp(prefix="cex_cdx_idx_")
+    try:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+
+        def to_pages(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            base = np.datetime64("2024-03-01T00:00:00")
+            return pa.table(
+                {
+                    "url": pa.array(
+                        [
+                            f"https://w{int(i) % 4}.pages.cdx-idx.test"
+                            f"/doc/{i}?b={int(i) % 3}&a=1"
+                            for i in ids
+                        ],
+                        pa.string(),
+                    ),
+                    "warc_ts": pa.array(
+                        [
+                            (base + np.timedelta64(int(i), "s")).item()
+                            for i in ids
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                    "lang": batch["lang"],
+                    "html": pa.array(
+                        [t.encode("utf-8") for t in texts], pa.binary()
+                    ),
+                }
+            )
+
+        write_warc(
+            docs.map_batches(to_pages, batch_format="pyarrow"),
+            warc_dir,
+            compress="gzip",
+        )
+        build_cdxj(warc_dir, cdx_dir)
+        idx = (
+            read_cdxj(cdx_dir)
+            .select_columns(["surt", "ts", "url", "digest", "payload_len"])
+            .to_pandas()
+        )
+        idx["payload_len"] = idx["payload_len"].astype("int64")
+        return idx.sort_values(
+            ["surt", "ts"], kind="mergesort"
+        ).reset_index(drop=True)
+    finally:
+        shutil.rmtree(warc_dir, ignore_errors=True)
+        shutil.rmtree(cdx_dir, ignore_errors=True)
+
+
+_CDX_INDEX_SQL = """
+SELECT
+  'test,cdx-idx,pages,w' || CAST(doc_id % 4 AS VARCHAR)
+    || ')/doc/' || CAST(doc_id AS VARCHAR)
+    || '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS surt,
+  strftime(TIMESTAMP '2024-03-01 00:00:00' + to_seconds(doc_id),
+           '%Y%m%d%H%M%S') AS ts,
+  'https://w' || CAST(doc_id % 4 AS VARCHAR)
+    || '.pages.cdx-idx.test/doc/' || CAST(doc_id AS VARCHAR)
+    || '?b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1' AS url,
+  sha256(text) AS digest,
+  CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+FROM documents
+ORDER BY surt, ts
+"""
+
+
 def q_gini_mean_difference(sf_dir: str):
     """Per-group Gini mean difference — mean |x_i - x_j| over ordered
     pairs, the robust dispersion measure — computed EXACTLY from a
@@ -10444,6 +10538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "wds_roundtrip": q_wds_roundtrip,
         "wat_outlinks": q_wat_outlinks,
+        "cdx_index": q_cdx_index,
         "volume_shipping": q_volume_shipping,
         "gini_mean_difference": q_gini_mean_difference,
         "market_share": q_market_share,
@@ -12085,6 +12180,7 @@ FROM documents
 GROUP BY source
 ORDER BY host
 """,
+        "cdx_index": _CDX_INDEX_SQL,
         "volume_shipping": _VOLUME_SHIPPING_SQL,
         "gini_mean_difference": _GMD_SQL,
         "market_share": _MARKET_SHARE_SQL,

@@ -395,6 +395,7 @@ def bench_queries(sf_dir: str) -> dict:
     extended = [
         "wet_roundtrip",
         "wat_outlinks",
+        "cdx_index",
         "strip_boilerplate",
         "repetition_stats",
         "dup_spans",

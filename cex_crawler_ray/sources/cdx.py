@@ -1,0 +1,473 @@
+"""CDXJ URL index over WARC shards (the Common Crawl index layer).
+
+Common Crawl publishes, next to every WARC/WET/WAT crawl segment, a
+*CDX index*: one line per archived capture, sorted by SURT key, that
+maps a URL to the exact ``(filename, offset, length)`` of its record so
+a consumer can range-request and inflate ONE record out of a multi-TB
+corpus without scanning anything.  This module adds that layer on top
+of ``sources/warc.py``:
+
+* ``surt_key(url)`` / ``surt_key_batch(urls)`` — the Sort-friendly URI
+  Reordering Transform: ``https://www.sub.example.com/a?b=2&a=1`` →
+  ``com,example,sub)/a?a=1&b=2``.  Host labels reversed and
+  comma-joined (so one host's captures — and one registrable domain's
+  hosts — are contiguous under a lexicographic sort), scheme and
+  leading ``www.`` dropped, default ports dropped, query parameters
+  sorted.  The batch form vectorizes the regex split with pandas and
+  reverses each distinct host once (per-batch unique hosts ≪ rows).
+* ``index_warc_bytes(data, filename)`` — one pass over a ``.warc`` /
+  ``.warc.gz`` shard yielding per-record ``(url, ts14, offset, length,
+  digest, payload_len)``.  For ``.warc.gz`` the offset/length are the
+  COMPRESSED member's byte span (the per-record-member layout written
+  by ``write_warc(compress="gzip")`` exists exactly so this index can
+  address single members); for plain ``.warc`` they are the record's
+  span in the file.
+* ``build_cdxj(warc_dir, out_dir)`` — the distributed index build:
+  one read task per shard → vectorized SURT keys → a global sort on
+  (surt, ts) → worker-written gzip CDXJ shards plus a tiny
+  ``cluster.idx`` (first/last SURT per shard), which is Common Crawl's
+  published two-level layout (``cdx-NNNNN.gz`` + ``cluster.idx``).
+  The sort is the one all-to-all exchange and it moves only index
+  rows (~100 bytes/capture), never page payloads.
+* ``read_cdxj(out_dir)`` — streaming Dataset over the index shards.
+* ``cdx_lookup(out_dir, url)`` — point lookup: binary-search
+  ``cluster.idx`` (driver-side, kilobytes), scan only the shard(s)
+  whose key range covers the SURT, return the matching entries.
+* ``fetch_record(entry, warc_dir)`` — the payoff: seek to
+  ``offset``, read ``length`` bytes, inflate the single member, parse
+  the single record.  O(record), independent of corpus size.
+
+Digest note: real CC CDX lines carry base32 SHA-1 of the payload; the
+correctness oracle here is DuckDB, which exposes ``sha256(VARCHAR)``
+but not sha1, so this index stores hex SHA-256 (documented deviation,
+same role).
+
+Reference parity note: the reference engine keeps a per-URL *file
+existence* check as its only index (``reference`` announcement-JSON
+save path); CDXJ is the scale-native form of that lookup for a
+Common-Crawl-shaped corpus (BASELINE.json ``input_hint``).
+"""
+
+from __future__ import annotations
+
+import bisect
+import gzip
+import hashlib
+import json
+import os
+import re
+import zlib
+
+import pyarrow as pa
+from ray.data import Datasink
+
+_GZ_MAGIC = b"\x1f\x8b"
+_CRLF = b"\r\n"
+
+# scheme://[userinfo@]host[:port][rest] — host grabbed case-insensitively
+_URL_RE = re.compile(
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+    r"(?:[^/?#@]*@)?"
+    r"(?P<host>[^/?#:]*)"
+    r"(?::(?P<port>\d+))?"
+    r"(?P<rest>[/?#].*)?$"
+)
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def _reverse_host(host: str) -> str:
+    host = host.lower().rstrip(".")
+    if host.startswith("www."):
+        host = host[4:]
+    return ",".join(reversed(host.split(".")))
+
+
+def _sort_query(rest: str) -> str:
+    """Sort query parameters; fragments are capture-identity-irrelevant
+    and dropped (CDX convention)."""
+    rest = rest.split("#", 1)[0]
+    if "?" not in rest:
+        return rest
+    path, _, q = rest.partition("?")
+    if not q:
+        return path
+    return path + "?" + "&".join(sorted(q.split("&")))
+
+
+def surt_key(url: str) -> str:
+    """Scalar SURT.  Non-URL strings key as themselves lowercased (so
+    the sort stays total on dirty input rather than raising)."""
+    m = _URL_RE.match(url)
+    if not m:
+        return url.lower()
+    scheme = m.group("scheme").lower()
+    host = _reverse_host(m.group("host"))
+    port = m.group("port")
+    if port and port != _DEFAULT_PORTS.get(scheme):
+        host += ":" + port
+    rest = _sort_query(m.group("rest") or "/")
+    if not rest.startswith("/"):
+        rest = "/" + rest
+    return host + ")" + rest
+
+
+def surt_key_batch(urls: list[str]) -> list[str]:
+    """Vectorized SURT: one pandas regex extract over the batch, one
+    host reversal per DISTINCT host (unique hosts ≪ rows on web data),
+    Python fallback only for rows with a port / query / fragment (the
+    minority on crawl frontiers)."""
+    import pandas as pd
+
+    s = pd.Series(urls, dtype="object")
+    parts = s.str.extract(
+        r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?"
+        r"(?P<host>[^/?#:]*)(?P<port>:\d+)?(?P<rest>[/?#].*)?$"
+    )
+    fast = (
+        parts["scheme"].notna()
+        & parts["port"].isna()
+        & ~s.str.contains(r"[?#]", regex=True, na=True)
+    )
+    out = [None] * len(urls)
+    if fast.any():
+        hosts = parts.loc[fast, "host"]
+        rev = {h: _reverse_host(h) for h in hosts.unique()}
+        rests = parts.loc[fast, "rest"].fillna("/")
+        keyed = hosts.map(rev) + ")" + rests
+        for i, k in zip(keyed.index, keyed.to_numpy()):
+            out[i] = k
+    for i in (~fast).to_numpy().nonzero()[0]:
+        out[i] = surt_key(urls[i])
+    return out
+
+
+def _record_fields(rec: bytes) -> tuple[str, str, int]:
+    """(url, ts14, payload_len) from one decompressed WARC record."""
+    head_end = rec.find(_CRLF + _CRLF)
+    head = rec[:head_end].decode("utf-8", "replace")
+    url, ts, clen = "", "", 0
+    for line in head.split("\r\n")[1:]:
+        k, _, v = line.partition(":")
+        k = k.strip().lower()
+        if k == "warc-target-uri":
+            url = v.strip()
+        elif k == "warc-date":
+            ts = v.strip()
+        elif k == "content-length":
+            clen = int(v.strip())
+    ts14 = re.sub(r"[^0-9]", "", ts)[:14]
+    return url, ts14, clen
+
+
+def index_warc_bytes(data: bytes, filename: str) -> dict:
+    """One pass over a shard → parallel index-column lists.  Offsets
+    address the stored bytes (compressed member span for .gz), which is
+    what ``fetch_record`` seeks to."""
+    cols = {
+        "url": [],
+        "ts": [],
+        "offset": [],
+        "length": [],
+        "digest": [],
+        "payload_len": [],
+        "filename": [],
+    }
+
+    def emit(rec: bytes, off: int, ln: int) -> None:
+        url, ts14, clen = _record_fields(rec)
+        head_end = rec.find(_CRLF + _CRLF)
+        payload = rec[head_end + 4 : head_end + 4 + clen]
+        cols["url"].append(url)
+        cols["ts"].append(ts14)
+        cols["offset"].append(off)
+        cols["length"].append(ln)
+        cols["digest"].append(hashlib.sha256(payload).hexdigest())
+        cols["payload_len"].append(clen)
+        cols["filename"].append(filename)
+
+    if data[:2] == _GZ_MAGIC:
+        pos, n = 0, len(data)
+        while pos < n and data[pos : pos + 2] == _GZ_MAGIC:
+            d = zlib.decompressobj(wbits=31)
+            rec = d.decompress(data[pos:])
+            member_len = (n - pos) - len(d.unused_data)
+            emit(rec, pos, member_len)
+            pos += member_len
+    else:
+        pos, n = 0, len(data)
+        while pos < n:
+            head_end = data.find(_CRLF + _CRLF, pos)
+            if head_end < 0:
+                break
+            # Content-Length bounds the record: header + blank + payload
+            # + record separator
+            head = data[pos:head_end].decode("utf-8", "replace")
+            clen = 0
+            for line in head.split("\r\n"):
+                if line.lower().startswith("content-length:"):
+                    clen = int(line.partition(":")[2].strip())
+            end = head_end + 4 + clen + 4
+            emit(data[pos:end], pos, end - pos)
+            pos = end
+    return cols
+
+
+class _CdxjDatasink(Datasink):
+    """Worker-written gzip CDXJ shards + per-shard key-range sidecars.
+    The upstream global sort range-partitions rows, so shard key ranges
+    are disjoint (up to a duplicate key spanning a boundary — lookup
+    scans every shard whose [first, last] covers the key).  Names carry
+    task/block ordinals then a content hash: idempotent under task
+    re-execution, no collapse of identical blocks (same contract as
+    ``_WarcDatasink``)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def on_write_start(self) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+
+    def write(self, blocks, ctx) -> int:
+        written = 0
+        for i, block in enumerate(blocks):
+            t = pa.table(block) if not isinstance(block, pa.Table) else block
+            if t.num_rows == 0:
+                continue
+            surts = t["surt"].to_pylist()
+            tss = t["ts"].to_pylist()
+            lines = []
+            meta_cols = (
+                "url",
+                "digest",
+                "length",
+                "offset",
+                "filename",
+                "payload_len",
+            )
+            metas = {c: t[c].to_pylist() for c in meta_cols}
+            for r in range(t.num_rows):
+                obj = {c: metas[c][r] for c in meta_cols}
+                lines.append(
+                    f"{surts[r]} {tss[r]} "
+                    + json.dumps(obj, separators=(",", ":"), sort_keys=True)
+                )
+            data = gzip.compress(
+                ("\n".join(lines) + "\n").encode("utf-8"), mtime=0
+            )
+            digest = hashlib.sha256(data).hexdigest()[:16]
+            name = f"cdx-{ctx.task_idx:05d}-{i:03d}-{digest}.gz"
+            path = os.path.join(self.out_dir, name)
+            tmp = path + f".tmp-{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+            meta = {
+                "name": name,
+                "first": surts[0],
+                "last": surts[-1],
+                "n": t.num_rows,
+            }
+            mtmp = path + f".meta.tmp-{os.getpid()}"
+            with open(mtmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(mtmp, path + ".meta")
+            written += t.num_rows
+        return written
+
+
+def _write_cluster_idx(out_dir: str) -> None:
+    """Fold the per-shard sidecars into ``cluster.idx`` (one line per
+    shard: first-SURT, last-SURT, shard name, row count — kilobytes for
+    millions of captures), then drop the sidecars.  This is the
+    driver-side O(shards) step of the two-level index."""
+    metas = []
+    for fn in os.listdir(out_dir):
+        if fn.endswith(".meta"):
+            with open(os.path.join(out_dir, fn)) as f:
+                metas.append(json.load(f))
+    metas.sort(key=lambda m: (m["first"], m["name"]))
+    tmp = os.path.join(out_dir, f"cluster.idx.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        for m in metas:
+            f.write(f"{m['first']}\t{m['last']}\t{m['name']}\t{m['n']}\n")
+    os.replace(tmp, os.path.join(out_dir, "cluster.idx"))
+    for fn in os.listdir(out_dir):
+        if fn.endswith(".meta"):
+            os.remove(os.path.join(out_dir, fn))
+
+
+def build_cdxj(warc_dir: str, out_dir: str):
+    """Distributed CDXJ build over a WARC shard directory.  One read
+    task per shard (payload bytes never leave the scan task — only
+    ~100-byte index rows continue), SURT keys vectorized per batch, ONE
+    global (surt, ts) sort, worker-written sorted shards, then the tiny
+    cluster.idx fold on the driver."""
+    import ray
+
+    # The index addresses ON-DISK bytes, so the scan must see the raw
+    # shard.  ray.data.read_binary_files auto-inflates by the .gz
+    # extension (its compression=None arg means "detect", not "raw"),
+    # which would shift every offset — so shard paths fan out as rows
+    # and each scan task opens its file raw.  Same one-task-per-shard
+    # parallelism; a shared filesystem serves the open on a cluster.
+    paths = sorted(
+        os.path.join(warc_dir, fn)
+        for fn in os.listdir(warc_dir)
+        if ".warc" in fn
+    )
+    files = ray.data.from_items([{"path": p} for p in paths])
+
+    def index_batch(batch: pa.Table) -> pa.Table:
+        out = None
+        for path in batch["path"].to_pylist():
+            with open(path, "rb") as f:
+                data = f.read()
+            cols = index_warc_bytes(data, os.path.basename(path))
+            if out is None:
+                out = cols
+            else:
+                for k in out:
+                    out[k].extend(cols[k])
+        if out is None:
+            out = {
+                k: []
+                for k in (
+                    "url",
+                    "ts",
+                    "offset",
+                    "length",
+                    "digest",
+                    "payload_len",
+                    "filename",
+                )
+            }
+        return pa.table(
+            {
+                "surt": pa.array(surt_key_batch(out["url"]), pa.string()),
+                "ts": pa.array(out["ts"], pa.string()),
+                "url": pa.array(out["url"], pa.string()),
+                "offset": pa.array(out["offset"], pa.int64()),
+                "length": pa.array(out["length"], pa.int64()),
+                "digest": pa.array(out["digest"], pa.string()),
+                "payload_len": pa.array(out["payload_len"], pa.int64()),
+                "filename": pa.array(out["filename"], pa.string()),
+            }
+        )
+
+    idx = files.map_batches(index_batch, batch_format="pyarrow")
+    idx.sort(["surt", "ts"]).write_datasink(_CdxjDatasink(out_dir))
+    _write_cluster_idx(out_dir)
+
+
+def _parse_cdxj_lines(text: str) -> dict:
+    cols = {
+        "surt": [],
+        "ts": [],
+        "url": [],
+        "offset": [],
+        "length": [],
+        "digest": [],
+        "payload_len": [],
+        "filename": [],
+    }
+    for line in text.splitlines():
+        if not line:
+            continue
+        surt, ts, blob = line.split(" ", 2)
+        obj = json.loads(blob)
+        cols["surt"].append(surt)
+        cols["ts"].append(ts)
+        for k in ("url", "offset", "length", "digest", "payload_len", "filename"):
+            cols[k].append(obj[k])
+    return cols
+
+
+def read_cdxj(out_dir: str):
+    """Streaming Dataset over the index shards (one task per shard;
+    cluster.idx is excluded by extension)."""
+    import ray
+
+    files = ray.data.read_binary_files(out_dir, file_extensions=["gz"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        out = None
+        for data in batch["bytes"].to_pylist():
+            # ray.data.read_binary_files auto-inflates by .gz extension;
+            # sniff the magic so raw bytes handed in directly also work
+            if data[:2] == _GZ_MAGIC:
+                data = gzip.decompress(data)
+            cols = _parse_cdxj_lines(data.decode("utf-8"))
+            if out is None:
+                out = cols
+            else:
+                for k in out:
+                    out[k].extend(cols[k])
+        if out is None:
+            out = _parse_cdxj_lines("")
+        return pa.table(
+            {
+                "surt": pa.array(out["surt"], pa.string()),
+                "ts": pa.array(out["ts"], pa.string()),
+                "url": pa.array(out["url"], pa.string()),
+                "offset": pa.array(out["offset"], pa.int64()),
+                "length": pa.array(out["length"], pa.int64()),
+                "digest": pa.array(out["digest"], pa.string()),
+                "payload_len": pa.array(out["payload_len"], pa.int64()),
+                "filename": pa.array(out["filename"], pa.string()),
+            }
+        )
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+def _load_cluster_idx(out_dir: str) -> list[tuple[str, str, str, int]]:
+    rows = []
+    with open(os.path.join(out_dir, "cluster.idx")) as f:
+        for line in f:
+            first, last, name, n = line.rstrip("\n").split("\t")
+            rows.append((first, last, name, int(n)))
+    return rows
+
+
+def cdx_lookup(out_dir: str, url: str) -> list[dict]:
+    """Point lookup: SURT the url, bisect cluster.idx for candidate
+    shards (a duplicate key can span a range boundary, so every shard
+    whose [first, last] covers the key is scanned), scan only those.
+    Driver-side O(log shards + shard rows) — the corpus itself is never
+    touched."""
+    key = surt_key(url)
+    shards = _load_cluster_idx(out_dir)
+    firsts = [s[0] for s in shards]
+    # rightmost shard whose first <= key, plus any earlier shard whose
+    # last still reaches the key
+    hi = bisect.bisect_right(firsts, key)
+    hits = []
+    for first, last, name, _n in shards[:hi]:
+        if last < key:
+            continue
+        with open(os.path.join(out_dir, name), "rb") as f:
+            cols = _parse_cdxj_lines(
+                gzip.decompress(f.read()).decode("utf-8")
+            )
+        for i, s in enumerate(cols["surt"]):
+            if s == key:
+                hits.append({k: cols[k][i] for k in cols})
+    hits.sort(key=lambda h: h["ts"])
+    return hits
+
+
+def fetch_record(entry: dict, warc_dir: str) -> dict:
+    """Random access: seek to entry['offset'], read entry['length']
+    bytes, inflate the single gzip member if compressed, parse the one
+    record.  O(record) regardless of corpus size — the contract the
+    per-record-member .warc.gz layout exists for."""
+    from cex_crawler_ray.sources.warc import parse_warc_bytes
+
+    path = os.path.join(warc_dir, entry["filename"])
+    with open(path, "rb") as f:
+        f.seek(entry["offset"])
+        data = f.read(entry["length"])
+    if data[:2] == _GZ_MAGIC:
+        data = gzip.decompress(data)
+    rec = parse_warc_bytes(data)
+    return {k: v[0] for k, v in rec.items()}
