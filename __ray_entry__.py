@@ -9864,6 +9864,130 @@ def q_wat_outlinks(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_host_graph_edges(sf_dir: str):
+    """Host-level webgraph from a WAT corpus — the pipeline behind
+    Common Crawl's published host/domain webgraph releases: per-page
+    outlinks (WAT ``metadata`` JSON) fold to their host pair, and the
+    graph is the (src_host, dst_host, n_links) aggregate.  Here each
+    document serializes a deterministic outlink set into a real WAT
+    container (two targets per page: the successor doc and the doubled
+    doc, each on its id-derived host), the streaming parser reads the
+    shards back, link extraction and the host fold run in the workers,
+    and ONE groupby moves only host-pair rows.  The SQL twin replicates
+    the link rule directly from the documents table, so the container
+    roundtrip, JSON payload parse and edge aggregation are all
+    value-checked.  Scale shape: payloads never shuffle; the exchange
+    carries (src, dst) pairs pre-counted per batch (hosts ≪ pages)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.sources.warc import read_warc, write_wat
+
+    H = 7
+    out_dir = tempfile.mkdtemp(prefix="cex_hostgraph_")
+    try:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        n_docs = docs.count()
+
+        def to_wat(batch: pa.Table) -> pa.Table:
+            ids = [int(i) for i in batch["doc_id"].to_pylist()]
+            base = np.datetime64("2024-03-01T00:00:00")
+            urls, payloads, tss = [], [], []
+            for i in ids:
+                succ = (i + 1) % n_docs
+                dbl = (2 * i) % n_docs
+                links = [
+                    f"https://h{succ % H}.graph.test/doc/{succ}",
+                    f"https://h{dbl % H}.graph.test/doc/{dbl}",
+                ]
+                urls.append(f"https://h{i % H}.graph.test/doc/{i}")
+                tss.append((base + np.timedelta64(i, "s")).item())
+                payloads.append(
+                    _json.dumps({"links": links}, sort_keys=True).encode()
+                )
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": pa.array(tss, pa.timestamp("us")),
+                    "wat_json": pa.array(payloads, pa.binary()),
+                }
+            )
+
+        write_wat(
+            docs.map_batches(to_wat, batch_format="pyarrow"),
+            out_dir,
+            compress="gzip",
+        )
+        back = read_warc(out_dir)
+
+        def edge_partial(batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            counts = Counter()
+            for u, p in zip(
+                batch["url"].to_pylist(), batch["payload"].to_pylist()
+            ):
+                src = u.split("://", 1)[1].split("/", 1)[0]
+                for link in _json.loads(bytes(p).decode())["links"]:
+                    dst = link.split("://", 1)[1].split("/", 1)[0]
+                    counts[(src, dst)] += 1
+            src, dst, n = [], [], []
+            for (s, d), c in counts.items():
+                src.append(s)
+                dst.append(d)
+                n.append(c)
+            return pa.table(
+                {
+                    "src_host": pa.array(src, pa.string()),
+                    "dst_host": pa.array(dst, pa.string()),
+                    "n": pa.array(n, pa.int64()),
+                }
+            )
+
+        agg = (
+            back.map_batches(edge_partial, batch_format="pyarrow")
+            .groupby(["src_host", "dst_host"])
+            .sum("n")
+            .to_pandas()
+        )
+        return pd.DataFrame(
+            {
+                "src_host": agg["src_host"],
+                "dst_host": agg["dst_host"],
+                "n_links": agg["sum(n)"].astype("int64"),
+            }
+        ).sort_values(
+            ["src_host", "dst_host"], kind="mergesort"
+        ).reset_index(drop=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_HOST_GRAPH_SQL = """
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+links AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS src_host,
+         'h' || CAST(((doc_id + 1) % n_docs) % 7 AS VARCHAR) AS dst_host
+  FROM documents, n
+  UNION ALL
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR),
+         'h' || CAST(((2 * doc_id) % n_docs) % 7 AS VARCHAR)
+  FROM documents, n
+)
+SELECT src_host || '.graph.test' AS src_host,
+       dst_host || '.graph.test' AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM links
+GROUP BY 1, 2
+ORDER BY src_host, dst_host
+"""
+
+
 def q_cdx_index(sf_dir: str):
     """CDXJ index build over a .warc.gz corpus inside the correctness
     gate: documents serialize as per-record-gzip-member WARC shards
@@ -10539,6 +10663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wds_roundtrip": q_wds_roundtrip,
         "wat_outlinks": q_wat_outlinks,
         "cdx_index": q_cdx_index,
+        "host_graph_edges": q_host_graph_edges,
         "volume_shipping": q_volume_shipping,
         "gini_mean_difference": q_gini_mean_difference,
         "market_share": q_market_share,
@@ -12181,6 +12306,7 @@ GROUP BY source
 ORDER BY host
 """,
         "cdx_index": _CDX_INDEX_SQL,
+        "host_graph_edges": _HOST_GRAPH_SQL,
         "volume_shipping": _VOLUME_SHIPPING_SQL,
         "gini_mean_difference": _GMD_SQL,
         "market_share": _MARKET_SHARE_SQL,
