@@ -9864,6 +9864,60 @@ def q_wat_outlinks(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph-hash dedup (Wenzek et al. 2020) — the
+    dedup pass CCNet runs over Common Crawl WET text: every distinct
+    paragraph is kept only at its FIRST corpus occurrence (min
+    (doc_id, paragraph_index)); per-document totals come back.
+    Paragraphs here are fixed 8-word windows (the synthetic documents
+    are single-line word streams); the SQL twin re-derives the same
+    windows with generate_subscripts + string_agg and ranks first
+    occurrences with a window function, so the split rule, the
+    corpus-wide keep-first and the per-doc fold are all value-checked.
+    The exchange carries (doc_id, pidx, hash64) rows only — paragraph
+    text never shuffles (CCNet likewise dedups on the digest)."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import paragraph_dedup_counts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    agg = paragraph_dedup_counts(docs, words_per_para=8).to_pandas()
+    return pd.DataFrame(
+        {
+            "doc_id": agg["doc_id"].astype("int64"),
+            "n_paras": agg["sum(n_paras)"].astype("int64"),
+            "n_kept": agg["sum(n_kept)"].astype("int64"),
+        }
+    ).sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+_PARAGRAPH_DEDUP_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS ord,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, ord // 8 AS pidx,
+         string_agg(word, ' ' ORDER BY ord) AS para
+  FROM w GROUP BY doc_id, ord // 8
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pidx)
+           AS rn
+  FROM paras
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_host_graph_edges(sf_dir: str):
     """Host-level webgraph from a WAT corpus — the pipeline behind
     Common Crawl's published host/domain webgraph releases: per-page
@@ -10664,6 +10718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wat_outlinks": q_wat_outlinks,
         "cdx_index": q_cdx_index,
         "host_graph_edges": q_host_graph_edges,
+        "paragraph_dedup": q_paragraph_dedup,
         "volume_shipping": q_volume_shipping,
         "gini_mean_difference": q_gini_mean_difference,
         "market_share": q_market_share,
@@ -12307,6 +12362,7 @@ ORDER BY host
 """,
         "cdx_index": _CDX_INDEX_SQL,
         "host_graph_edges": _HOST_GRAPH_SQL,
+        "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "volume_shipping": _VOLUME_SHIPPING_SQL,
         "gini_mean_difference": _GMD_SQL,
         "market_share": _MARKET_SHARE_SQL,

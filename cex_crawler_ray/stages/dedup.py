@@ -1072,3 +1072,85 @@ def sorted_neighborhood_pairs(
         )
 
     return _coarse_group_apply(bucketed, "g", pairs_part, num_parts)
+
+
+# ---------------------------------------------------- paragraph dedup
+def paragraph_dedup_counts(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_para: int = 8,
+) -> "ray.data.Dataset":
+    """CCNet-style paragraph-hash dedup (Wenzek et al. 2020): split
+    every document into paragraphs, hash each, keep only the FIRST
+    occurrence of every distinct paragraph corpus-wide (first = min
+    (doc_id, paragraph_index)), and report per-document totals.  This
+    is the dedup CCNet runs over Common Crawl WET text before language
+    ID — duplicate boilerplate paragraphs vanish even when no two full
+    documents are equal.
+
+    Paragraph boundary: documents here are single-line word streams, so
+    a "paragraph" is a fixed ``words_per_para`` word window (the rule
+    the SQL twin replicates); on real WET text pass the natural
+    ``text.split("\\n\\n")`` segmentation by pre-splitting upstream.
+
+    Scale shape: the one exchange carries (doc_id, pidx, hash64) rows —
+    never paragraph text (CCNet likewise dedups on the digest alone);
+    partitions are coarse hash ranges, keep-first inside a partition is
+    a vectorized lexsort, and only per-(partition, doc) COUNT partials
+    leave it, so the second groupby moves at most docs x partitions
+    tiny rows.
+    """
+
+    def to_paras(batch: pa.Table) -> pa.Table:
+        ids, pidxs, hashes = [], [], []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            words = (t or "").split()
+            for p in range(0, len(words), words_per_para):
+                ids.append(i)
+                pidxs.append(p // words_per_para)
+                hashes.append(
+                    _hash64(" ".join(words[p : p + words_per_para]))
+                )
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "pidx": pa.array(pidxs, pa.int64()),
+                "phash": pa.array(hashes, pa.uint64()),
+            }
+        )
+
+    def keep_first(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = part.to_pandas()
+        order = np.lexsort(
+            (df["pidx"].to_numpy(), df[id_col].to_numpy())
+        )
+        # first occurrence in (doc_id, pidx) order per hash: vectorized
+        # via pandas duplicated on the ordered frame
+        odf = pd.DataFrame(
+            {
+                "phash": df["phash"].to_numpy()[order],
+                id_col: df[id_col].to_numpy()[order],
+            }
+        )
+        kept_ordered = (~odf["phash"].duplicated()).to_numpy()
+        agg = (
+            pd.DataFrame(
+                {
+                    id_col: odf[id_col],
+                    "n_paras": 1,
+                    "n_kept": kept_ordered.astype(np.int64),
+                }
+            )
+            .groupby(id_col, as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    paras = ds.map_batches(to_paras, batch_format="pyarrow")
+    partials = _coarse_group_apply(paras, "phash", keep_first)
+    return partials.groupby(id_col).sum(["n_paras", "n_kept"])
