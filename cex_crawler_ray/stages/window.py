@@ -102,52 +102,39 @@ def lead_lag(
             }
         )
 
-    def boundary_merge(group: pa.Table) -> pa.Table:
-        us = group["us"].to_numpy(zero_copy_only=False)
-        tie = group["tie"].to_numpy(zero_copy_only=False)
-        val = group["val"].to_numpy(zero_copy_only=False)
-        bkt = group["bkt"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((tie, us, bkt))
-        bkt_s = bkt[order]
-        first = np.concatenate(([True], bkt_s[1:] != bkt_s[:-1]))
-        last = np.concatenate((bkt_s[1:] != bkt_s[:-1], [True]))
-        # flags aligned to the kept rows (sorted order within the group)
-        kf = first[first | last]
-        kl = last[first | last]
-        return pa.table(
-            {
-                "bkt": pa.array(bkt_s[first | last], pa.int64()),
-                "us": pa.array(us[order][first | last], pa.int64()),
-                "tie": pa.array(tie[order][first | last], pa.int64()),
-                "val": pa.array(val[order][first | last], pa.int64()),
-                "is_first": pa.array(kf, pa.bool_()),
-                "is_last": pa.array(kl, pa.bool_()),
-            }
-        )
-
+    # The per-block boundary partials are already tiny (<= 2 rows per
+    # (block, bucket)) and the merged result is consumed ON THE DRIVER
+    # either way — so merge here with one numpy lexsort instead of
+    # paying a full shuffle round just to pre-shrink rows the driver
+    # was about to hold anyway.  (This halved lead_lag wall time; the
+    # driver's row bound is unchanged up to the block-overlap factor.)
     bounds_tbl = pa.concat_tables(
         ray.get(
-            _coarse_group_apply(
-                ds.map_batches(boundary_partial, batch_format="pyarrow"),
-                "bkt",
-                boundary_merge,
-                num_parts=64,
+            ds.map_batches(
+                boundary_partial, batch_format="pyarrow"
             ).to_arrow_refs()
         ),
         promote_options="default",
     )
     b_bkt = bounds_tbl["bkt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b_us = bounds_tbl["us"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b_tie = bounds_tbl["tie"].to_numpy(zero_copy_only=False).astype(np.int64)
     b_val = bounds_tbl["val"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b_first = bounds_tbl["is_first"].to_numpy(zero_copy_only=False)
-    b_last = bounds_tbl["is_last"].to_numpy(zero_copy_only=False)
-    order = np.argsort(b_bkt, kind="stable")
+    order = np.lexsort((b_tie, b_us, b_bkt))
+    bkt_s = b_bkt[order]
+    val_s = b_val[order]
+    if len(bkt_s):
+        first = np.concatenate(([True], bkt_s[1:] != bkt_s[:-1]))
+        last = np.concatenate((bkt_s[1:] != bkt_s[:-1], [True]))
+    else:
+        first = last = np.zeros(0, dtype=bool)
     # present buckets, ascending; each contributes its first-row value
     # (lead neighbor for the previous bucket) and last-row value (lag
     # neighbor for the next bucket)
-    firsts_b = b_bkt[order][b_first[order]]
-    firsts_v = b_val[order][b_first[order]]
-    lasts_b = b_bkt[order][b_last[order]]
-    lasts_v = b_val[order][b_last[order]]
+    firsts_b = bkt_s[first]
+    firsts_v = val_s[first]
+    lasts_b = bkt_s[last]
+    lasts_v = val_s[last]
     # neighbor map: for bucket k (present), lead boundary = first value
     # of the NEXT present bucket; lag boundary = last value of the
     # PREVIOUS present bucket
@@ -877,14 +864,21 @@ def global_row_number(
             }
         )
 
-    counts = (
-        tagged.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("_bkt")
-        .sum("c")
-        .to_pandas()
-        .sort_values("_bkt")
+    # the per-block (bucket, count) partials land on the driver either
+    # way — merge with numpy instead of paying a shuffle round first
+    # (driver rows: <= buckets x blocks, same contract up to the
+    # block-overlap factor)
+    parts = pa.concat_tables(
+        ray.get(
+            tagged.map_batches(
+                count_partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
     )
-    bkts = counts["_bkt"].to_numpy(dtype=np.int64)
+    pb = parts["_bkt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pc_ = parts["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bkts, inv = np.unique(pb, return_inverse=True)
     if bkts.size == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -894,7 +888,8 @@ def global_row_number(
                 }
             )
         )
-    c = counts["sum(c)"].to_numpy(dtype=np.int64)
+    c = np.zeros(len(bkts), dtype=np.int64)
+    np.add.at(c, inv, pc_)
     offsets = np.concatenate(([0], np.cumsum(c)[:-1]))
     off_ref = ray.put((bkts, offsets))
 
@@ -1165,15 +1160,21 @@ def global_prefix_max(
             g.rename(columns={val_col: "mx"}), preserve_index=False
         )
 
-    bx = (
-        tagged.map_batches(max_partial, batch_format="pyarrow")
-        .groupby("_bkt")
-        .max("mx")
-        .to_pandas()
-        .sort_values("_bkt")
+    # per-block (bucket, max) partials are driver-bound — merge with
+    # numpy instead of a shuffle round (<= buckets x blocks rows)
+    bx_parts = pa.concat_tables(
+        ray.get(
+            tagged.map_batches(
+                max_partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
     )
-    bkts = bx["_bkt"].to_numpy(dtype=np.int64)
-    mx = bx["max(mx)"].to_numpy(dtype=np.int64)
+    pb = bx_parts["_bkt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pm = bx_parts["mx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bkts, inv = np.unique(pb, return_inverse=True)
+    mx = np.full(len(bkts), INT64_MIN, dtype=np.int64)
+    np.maximum.at(mx, inv, pm)
     # exclusive prefix max: bucket k sees the max of buckets < k
     excl = np.concatenate(
         ([INT64_MIN], np.maximum.accumulate(mx)[:-1])
