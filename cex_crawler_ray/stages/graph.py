@@ -334,17 +334,24 @@ def _closed_wedge_stream(
             }
         )
 
-    deg_tbl = (
-        und.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("node")
-        .sum("d")
-        .to_pandas()
+    # per-block (node, count) partials are driver-bound (the degree
+    # table is broadcast from the driver) — merge with numpy instead
+    # of paying a shuffle round first; driver rows <= nodes x blocks,
+    # same asymptotic contract as the broadcast table itself
+    deg_parts = pa.concat_tables(
+        ray.get(
+            und.map_batches(
+                deg_partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
     )
-    deg_tbl.columns = ["node", "d"]
-    nodes = deg_tbl["node"].to_numpy()
-    degs = deg_tbl["d"].to_numpy()
-    order = np.argsort(nodes)
-    deg_ref = ray.put((nodes[order], degs[order]))
+    pn = deg_parts["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pd_ = deg_parts["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(pn, return_inverse=True)  # sorted
+    degs = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(degs, inv, pd_)
+    deg_ref = ray.put((nodes, degs))
 
     def orient(batch: pa.Table) -> pa.Table:
         ns, ds_ = ray.get(deg_ref)
