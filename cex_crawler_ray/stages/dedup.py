@@ -72,6 +72,32 @@ def _coarse_group_apply(ds, key_col: str, fn, num_parts: int = 64):
     )
 
 
+def driver_merge_sum(partials_ds, key_cols, val_cols):
+    """Merge per-block aggregate PARTIALS on the driver (one pandas
+    groupby-sum over the concatenated blocks) instead of paying a Ray
+    shuffle round first.
+
+    Use ONLY when the merged aggregate is driver-bound anyway — a
+    broadcast lookup table, prefix offsets, or a final small result.
+    The driver then holds <= keys x blocks partial rows instead of
+    keys rows: the same asymptotic contract (both require keys to be
+    driver-sized), minus an all-to-all exchange whose output was about
+    to be ``ray.get``-collected regardless.  Measured: each swapped
+    site dropped ~1.5-2 s of fixed shuffle latency at sf0.1.
+    """
+    import pandas as pd
+
+    key_cols = list(key_cols)
+    val_cols = list(val_cols)
+    tbl = pa.concat_tables(
+        ray.get(partials_ds.to_arrow_refs()), promote_options="default"
+    )
+    df = tbl.select(key_cols + val_cols).to_pandas()
+    if len(df) == 0:
+        return df
+    return df.groupby(key_cols, as_index=False)[val_cols].sum()
+
+
 # ---------------------------------------------------------------- exact
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per distinct text; adds ``n_copies``.
@@ -965,16 +991,14 @@ def sorted_neighborhood_pairs(
             {"_kb": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
         )
 
-    counts = (
-        tagged.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("_kb")
-        .sum("c")
-        .to_pandas()
-        .sort_values("_kb")
-    )
+    counts = driver_merge_sum(
+        tagged.map_batches(count_partial, batch_format="pyarrow"),
+        ["_kb"],
+        ["c"],
+    ).sort_values("_kb")
     kbs = counts["_kb"].to_numpy(dtype=np.int64)
     offs = np.concatenate(
-        ([0], np.cumsum(counts["sum(c)"].to_numpy(dtype=np.int64))[:-1])
+        ([0], np.cumsum(counts["c"].to_numpy(dtype=np.int64))[:-1])
     )
     off_ref = ray.put((kbs, offs))
 

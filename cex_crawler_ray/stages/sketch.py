@@ -541,12 +541,14 @@ def exact_group_quantile_descent(
             g.rename(columns={"size": "cnt"}), preserve_index=False
         )
 
+    from .dedup import driver_merge_sum
+
     hist = (
-        ds.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby([key_col, "_b"])
-        .sum("cnt")
-        .to_pandas()
-        .rename(columns={"sum(cnt)": "cnt"})
+        driver_merge_sum(
+            ds.map_batches(hist_partial, batch_format="pyarrow"),
+            [key_col, "_b"],
+            ["cnt"],
+        )
         .sort_values([key_col, "_b"])
         .reset_index(drop=True)
     )
@@ -659,12 +661,14 @@ def exact_group_weighted_median(
             g.rename(columns={weight_col: "w"}), preserve_index=False
         )
 
+    from .dedup import driver_merge_sum
+
     hist = (
-        ds.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby([key_col, "_b"])
-        .sum("w")
-        .to_pandas()
-        .rename(columns={"sum(w)": "w"})
+        driver_merge_sum(
+            ds.map_batches(hist_partial, batch_format="pyarrow"),
+            [key_col, "_b"],
+            ["w"],
+        )
         .sort_values([key_col, "_b"])
         .reset_index(drop=True)
     )

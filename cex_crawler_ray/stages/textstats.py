@@ -498,16 +498,20 @@ def bpe_pair_counts(ds, text_col: str = "text", k: int = 20, num_parts: int = 32
         out = pd.concat(frames, ignore_index=True)
         return out.groupby("pair", as_index=False)["cnt"].sum()
 
+    from .dedup import driver_merge_sum
+
     partials = ds.map_batches(partial, batch_format="pandas")
-    merged = partials.groupby("pair").sum("cnt").to_pandas()
-    if "sum(cnt)" not in merged.columns:  # corpus had no 2+-char words
+    # vocab-bounded integer partials, driver-bound result: merge on
+    # the driver, no shuffle round
+    merged = driver_merge_sum(partials, ["pair"], ["cnt"])
+    if len(merged) == 0:  # corpus had no 2+-char words
         return pd.DataFrame(
             {
                 "pair": pd.Series([], dtype=object),
                 "cnt": pd.Series([], dtype="int64"),
             }
         )
-    merged["cnt"] = merged["sum(cnt)"].astype("int64")
+    merged["cnt"] = merged["cnt"].astype("int64")
     merged = merged.sort_values(
         ["cnt", "pair"], ascending=[False, True], kind="mergesort"
     ).head(k)
