@@ -533,6 +533,11 @@ def exact_group_quantile_descent(
 
     from .dedup import _coarse_group_apply
 
+    # two passes consume ds (histogram, then in-bucket counts) — pin it
+    # so the upstream read/prep doesn't execute twice (repo convention
+    # for any dataset with two consumers)
+    ds = ds.materialize()
+
     def hist_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["_b"] = df[val_col].to_numpy(dtype=np.int64) >> shift
@@ -587,12 +592,6 @@ def exact_group_quantile_descent(
             g.rename(columns={"size": "cnt"}), preserve_index=False
         )
 
-    counts = (
-        ds.map_batches(in_bucket, batch_format="pyarrow")
-        .groupby([key_col, "_v"])
-        .sum("cnt")
-    )
-
     def tag_key_hash(batch: pa.Table) -> pa.Table:
         keys = batch[key_col].to_pylist()
         from .dedup import _hash64
@@ -603,14 +602,20 @@ def exact_group_quantile_descent(
         )
 
     def pick(part: pa.Table) -> pa.Table:
-        import pandas as pd
-
+        # one key-hash partition holds every (key, _v) partial of its
+        # keys: merge the per-batch combiner rows here (ONE shuffle
+        # total — the old separate groupby().sum() round is fused away)
         tg = ray.get(t_ref)
-        df = part.to_pandas().sort_values([key_col, "_v"])
+        df = (
+            part.to_pandas()
+            .groupby([key_col, "_v"], as_index=False)["cnt"]
+            .sum()
+            .sort_values([key_col, "_v"])
+        )
         out_k, out_v = [], []
         for key, grp in df.groupby(key_col, sort=False):
             rank_in = tg[key][1]
-            cum = grp["sum(cnt)"].to_numpy(dtype=np.int64).cumsum()
+            cum = grp["cnt"].to_numpy(dtype=np.int64).cumsum()
             i = int(np.searchsorted(cum, rank_in + 1))
             out_k.append(key)
             out_v.append(int(grp["_v"].to_numpy(dtype=np.int64)[i]))
@@ -622,7 +627,9 @@ def exact_group_quantile_descent(
         )
 
     return _coarse_group_apply(
-        counts.map_batches(tag_key_hash, batch_format="pyarrow"),
+        ds.map_batches(in_bucket, batch_format="pyarrow").map_batches(
+            tag_key_hash, batch_format="pyarrow"
+        ),
         "_kh",
         lambda g: pick(g),
         num_parts,
@@ -652,6 +659,10 @@ def exact_group_weighted_median(
     in one worker and no raw row reaches the driver.
     """
     from .dedup import _coarse_group_apply
+
+    # two passes consume ds — pin it so the upstream read/prep doesn't
+    # execute twice
+    ds = ds.materialize()
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -702,12 +713,6 @@ def exact_group_weighted_median(
             g.rename(columns={weight_col: "w"}), preserve_index=False
         )
 
-    sums = (
-        ds.map_batches(in_bucket, batch_format="pyarrow")
-        .groupby([key_col, "_v"])
-        .sum("w")
-    )
-
     def tag_key_hash(batch: pa.Table) -> pa.Table:
         from .dedup import _hash64
 
@@ -718,12 +723,19 @@ def exact_group_weighted_median(
         )
 
     def pick(part: pa.Table) -> pa.Table:
+        # merge the per-batch (key, _v, w) combiner rows inside the one
+        # key-hash partition (the old groupby().sum() round is fused)
         tg = ray.get(t_ref)
-        df = part.to_pandas().sort_values([key_col, "_v"])
+        df = (
+            part.to_pandas()
+            .groupby([key_col, "_v"], as_index=False)["w"]
+            .sum()
+            .sort_values([key_col, "_v"])
+        )
         out_k, out_v = [], []
         for key, grp in df.groupby(key_col, sort=False):
             t_in = tg[key][1]
-            cum = grp["sum(w)"].to_numpy(dtype=np.int64).cumsum()
+            cum = grp["w"].to_numpy(dtype=np.int64).cumsum()
             i = int(np.searchsorted(cum, t_in, side="left"))
             out_k.append(key)
             out_v.append(int(grp["_v"].to_numpy(dtype=np.int64)[i]))
@@ -735,7 +747,9 @@ def exact_group_weighted_median(
         )
 
     return _coarse_group_apply(
-        sums.map_batches(tag_key_hash, batch_format="pyarrow"),
+        ds.map_batches(in_bucket, batch_format="pyarrow").map_batches(
+            tag_key_hash, batch_format="pyarrow"
+        ),
         "_kh",
         lambda g: pick(g),
         num_parts,
