@@ -362,6 +362,13 @@ def exact_global_quantile(
     """
     import math
 
+    from .dedup import driver_merge_sum
+
+    # both counting passes consume ds — pin it so upstream work runs
+    # once; the (bucket, cnt) / (val, cnt) partials are driver-bound
+    # aggregates, so merge them on the driver (no shuffle rounds)
+    ds = ds.materialize()
+
     def hist_partial(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
         b, c = np.unique(v >> shift, return_counts=True)
@@ -372,18 +379,13 @@ def exact_global_quantile(
             }
         )
 
-    merged = (
-        ds.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .sum("cnt")
-    )
-    tbl = pa.concat_tables(
-        ray.get(merged.to_arrow_refs()), promote_options="default"
-    ).rename_columns(["bucket", "cnt"])
-    b = tbl["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-    c = tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(b)
-    b, c = b[order], c[order]
+    hist = driver_merge_sum(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["bucket"],
+        ["cnt"],
+    ).sort_values("bucket")
+    b = hist["bucket"].to_numpy(dtype=np.int64)
+    c = hist["cnt"].to_numpy(dtype=np.int64)
     n = int(c.sum())
     if n == 0:
         raise ValueError("empty input")
@@ -404,18 +406,13 @@ def exact_global_quantile(
             }
         )
 
-    merged2 = (
-        ds.map_batches(in_bucket, batch_format="pyarrow")
-        .groupby("val")
-        .sum("cnt")
-    )
-    t2 = pa.concat_tables(
-        ray.get(merged2.to_arrow_refs()), promote_options="default"
-    ).rename_columns(["val", "cnt"])
-    v = t2["val"].to_numpy(zero_copy_only=False).astype(np.int64)
-    c2 = t2["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(v)
-    v, c2 = v[order], c2[order]
+    t2 = driver_merge_sum(
+        ds.map_batches(in_bucket, batch_format="pyarrow"),
+        ["val"],
+        ["cnt"],
+    ).sort_values("val")
+    v = t2["val"].to_numpy(dtype=np.int64)
+    c2 = t2["cnt"].to_numpy(dtype=np.int64)
     cum2 = np.cumsum(c2)
     return int(v[int(np.searchsorted(cum2, rank_in_bucket + 1))])
 
@@ -439,6 +436,12 @@ def exact_global_quantile_cont(
     """
     import math
 
+    from .dedup import driver_merge_sum
+
+    # the histogram pass plus one or two in-bucket passes consume ds —
+    # pin it; partials are driver-bound, merge them on the driver
+    ds = ds.materialize()
+
     def hist_partial(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
         b, c = np.unique(v >> shift, return_counts=True)
@@ -449,18 +452,13 @@ def exact_global_quantile_cont(
             }
         )
 
-    merged = (
-        ds.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .sum("cnt")
-    )
-    tbl = pa.concat_tables(
-        ray.get(merged.to_arrow_refs()), promote_options="default"
-    ).rename_columns(["bucket", "cnt"])
-    b = tbl["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-    c = tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(b)
-    b, c = b[order], c[order]
+    hist = driver_merge_sum(
+        ds.map_batches(hist_partial, batch_format="pyarrow"),
+        ["bucket"],
+        ["cnt"],
+    ).sort_values("bucket")
+    b = hist["bucket"].to_numpy(dtype=np.int64)
+    c = hist["cnt"].to_numpy(dtype=np.int64)
     n = int(c.sum())
     if n == 0:
         raise ValueError("empty input")
@@ -485,18 +483,13 @@ def exact_global_quantile_cont(
                 }
             )
 
-        merged2 = (
-            ds.map_batches(in_bucket, batch_format="pyarrow")
-            .groupby("val")
-            .sum("cnt")
-        )
-        t2 = pa.concat_tables(
-            ray.get(merged2.to_arrow_refs()), promote_options="default"
-        ).rename_columns(["val", "cnt"])
-        v = t2["val"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c2 = t2["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-        o2 = np.argsort(v)
-        v, c2 = v[o2], c2[o2]
+        t2 = driver_merge_sum(
+            ds.map_batches(in_bucket, batch_format="pyarrow"),
+            ["val"],
+            ["cnt"],
+        ).sort_values("val")
+        v = t2["val"].to_numpy(dtype=np.int64)
+        c2 = t2["cnt"].to_numpy(dtype=np.int64)
         cum2 = np.cumsum(c2)
         return int(v[int(np.searchsorted(cum2, rank_in_bucket + 1))])
 

@@ -78,6 +78,10 @@ def lead_lag(
         raise ValueError(kind)
     out = out_col or f"{kind}_{value_col}"
 
+    # the boundary pass and the tag pass both consume ds — pin it so
+    # the upstream read/transform chain executes once
+    ds = ds.materialize()
+
     # pass 1: per-bucket first & last row -> tiny driver table
     def boundary_partial(batch: pa.Table) -> pa.Table:
         us = _order_key_us(batch, ts_col)
