@@ -9864,6 +9864,109 @@ def q_wat_outlinks(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_cdx_diff(sf_dir: str):
+    """Incremental-recrawl change detection: two crawl snapshots
+    serialize to .warc.gz, each gets a CDXJ index build, and
+    ``cdx_diff`` classifies every URL as same / changed / added /
+    removed by DIGEST — comparing two crawls by their indexes alone
+    (~100 bytes/url), never touching page payloads.  Snapshot rules
+    (replicated independently by the SQL twin): B drops doc_id%11==5
+    (removed), rewrites text for doc_id%7==3 (changed), and gains an
+    ``/alt`` page for doc_id%13==2 (added); removal wins over
+    rewrite."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.sources.cdx import build_cdxj, cdx_diff
+    from cex_crawler_ray.sources.warc import write_warc
+
+    dirs = [tempfile.mkdtemp(prefix=f"cex_cdxdiff_{k}_") for k in "abcd"]
+    warc_a, warc_b, cdx_a, cdx_b = dirs
+    try:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def pages(batch: pa.Table, snapshot: str) -> pa.Table:
+            base = np.datetime64(
+                "2024-03-01T00:00:00"
+                if snapshot == "a"
+                else "2024-04-01T00:00:00"
+            )
+            urls, tss, texts = [], [], []
+            for i, t in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                i = int(i)
+                u = f"https://cdxdiff.test/doc/{i}"
+                if snapshot == "a":
+                    urls.append(u)
+                    texts.append(t)
+                    tss.append((base + np.timedelta64(i, "s")).item())
+                else:
+                    if i % 11 != 5:
+                        urls.append(u)
+                        texts.append(t + "-v2" if i % 7 == 3 else t)
+                        tss.append((base + np.timedelta64(i, "s")).item())
+                    if i % 13 == 2:
+                        urls.append(u + "/alt")
+                        texts.append("alt-" + t)
+                        tss.append(
+                            (base + np.timedelta64(i, "s")).item()
+                        )
+            n = len(urls)
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": pa.array(tss, pa.timestamp("us")),
+                    "lang": pa.array(["en"] * n, pa.string()),
+                    "html": pa.array(
+                        [t.encode("utf-8") for t in texts], pa.binary()
+                    ),
+                }
+            )
+
+        write_warc(
+            docs.map_batches(
+                lambda b: pages(b, "a"), batch_format="pyarrow"
+            ),
+            warc_a,
+            compress="gzip",
+        )
+        write_warc(
+            docs.map_batches(
+                lambda b: pages(b, "b"), batch_format="pyarrow"
+            ),
+            warc_b,
+            compress="gzip",
+        )
+        build_cdxj(warc_a, cdx_a)
+        build_cdxj(warc_b, cdx_b)
+        out = cdx_diff(cdx_a, cdx_b).to_pandas()
+        return out.sort_values("url", kind="mergesort").reset_index(
+            drop=True
+        )
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_CDX_DIFF_SQL = """
+SELECT 'https://cdxdiff.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 11 = 5 THEN 'removed'
+            WHEN doc_id % 7 = 3 THEN 'changed'
+            ELSE 'same' END AS change
+FROM documents
+UNION ALL
+SELECT 'https://cdxdiff.test/doc/' || CAST(doc_id AS VARCHAR) || '/alt',
+       'added'
+FROM documents WHERE doc_id % 13 = 2
+ORDER BY url
+"""
+
+
 def q_paragraph_dedup(sf_dir: str):
     """CCNet-style paragraph-hash dedup (Wenzek et al. 2020) — the
     dedup pass CCNet runs over Common Crawl WET text: every distinct
@@ -10719,6 +10822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_index": q_cdx_index,
         "host_graph_edges": q_host_graph_edges,
         "paragraph_dedup": q_paragraph_dedup,
+        "cdx_diff": q_cdx_diff,
         "volume_shipping": q_volume_shipping,
         "gini_mean_difference": q_gini_mean_difference,
         "market_share": q_market_share,
@@ -12363,6 +12467,7 @@ ORDER BY host
         "cdx_index": _CDX_INDEX_SQL,
         "host_graph_edges": _HOST_GRAPH_SQL,
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+        "cdx_diff": _CDX_DIFF_SQL,
         "volume_shipping": _VOLUME_SHIPPING_SQL,
         "gini_mean_difference": _GMD_SQL,
         "market_share": _MARKET_SHARE_SQL,

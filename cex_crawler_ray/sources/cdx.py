@@ -471,3 +471,75 @@ def fetch_record(entry: dict, warc_dir: str) -> dict:
         data = gzip.decompress(data)
     rec = parse_warc_bytes(data)
     return {k: v[0] for k, v in rec.items()}
+
+
+def cdx_diff(dir_a: str, dir_b: str, num_parts: int = 64):
+    """Snapshot diff of two CDXJ indexes — the incremental-recrawl
+    driver: compare crawl A's index against crawl B's BY DIGEST and
+    classify every URL as ``same`` / ``changed`` / ``added`` /
+    ``removed``.  This is the cheap form of change detection a
+    recrawler runs between crawls (feeding ``recrawl_priority``'s
+    observation log): index rows are ~100 bytes, so diffing two 100-TB
+    crawls moves only their indexes, never page payloads.
+
+    Plan: both indexes stream in (one task per shard), rows tag their
+    side, ONE coarse SURT-hash partition co-locates each URL's rows
+    from both snapshots, and a vectorized pandas outer merge per
+    partition classifies (latest capture per side wins when a snapshot
+    holds multiple).  Output: (url, change) rows.
+    """
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply, _hash64
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            surts = batch["surt"].to_pylist()
+            n = len(surts)
+            return pa.table(
+                {
+                    "khash": pa.array(
+                        [_hash64(s) for s in surts], pa.uint64()
+                    ),
+                    "surt": batch["surt"],
+                    "url": batch["url"],
+                    "ts": batch["ts"],
+                    "digest": batch["digest"],
+                    "side": pa.array([side] * n, pa.int64()),
+                }
+            )
+
+        return f
+
+    import ray
+
+    u = (
+        read_cdxj(dir_a)
+        .map_batches(tag(0), batch_format="pyarrow")
+        .union(read_cdxj(dir_b).map_batches(tag(1), batch_format="pyarrow"))
+    )
+
+    def classify(part: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        df = part.to_pandas().sort_values(["surt", "side", "ts"])
+        latest = df.groupby(["surt", "side"], as_index=False).tail(1)
+        a = latest[latest["side"] == 0][["surt", "url", "digest"]]
+        b = latest[latest["side"] == 1][["surt", "url", "digest"]]
+        m = a.merge(b, on="surt", how="outer", suffixes=("_a", "_b"))
+        in_a = m["url_a"].notna().to_numpy()
+        in_b = m["url_b"].notna().to_numpy()
+        same = in_a & in_b & (m["digest_a"] == m["digest_b"]).to_numpy()
+        change = np.select(
+            [same, in_a & in_b, in_b],
+            ["same", "changed", "added"],
+            default="removed",
+        )
+        url = np.where(in_b, m["url_b"].to_numpy(), m["url_a"].to_numpy())
+        return pa.table(
+            {
+                "url": pa.array(url.astype(object), pa.string()),
+                "change": pa.array(change.astype(object), pa.string()),
+            }
+        )
+
+    return _coarse_group_apply(u, "khash", classify, num_parts)

@@ -187,3 +187,41 @@ def test_duplicate_captures_sorted_by_ts(ray_session, tmp_path):
     assert len(hits) == 2
     payloads = [fetch_record(h, warc_dir)["payload"] for h in hits]
     assert payloads == [b"v1", b"v2"]
+
+
+def test_cdx_diff_latest_capture_wins(ray_session, tmp_path):
+    """A snapshot holding two captures of one URL diffs on the LATEST
+    capture's digest."""
+    import ray
+
+    from cex_crawler_ray.sources.cdx import build_cdxj, cdx_diff
+
+    base = np.datetime64("2024-03-01T00:00:00")
+
+    def snap(rows):
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array(
+                    [
+                        (base + np.timedelta64(r[1], "h")).item()
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "html": pa.array([r[2] for r in rows], pa.binary()),
+            }
+        )
+
+    u = "https://d.test/p"
+    a_rows = [(u, 1, b"old"), (u, 2, b"new")]  # latest digest: "new"
+    b_rows = [(u, 3, b"new")]
+    dirs = {}
+    for name, rows in (("a", a_rows), ("b", b_rows)):
+        wd, cd = str(tmp_path / f"w{name}"), str(tmp_path / f"c{name}")
+        write_warc(ray.data.from_arrow(snap(rows)), wd)
+        build_cdxj(wd, cd)
+        dirs[name] = cd
+    out = cdx_diff(dirs["a"], dirs["b"]).to_pandas()
+    assert out.to_dict("records") == [{"url": u, "change": "same"}]
