@@ -396,6 +396,9 @@ def bench_queries(sf_dir: str) -> dict:
         "wet_roundtrip",
         "wat_outlinks",
         "cdx_index",
+        "cdx_diff",
+        "host_graph_edges",
+        "paragraph_dedup",
         "strip_boilerplate",
         "repetition_stats",
         "dup_spans",
