@@ -9864,6 +9864,62 @@ def q_wat_outlinks(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_crawl_archive(sf_dir: str):
+    """End-to-end crawl → archive → index: the flagship crawl's fetched
+    url set re-fetches bucket-aligned from the page store, serializes
+    as per-record-gzip .warc.gz shards (the Common Crawl wire format),
+    gets a CDXJ index build, and the INDEX is the answer — its
+    (surt, url) rows must equal the crawl model the SQL twin recomputes
+    (robots + M12 title filters + hubs), with the SURT transform
+    reconstructed independently in SQL.  This is the full pipeline a
+    CC-style operation runs per segment: crawl, archive, index."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.pipelines.flagship import page_store_for
+    from cex_crawler_ray.sources.cdx import build_cdxj, read_cdxj
+    from cex_crawler_ray.sources.warc import write_warc
+
+    run = _flagship_run(sf_dir)
+    urls = run.fetched_table()["url"]
+    store = page_store_for(sf_dir)
+    pages = store.fetch_aligned(pa.table({"url": urls}))
+
+    warc_dir = tempfile.mkdtemp(prefix="cex_crawlarc_w_")
+    cdx_dir = tempfile.mkdtemp(prefix="cex_crawlarc_c_")
+    try:
+        base = np.datetime64("2024-03-08T09:00:00").item()
+
+        def to_records(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "url": batch["url"],
+                    # archive timestamp: the crawl's as_of instant —
+                    # constant, so shard bytes stay deterministic
+                    "warc_ts": pa.array([base] * n, pa.timestamp("us")),
+                    "lang": pa.array([""] * n, pa.string()),
+                    "html": batch["html"],
+                }
+            )
+
+        write_warc(
+            pages.map_batches(to_records, batch_format="pyarrow"),
+            warc_dir,
+            compress="gzip",
+        )
+        build_cdxj(warc_dir, cdx_dir)
+        idx = read_cdxj(cdx_dir).select_columns(["surt", "url"]).to_pandas()
+        return idx.sort_values(
+            ["surt", "url"], kind="mergesort"
+        ).reset_index(drop=True)
+    finally:
+        shutil.rmtree(warc_dir, ignore_errors=True)
+        shutil.rmtree(cdx_dir, ignore_errors=True)
+
+
 def q_cdx_diff(sf_dir: str):
     """Incremental-recrawl change detection: two crawl snapshots
     serialize to .warc.gz, each gets a CDXJ index build, and
@@ -10823,6 +10879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph_edges": q_host_graph_edges,
         "paragraph_dedup": q_paragraph_dedup,
         "cdx_diff": q_cdx_diff,
+        "crawl_archive": q_crawl_archive,
         "volume_shipping": q_volume_shipping,
         "gini_mean_difference": q_gini_mean_difference,
         "market_share": q_market_share,
@@ -12468,6 +12525,20 @@ ORDER BY host
         "host_graph_edges": _HOST_GRAPH_SQL,
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "cdx_diff": _CDX_DIFF_SQL,
+        "crawl_archive": _CRAWL_CTE
+        + """
+SELECT surt, url FROM (
+  SELECT 'test,' || source || ')/articles/' || CAST(doc_id AS VARCHAR)
+           AS surt,
+         url
+  FROM ex
+  UNION ALL
+  SELECT DISTINCT 'test,' || source || ')/hub' AS surt,
+         'https://' || source || '.test/hub' AS url
+  FROM documents
+)
+ORDER BY surt, url
+""",
         "volume_shipping": _VOLUME_SHIPPING_SQL,
         "gini_mean_difference": _GMD_SQL,
         "market_share": _MARKET_SHARE_SQL,

@@ -397,6 +397,7 @@ def bench_queries(sf_dir: str) -> dict:
         "wat_outlinks",
         "cdx_index",
         "cdx_diff",
+        "crawl_archive",
         "host_graph_edges",
         "paragraph_dedup",
         "strip_boilerplate",
