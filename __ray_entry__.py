@@ -10077,20 +10077,10 @@ FROM ranked GROUP BY doc_id ORDER BY doc_id
 """
 
 
-def q_host_graph_edges(sf_dir: str):
-    """Host-level webgraph from a WAT corpus — the pipeline behind
-    Common Crawl's published host/domain webgraph releases: per-page
-    outlinks (WAT ``metadata`` JSON) fold to their host pair, and the
-    graph is the (src_host, dst_host, n_links) aggregate.  Here each
-    document serializes a deterministic outlink set into a real WAT
-    container (two targets per page: the successor doc and the doubled
-    doc, each on its id-derived host), the streaming parser reads the
-    shards back, link extraction and the host fold run in the workers,
-    and ONE groupby moves only host-pair rows.  The SQL twin replicates
-    the link rule directly from the documents table, so the container
-    roundtrip, JSON payload parse and edge aggregation are all
-    value-checked.  Scale shape: payloads never shuffle; the exchange
-    carries (src, dst) pairs pre-counted per batch (hosts ≪ pages)."""
+def _host_wat_edge_agg(sf_dir: str):
+    """Shared WAT → host-edge aggregation behind ``host_graph_edges``
+    and ``host_pagerank`` (see q_host_graph_edges for the full plan):
+    returns the (src_host, dst_host, n_links) pandas aggregate."""
     import json as _json
     import shutil
     import tempfile
@@ -10174,11 +10164,89 @@ def q_host_graph_edges(sf_dir: str):
                 "dst_host": agg["dst_host"],
                 "n_links": agg["sum(n)"].astype("int64"),
             }
-        ).sort_values(
-            ["src_host", "dst_host"], kind="mergesort"
-        ).reset_index(drop=True)
+        )
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def q_host_graph_edges(sf_dir: str):
+    """Host-level webgraph from a WAT corpus — the pipeline behind
+    Common Crawl's published host/domain webgraph releases: per-page
+    outlinks (WAT ``metadata`` JSON) fold to their host pair, and the
+    graph is the (src_host, dst_host, n_links) aggregate.  Here each
+    document serializes a deterministic outlink set into a real WAT
+    container (two targets per page: the successor doc and the doubled
+    doc, each on its id-derived host), the streaming parser reads the
+    shards back, link extraction and the host fold run in the workers,
+    and ONE groupby moves only host-pair rows.  The SQL twin replicates
+    the link rule directly from the documents table, so the container
+    roundtrip, JSON payload parse and edge aggregation are all
+    value-checked.  Scale shape: payloads never shuffle; the exchange
+    carries (src, dst) pairs pre-counted per batch (hosts ≪ pages)."""
+    return (
+        _host_wat_edge_agg(sf_dir)
+        .sort_values(["src_host", "dst_host"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def q_host_pagerank(sf_dir: str):
+    """Host-level PageRank over the WAT-derived webgraph — the ranking
+    Common Crawl publishes with its host webgraph releases, and the
+    frontier-prioritization signal a crawler feeds back into
+    ``host_budget_allocation``.  Distinct host edges (self-loops
+    dropped) map to sorted-host index ids, the fixed-point integer
+    PageRank runs (bit-reproducible — exact floor divisions), and ranks
+    map back to host names.  The SQL twin is the same unrolled-CTE
+    PageRank parameterized with the host edge rule, nodes as
+    strings."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import pagerank
+
+    df = _host_wat_edge_agg(sf_dir)
+    e = df[df["src_host"] != df["dst_host"]][
+        ["src_host", "dst_host"]
+    ].drop_duplicates()
+    hosts = np.sort(
+        np.unique(np.concatenate([e["src_host"], e["dst_host"]]))
+    )
+    edges_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(
+                    np.searchsorted(hosts, e["src_host"]), pa.int64()
+                ),
+                "dst": pa.array(
+                    np.searchsorted(hosts, e["dst_host"]), pa.int64()
+                ),
+            }
+        )
+    )
+    pr = pagerank(edges_ds).to_pandas()
+    return pd.DataFrame(
+        {
+            "host": hosts[pr["node"].to_numpy(dtype=np.int64)],
+            "pr_rank": pr["pr_rank"].astype("int64"),
+        }
+    ).sort_values("host", kind="mergesort").reset_index(drop=True)
+
+
+_HOST_EDGES_CTE = """n AS (SELECT count(*) AS n_docs FROM documents),
+links AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS src_host,
+         'h' || CAST(((doc_id + 1) % n_docs) % 7 AS VARCHAR) AS dst_host
+  FROM documents, n
+  UNION ALL
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR),
+         'h' || CAST(((2 * doc_id) % n_docs) % 7 AS VARCHAR)
+  FROM documents, n
+),
+edges AS (
+  SELECT DISTINCT src_host || '.graph.test' AS src,
+         dst_host || '.graph.test' AS dst
+  FROM links WHERE src_host <> dst_host
+)"""
 
 
 _HOST_GRAPH_SQL = """
@@ -10880,6 +10948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,
         "cdx_diff": q_cdx_diff,
         "crawl_archive": q_crawl_archive,
+        "host_pagerank": q_host_pagerank,
         "volume_shipping": q_volume_shipping,
         "gini_mean_difference": q_gini_mean_difference,
         "market_share": q_market_share,
@@ -11281,15 +11350,7 @@ r{k} AS (
     return "".join(parts)
 
 
-def _pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
-    """Unrolled-CTE DuckDB PageRank, bit-identical to
-    ``cex_crawler_ray.stages.window.pagerank`` — both sides use int64
-    micro-rank units and exact floor divisions, so summation order
-    cannot perturb a single bit (the same trick as the cents-scaled
-    SUM oracles)."""
-    parts = [
-        f"""
-WITH ev AS (
+_EVENT_EDGES_CTE = """ev AS (
   SELECT user_id AS src,
          LEAD(user_id) OVER (ORDER BY ts, event_id) AS dst
   FROM events
@@ -11297,7 +11358,23 @@ WITH ev AS (
 edges AS (
   SELECT DISTINCT src, dst FROM ev
   WHERE dst IS NOT NULL AND dst <> src
-),
+)"""
+
+
+def _pagerank_sql(
+    iters: int = 5, scale: int = 10**12, edges_cte: str = _EVENT_EDGES_CTE
+) -> str:
+    """Unrolled-CTE DuckDB PageRank, bit-identical to
+    ``cex_crawler_ray.stages.window.pagerank`` — both sides use int64
+    micro-rank units and exact floor divisions, so summation order
+    cannot perturb a single bit (the same trick as the cents-scaled
+    SUM oracles).  ``edges_cte`` must define an ``edges(src, dst)``
+    relation of DISTINCT directed edges without self-loops; nodes may
+    be any equality-joinable type (the rank arithmetic never touches
+    them)."""
+    parts = [
+        f"""
+WITH {edges_cte},
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
 deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
@@ -13738,6 +13815,11 @@ SELECT event_id,
 FROM events
 """,
         "pagerank_nodes": _pagerank_sql(),
+        "host_pagerank": (
+            "SELECT node AS host, pr_rank FROM ("
+            + _pagerank_sql(edges_cte=_HOST_EDGES_CTE)
+            + ") ORDER BY host"
+        ),
         "ppr_nodes": _ppr_sql(),
         "triangle_count": """
 WITH ev AS (

@@ -399,6 +399,7 @@ def bench_queries(sf_dir: str) -> dict:
         "cdx_diff",
         "crawl_archive",
         "host_graph_edges",
+        "host_pagerank",
         "paragraph_dedup",
         "strip_boilerplate",
         "repetition_stats",
