@@ -795,7 +795,10 @@ def run_stress() -> None:
         }
 
     report = {"metric": "sf1_stress", "unit": "sec", "factor": factor}
-    for name in ("minhash_dup_pairs", "tfidf_cosine_pairs"):
+    # cdx_index: the full WARC-write -> shard-scan -> SURT -> global
+    # index sort -> CDXJ-write chain at 10x — rows and wall must scale
+    # linearly (index rows ~ pages; one ~100-byte-row sort)
+    for name in ("minhash_dup_pairs", "tfidf_cosine_pairs", "cdx_index"):
         base = run_query(name, base_sf)
         big = run_query(name, stress_dir)
         report[name] = {
