@@ -102,11 +102,20 @@ def profile_table(
     # consume ``ds``; without this the upstream chain executes twice
     ds = ds.materialize()
 
-    stats = (
-        ds.map_batches(stat_partial, batch_format="pyarrow")
-        .groupby("col_name")
-        .map_groups(stat_final, batch_format="pandas")
-        .to_pandas()
+    # the per-batch stat partials (one row per column per batch,
+    # integer/string min-max — order-free) are driver-bound: merge on
+    # the driver instead of paying a shuffle round
+    parts = pa.concat_tables(
+        ray.get(
+            ds.map_batches(
+                stat_partial, batch_format="pyarrow"
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    ).to_pandas()
+    stats = pd.concat(
+        [stat_final(g) for _, g in parts.groupby("col_name", sort=True)],
+        ignore_index=True,
     )
 
     # ---------------- exact distinct per column (value-bounded) ------
@@ -145,17 +154,19 @@ def profile_table(
 
     from .dedup import _coarse_group_apply
 
-    nd = (
+    from .dedup import driver_merge_sum
+
+    # per-partition distinct counts (<= columns x partitions int rows)
+    # are driver-bound — merge on the driver
+    nd = driver_merge_sum(
         _coarse_group_apply(
             ds.map_batches(distinct_partial, batch_format="pyarrow"),
             "_cell",
             count_partition,
-        )
-        .groupby("col_name")
-        .sum("nd")
-        .to_pandas()
-        .rename(columns={"sum(nd)": "n_distinct"})
-    )
+        ),
+        ["col_name"],
+        ["nd"],
+    ).rename(columns={"nd": "n_distinct"})
     nd["n_distinct"] = nd["n_distinct"].astype("int64")
 
     out = stats.merge(nd, on="col_name", how="left")
