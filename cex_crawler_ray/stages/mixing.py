@@ -56,14 +56,15 @@ def source_rates(
             }
         )
 
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(group_col)
-        .sum("n_docs")
+    from .dedup import driver_merge_sum
+
+    # driver-bound integer count partials: merge on the driver
+    mdf = driver_merge_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col],
+        ["n_docs"],
     )
-    tbl = pa.concat_tables(
-        ray.get(merged.to_arrow_refs()), promote_options="default"
-    ).rename_columns([group_col, "n_docs"])
+    tbl = pa.Table.from_pandas(mdf, preserve_index=False)
     n = tbl["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
     nmin = float(n.min())
     if alpha == 0.5:

@@ -68,14 +68,17 @@ def length_band_filter(
             }
         )
 
-    merged = (
-        ds.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby("v")
-        .sum("c")
+    from .dedup import driver_merge_sum
+
+    # driver-bound integer histogram partials: merge on the driver
+    hist = pa.Table.from_pandas(
+        driver_merge_sum(
+            ds.map_batches(hist_partial, batch_format="pyarrow"),
+            ["v"],
+            ["c"],
+        ),
+        preserve_index=False,
     )
-    hist = pa.concat_tables(
-        ray.get(merged.to_arrow_refs()), promote_options="default"
-    ).rename_columns(["v", "c"])
     lo_val, hi_val = value_band_cuts(hist, lo_frac, hi_frac)
 
     def keep(batch: pa.Table) -> pa.Table:

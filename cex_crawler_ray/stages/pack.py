@@ -69,14 +69,15 @@ def pack_index(
             }
         )
 
-    merged = (
-        ds.map_batches(bucket_partial, batch_format="pyarrow")
-        .groupby("part")
-        .sum("n_sum")
+    from .dedup import driver_merge_sum
+
+    # driver-bound integer token-sum partials: merge on the driver
+    mdf = driver_merge_sum(
+        ds.map_batches(bucket_partial, batch_format="pyarrow"),
+        ["part"],
+        ["n_sum"],
     )
-    tbl = pa.concat_tables(
-        ray.get(merged.to_arrow_refs()), promote_options="default"
-    ).rename_columns(["part", "n_sum"])
+    tbl = pa.Table.from_pandas(mdf, preserve_index=False)
     parts = tbl["part"].to_numpy(zero_copy_only=False).astype(np.int64)
     sums = tbl["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(parts)
