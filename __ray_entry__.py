@@ -9920,6 +9920,123 @@ def q_crawl_archive(sf_dir: str):
         shutil.rmtree(cdx_dir, ignore_errors=True)
 
 
+def q_cdx_bulk_fetch(sf_dir: str):
+    """Archive-backed SELECTIVE fetch at scale: a Dataset of query urls
+    (every doc_id%3==1 page) resolves against the CDXJ index by ONE
+    surt-hash co-partition (both sides ~100-byte rows — the
+    millions-of-urls path, vs the driver binary search for single
+    lookups), then only the matching records' byte spans are read and
+    inflated from the .warc.gz shards — work O(bytes fetched),
+    independent of archive size.  The SQL twin recomputes the subset's
+    payload lengths and digests straight from documents."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.sources.cdx import (
+        build_cdxj,
+        cdx_bulk_lookup,
+        fetch_resolved,
+    )
+    from cex_crawler_ray.sources.warc import write_warc
+
+    warc_dir = tempfile.mkdtemp(prefix="cex_bulk_w_")
+    cdx_dir = tempfile.mkdtemp(prefix="cex_bulk_c_")
+    try:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def to_pages(batch: pa.Table) -> pa.Table:
+            ids = [int(i) for i in batch["doc_id"].to_pylist()]
+            texts = batch["text"].to_pylist()
+            base = np.datetime64("2024-03-01T00:00:00")
+            return pa.table(
+                {
+                    "url": pa.array(
+                        [f"https://bulk.cdx.test/doc/{i}" for i in ids],
+                        pa.string(),
+                    ),
+                    "warc_ts": pa.array(
+                        [
+                            (base + np.timedelta64(i, "s")).item()
+                            for i in ids
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                    "lang": pa.array([""] * len(ids), pa.string()),
+                    "html": pa.array(
+                        [t.encode("utf-8") for t in texts], pa.binary()
+                    ),
+                }
+            )
+
+        write_warc(
+            docs.map_batches(to_pages, batch_format="pyarrow"),
+            warc_dir,
+            compress="gzip",
+        )
+        build_cdxj(warc_dir, cdx_dir)
+
+        def queries_batch(batch: pa.Table) -> pa.Table:
+            ids = [int(i) for i in batch["doc_id"].to_pylist()]
+            return pa.table(
+                {
+                    "url": pa.array(
+                        [
+                            f"https://bulk.cdx.test/doc/{i}"
+                            for i in ids
+                            if i % 3 == 1
+                        ],
+                        pa.string(),
+                    )
+                }
+            )
+
+        wanted = docs.map_batches(queries_batch, batch_format="pyarrow")
+        resolved = cdx_bulk_lookup(cdx_dir, wanted)
+        got = fetch_resolved(resolved, warc_dir)
+
+        def summarize(batch: pa.Table) -> pa.Table:
+            import hashlib as _h
+
+            urls = batch["url"].to_pylist()
+            payloads = batch["payload"].to_pylist()
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "payload_len": pa.array(
+                        [len(p) for p in payloads], pa.int64()
+                    ),
+                    "digest": pa.array(
+                        [_h.sha256(p).hexdigest() for p in payloads],
+                        pa.string(),
+                    ),
+                }
+            )
+
+        out = got.map_batches(
+            summarize, batch_format="pyarrow"
+        ).to_pandas()
+        return out.sort_values("url", kind="mergesort").reset_index(
+            drop=True
+        )
+    finally:
+        shutil.rmtree(warc_dir, ignore_errors=True)
+        shutil.rmtree(cdx_dir, ignore_errors=True)
+
+
+_CDX_BULK_FETCH_SQL = """
+SELECT 'https://bulk.cdx.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+       sha256(text) AS digest
+FROM documents
+WHERE doc_id % 3 = 1
+ORDER BY url
+"""
+
+
 def q_cdx_diff(sf_dir: str):
     """Incremental-recrawl change detection: two crawl snapshots
     serialize to .warc.gz, each gets a CDXJ index build, and
@@ -10949,6 +11066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_diff": q_cdx_diff,
         "crawl_archive": q_crawl_archive,
         "host_pagerank": q_host_pagerank,
+        "cdx_bulk_fetch": q_cdx_bulk_fetch,
         "volume_shipping": q_volume_shipping,
         "gini_mean_difference": q_gini_mean_difference,
         "market_share": q_market_share,
@@ -12602,6 +12720,7 @@ ORDER BY host
         "host_graph_edges": _HOST_GRAPH_SQL,
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "cdx_diff": _CDX_DIFF_SQL,
+        "cdx_bulk_fetch": _CDX_BULK_FETCH_SQL,
         "crawl_archive": _CRAWL_CTE
         + """
 SELECT surt, url FROM (

@@ -398,6 +398,7 @@ def bench_queries(sf_dir: str) -> dict:
         "cdx_index",
         "cdx_diff",
         "crawl_archive",
+        "cdx_bulk_fetch",
         "host_graph_edges",
         "host_pagerank",
         "paragraph_dedup",

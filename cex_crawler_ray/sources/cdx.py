@@ -543,3 +543,154 @@ def cdx_diff(dir_a: str, dir_b: str, num_parts: int = 64):
         )
 
     return _coarse_group_apply(u, "khash", classify, num_parts)
+
+
+def cdx_bulk_lookup(cdx_dir: str, urls_ds, num_parts: int = 64):
+    """Distributed point-lookup: resolve a DATASET of urls against the
+    index — the scale path when the query side is millions of urls
+    (the driver-side ``cdx_lookup`` binary search is for ones).  Query
+    urls SURT in their batches; ONE surt-hash co-partition co-locates
+    each query with its index rows (both sides carry ~100-byte rows);
+    unmatched urls drop (archive misses).  Returns (url, ts, filename,
+    offset, length, digest, payload_len) — one row per matching
+    capture.
+    """
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply, _hash64
+
+    def tag_query(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        surts = surt_key_batch(urls)
+        return pa.table(
+            {
+                "khash": pa.array(
+                    [_hash64(s) for s in surts], pa.uint64()
+                ),
+                "surt": pa.array(surts, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "side": pa.array([0] * len(urls), pa.int64()),
+            }
+        )
+
+    def tag_index(batch: pa.Table) -> pa.Table:
+        surts = batch["surt"].to_pylist()
+        n = len(surts)
+        return pa.table(
+            {
+                "khash": pa.array(
+                    [_hash64(s) for s in surts], pa.uint64()
+                ),
+                "surt": batch["surt"],
+                "url": batch["url"],
+                "side": pa.array([1] * n, pa.int64()),
+                "ts": batch["ts"],
+                "filename": batch["filename"],
+                "offset": batch["offset"],
+                "length": batch["length"],
+                "digest": batch["digest"],
+                "payload_len": batch["payload_len"],
+            }
+        )
+
+    import ray
+
+    q = urls_ds.map_batches(tag_query, batch_format="pyarrow")
+    idx = read_cdxj(cdx_dir).map_batches(tag_index, batch_format="pyarrow")
+
+    def resolve(part: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = part.to_pandas()
+        qs = df[df["side"] == 0][["surt", "url"]]
+        ix = df[df["side"] == 1].drop(columns=["khash", "side", "url"])
+        m = qs.merge(ix, on="surt", how="inner")
+        return pa.table(
+            {
+                "url": pa.array(m["url"].to_numpy(object), pa.string()),
+                "ts": pa.array(m["ts"].to_numpy(object), pa.string()),
+                "filename": pa.array(
+                    m["filename"].to_numpy(object), pa.string()
+                ),
+                "offset": pa.array(
+                    m["offset"].to_numpy(np.int64), pa.int64()
+                ),
+                "length": pa.array(
+                    m["length"].to_numpy(np.int64), pa.int64()
+                ),
+                "digest": pa.array(
+                    m["digest"].to_numpy(object), pa.string()
+                ),
+                "payload_len": pa.array(
+                    m["payload_len"].to_numpy(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    # the union's two sides have different schemas; pad the query side
+    # with nulls via concat-with-promote inside the partition instead:
+    # union requires matching columns, so pad here
+    def pad_query(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        nulls_s = pa.array([None] * n, pa.string())
+        nulls_i = pa.array([None] * n, pa.int64())
+        return pa.table(
+            {
+                "khash": batch["khash"],
+                "surt": batch["surt"],
+                "url": batch["url"],
+                "side": batch["side"],
+                "ts": nulls_s,
+                "filename": nulls_s,
+                "offset": nulls_i,
+                "length": nulls_i,
+                "digest": nulls_s,
+                "payload_len": nulls_i,
+            }
+        )
+
+    u = q.map_batches(pad_query, batch_format="pyarrow").union(idx)
+    return _coarse_group_apply(u, "khash", resolve, num_parts)
+
+
+def fetch_resolved(entries_ds, warc_dir: str):
+    """Archive-backed selective fetch: read each resolved entry's
+    record by (filename, offset, length) — grouped by filename inside
+    every batch so one shard opens once per batch, each member
+    inflated independently (the .warc.gz per-record-member contract).
+    Work per task is O(bytes fetched), independent of archive size.
+    Returns (url, payload) rows.
+    """
+
+    def fetch_batch(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().sort_values(["filename", "offset"])
+        urls, payloads = [], []
+        for fn, grp in df.groupby("filename", sort=False):
+            path = os.path.join(warc_dir, fn)
+            with open(path, "rb") as f:
+                for url, off, ln in zip(
+                    grp["url"], grp["offset"], grp["length"]
+                ):
+                    f.seek(int(off))
+                    data = f.read(int(ln))
+                    if data[:2] == _GZ_MAGIC:
+                        data = gzip.decompress(data)
+                    head_end = data.find(_CRLF + _CRLF)
+                    clen = 0
+                    for line in data[:head_end].decode(
+                        "utf-8", "replace"
+                    ).split("\r\n"):
+                        if line.lower().startswith("content-length:"):
+                            clen = int(line.partition(":")[2].strip())
+                    urls.append(url)
+                    payloads.append(
+                        data[head_end + 4 : head_end + 4 + clen]
+                    )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return entries_ds.map_batches(fetch_batch, batch_format="pyarrow")

@@ -225,3 +225,37 @@ def test_cdx_diff_latest_capture_wins(ray_session, tmp_path):
         dirs[name] = cd
     out = cdx_diff(dirs["a"], dirs["b"]).to_pandas()
     assert out.to_dict("records") == [{"url": u, "change": "same"}]
+
+
+def test_bulk_lookup_and_fetch(ray_session, tmp_path):
+    """Dataset-of-urls resolution + grouped selective fetch: hits
+    resolve to exact payloads, misses drop."""
+    import ray
+
+    from cex_crawler_ray.sources.cdx import (
+        build_cdxj,
+        cdx_bulk_lookup,
+        fetch_resolved,
+    )
+
+    pages = _pages(n=90, hosts=4)
+    warc_dir = str(tmp_path / "warc")
+    cdx_dir = str(tmp_path / "cdx")
+    write_warc(
+        ray.data.from_arrow(pages).repartition(5), warc_dir, compress="gzip"
+    )
+    build_cdxj(warc_dir, cdx_dir)
+    want = {
+        u: p
+        for u, p in zip(pages["url"].to_pylist(), pages["html"].to_pylist())
+    }
+    qs = [u for i, u in enumerate(pages["url"].to_pylist()) if i % 4 == 2]
+    queries = ray.data.from_arrow(
+        pa.table({"url": pa.array(qs + ["https://miss.test/x"], pa.string())})
+    )
+    got = fetch_resolved(
+        cdx_bulk_lookup(cdx_dir, queries), warc_dir
+    ).to_pandas()
+    assert sorted(got["url"]) == sorted(qs)  # miss dropped
+    for u, p in zip(got["url"], got["payload"]):
+        assert bytes(p) == want[u]
