@@ -10172,8 +10172,12 @@ def q_paragraph_dedup(sf_dir: str):
 _PARAGRAPH_DEDUP_SQL = """
 WITH w AS (
   SELECT doc_id,
-         generate_subscripts(string_split(text, ' '), 1) - 1 AS ord,
-         unnest(string_split(text, ' ')) AS word
+         generate_subscripts(
+           list_filter(string_split(text, ' '), x -> x <> ''), 1
+         ) - 1 AS ord,
+         unnest(
+           list_filter(string_split(text, ' '), x -> x <> '')
+         ) AS word
   FROM documents
 ),
 paras AS (

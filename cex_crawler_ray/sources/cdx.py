@@ -94,12 +94,28 @@ def _sort_query(rest: str) -> str:
     return path + "?" + "&".join(sorted(q.split("&")))
 
 
+def _escape_key(key: str) -> str:
+    """CDXJ lines are space-delimited, so the key itself must never
+    contain whitespace: percent-encode the characters that would break
+    the line framing (real SURT canonicalization likewise
+    percent-encodes).  Idempotent for already-clean keys."""
+    return (
+        key.replace("%", "%25")
+        .replace(" ", "%20")
+        .replace("\t", "%09")
+        .replace("\n", "%0A")
+        .replace("\r", "%0D")
+    )
+
+
 def surt_key(url: str) -> str:
     """Scalar SURT.  Non-URL strings key as themselves lowercased (so
-    the sort stays total on dirty input rather than raising)."""
+    the sort stays total on dirty input rather than raising);
+    whitespace is percent-encoded so the key can never break the
+    space-delimited CDXJ line framing."""
     m = _URL_RE.match(url)
     if not m:
-        return url.lower()
+        return _escape_key(url.lower())
     scheme = m.group("scheme").lower()
     host = _reverse_host(m.group("host"))
     port = m.group("port")
@@ -108,7 +124,7 @@ def surt_key(url: str) -> str:
     rest = _sort_query(m.group("rest") or "/")
     if not rest.startswith("/"):
         rest = "/" + rest
-    return host + ")" + rest
+    return _escape_key(host + ")" + rest)
 
 
 def surt_key_batch(urls: list[str]) -> list[str]:
@@ -126,7 +142,7 @@ def surt_key_batch(urls: list[str]) -> list[str]:
     fast = (
         parts["scheme"].notna()
         & parts["port"].isna()
-        & ~s.str.contains(r"[?#]", regex=True, na=True)
+        & ~s.str.contains(r"[?#%\s]", regex=True, na=True)
     )
     out = [None] * len(urls)
     if fast.any():
@@ -141,8 +157,10 @@ def surt_key_batch(urls: list[str]) -> list[str]:
     return out
 
 
-def _record_fields(rec: bytes) -> tuple[str, str, int]:
-    """(url, ts14, payload_len) from one decompressed WARC record."""
+def _record_fields(rec: bytes) -> tuple[str, str, int, int]:
+    """(url, ts14, payload_len, head_end) from one decompressed WARC
+    record — the single header parser every CDX consumer shares (the
+    payload spans ``rec[head_end+4 : head_end+4+payload_len]``)."""
     head_end = rec.find(_CRLF + _CRLF)
     head = rec[:head_end].decode("utf-8", "replace")
     url, ts, clen = "", "", 0
@@ -156,7 +174,7 @@ def _record_fields(rec: bytes) -> tuple[str, str, int]:
         elif k == "content-length":
             clen = int(v.strip())
     ts14 = re.sub(r"[^0-9]", "", ts)[:14]
-    return url, ts14, clen
+    return url, ts14, clen, head_end
 
 
 def index_warc_bytes(data: bytes, filename: str) -> dict:
@@ -174,8 +192,7 @@ def index_warc_bytes(data: bytes, filename: str) -> dict:
     }
 
     def emit(rec: bytes, off: int, ln: int) -> None:
-        url, ts14, clen = _record_fields(rec)
-        head_end = rec.find(_CRLF + _CRLF)
+        url, ts14, clen, head_end = _record_fields(rec)
         payload = rec[head_end + 4 : head_end + 4 + clen]
         cols["url"].append(url)
         cols["ts"].append(ts14)
@@ -186,10 +203,13 @@ def index_warc_bytes(data: bytes, filename: str) -> dict:
         cols["filename"].append(filename)
 
     if data[:2] == _GZ_MAGIC:
+        # memoryview: slicing the remaining tail per member must be
+        # zero-copy, or the scan is O(records x shard bytes) in memcpy
+        mv = memoryview(data)
         pos, n = 0, len(data)
         while pos < n and data[pos : pos + 2] == _GZ_MAGIC:
             d = zlib.decompressobj(wbits=31)
-            rec = d.decompress(data[pos:])
+            rec = d.decompress(mv[pos:])
             member_len = (n - pos) - len(d.unused_data)
             emit(rec, pos, member_len)
             pos += member_len
@@ -310,11 +330,22 @@ def build_cdxj(warc_dir: str, out_dir: str):
     # which would shift every offset — so shard paths fan out as rows
     # and each scan task opens its file raw.  Same one-task-per-shard
     # parallelism; a shared filesystem serves the open on a cluster.
+    # response shards ONLY: exact-suffix match excludes torn .tmp-*
+    # leftovers from crashed writers and co-located .warc.wet /
+    # .warc.wat companion shards (whose records are conversions /
+    # metadata, not captures)
     paths = sorted(
         os.path.join(warc_dir, fn)
         for fn in os.listdir(warc_dir)
-        if ".warc" in fn
+        if fn.endswith((".warc", ".warc.gz"))
     )
+    # a rebuild REPLACES the index: purge any previous cdx shards so
+    # read_cdxj (which globs *.gz) and cluster.idx can't disagree about
+    # which generation is current
+    if os.path.isdir(out_dir):
+        for fn in os.listdir(out_dir):
+            if fn.startswith("cdx-") or fn == "cluster.idx":
+                os.remove(os.path.join(out_dir, fn))
     files = ray.data.from_items([{"path": p} for p in paths])
 
     def index_batch(batch: pa.Table) -> pa.Table:
@@ -476,11 +507,17 @@ def fetch_record(entry: dict, warc_dir: str) -> dict:
 def cdx_diff(dir_a: str, dir_b: str, num_parts: int = 64):
     """Snapshot diff of two CDXJ indexes — the incremental-recrawl
     driver: compare crawl A's index against crawl B's BY DIGEST and
-    classify every URL as ``same`` / ``changed`` / ``added`` /
-    ``removed``.  This is the cheap form of change detection a
-    recrawler runs between crawls (feeding ``recrawl_priority``'s
-    observation log): index rows are ~100 bytes, so diffing two 100-TB
-    crawls moves only their indexes, never page payloads.
+    classify every capture identity as ``same`` / ``changed`` /
+    ``added`` / ``removed``.  This is the cheap form of change
+    detection a recrawler runs between crawls (feeding
+    ``recrawl_priority``'s observation log): index rows are ~100
+    bytes, so diffing two 100-TB crawls moves only their indexes,
+    never page payloads.
+
+    Identity is the SURT KEY, not the raw url — http/https/www/query-
+    order variants of one page deliberately collapse to one row (the
+    CDX canonicalization contract); the reported ``url`` is the latest
+    capture's spelling (B side when present).
 
     Plan: both indexes stream in (one task per shard), rows tag their
     side, ONE coarse SURT-hash partition co-locates each URL's rows
@@ -675,13 +712,7 @@ def fetch_resolved(entries_ds, warc_dir: str):
                     data = f.read(int(ln))
                     if data[:2] == _GZ_MAGIC:
                         data = gzip.decompress(data)
-                    head_end = data.find(_CRLF + _CRLF)
-                    clen = 0
-                    for line in data[:head_end].decode(
-                        "utf-8", "replace"
-                    ).split("\r\n"):
-                        if line.lower().startswith("content-length:"):
-                            clen = int(line.partition(":")[2].strip())
+                    _u, _t, clen, head_end = _record_fields(data)
                     urls.append(url)
                     payloads.append(
                         data[head_end + 4 : head_end + 4 + clen]

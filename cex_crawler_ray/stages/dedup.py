@@ -1117,6 +1117,12 @@ def paragraph_dedup_counts(
     a "paragraph" is a fixed ``words_per_para`` word window (the rule
     the SQL twin replicates); on real WET text pass the natural
     ``text.split("\\n\\n")`` segmentation by pre-splitting upstream.
+    Tokenization is an explicit SPACE split with empty tokens dropped —
+    exactly the ``list_filter(string_split(text, ' '), ...)`` form of
+    the SQL twin, so leading/trailing/double spaces can never desync
+    the window ordinals between the two sides (tabs/newlines stay
+    inside words on BOTH sides); an all-space document yields no
+    paragraphs on either side.
 
     Scale shape: the one exchange carries (doc_id, pidx, hash64) rows —
     never paragraph text (CCNet likewise dedups on the digest alone);
@@ -1131,7 +1137,7 @@ def paragraph_dedup_counts(
         for i, t in zip(
             batch[id_col].to_pylist(), batch[text_col].to_pylist()
         ):
-            words = (t or "").split()
+            words = [w for w in (t or "").split(" ") if w]
             for p in range(0, len(words), words_per_para):
                 ids.append(i)
                 pidxs.append(p // words_per_para)

@@ -93,6 +93,8 @@ def temperature_sample(
 
     Returns (id_col, group_col) rows.
     """
+    # rate pass + keep pass both consume ds — pin at the fork
+    ds = ds.materialize()
     rates = source_rates(ds, group_col=group_col, alpha=alpha)
     rate_map = dict(
         zip(rates[group_col].to_pylist(), rates["rate_ppm"].to_pylist())

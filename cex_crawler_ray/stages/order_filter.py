@@ -58,6 +58,8 @@ def length_band_filter(
 ) -> "ray.data.Dataset":
     """(id, n_chars) of documents whose character length lies within
     the corpus's [p_lo, p_hi] order-statistic band."""
+    # histogram pass + keep pass both consume ds — pin at the fork
+    ds = ds.materialize()
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         c = Counter(len(t) for t in batch[text_col].to_pylist())

@@ -32,7 +32,11 @@ def test_surt_scalar():
     assert surt_key("https://example.com:443/x") == "com,example)/x"
     assert surt_key("https://example.com:8443/x") == "com,example:8443)/x"
     assert surt_key("http://a.b/p#frag") == "b,a)/p"
-    assert surt_key("not a url") == "not a url"
+    # whitespace percent-encodes: CDXJ lines are space-delimited, so a
+    # dirty key must never break line framing
+    assert surt_key("not a url") == "not%20a%20url"
+    assert surt_key("https://a.b/p q") == "b,a)/p%20q"
+    assert surt_key("https://a.b/p%20q") == "b,a)/p%2520q"
 
 
 def test_surt_batch_matches_scalar():
@@ -43,6 +47,7 @@ def test_surt_batch_matches_scalar():
         "https://plain.host/just/path",
         "http://a.b/p#frag",
         "not a url",
+        "https://a.b/p q",
         "https://x.y.z/deep/path/page.html",
     ]
     assert surt_key_batch(urls) == [surt_key(u) for u in urls]
@@ -259,3 +264,49 @@ def test_bulk_lookup_and_fetch(ray_session, tmp_path):
     assert sorted(got["url"]) == sorted(qs)  # miss dropped
     for u, p in zip(got["url"], got["payload"]):
         assert bytes(p) == want[u]
+
+
+def test_dirty_url_survives_index_roundtrip(ray_session, tmp_path):
+    """A capture whose Target-URI contains spaces must not corrupt the
+    space-delimited CDXJ line framing for its whole shard."""
+    import ray
+
+    base = np.datetime64("2024-03-01T00:00:00")
+    t = pa.table(
+        {
+            "url": pa.array(
+                ["https://d.test/p q", "https://d.test/clean"], pa.string()
+            ),
+            "warc_ts": pa.array(
+                [(base + np.timedelta64(k, "s")).item() for k in (1, 2)],
+                pa.timestamp("us"),
+            ),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "html": pa.array([b"dirty", b"clean"], pa.binary()),
+        }
+    )
+    warc_dir, cdx_dir = str(tmp_path / "w"), str(tmp_path / "c")
+    write_warc(ray.data.from_arrow(t), warc_dir, compress="gzip")
+    build_cdxj(warc_dir, cdx_dir)
+    back = read_cdxj(cdx_dir).to_pandas()
+    assert sorted(back["url"]) == sorted(t["url"].to_pylist())
+    hits = cdx_lookup(cdx_dir, "https://d.test/p q")
+    assert len(hits) == 1
+    assert fetch_record(hits[0], warc_dir)["payload"] == b"dirty"
+
+
+def test_rebuild_replaces_index(ray_session, tmp_path):
+    """A second build into the same out_dir purges the first
+    generation's shards: read_cdxj and cluster.idx agree."""
+    import ray
+
+    warc_dir, cdx_dir = str(tmp_path / "w"), str(tmp_path / "c")
+    write_warc(ray.data.from_arrow(_pages(n=20)), warc_dir)
+    build_cdxj(warc_dir, cdx_dir)
+    # grow the corpus, rebuild
+    write_warc(
+        ray.data.from_arrow(_pages(n=40)), str(tmp_path / "w2")
+    )
+    build_cdxj(str(tmp_path / "w2"), cdx_dir)
+    back = read_cdxj(cdx_dir).to_pandas()
+    assert len(back) == 40  # no stale first-generation rows
