@@ -9920,6 +9920,87 @@ def q_crawl_archive(sf_dir: str):
         shutil.rmtree(cdx_dir, ignore_errors=True)
 
 
+def q_cdx_domain_scan(sf_dir: str):
+    """Domain range query over the index — the public CC-index query
+    shape (``com,example)/*``): SURT prefix interval bounds the shard
+    set via cluster.idx (driver-side kilobytes), only intersecting
+    shards are scanned, rows filter to the prefix.  Corpus = the
+    cdx_index query's .warc.gz build; the scanned host (w1) holds
+    exactly the doc_id%4==1 pages, which the SQL twin reconstructs."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.sources.cdx import build_cdxj, cdx_prefix_scan
+    from cex_crawler_ray.sources.warc import write_warc
+
+    warc_dir = tempfile.mkdtemp(prefix="cex_dscan_w_")
+    cdx_dir = tempfile.mkdtemp(prefix="cex_dscan_c_")
+    try:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def to_pages(batch: pa.Table) -> pa.Table:
+            ids = [int(i) for i in batch["doc_id"].to_pylist()]
+            texts = batch["text"].to_pylist()
+            base = np.datetime64("2024-03-01T00:00:00")
+            return pa.table(
+                {
+                    "url": pa.array(
+                        [
+                            f"https://w{i % 4}.pages.cdx-idx.test"
+                            f"/doc/{i}?b={i % 3}&a=1"
+                            for i in ids
+                        ],
+                        pa.string(),
+                    ),
+                    "warc_ts": pa.array(
+                        [
+                            (base + np.timedelta64(i, "s")).item()
+                            for i in ids
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                    "lang": pa.array([""] * len(ids), pa.string()),
+                    "html": pa.array(
+                        [t.encode("utf-8") for t in texts], pa.binary()
+                    ),
+                }
+            )
+
+        write_warc(
+            docs.map_batches(to_pages, batch_format="pyarrow"),
+            warc_dir,
+            compress="gzip",
+        )
+        build_cdxj(warc_dir, cdx_dir)
+        hit = (
+            cdx_prefix_scan(cdx_dir, "test,cdx-idx,pages,w1)")
+            .select_columns(["surt", "url"])
+            .to_pandas()
+        )
+        return hit.sort_values("surt", kind="mergesort").reset_index(
+            drop=True
+        )
+    finally:
+        shutil.rmtree(warc_dir, ignore_errors=True)
+        shutil.rmtree(cdx_dir, ignore_errors=True)
+
+
+_CDX_DOMAIN_SCAN_SQL = """
+SELECT
+  'test,cdx-idx,pages,w1)/doc/' || CAST(doc_id AS VARCHAR)
+    || '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS surt,
+  'https://w1.pages.cdx-idx.test/doc/' || CAST(doc_id AS VARCHAR)
+    || '?b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1' AS url
+FROM documents
+WHERE doc_id % 4 = 1
+ORDER BY surt
+"""
+
+
 def q_cdx_bulk_fetch(sf_dir: str):
     """Archive-backed SELECTIVE fetch at scale: a Dataset of query urls
     (every doc_id%3==1 page) resolves against the CDXJ index by ONE
@@ -11071,6 +11152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_archive": q_crawl_archive,
         "host_pagerank": q_host_pagerank,
         "cdx_bulk_fetch": q_cdx_bulk_fetch,
+        "cdx_domain_scan": q_cdx_domain_scan,
         "volume_shipping": q_volume_shipping,
         "gini_mean_difference": q_gini_mean_difference,
         "market_share": q_market_share,
@@ -12725,6 +12807,7 @@ ORDER BY host
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "cdx_diff": _CDX_DIFF_SQL,
         "cdx_bulk_fetch": _CDX_BULK_FETCH_SQL,
+        "cdx_domain_scan": _CDX_DOMAIN_SCAN_SQL,
         "crawl_archive": _CRAWL_CTE
         + """
 SELECT surt, url FROM (

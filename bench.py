@@ -399,6 +399,7 @@ def bench_queries(sf_dir: str) -> dict:
         "cdx_diff",
         "crawl_archive",
         "cdx_bulk_fetch",
+        "cdx_domain_scan",
         "host_graph_edges",
         "host_pagerank",
         "paragraph_dedup",

@@ -725,3 +725,63 @@ def fetch_resolved(entries_ds, warc_dir: str):
         )
 
     return entries_ds.map_batches(fetch_batch, batch_format="pyarrow")
+
+
+def cdx_prefix_scan(cdx_dir: str, surt_prefix: str, num_parts: int = 16):
+    """Range scan: every capture whose SURT starts with
+    ``surt_prefix`` — the domain/path query shape of the public CC
+    index (``com,example)/*``).  The two-level layout makes this
+    cheap: cluster.idx (driver-side, kilobytes) bounds the shard set
+    to those whose [first, last] range intersects the prefix
+    interval, and ONLY those shards are scanned — one task per
+    candidate shard, the rest of a 100-TB index untouched.  Returns
+    the index-row Dataset filtered to the prefix.
+    """
+    import ray
+
+    lo = surt_prefix
+    hi = surt_prefix + "\x7f"  # past any printable continuation
+    shards = [
+        name
+        for first, last, name, _n in _load_cluster_idx(cdx_dir)
+        if not (last < lo or first >= hi)
+    ]
+    files = ray.data.from_items(
+        [{"path": os.path.join(cdx_dir, name)} for name in shards]
+    )
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out = None
+        for path in batch["path"].to_pylist():
+            with open(path, "rb") as f:
+                data = f.read()
+            if data[:2] == _GZ_MAGIC:
+                data = gzip.decompress(data)
+            cols = _parse_cdxj_lines(data.decode("utf-8"))
+            keep = [
+                i
+                for i, s in enumerate(cols["surt"])
+                if s.startswith(surt_prefix)
+            ]
+            sub = {k: [v[i] for i in keep] for k, v in cols.items()}
+            if out is None:
+                out = sub
+            else:
+                for k in out:
+                    out[k].extend(sub[k])
+        if out is None:
+            out = _parse_cdxj_lines("")
+        return pa.table(
+            {
+                "surt": pa.array(out["surt"], pa.string()),
+                "ts": pa.array(out["ts"], pa.string()),
+                "url": pa.array(out["url"], pa.string()),
+                "offset": pa.array(out["offset"], pa.int64()),
+                "length": pa.array(out["length"], pa.int64()),
+                "digest": pa.array(out["digest"], pa.string()),
+                "payload_len": pa.array(out["payload_len"], pa.int64()),
+                "filename": pa.array(out["filename"], pa.string()),
+            }
+        )
+
+    return files.map_batches(scan, batch_format="pyarrow")

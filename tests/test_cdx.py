@@ -310,3 +310,24 @@ def test_rebuild_replaces_index(ray_session, tmp_path):
     build_cdxj(str(tmp_path / "w2"), cdx_dir)
     back = read_cdxj(cdx_dir).to_pandas()
     assert len(back) == 40  # no stale first-generation rows
+
+
+def test_prefix_scan_bounds_shards(ray_session, tmp_path):
+    """Prefix scan touches only shards whose cluster.idx range
+    intersects the prefix and returns exactly the prefix rows."""
+    import ray
+
+    from cex_crawler_ray.sources.cdx import cdx_prefix_scan
+
+    pages = _pages(n=120, hosts=6)
+    warc_dir, cdx_dir = str(tmp_path / "w"), str(tmp_path / "c")
+    write_warc(
+        ray.data.from_arrow(pages).repartition(6), warc_dir, compress="gzip"
+    )
+    build_cdxj(warc_dir, cdx_dir)
+    hit = cdx_prefix_scan(cdx_dir, "test,cdx,h2)").to_pandas()
+    want = sorted(
+        u for u in pages["url"].to_pylist() if "//h2." in u
+    )
+    assert sorted(hit["url"]) == want
+    assert cdx_prefix_scan(cdx_dir, "zzz,nope)").to_pandas().empty
