@@ -2149,9 +2149,18 @@ def q_pagerank_nodes(sf_dir: str):
     algorithm exactly.  Beyond-reference: the reference engine has no
     graph analytics; a crawler at scale ranks hosts/pages with exactly
     this to prioritize its frontier."""
+    from cex_crawler_ray.stages.window import pagerank
+
+    return pagerank(_event_edges(sf_dir))
+
+
+def _event_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct directed session-handoff edges (user -> next user, no
+    self-loops) — the shared input of ``pagerank_nodes`` /
+    ``salsa_scores`` (SQL twin: ``_EVENT_EDGES_CTE``)."""
     import pyarrow.compute as pc
 
-    from cex_crawler_ray.stages.window import lead_lag, pagerank
+    from cex_crawler_ray.stages.window import lead_lag
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
@@ -2165,13 +2174,29 @@ def q_pagerank_nodes(sf_dir: str):
         t = batch.filter(keep)
         return pa.table({"src": t["user_id"], "dst": t["lead_user_id"]})
 
-    edges = (
+    return (
         led.map_batches(to_edges, batch_format="pyarrow")
         .groupby(["src", "dst"])
         .count()
         .drop_columns(["count()"])
     )
-    return pagerank(edges)
+
+
+def q_salsa_scores(sf_dir: str):
+    """SALSA hub/authority ranking (Lempel & Moran 2001 — the
+    degree-normalized HITS web-search ranker) over the session-handoff
+    graph.  Hubs are directory-shaped nodes (outlinks hit in-demand
+    targets), authorities are content-shaped ones — the signal a
+    crawler uses to refetch hub pages more often than leaf articles
+    (the reference hard-codes this prior in its hub-page-first round
+    loop, reference ``collect_data.py``).  Every pull is an int64 floor
+    division (``h // outdeg`` then ``a // indeg``), so the score mass
+    is bounded by the initial total, no normalization step exists to
+    break bit-reproducibility, and the unrolled-CTE SQL twin
+    hash-matches exactly — same trick as ``pagerank_nodes``."""
+    from cex_crawler_ray.stages.window import salsa_scores
+
+    return salsa_scores(_event_edges(sf_dir))
 
 
 _TIERS = [
@@ -10434,6 +10459,47 @@ def q_host_pagerank(sf_dir: str):
     ).sort_values("host", kind="mergesort").reset_index(drop=True)
 
 
+def q_host_salsa(sf_dir: str):
+    """Host-level SALSA hubs/authorities over the WAT-derived webgraph
+    — the companion ranking to ``host_pagerank``: hub hosts are link
+    directories (their outlinks hit in-demand hosts), authority hosts
+    are destinations.  Same plan shape: distinct host edges (self-loops
+    dropped) map to sorted-host ids, the fixed-point integer SALSA
+    runs, ranks map back to host names; SQL twin is the same unrolled
+    CTE parameterized with the host edge rule."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import salsa_scores
+
+    df = _host_wat_edge_agg(sf_dir)
+    e = df[df["src_host"] != df["dst_host"]][
+        ["src_host", "dst_host"]
+    ].drop_duplicates()
+    hosts = np.sort(
+        np.unique(np.concatenate([e["src_host"], e["dst_host"]]))
+    )
+    edges_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(
+                    np.searchsorted(hosts, e["src_host"]), pa.int64()
+                ),
+                "dst": pa.array(
+                    np.searchsorted(hosts, e["dst_host"]), pa.int64()
+                ),
+            }
+        )
+    )
+    sc = salsa_scores(edges_ds).to_pandas()
+    return pd.DataFrame(
+        {
+            "host": hosts[sc["node"].to_numpy(dtype=np.int64)],
+            "hub_rank": sc["hub_rank"].astype("int64"),
+            "auth_rank": sc["auth_rank"].astype("int64"),
+        }
+    ).sort_values("host", kind="mergesort").reset_index(drop=True)
+
+
 _HOST_EDGES_CTE = """n AS (SELECT count(*) AS n_docs FROM documents),
 links AS (
   SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS src_host,
@@ -11151,6 +11217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_diff": q_cdx_diff,
         "crawl_archive": q_crawl_archive,
         "host_pagerank": q_host_pagerank,
+        "host_salsa": q_host_salsa,
         "cdx_bulk_fetch": q_cdx_bulk_fetch,
         "cdx_domain_scan": q_cdx_domain_scan,
         "volume_shipping": q_volume_shipping,
@@ -11260,6 +11327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_dup_spans": q_strip_dup_spans,
         "lead_user": q_lead_user,
         "pagerank_nodes": q_pagerank_nodes,
+        "salsa_scores": q_salsa_scores,
         "groupby_lineitem": q_groupby_lineitem,
         "topk_orders": q_topk_orders,
         "topk_per_group": q_topk_per_group,
@@ -11606,6 +11674,61 @@ r{k} AS (
         )
     parts.append(
         f"\nSELECT node, CAST(r AS BIGINT) AS pr_rank FROM r{iters}\n"
+    )
+    return "".join(parts)
+
+
+def _salsa_sql(
+    iters: int = 3, scale: int = 10**12, edges_cte: str = _EVENT_EDGES_CTE
+) -> str:
+    """Unrolled-CTE DuckDB SALSA, bit-identical to
+    ``cex_crawler_ray.stages.window.salsa_scores`` — both sides use
+    int64 units and exact floor divisions (``h // outdeg`` then
+    ``a // indeg``), so summation order cannot perturb a single bit
+    (the ``_pagerank_sql`` trick).  ``edges_cte`` must define an
+    ``edges(src, dst)`` relation of DISTINCT directed edges without
+    self-loops."""
+    parts = [
+        f"""
+WITH {edges_cte},
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+odeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+ideg AS (SELECT dst, COUNT(*) AS d FROM edges GROUP BY dst),
+h0 AS (
+  SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS s
+  FROM nodes
+)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+a{k} AS (
+  SELECT n.node, CAST(COALESCE(s.c, 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.s // odeg.d) AS BIGINT) AS c
+    FROM edges e
+    JOIN h{k - 1} p ON e.src = p.node
+    JOIN odeg ON e.src = odeg.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+),
+h{k} AS (
+  SELECT n.node, CAST(COALESCE(s.c, 0) AS BIGINT) AS s
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, CAST(SUM(p.s // ideg.d) AS BIGINT) AS c
+    FROM edges e
+    JOIN a{k} p ON e.dst = p.node
+    JOIN ideg ON e.dst = ideg.dst
+    GROUP BY e.src
+  ) s ON n.node = s.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT h.node, h.s AS hub_rank, a.s AS auth_rank
+FROM h{iters} h JOIN a{iters} a ON h.node = a.node
+"""
     )
     return "".join(parts)
 
@@ -14024,6 +14147,12 @@ FROM events
         "host_pagerank": (
             "SELECT node AS host, pr_rank FROM ("
             + _pagerank_sql(edges_cte=_HOST_EDGES_CTE)
+            + ") ORDER BY host"
+        ),
+        "salsa_scores": _salsa_sql(),
+        "host_salsa": (
+            "SELECT node AS host, hub_rank, auth_rank FROM ("
+            + _salsa_sql(edges_cte=_HOST_EDGES_CTE)
             + ") ORDER BY host"
         ),
         "ppr_nodes": _ppr_sql(),

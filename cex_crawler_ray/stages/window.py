@@ -470,6 +470,293 @@ def pagerank(
     return ranks
 
 
+def _salsa_driver(
+    src: np.ndarray, dst: np.ndarray, iters: int, scale: int
+) -> pa.Table:
+    """Vectorized driver SALSA: degree-normalized HITS (Lempel & Moran
+    2001).  Dividing each pull by the pulled node's degree keeps every
+    score bounded by the initial total mass, so int64 floor divisions
+    never overflow and no per-iteration normalization step is needed —
+    the same trick that makes ``pagerank`` bit-reproducible."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    outdeg = np.bincount(si, minlength=n).astype(np.int64)
+    indeg = np.bincount(di, minlength=n).astype(np.int64)
+    hub = np.full(n, scale // n, dtype=np.int64)
+    auth = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        # authority pull: a(v) = sum_{u->v} h(u) // outdeg(u)
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, di, hub[si] // outdeg[si])
+        auth = acc
+        # hub pull: h(u) = sum_{u->v} a(v) // indeg(v)
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, si, auth[di] // indeg[di])
+        hub = acc
+    return pa.table(
+        {
+            "node": pa.array(nodes.astype(np.int64), pa.int64()),
+            "hub_rank": pa.array(hub, pa.int64()),
+            "auth_rank": pa.array(auth, pa.int64()),
+        }
+    )
+
+
+def salsa_scores(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    scale: int = PR_SCALE,
+    num_parts: int = 64,
+    driver_max_edges: int | None = None,
+) -> "ray.data.Dataset":
+    """SALSA hub/authority scores (Lempel & Moran 2001 — the
+    degree-normalized HITS variant TREC/web search uses) over a
+    distinct directed edge Dataset.  Returns ``(node, hub_rank,
+    auth_rank)`` int64 rows, one per node appearing in any edge.
+
+    Where PageRank ranks the crawl frontier by global visit mass, SALSA
+    separates DIRECTORY pages (hubs: pages whose outlinks point at
+    in-demand targets) from CONTENT pages (authorities: pages pulled in
+    by well-spread hubs) — the signal a crawler uses to fetch hub pages
+    more often than leaf articles (the reference's hub-page-first round
+    structure, ``collect_data.py``, hard-codes exactly this prior).
+
+    Bit-reproducible at any partition count: scores are int64 and every
+    pull is an exact floor division (``h // outdeg`` then ``a //
+    indeg``), so summation order cannot change the result and an
+    unrolled-CTE SQL twin hash-matches exactly.
+
+    Threshold-switched like ``pagerank``: below ``driver_max_edges``
+    the int64 edge pairs (never payloads) come to the driver for a
+    vectorized bincount loop; above, the static (edge, outdeg, indeg)
+    table is built ONCE (two co-partition joins) and each iteration is
+    two hash joins + coarse sum-reduces, only int64 rows in flight.
+    """
+    if driver_max_edges is None:
+        driver_max_edges = PR_DRIVER_MAX_EDGES
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "hub_rank": pa.array([], pa.int64()),
+                    "auth_rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if n_edges <= driver_max_edges:
+        tbl = pa.concat_tables(
+            ray.get(edges.to_arrow_refs()), promote_options="default"
+        )
+        return ray.data.from_arrow(
+            _salsa_driver(
+                tbl[src_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                tbl[dst_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                iters,
+                scale,
+            )
+        )
+
+    # ---- distributed path: static (src, dst, odeg, ideg) x iterated
+    def to_sd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch[src_col].combine_chunks().cast(pa.int64()),
+                "dst": batch[dst_col].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    e = edges.map_batches(to_sd, batch_format="pyarrow")
+
+    def _deg_partial(col: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            u, c = np.unique(
+                batch[col].to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            return pa.table(
+                {
+                    "node": pa.array(u.astype(np.int64), pa.int64()),
+                    "deg": pa.array(c.astype(np.int64), pa.int64()),
+                }
+            )
+
+        return partial
+
+    def _deg_merge(g: pa.Table) -> pa.Table:
+        t = g.group_by("node").aggregate([("deg", "sum")])
+        return pa.table(
+            {
+                "node": t["node"].combine_chunks().cast(pa.int64()),
+                "deg": t["deg_sum"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    odeg_ds = _coarse_group_apply(
+        e.map_batches(_deg_partial("src"), batch_format="pyarrow"),
+        "node",
+        _deg_merge,
+        num_parts,
+    )
+    ideg_ds = _coarse_group_apply(
+        e.map_batches(_deg_partial("dst"), batch_format="pyarrow"),
+        "node",
+        _deg_merge,
+        num_parts,
+    )
+    e_od = hash_join(
+        e, odeg_ds, left_key="src", right_key="node", num_parts=num_parts
+    ).map_batches(
+        lambda b: pa.table(
+            {"src": b["src"], "dst": b["dst"], "odeg": b["deg"]}
+        ),
+        batch_format="pyarrow",
+    )
+    e_deg = hash_join(
+        e_od, ideg_ds, left_key="dst", right_key="node",
+        num_parts=num_parts,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "src": b["src"],
+                "dst": b["dst"],
+                "odeg": b["odeg"],
+                "ideg": b["deg"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    batch["src"].to_numpy(zero_copy_only=False),
+                    batch["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        ).astype(np.int64)
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    def node_merge(g: pa.Table) -> pa.Table:
+        u = np.unique(g["node"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    nodes_ds = _coarse_group_apply(
+        e.map_batches(node_partial, batch_format="pyarrow"),
+        "node",
+        node_merge,
+        num_parts,
+    ).materialize()
+    n = nodes_ds.count()
+    init = scale // n
+    zero_rows = nodes_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "c": pa.array(
+                    np.zeros(b.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def sum_by_node(g: pa.Table) -> pa.Table:
+        t = g.group_by("node").aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "node": t["node"].combine_chunks().cast(pa.int64()),
+                "c": t["c_sum"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    def _pull(score_ds, join_key, emit_key, deg_col):
+        # one half-iteration: join scores onto the static edge table at
+        # ``join_key``, emit score // deg at ``emit_key``, sum per node
+        joined = hash_join(
+            e_deg, score_ds, left_key=join_key, right_key="node",
+            num_parts=num_parts,
+        )
+
+        def msg(batch: pa.Table) -> pa.Table:
+            s = batch["score"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            d = batch[deg_col].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "node": batch[emit_key].combine_chunks().cast(
+                        pa.int64()
+                    ),
+                    "c": pa.array(s // d, pa.int64()),
+                }
+            )
+
+        summed = _coarse_group_apply(
+            zero_rows.union(
+                joined.map_batches(msg, batch_format="pyarrow")
+            ),
+            "node",
+            sum_by_node,
+            num_parts,
+        )
+        return summed.map_batches(
+            lambda b: pa.table({"node": b["node"], "score": b["c"]}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    hub = nodes_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "score": pa.array(
+                    np.full(b.num_rows, init, dtype=np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    auth = None
+    for _ in range(iters):
+        auth = _pull(hub, "src", "dst", "odeg")
+        hub = _pull(auth, "dst", "src", "ideg")
+
+    merged = hash_join(
+        hub.map_batches(
+            lambda b: pa.table({"node": b["node"], "hub_rank": b["score"]}),
+            batch_format="pyarrow",
+        ),
+        auth.map_batches(
+            lambda b: pa.table(
+                {"node_a": b["node"], "auth_rank": b["score"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        left_key="node",
+        right_key="node_a",
+        num_parts=num_parts,
+    )
+    return merged.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "hub_rank": b["hub_rank"],
+                "auth_rank": b["auth_rank"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def trailing_window_sum(
     ds: "ray.data.Dataset",
     key_col: str = "user_id",

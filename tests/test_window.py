@@ -401,3 +401,80 @@ def test_decayed_window_sum_matches_bruteforce(ray_session):
                 for j in range(min(i + 1, n_terms))
             )
             assert out[g["event_id"].iloc[i]] == want
+
+
+# ------------------------------------------------------------- SALSA
+def _salsa_reference(edges, iters=3, scale=10**12):
+    """Pure-python dict-loop SALSA: degree-normalized HITS with exact
+    int floor divisions (the bit-level spec both engine paths and the
+    SQL twin must hit)."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    odeg, ideg = {}, {}
+    for a, b in edges:
+        odeg[a] = odeg.get(a, 0) + 1
+        ideg[b] = ideg.get(b, 0) + 1
+    hub = {v: scale // n for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iters):
+        auth = {v: 0 for v in nodes}
+        for a, b in edges:
+            auth[b] += hub[a] // odeg[a]
+        hub = {v: 0 for v in nodes}
+        for a, b in edges:
+            hub[a] += auth[b] // ideg[b]
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+def test_salsa_driver_matches_reference(ray_session):
+    from cex_crawler_ray.stages.window import salsa_scores
+
+    got = salsa_scores(_edges_ds(EDGES)).to_pandas()
+    want = _salsa_reference(EDGES)
+    assert {
+        int(r.node): (int(r.hub_rank), int(r.auth_rank))
+        for r in got.itertuples()
+    } == want
+
+
+def test_salsa_distributed_equals_driver(ray_session):
+    from cex_crawler_ray.stages.window import salsa_scores
+
+    drv = salsa_scores(_edges_ds(EDGES)).to_pandas().sort_values("node")
+    dist = (
+        salsa_scores(_edges_ds(EDGES), driver_max_edges=0, num_parts=8)
+        .to_pandas()
+        .sort_values("node")
+    )
+    for col in ("node", "hub_rank", "auth_rank"):
+        assert (drv[col].to_numpy() == dist[col].to_numpy()).all()
+
+
+def test_salsa_mass_conserved_bound(ray_session):
+    # floor divisions only shed mass: each vector's total stays <= the
+    # initial SCALE mass and scores are nonnegative
+    from cex_crawler_ray.stages.window import PR_SCALE, salsa_scores
+
+    got = salsa_scores(_edges_ds(EDGES)).to_pandas()
+    assert (got["hub_rank"] >= 0).all() and (got["auth_rank"] >= 0).all()
+    assert got["hub_rank"].sum() <= PR_SCALE
+    assert got["auth_rank"].sum() <= PR_SCALE
+
+
+def test_salsa_hub_vs_authority_separation(ray_session):
+    # star: 1 -> {2,3,4}; node 1 is a pure hub (auth 0), leaves are
+    # pure authorities (hub 0)
+    from cex_crawler_ray.stages.window import salsa_scores
+
+    got = salsa_scores(_edges_ds([(1, 2), (1, 3), (1, 4)])).to_pandas()
+    by = {int(r.node): r for r in got.itertuples()}
+    assert by[1].auth_rank == 0 and by[1].hub_rank > 0
+    for leaf in (2, 3, 4):
+        assert by[leaf].hub_rank == 0 and by[leaf].auth_rank > 0
+
+
+def test_salsa_empty(ray_session):
+    from cex_crawler_ray.stages.window import salsa_scores
+
+    got = salsa_scores(_edges_ds([])).to_pandas()
+    assert len(got) == 0
