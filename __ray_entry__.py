@@ -2199,6 +2199,52 @@ def q_salsa_scores(sf_dir: str):
     return salsa_scores(_event_edges(sf_dir))
 
 
+def q_harmonic_centrality(sf_dir: str):
+    """Exact hop-bounded harmonic centrality (Boldi & Vigna, "Axioms
+    for Centrality") over the session-handoff graph — the web-graph
+    ranking Common Crawl publishes alongside PageRank for its host
+    graph.  ``hc(v) = sum over u reaching v of SCALE // d(u, v)``,
+    d <= 6: every credit is an exact int64 floor division, so the
+    recursive-CTE SQL twin hash-matches bit-exactly.  Exact harmonic is
+    inherently all-reachable-pairs state — right for an oracle and for
+    bounded graphs (hosts); the 100-TB page-graph path is HyperBall
+    (``hyperball_ball_guard``), which replaces the pair set with one
+    1 KiB HLL sketch per node."""
+    from cex_crawler_ray.stages.graph import harmonic_centrality
+
+    return harmonic_centrality(_event_edges(sf_dir), max_hops=6)
+
+
+def q_hyperball_ball_guard(sf_dir: str):
+    """Oracle-green guard for HyperBall (Boldi & Vigna 2013), the
+    sketch-based centrality scale path: per-node HLL neighborhood
+    sketches merged along edges estimate the hop-6 incoming-ball size;
+    this query emits each node's EXACT ball (SQL-checkable) plus an
+    ``ok`` flag asserting the estimate lands within 12% of it.  A
+    drifting estimator flips ``ok`` and the hash gate goes red — the
+    same guard pattern as ``knn_lsh_top50_guard``.  The two per-node
+    tables merge driver-side (node-bounded, the final result)."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.graph import (
+        ball_sizes_exact,
+        hyperball_harmonic,
+    )
+
+    edges = _event_edges(sf_dir).materialize()
+    exact = ball_sizes_exact(edges, max_hops=6).to_pandas()
+    est = hyperball_harmonic(edges, max_hops=6).to_pandas()
+    df = exact.merge(est[["node", "ball_est"]], on="node")
+    ok = ((df["ball_est"] / df["ball"]) - 1.0).abs() <= 0.12
+    return pd.DataFrame(
+        {
+            "node": df["node"].astype("int64"),
+            "ball": df["ball"].astype("int64"),
+            "ok": ok.astype(bool),
+        }
+    )
+
+
 _TIERS = [
     (0, 1_000, "micro"),
     (1_000, 5_000, "small"),
@@ -11328,6 +11374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lead_user": q_lead_user,
         "pagerank_nodes": q_pagerank_nodes,
         "salsa_scores": q_salsa_scores,
+        "harmonic_centrality": q_harmonic_centrality,
+        "hyperball_ball_guard": q_hyperball_ball_guard,
         "groupby_lineitem": q_groupby_lineitem,
         "topk_orders": q_topk_orders,
         "topk_per_group": q_topk_per_group,
@@ -14150,6 +14198,37 @@ FROM events
             + ") ORDER BY host"
         ),
         "salsa_scores": _salsa_sql(),
+        "harmonic_centrality": f"""
+WITH RECURSIVE {_EVENT_EDGES_CTE},
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+walk AS (
+  SELECT node AS s, node AS v, 0 AS d FROM nodes
+  UNION
+  SELECT w.s, e.dst AS v, w.d + 1 AS d
+  FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.d < 6
+),
+md AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v)
+SELECT v AS node,
+       CAST(COALESCE(
+         SUM(CASE WHEN d >= 1 THEN 1000000000 // d END), 0
+       ) AS BIGINT) AS hc_rank
+FROM md GROUP BY v
+""",
+        "hyperball_ball_guard": f"""
+WITH RECURSIVE {_EVENT_EDGES_CTE},
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+walk AS (
+  SELECT node AS s, node AS v, 0 AS d FROM nodes
+  UNION
+  SELECT w.s, e.dst AS v, w.d + 1 AS d
+  FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.d < 6
+),
+md AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v)
+SELECT v AS node, CAST(count(*) AS BIGINT) AS ball, TRUE AS ok
+FROM md GROUP BY v
+""",
         "host_salsa": (
             "SELECT node AS host, hub_rank, auth_rank FROM ("
             + _salsa_sql(edges_cte=_HOST_EDGES_CTE)

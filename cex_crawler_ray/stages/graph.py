@@ -1475,3 +1475,565 @@ def neighborhood_agg(
         )
 
     return _coarse_group_apply(unioned, "node", pivot, num_parts)
+
+
+# ------------------------------------------- harmonic centrality
+# Harmonic centrality of v: sum over sources u != v reaching v of
+# 1/d(u, v), hop distances bounded at max_hops (Boldi & Vigna, "Axioms
+# for Centrality", 2014 — the web-graph ranking Common Crawl publishes
+# alongside PageRank for its host-graph releases).  Fixed-point: each
+# reached source credits HC_SCALE // d, an exact int64 floor division,
+# so a recursive-CTE SQL twin hash-matches bit-exactly.
+#
+# The EXACT operator is inherently all-(reachable)-pairs — right for
+# the oracle and for bounded graphs (the host graph, not the page
+# graph).  The 100-TB shape is ``hyperball_harmonic`` below: per-node
+# HyperLogLog neighborhood sketches merged along edges (HyperBall,
+# Boldi & Vigna 2013), O(N * 2^p) state instead of O(N^2) pairs, with
+# an oracle-green guard pinning the estimates to exact ball sizes.
+
+HC_SCALE = 1_000_000_000
+HC_DRIVER_MAX_EDGES = 200_000
+HC_DRIVER_MAX_NODES = 20_000  # the dist matrix is n^2 — cap it
+
+
+def _to_sd(src_col: str, dst_col: str):
+    def to_sd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch[src_col].combine_chunks().cast(pa.int64()),
+                "dst": batch[dst_col].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return to_sd
+
+
+def _reach_dist_matrix(
+    src: np.ndarray, dst: np.ndarray, max_hops: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver path: simultaneous BFS from every node as an
+    (n_sources x n_nodes) boolean frontier matrix, one scatter-OR per
+    hop.  Returns (sorted node ids, dist matrix; unreached = 2^62)."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    INF = np.int64(2**62)
+    dist = np.full((n, n), INF, np.int64)
+    idx = np.arange(n)
+    dist[idx, idx] = 0
+    frontier = np.zeros((n, n), dtype=bool)
+    frontier[idx, idx] = True
+    for t in range(1, max_hops + 1):
+        msg = np.zeros((n, n), dtype=bool)
+        # msg[s, dst_e] |= frontier[s, src_e] for every edge
+        np.logical_or.at(msg, (slice(None), di), frontier[:, si])
+        frontier = msg & (dist == INF)
+        if not frontier.any():
+            break
+        dist[frontier] = t
+    return nodes, dist
+
+
+def _pair_min_d(tbl: pa.Table) -> pa.Table:
+    df = tbl.to_pandas()
+    out = df.groupby(["s", "v"], sort=False)["d"].min().reset_index()
+    return pa.table(
+        {
+            "s": pa.array(out["s"], pa.int64()),
+            "v": pa.array(out["v"], pa.int64()),
+            "d": pa.array(out["d"], pa.int64()),
+        }
+    )
+
+
+def _mix_sv(s: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Deterministic partition key for (source, node) pairs — only used
+    to co-locate rows of the same pair; exact grouping happens inside
+    the partition."""
+    h = s.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    h ^= v.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(29)
+    return h.view(np.int64)
+
+
+def _reach_pairs_distributed(
+    e: "ray.data.Dataset", max_hops: int, num_parts: int
+) -> "ray.data.Dataset":
+    """Distributed hop-bounded all-sources reachability: (s, v, d) rows
+    with d = min hop distance from s to v (seeds: (u, u, 0) for every
+    node).  Each round is ONE co-partition hash join (static edges x
+    current frontier) + a coarse pair-min reduce, early-stopped when no
+    pair improves.  ``e`` must have int64 (src, dst) columns."""
+
+    def seed_pairs(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    batch["src"].to_numpy(zero_copy_only=False),
+                    batch["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array(u, pa.int64()),
+                "v": pa.array(u, pa.int64()),
+                "d": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            }
+        )
+
+    def coarse_pair_apply(ds):
+        def add_key(batch: pa.Table) -> pa.Table:
+            k = _mix_sv(
+                batch["s"].to_numpy(zero_copy_only=False),
+                batch["v"].to_numpy(zero_copy_only=False),
+            )
+            return batch.append_column("__pk", pa.array(k, pa.int64()))
+
+        keyed = ds.map_batches(add_key, batch_format="pyarrow")
+        return _coarse_group_apply(
+            keyed,
+            "__pk",
+            lambda t: _pair_min_d(t.drop_columns(["__pk"])),
+            num_parts,
+        )
+
+    visited = coarse_pair_apply(
+        e.map_batches(seed_pairs, batch_format="pyarrow")
+    ).materialize()
+    frontier = visited
+    for t in range(1, max_hops + 1):
+        joined = hash_join(
+            e, frontier, left_key="src", right_key="v",
+            num_parts=num_parts,
+        )
+
+        def expand(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "s": batch["s"].combine_chunks().cast(pa.int64()),
+                    "v": batch["dst"].combine_chunks().cast(pa.int64()),
+                    "d": pa.array(
+                        batch["d"].to_numpy(zero_copy_only=False) + 1,
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        msgs = joined.map_batches(expand, batch_format="pyarrow")
+        visited = coarse_pair_apply(visited.union(msgs)).materialize()
+
+        def only_new(batch: pa.Table, _t=t) -> pa.Table:
+            return batch.filter(
+                pc.equal(batch["d"], pa.scalar(_t, pa.int64()))
+            )
+
+        frontier = visited.map_batches(
+            only_new, batch_format="pyarrow"
+        ).materialize()
+        if frontier.count() == 0:
+            break
+    return visited
+
+
+def harmonic_centrality(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 6,
+    scale: int = HC_SCALE,
+    num_parts: int = 64,
+    driver_max_edges: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact hop-bounded harmonic centrality over a directed edge
+    Dataset: ``hc_rank(v) = sum over u != v with d(u, v) <= max_hops of
+    scale // d(u, v)`` (int64, bit-reproducible at any partition
+    count).  Returns one ``(node, hc_rank)`` row per node appearing in
+    any edge (0 when nothing reaches it).
+
+    Threshold-switched: below ``driver_max_edges`` (and
+    ``HC_DRIVER_MAX_NODES``) the int64 edge pairs run the driver
+    frontier-matrix BFS; above, ``_reach_pairs_distributed`` carries
+    (source, node, dist) rows.  Exact harmonic is inherently all-pairs
+    state — use ``hyperball_harmonic`` when the graph outgrows it.
+    """
+    if driver_max_edges is None:
+        driver_max_edges = HC_DRIVER_MAX_EDGES
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "hc_rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if driver_max_edges > 0 and n_edges <= driver_max_edges:
+        tbl = pa.concat_tables(
+            ray.get(edges.to_arrow_refs()), promote_options="default"
+        )
+        s = tbl[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = tbl[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(np.unique(np.concatenate([s, d]))) <= HC_DRIVER_MAX_NODES:
+            nodes, dist = _reach_dist_matrix(s, d, max_hops)
+            reach = (dist >= 1) & (dist <= max_hops)
+            contrib = np.where(
+                reach, scale // np.where(reach, dist, 1), 0
+            )
+            hc = contrib.sum(axis=0, dtype=np.int64)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(
+                            nodes.astype(np.int64), pa.int64()
+                        ),
+                        "hc_rank": pa.array(hc, pa.int64()),
+                    }
+                )
+            )
+
+    e = edges.map_batches(
+        _to_sd(src_col, dst_col), batch_format="pyarrow"
+    )
+    visited = _reach_pairs_distributed(e, max_hops, num_parts)
+
+    def hc_partial(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        credit = np.where(
+            (d >= 1) & (d <= max_hops), scale // np.maximum(d, 1), 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "node": batch["v"].combine_chunks().cast(pa.int64()),
+                "c": pa.array(credit, pa.int64()),
+            }
+        )
+
+    def hc_merge(g: pa.Table) -> pa.Table:
+        tt = g.group_by("node").aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "node": tt["node"].combine_chunks().cast(pa.int64()),
+                "hc_rank": tt["c_sum"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return _coarse_group_apply(
+        visited.map_batches(hc_partial, batch_format="pyarrow"),
+        "node",
+        hc_merge,
+        num_parts,
+    )
+
+
+def ball_sizes_exact(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 6,
+    num_parts: int = 64,
+    driver_max_edges: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact incoming-ball sizes: ``ball(v) = |{u : d(u, v) <=
+    max_hops}|`` including v itself — the quantity HyperBall
+    estimates; the guard query pins the estimates to this.  Same
+    threshold switch and pair machinery as ``harmonic_centrality``."""
+    if driver_max_edges is None:
+        driver_max_edges = HC_DRIVER_MAX_EDGES
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "ball": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if driver_max_edges > 0 and edges.count() <= driver_max_edges:
+        tbl = pa.concat_tables(
+            ray.get(edges.to_arrow_refs()), promote_options="default"
+        )
+        s = tbl[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = tbl[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(np.unique(np.concatenate([s, d]))) <= HC_DRIVER_MAX_NODES:
+            nodes, dist = _reach_dist_matrix(s, d, max_hops)
+            ball = (dist <= max_hops).sum(axis=0).astype(np.int64)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(
+                            nodes.astype(np.int64), pa.int64()
+                        ),
+                        "ball": pa.array(ball, pa.int64()),
+                    }
+                )
+            )
+
+    e = edges.map_batches(
+        _to_sd(src_col, dst_col), batch_format="pyarrow"
+    )
+    visited = _reach_pairs_distributed(e, max_hops, num_parts)
+
+    def ball_partial(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": batch["v"].combine_chunks().cast(pa.int64()),
+                "c": pa.array(
+                    (d <= max_hops).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def ball_merge(g: pa.Table) -> pa.Table:
+        tt = g.group_by("node").aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "node": tt["node"].combine_chunks().cast(pa.int64()),
+                "ball": tt["c_sum"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return _coarse_group_apply(
+        visited.map_batches(ball_partial, batch_format="pyarrow"),
+        "node",
+        ball_merge,
+        num_parts,
+    )
+
+
+# ------------------------------------------------------ HyperBall
+HB_P = 10  # 2^10 registers = 1 KiB per node
+
+
+def _hll_rank_of(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) of each 64-bit hash — the same split as
+    ``sketch.HyperLogLog.add_hashes`` (top p bits index, then the
+    1-based position of the first 1-bit in the rest)."""
+    h = np.asarray(h, dtype=np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rank = np.zeros(len(h), dtype=np.uint8)
+    rem = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    for r in range(1, 64 - p + 1):
+        top = (rem >> np.uint64(63)) & np.uint64(1)
+        rank[(rank == 0) & (top == 1)] = r
+        rem = (rem << np.uint64(1)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        if not (rank == 0).any():
+            break
+    rank[rank == 0] = 64 - p + 1
+    return idx, rank
+
+
+def _hll_est_rows(regs: np.ndarray) -> np.ndarray:
+    """Row-wise HLL estimate of an (n_nodes x m) uint8 register matrix
+    — identical arithmetic to ``sketch.HyperLogLog.estimate`` (incl.
+    the linear-counting small-range correction)."""
+    m = float(regs.shape[1])
+    alpha = 0.7213 / (1 + 1.079 / m)
+    z = 1.0 / np.sum(2.0 ** -regs.astype(np.float64), axis=1)
+    e = alpha * m * m * z
+    zeros = (regs == 0).sum(axis=1)
+    small = (e <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lc = m * np.log(m / np.maximum(zeros, 1))
+    return np.where(small, lc, e)
+
+
+def _hyperball_driver(
+    src: np.ndarray, dst: np.ndarray, max_hops: int, p: int
+) -> pa.Table:
+    from .sketch import _id_hash
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    m = 1 << p
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    idx, rank = _hll_rank_of(_id_hash(nodes), p)
+    regs = np.zeros((n, m), dtype=np.uint8)
+    regs[np.arange(n), idx] = rank
+    prev = _hll_est_rows(regs)
+    hc = np.zeros(n, dtype=np.float64)
+    for t in range(1, max_hops + 1):
+        new = regs.copy()
+        # merge src sketches into dst: B(v, t) ⊇ B(u, t-1) for u -> v
+        np.maximum.at(new, di, regs[si])
+        if np.array_equal(new, regs):
+            break
+        regs = new
+        cur = _hll_est_rows(regs)
+        hc += np.maximum(cur - prev, 0.0) / float(t)
+        prev = cur
+    return pa.table(
+        {
+            "node": pa.array(nodes.astype(np.int64), pa.int64()),
+            "ball_est": pa.array(prev, pa.float64()),
+            "hc_est": pa.array(hc, pa.float64()),
+        }
+    )
+
+
+def hyperball_harmonic(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 6,
+    p: int = HB_P,
+    num_parts: int = 64,
+    driver_max_edges: int | None = None,
+) -> "ray.data.Dataset":
+    """HyperBall (Boldi & Vigna 2013): approximate harmonic centrality
+    + incoming-ball size per node via per-node HyperLogLog neighborhood
+    sketches merged along edges — ``B(v, t) = {v} ∪ ⋃_{u->v} B(u,
+    t-1)`` becomes a register-wise max, so per hop the state is ONE
+    (node, 2^p bytes) row per node instead of the exact operator's
+    O(N^2) reachable pairs.  This is the 100-TB path for centrality
+    over the page/host webgraph (the algorithm behind the published
+    Common Crawl / WebDataCommons centrality rankings).
+
+    Returns ``(node, ball_est, hc_est)`` — float64 estimates;
+    deterministic (fixed splitmix hash, order-independent register
+    max), so the distributed path equals the driver path bitwise.
+    Accuracy is pinned by the oracle-green guard query
+    (``hyperball_ball_guard``): estimates vs exact ball sizes.
+    """
+    if driver_max_edges is None:
+        driver_max_edges = HC_DRIVER_MAX_EDGES
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "ball_est": pa.array([], pa.float64()),
+                    "hc_est": pa.array([], pa.float64()),
+                }
+            )
+        )
+    if driver_max_edges > 0 and edges.count() <= driver_max_edges:
+        tbl = pa.concat_tables(
+            ray.get(edges.to_arrow_refs()), promote_options="default"
+        )
+        return ray.data.from_arrow(
+            _hyperball_driver(
+                tbl[src_col]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                tbl[dst_col]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                max_hops,
+                p,
+            )
+        )
+
+    from .sketch import _id_hash
+
+    m = 1 << p
+    e = edges.map_batches(
+        _to_sd(src_col, dst_col), batch_format="pyarrow"
+    ).materialize()
+
+    def seed_sketches(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    batch["src"].to_numpy(zero_copy_only=False),
+                    batch["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        ).astype(np.int64)
+        idx, rank = _hll_rank_of(_id_hash(u), p)
+        regs = np.zeros((len(u), m), dtype=np.uint8)
+        regs[np.arange(len(u)), idx] = rank
+        est = _hll_est_rows(regs)
+        return pa.table(
+            {
+                "node": pa.array(u, pa.int64()),
+                "reg": pa.array(
+                    [regs[i].tobytes() for i in range(len(u))],
+                    pa.binary(),
+                ),
+                "prev": pa.array(est, pa.float64()),
+                "hc": pa.array(np.zeros(len(u)), pa.float64()),
+            }
+        )
+
+    # duplicate node rows across batches collapse to one via the same
+    # merge the iteration uses (identical seeds merge to themselves)
+    def merge_group(t_round: int):
+        def merge(g: pa.Table) -> pa.Table:
+            df = g.to_pandas()
+            out_node, out_reg, out_prev, out_hc = [], [], [], []
+            for node, grp in df.groupby("node", sort=False):
+                stack = np.frombuffer(
+                    b"".join(grp["reg"].tolist()), dtype=np.uint8
+                ).reshape(len(grp), m)
+                merged = stack.max(axis=0)
+                prevs = grp["prev"].to_numpy()
+                hcs = grp["hc"].to_numpy()
+                own = prevs >= 0
+                prev = float(prevs[own][0]) if own.any() else 0.0
+                hc = float(hcs[own][0]) if own.any() else 0.0
+                est = float(_hll_est_rows(merged[None, :])[0])
+                if t_round > 0:
+                    hc += max(est - prev, 0.0) / float(t_round)
+                out_node.append(node)
+                out_reg.append(merged.tobytes())
+                out_prev.append(est)
+                out_hc.append(hc)
+            return pa.table(
+                {
+                    "node": pa.array(out_node, pa.int64()),
+                    "reg": pa.array(out_reg, pa.binary()),
+                    "prev": pa.array(out_prev, pa.float64()),
+                    "hc": pa.array(out_hc, pa.float64()),
+                }
+            )
+
+        return merge
+
+    sketches = _coarse_group_apply(
+        e.map_batches(seed_sketches, batch_format="pyarrow"),
+        "node",
+        merge_group(0),
+        num_parts,
+    ).materialize()
+
+    for t in range(1, max_hops + 1):
+        joined = hash_join(
+            e, sketches, left_key="src", right_key="node",
+            num_parts=num_parts,
+        )
+
+        def msg(batch: pa.Table) -> pa.Table:
+            nr = batch.num_rows
+            return pa.table(
+                {
+                    "node": batch["dst"].combine_chunks().cast(pa.int64()),
+                    "reg": batch["reg"],
+                    "prev": pa.array(np.full(nr, -1.0), pa.float64()),
+                    "hc": pa.array(np.full(nr, -1.0), pa.float64()),
+                }
+            )
+
+        msgs = joined.map_batches(msg, batch_format="pyarrow")
+        sketches = _coarse_group_apply(
+            sketches.union(msgs), "node", merge_group(t), num_parts
+        ).materialize()
+
+    return sketches.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "ball_est": b["prev"],
+                "hc_est": b["hc"],
+            }
+        ),
+        batch_format="pyarrow",
+    )

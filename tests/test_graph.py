@@ -163,3 +163,171 @@ def test_keep_best_tie_breaks_to_min_id(ray_session):
     out = dedup_keep_best(corpus, cc, num_parts=8).to_pandas()
     assert out["doc_id"].tolist() == [7]
     assert out["cluster_size"].tolist() == [2]
+
+
+# ----------------------------------- harmonic centrality / HyperBall
+def _hc_edges_ds(edges):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    ).repartition(3)
+
+
+def _hc_reference(edges, max_hops=6, scale=10**9):
+    """Per-source dict BFS ground truth: (hc per node, ball per node)."""
+    from collections import defaultdict
+
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+    hc = {v: 0 for v in nodes}
+    ball = {v: 1 for v in nodes}
+    for s in nodes:
+        dist = {s: 0}
+        frontier = [s]
+        for t in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = t
+                        nxt.append(w)
+            frontier = nxt
+        for v, d in dist.items():
+            if 1 <= d <= max_hops:
+                hc[v] += scale // d
+                ball[v] += 1
+    return hc, ball
+
+
+_HC_EDGES = [
+    (1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1), (6, 1), (2, 1),
+    (7, 8), (8, 7), (9, 7),
+]
+
+
+def test_harmonic_driver_matches_reference(ray_session):
+    from cex_crawler_ray.stages.graph import harmonic_centrality
+
+    got = harmonic_centrality(_hc_edges_ds(_HC_EDGES)).to_pandas()
+    want, _ = _hc_reference(_HC_EDGES)
+    assert dict(zip(got["node"], got["hc_rank"])) == want
+
+
+def test_harmonic_distributed_equals_driver(ray_session):
+    from cex_crawler_ray.stages.graph import harmonic_centrality
+
+    rng = np.random.RandomState(11)
+    edges = list(
+        {
+            (int(a), int(b))
+            for a, b in rng.randint(0, 40, size=(120, 2))
+            if a != b
+        }
+    )
+    drv = (
+        harmonic_centrality(_hc_edges_ds(edges))
+        .to_pandas()
+        .sort_values("node")
+    )
+    dist = (
+        harmonic_centrality(
+            _hc_edges_ds(edges), driver_max_edges=0, num_parts=8
+        )
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert (drv["node"].to_numpy() == dist["node"].to_numpy()).all()
+    assert (drv["hc_rank"].to_numpy() == dist["hc_rank"].to_numpy()).all()
+    want, _ = _hc_reference(edges)
+    assert dict(zip(drv["node"], drv["hc_rank"])) == want
+
+
+def test_harmonic_hop_bound_respected(ray_session):
+    # a 9-node path: only the 6 nearest predecessors credit each node
+    from cex_crawler_ray.stages.graph import harmonic_centrality
+
+    edges = [(i, i + 1) for i in range(9)]
+    got = harmonic_centrality(_hc_edges_ds(edges), max_hops=6).to_pandas()
+    by = dict(zip(got["node"], got["hc_rank"]))
+    scale = 10**9
+    assert by[9] == sum(scale // d for d in range(1, 7))  # not 9 terms
+    assert by[0] == 0
+
+
+def test_ball_sizes_both_paths(ray_session):
+    from cex_crawler_ray.stages.graph import ball_sizes_exact
+
+    _, want = _hc_reference(_HC_EDGES)
+    for kw in ({}, {"driver_max_edges": 0, "num_parts": 8}):
+        got = ball_sizes_exact(_hc_edges_ds(_HC_EDGES), **kw).to_pandas()
+        assert dict(zip(got["node"], got["ball"])) == want
+
+
+def test_hyperball_distributed_equals_driver_bitwise(ray_session):
+    from cex_crawler_ray.stages.graph import hyperball_harmonic
+
+    rng = np.random.RandomState(3)
+    edges = list(
+        {
+            (int(a), int(b))
+            for a, b in rng.randint(0, 50, size=(160, 2))
+            if a != b
+        }
+    )
+    drv = (
+        hyperball_harmonic(_hc_edges_ds(edges))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    dist = (
+        hyperball_harmonic(
+            _hc_edges_ds(edges), driver_max_edges=0, num_parts=8
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert (drv["node"] == dist["node"]).all()
+    # deterministic hash + order-independent register max -> bitwise
+    assert (drv["ball_est"].to_numpy() == dist["ball_est"].to_numpy()).all()
+    assert (drv["hc_est"].to_numpy() == dist["hc_est"].to_numpy()).all()
+
+
+def test_hyperball_accuracy_vs_exact(ray_session):
+    from cex_crawler_ray.stages.graph import hyperball_harmonic
+
+    rng = np.random.RandomState(5)
+    edges = list(
+        {
+            (int(a), int(b))
+            for a, b in rng.randint(0, 80, size=(300, 2))
+            if a != b
+        }
+    )
+    hc_want, ball_want = _hc_reference(edges)
+    got = hyperball_harmonic(_hc_edges_ds(edges)).to_pandas()
+    for r in got.itertuples():
+        assert abs(r.ball_est / ball_want[int(r.node)] - 1.0) <= 0.12
+        want = hc_want[int(r.node)] / 1e9
+        if want > 0:
+            assert abs(r.hc_est / want - 1.0) <= 0.15
+        else:
+            assert r.hc_est <= 0.05
+
+
+def test_harmonic_empty(ray_session):
+    from cex_crawler_ray.stages.graph import (
+        ball_sizes_exact,
+        harmonic_centrality,
+        hyperball_harmonic,
+    )
+
+    for fn in (harmonic_centrality, ball_sizes_exact, hyperball_harmonic):
+        assert fn(_hc_edges_ds([])).count() == 0
