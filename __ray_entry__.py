@@ -2245,6 +2245,57 @@ def q_hyperball_ball_guard(sf_dir: str):
     )
 
 
+def _repeat_edges(sf_dir: str, min_cnt: int = 2) -> "ray.data.Dataset":
+    """Directed session-handoff edges seen at least ``min_cnt`` times
+    (no self-loops) — a sparser graph than ``_event_edges`` so peel
+    dynamics are non-trivial (SQL twin: ``_REPEAT_EDGES_CTE``)."""
+    import pyarrow.compute as pc
+
+    from cex_crawler_ray.stages.window import lead_lag
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    led = lead_lag(ds, kind="lead")
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = batch["user_id"]
+        dst = batch["lead_user_id"]
+        keep = pc.and_(dst.is_valid(), pc.not_equal(src, dst))
+        t = batch.filter(keep)
+        return pa.table({"src": t["user_id"], "dst": t["lead_user_id"]})
+
+    weighted = (
+        led.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .count()
+    )
+    return weighted.map_batches(
+        lambda b, _m=min_cnt: b.filter(
+            pc.greater_equal(b["count()"], _m)
+        ).drop_columns(["count()"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_k_core(sf_dir: str):
+    """k-core decomposition (Seidman 1983) of the repeated-handoff
+    graph by bulk-synchronous iterative peel: drop nodes with degree
+    < 12, recompute, repeat to fixpoint.  Emits the surviving nodes
+    with their in-core degree.  The crawl use: the k-core of a host
+    graph is the densely interlinked "core web" worth deep recrawl
+    budget; peripheral leaf hosts peel away (the reference encodes the
+    same prior by hand-picking 14 hub exchanges).  Each peel round is
+    one node-bounded degree count plus a broadcast endpoint filter
+    (threshold-switched to co-partition semi-joins at scale); the
+    unrolled-CTE SQL twin runs the same fixed rounds, and early
+    convergence keeps the two bit-identical because converged rounds
+    are no-ops."""
+    from cex_crawler_ray.stages.graph import k_core
+
+    return k_core(_repeat_edges(sf_dir, min_cnt=2), k=12, max_iters=8)
+
+
 _TIERS = [
     (0, 1_000, "micro"),
     (1_000, 5_000, "small"),
@@ -11375,6 +11426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_nodes": q_pagerank_nodes,
         "salsa_scores": q_salsa_scores,
         "harmonic_centrality": q_harmonic_centrality,
+        "k_core": q_k_core,
         "hyperball_ball_guard": q_hyperball_ball_guard,
         "groupby_lineitem": q_groupby_lineitem,
         "topk_orders": q_topk_orders,
@@ -11679,6 +11731,50 @@ edges AS (
   SELECT DISTINCT src, dst FROM ev
   WHERE dst IS NOT NULL AND dst <> src
 )"""
+
+_REPEAT_EDGES_CTE = """ev AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER (ORDER BY ts, event_id) AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst FROM ev
+  WHERE dst IS NOT NULL AND dst <> src
+  GROUP BY src, dst HAVING count(*) >= 2
+)"""
+
+
+def _kcore_sql(
+    k: int = 12, iters: int = 8, edges_cte: str = _REPEAT_EDGES_CTE
+) -> str:
+    """Unrolled-CTE k-core peel, bit-identical to
+    ``cex_crawler_ray.stages.graph.k_core`` — pure integer degree
+    counts and endpoint joins, so a fixed round count (>= the peel
+    depth on both sides, extra rounds are no-ops) hash-matches."""
+    # AS MATERIALIZED: each e_i is referenced three times (its degree
+    # table and both endpoint joins of e_{i+1}); left to DuckDB's
+    # default inlining the plan tree grows ~3^iters and never finishes.
+    parts = [
+        edges_cte,
+        "e0 AS MATERIALIZED (SELECT src, dst FROM edges"
+        " UNION SELECT dst AS src, src AS dst FROM edges)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT src AS node FROM e{i}"
+            f" GROUP BY src HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e"
+            f" JOIN a{i} x ON e.src = x.node"
+            f" JOIN a{i} y ON e.dst = y.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT src AS node, CAST(count(*) AS BIGINT) AS deg"
+        f" FROM e{iters} GROUP BY src"
+    )
 
 
 def _pagerank_sql(
@@ -14198,6 +14294,7 @@ FROM events
             + ") ORDER BY host"
         ),
         "salsa_scores": _salsa_sql(),
+        "k_core": _kcore_sql(k=12, iters=8),
         "harmonic_centrality": f"""
 WITH RECURSIVE {_EVENT_EDGES_CTE},
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),

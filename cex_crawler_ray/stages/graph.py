@@ -2037,3 +2037,122 @@ def hyperball_harmonic(
         ),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------------- k-core
+def k_core(
+    edges: "ray.data.Dataset",
+    k: int = 3,
+    max_iters: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_max_nodes: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """k-core of an undirected graph by iterative peel (Seidman 1983;
+    Batagelj & Zaversnik's peel order, bulk-synchronous form): drop
+    every node whose degree is < ``k``, recompute degrees on the
+    surviving subgraph, repeat to fixpoint (or ``max_iters``).  Returns
+    ``(node, deg)`` — the nodes of the final subgraph with their degree
+    inside it.  The web-curation use: a host-graph k-core separates the
+    densely interlinked "core web" worth deep recrawl budget from
+    peripheral leaf hosts (the reference hard-codes this prior by only
+    ever crawling its 14 hub exchanges, reference ``collect_data.py``).
+
+    Scale shape: the directed input is symmetrized + deduped with ONE
+    shuffle; each peel round is one node-bounded ``groupby().count()``
+    plus an endpoint filter.  The alive-node set is broadcast
+    (``ray.put`` once, ``np.isin`` per batch) while it fits
+    ``broadcast_max_nodes``; above that the filter switches to two
+    co-partition semi-joins (``stages/join.py:semi_anti_join``) — the
+    same threshold-switch pattern as ``CC_DRIVER_MAX_PAIRS``.
+    Convergence (no node dropped) stops the loop early; running the
+    remaining rounds would be a no-op, which is what keeps the
+    fixed-``max_iters`` unrolled-CTE SQL twin bit-identical.
+    """
+    from .join import semi_anti_join
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch[src].combine_chunks().cast(pa.int64())
+        b = batch[dst].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                src: pa.concat_arrays([a, b]),
+                dst: pa.concat_arrays([b, a]),
+            }
+        )
+
+    und = (
+        edges.map_batches(symmetrize, batch_format="pyarrow")
+        .groupby([src, dst])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    def degrees(e: "ray.data.Dataset") -> "ray.data.Dataset":
+        g = e.groupby(src).count()
+
+        def shape(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch[src].combine_chunks().cast(pa.int64()),
+                    "deg": batch["count()"].combine_chunks().cast(pa.int64()),
+                }
+            )
+
+        return g.map_batches(shape, batch_format="pyarrow")
+
+    for _ in range(max_iters):
+        deg = degrees(und).materialize()
+        n_nodes = deg.count()
+        if n_nodes == 0:
+            break
+        alive = deg.map_batches(
+            lambda b, _k=k: b.filter(pc.greater_equal(b["deg"], _k)),
+            batch_format="pyarrow",
+        ).materialize()
+        n_alive = alive.count()
+        if n_alive == n_nodes:
+            break  # fixpoint: no node dropped, further rounds no-op
+        if n_alive == 0:
+            und = ray.data.from_arrow(
+                pa.table(
+                    {src: pa.array([], pa.int64()), dst: pa.array([], pa.int64())}
+                )
+            )
+            break
+        if n_alive <= broadcast_max_nodes:
+            ids = np.sort(
+                pa.concat_tables(ray.get(alive.to_arrow_refs()))["node"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            ids_ref = ray.put(ids)
+
+            def keep_alive(batch: pa.Table, _ref=ids_ref) -> pa.Table:
+                keep_ids = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+                a = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+                b = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+                pos_a = np.searchsorted(keep_ids, a)
+                pos_b = np.searchsorted(keep_ids, b)
+                in_a = (pos_a < len(keep_ids)) & (keep_ids[np.minimum(pos_a, len(keep_ids) - 1)] == a)
+                in_b = (pos_b < len(keep_ids)) & (keep_ids[np.minimum(pos_b, len(keep_ids) - 1)] == b)
+                return batch.filter(pa.array(in_a & in_b))
+
+            und = und.map_batches(
+                keep_alive, batch_format="pyarrow"
+            ).materialize()
+        else:
+            und = semi_anti_join(und, alive, src, "node")
+            und = semi_anti_join(und, alive, dst, "node").materialize()
+
+    out = degrees(und).materialize()
+    if out.count() == 0:
+        # a fully peeled graph yields zero blocks — return an explicit
+        # empty table so consumers still see the (node, deg) schema
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+            )
+        )
+    return out

@@ -331,3 +331,81 @@ def test_harmonic_empty(ray_session):
 
     for fn in (harmonic_centrality, ball_sizes_exact, hyperball_harmonic):
         assert fn(_hc_edges_ds([])).count() == 0
+
+
+# ------------------------------------------------------------- k-core
+def _kcore_reference(edges, k):
+    """Brute-force peel over an undirected edge set."""
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    while True:
+        deg = {}
+        for a, _ in und:
+            deg[a] = deg.get(a, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        if len(alive) == len(deg):
+            break
+        und = {(a, b) for a, b in und if a in alive and b in alive}
+        if not und:
+            return {}
+    return deg
+
+
+def _run_kcore(edges, k, **kw):
+    from cex_crawler_ray.stages.graph import k_core
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    out = k_core(ds, k=k, **kw).to_pandas()
+    if out.empty:  # ray to_pandas drops columns on an empty dataset
+        return {}
+    return dict(zip(out["node"], out["deg"]))
+
+
+def test_kcore_peels_tail(ray_session):
+    # triangle 1-2-3 plus a pendant chain 3-4-5: 2-core is the triangle
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert _run_kcore(edges, 2) == {1: 2, 2: 2, 3: 2}
+    assert _run_kcore(edges, 2) == _kcore_reference(edges, 2)
+
+
+def test_kcore_cascade_needs_iterations(ray_session):
+    # long chain: 2-core peels one leaf per round from each end
+    edges = [(i, i + 1) for i in range(12)]
+    assert _run_kcore(edges, 2, max_iters=12) == {}
+
+
+def test_kcore_keeps_whole_graph_when_k_low(ray_session):
+    edges = [(1, 2), (2, 3), (1, 3)]
+    assert _run_kcore(edges, 1) == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_random_vs_reference(ray_session):
+    rng = np.random.default_rng(7)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 40, size=(150, 2))
+        if a != b
+    ]
+    for k in (2, 3, 4):
+        assert _run_kcore(edges, k) == _kcore_reference(edges, k)
+
+
+def test_kcore_semijoin_path_equals_broadcast(ray_session):
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 30, size=(120, 2))
+        if a != b
+    ]
+    bcast = _run_kcore(edges, 3)
+    semij = _run_kcore(edges, 3, broadcast_max_nodes=0)
+    assert bcast == semij == _kcore_reference(edges, 3)
