@@ -2296,6 +2296,22 @@ def q_k_core(sf_dir: str):
     return k_core(_repeat_edges(sf_dir, min_cnt=2), k=12, max_iters=8)
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR-style data selection (Xie et al. 2023): score every doc by
+    how target-like (here: English) its hashed-token profile is, flag
+    the global top-100 for the training mix.  Fixed-point variant —
+    integer likelihood-ratio bucket weights instead of float log
+    ratios — so the ranking is bit-reproducible and the SQL twin
+    hash-matches.  Two streaming passes: bucket counts fold to one
+    64-row driver-merged table that ships back as a broadcast weight
+    vector; the top-K flag comes from a two-column sort().limit(K)
+    pivot broadcast, never a full materialization."""
+    from cex_crawler_ray.stages.dsir import dsir_scores
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    return dsir_scores(docs, keep_top=100)
+
+
 _TIERS = [
     (0, 1_000, "micro"),
     (1_000, 5_000, "small"),
@@ -11427,6 +11443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salsa_scores": q_salsa_scores,
         "harmonic_centrality": q_harmonic_centrality,
         "k_core": q_k_core,
+        "dsir_select": q_dsir_select,
         "hyperball_ball_guard": q_hyperball_ball_guard,
         "groupby_lineitem": q_groupby_lineitem,
         "topk_orders": q_topk_orders,
@@ -14295,6 +14312,32 @@ FROM events
         ),
         "salsa_scores": _salsa_sql(),
         "k_core": _kcore_sql(k=12, iters=8),
+        "dsir_select": r"""
+WITH b AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bkt
+  FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_extract_all(text, '\S+')) AS tok
+    FROM documents
+  )
+),
+raw AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+tgt AS (SELECT bkt, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bkt),
+scored AS (
+  SELECT b.doc_id,
+         SUM((1000000 * (COALESCE(t.c, 0) + 1)) // (r.c + 1)) AS score
+  FROM b
+  JOIN raw r ON b.bkt = r.bkt
+  LEFT JOIN tgt t ON b.bkt = t.bkt
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+       row_number() OVER (ORDER BY COALESCE(s.score, 0) DESC, d.doc_id)
+         <= 100 AS keep
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+""",
         "harmonic_centrality": f"""
 WITH RECURSIVE {_EVENT_EDGES_CTE},
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
