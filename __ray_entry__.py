@@ -10509,6 +10509,108 @@ def _host_wat_edge_agg(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_anchor_text_agg(sf_dir: str):
+    """Anchor-text corpus: per-TARGET inlink aggregation of the <a>
+    texts pointing at each url — the web-search training signal Common
+    Crawl publishes as its anchor dataset (and MS MARCO's doc
+    expansion source).  Each page's WAT ``metadata`` record carries its
+    outlinks WITH their anchor strings (the real WAT ``Links[*].text``
+    field); the streaming parser reads the shards back, link unpacking
+    runs in the workers, and ONE groupby on the target url moves only
+    (dst, src_host, anchor) rows — payloads never shuffle.  Per target:
+    inlink count, distinct source hosts, and the anchors concatenated
+    in sorted order (deterministic, string_agg ORDER BY twin).  Link
+    rule (successor + doubled doc on id-derived hosts, anchor derived
+    from the (src, dst) pair) is replicated from ``documents`` by the
+    SQL twin, so the container roundtrip, JSON parse and aggregation
+    are all value-checked."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from cex_crawler_ray.sources.warc import read_warc, write_wat
+
+    H = 7
+    out_dir = tempfile.mkdtemp(prefix="cex_anchor_")
+    try:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        n_docs = docs.count()
+
+        def to_wat(batch: pa.Table) -> pa.Table:
+            ids = [int(i) for i in batch["doc_id"].to_pylist()]
+            base = np.datetime64("2024-03-01T00:00:00")
+            urls, payloads, tss = [], [], []
+            for i in ids:
+                links = []
+                for dst in ((i + 1) % n_docs, (2 * i) % n_docs):
+                    links.append(
+                        {
+                            "url": f"https://h{dst % H}.graph.test/doc/{dst}",
+                            "text": f"Doc {dst} via {i}",
+                        }
+                    )
+                urls.append(f"https://h{i % H}.graph.test/doc/{i}")
+                tss.append((base + np.timedelta64(i, "s")).item())
+                payloads.append(
+                    _json.dumps({"links": links}, sort_keys=True).encode()
+                )
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": pa.array(tss, pa.timestamp("us")),
+                    "wat_json": pa.array(payloads, pa.binary()),
+                }
+            )
+
+        write_wat(
+            docs.map_batches(to_wat, batch_format="pyarrow"),
+            out_dir,
+            compress="gzip",
+        )
+        back = read_warc(out_dir)
+
+        def unpack(batch: pa.Table) -> pa.Table:
+            dst_url, src_host, anchor = [], [], []
+            for u, p in zip(
+                batch["url"].to_pylist(), batch["payload"].to_pylist()
+            ):
+                host = u.split("://", 1)[1].split("/", 1)[0]
+                for link in _json.loads(bytes(p).decode())["links"]:
+                    dst_url.append(link["url"])
+                    src_host.append(host)
+                    anchor.append(link["text"])
+            return pa.table(
+                {
+                    "url": pa.array(dst_url, pa.string()),
+                    "src_host": pa.array(src_host, pa.string()),
+                    "anchor": pa.array(anchor, pa.string()),
+                }
+            )
+
+        def agg_group(grp: pa.Table) -> pa.Table:
+            anchors = sorted(grp["anchor"].to_pylist())
+            hosts = len(set(grp["src_host"].to_pylist()))
+            return pa.table(
+                {
+                    "url": pa.array([grp["url"][0].as_py()], pa.string()),
+                    "n_inlinks": pa.array([grp.num_rows], pa.int64()),
+                    "n_src_hosts": pa.array([hosts], pa.int64()),
+                    "anchors": pa.array([" | ".join(anchors)], pa.string()),
+                }
+            )
+
+        return (
+            back.map_batches(unpack, batch_format="pyarrow")
+            .groupby("url")
+            .map_groups(agg_group, batch_format="pyarrow")
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_host_graph_edges(sf_dir: str):
     """Host-level webgraph from a WAT corpus — the pipeline behind
     Common Crawl's published host/domain webgraph releases: per-page
@@ -11326,6 +11428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wat_outlinks": q_wat_outlinks,
         "cdx_index": q_cdx_index,
         "host_graph_edges": q_host_graph_edges,
+        "anchor_text_agg": q_anchor_text_agg,
         "paragraph_dedup": q_paragraph_dedup,
         "cdx_diff": q_cdx_diff,
         "crawl_archive": q_crawl_archive,
@@ -13088,6 +13191,25 @@ ORDER BY host
 """,
         "cdx_index": _CDX_INDEX_SQL,
         "host_graph_edges": _HOST_GRAPH_SQL,
+        "anchor_text_agg": """
+WITH n AS (SELECT count(*) AS c FROM documents),
+e AS (
+  SELECT (d.doc_id + 1) % n.c AS dst, d.doc_id AS src FROM documents d, n
+  UNION ALL
+  SELECT (2 * d.doc_id) % n.c AS dst, d.doc_id AS src FROM documents d, n
+),
+a AS (
+  SELECT 'https://h' || (dst % 7) || '.graph.test/doc/' || dst AS url,
+         'h' || (src % 7) || '.graph.test' AS src_host,
+         'Doc ' || dst || ' via ' || src AS anchor
+  FROM e
+)
+SELECT url,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts,
+       string_agg(anchor, ' | ' ORDER BY anchor) AS anchors
+FROM a GROUP BY url
+""",
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "cdx_diff": _CDX_DIFF_SQL,
         "cdx_bulk_fetch": _CDX_BULK_FETCH_SQL,
