@@ -501,6 +501,62 @@ def q_url_templates(sf_dir: str):
     )
 
 
+def _redirect_edges(sf_dir: str):
+    """Deterministic redirect graph over the synthetic web: legacy /
+    old / ancient alias urls chain onto the canonical article url
+    (site-migration analog, chains of depth 1-3), plus an injected
+    2-cycle (loopa<->loopb) every 50 docs — the loop case a fetcher's
+    redirect cap exists for.  A pure function of documents rows, so the
+    SQL twin rebuilds the identical edge set."""
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def edges(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        d = batch["doc_id"].combine_chunks()
+        dnp = d.to_numpy(zero_copy_only=False)
+        src = batch["source"].combine_chunks().cast(pa.string())
+        did = pc.cast(d, pa.string())
+
+        def urls(kind: str):
+            return pc.binary_join_element_wise(
+                "https://", src, ".test/" + kind + "/", did, ""
+            )
+
+        legacy, art = urls("legacy"), urls("articles")
+        old, anc = urls("old"), urls("ancient")
+        la, lb = urls("loopa"), urls("loopb")
+        m3 = pa.array(dnp % 3 == 0)
+        m6 = pa.array(dnp % 6 == 0)
+        m12 = pa.array(dnp % 12 == 0)
+        m50 = pa.array(dnp % 50 == 7)
+        parts = [
+            pa.table({"src": legacy, "dst": art}).filter(m3),
+            pa.table({"src": old, "dst": legacy}).filter(m6),
+            pa.table({"src": anc, "dst": old}).filter(m12),
+            pa.table({"src": la, "dst": lb}).filter(m50),
+            pa.table({"src": lb, "dst": la}).filter(m50),
+        ]
+        return pa.concat_tables(parts)
+
+    return docs.map_batches(edges, batch_format="pyarrow")
+
+
+def q_redirect_chains(sf_dir: str):
+    """HTTP redirect-chain resolution: collapse every 3xx alias url to
+    its terminal target + hop count, flagging loops/over-cap chains as
+    unresolved — the frontier-normalization step that keeps the seen
+    set and per-host politeness charged to FINAL urls.  See
+    ``stages/redirects.redirect_resolve`` (successor-doubling
+    self-joins; memoized driver chase below the size threshold)."""
+    from cex_crawler_ray.stages.redirects import redirect_resolve
+
+    return redirect_resolve(_redirect_edges(sf_dir), max_hops=8).sort("url")
+
+
 def q_host_budget_allocation(sf_dir: str):
     """Per-host crawl-budget apportionment: split a global budget of
     1000 fetch slots across hosts proportional to demand (article count
@@ -11309,6 +11365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_live_fetch_status": q_crawl_live_fetch_status,
         "curation_pipeline": q_curation_pipeline,
         "url_templates": q_url_templates,
+        "redirect_chains": q_redirect_chains,
         "host_budget_allocation": q_host_budget_allocation,
         "crawl_records": q_crawl_records,
         "records_partitioned_sink": q_records_partitioned_sink,
@@ -12765,6 +12822,52 @@ WITH u AS (
 SELECT regexp_replace(url, '[0-9]+', '{n}', 'g') AS template,
        CAST(count(*) AS BIGINT) AS n_urls
 FROM u GROUP BY 1
+""",
+        # redirect chains: recursive walk over the SAME deterministic
+        # edge set, capped at 8 hops like the Ray resolver; srcs with
+        # no terminal row within the cap (loops) are 'unresolved'
+        "redirect_chains": """
+WITH RECURSIVE edges AS (
+  SELECT 'https://' || source || '.test/legacy/' || CAST(doc_id AS VARCHAR) AS src,
+         'https://' || source || '.test/articles/' || CAST(doc_id AS VARCHAR) AS dst
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'https://' || source || '.test/old/' || CAST(doc_id AS VARCHAR),
+         'https://' || source || '.test/legacy/' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT 'https://' || source || '.test/ancient/' || CAST(doc_id AS VARCHAR),
+         'https://' || source || '.test/old/' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 12 = 0
+  UNION ALL
+  SELECT 'https://' || source || '.test/loopa/' || CAST(doc_id AS VARCHAR),
+         'https://' || source || '.test/loopb/' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 50 = 7
+  UNION ALL
+  SELECT 'https://' || source || '.test/loopb/' || CAST(doc_id AS VARCHAR),
+         'https://' || source || '.test/loopa/' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 50 = 7
+),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.cur
+  WHERE w.hops < 8
+),
+final AS (
+  SELECT w.src, w.cur, w.hops
+  FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur)
+),
+srcs AS (SELECT DISTINCT src FROM edges)
+SELECT s.src AS url,
+       coalesce(f.cur, '') AS final_url,
+       CAST(coalesce(f.hops, -1) AS BIGINT) AS hops,
+       CASE WHEN f.src IS NULL THEN 'unresolved' ELSE 'resolved' END AS status
+FROM srcs s
+LEFT JOIN final f ON f.src = s.src
+ORDER BY url
 """,
         "host_budget_allocation": """
 WITH d AS (
