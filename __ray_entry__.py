@@ -557,6 +557,56 @@ def q_redirect_chains(sf_dir: str):
     return redirect_resolve(_redirect_edges(sf_dir), max_hops=8).sort("url")
 
 
+def q_mirror_hosts(sf_dir: str):
+    """Mirror-host detection (Bharat & Broder WWW'99 shape): host
+    pairs whose content-digest overlap coefficient clears 1/2 —
+    ``2*shared >= min(n_a, n_b)`` in exact ints.  The synthetic host
+    layout is a pure function of documents rows (so the SQL twin
+    rebuilds it): every source serves its pages on ``{source}.test``;
+    ``m1.{source}.test`` mirrors the doc_id%5<=2 slice (a partial rip,
+    fully contained — the case overlap coefficient exists for); the
+    shared ``cdn.test`` host serves every doc_id%10==0 page of every
+    source (a CDN bucket, high absolute sharing but low coefficient
+    against big hosts).  See ``stages/mirrors.mirror_host_pairs``."""
+    from cex_crawler_ray.stages.mirrors import mirror_host_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def fanout(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        src = batch["source"].combine_chunks().cast(pa.string())
+        text = batch["text"].combine_chunks().cast(pa.string())
+        dnp = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        main = pa.table(
+            {
+                "host": pc.binary_join_element_wise(src, ".test", ""),
+                "text": text,
+            }
+        )
+        mirror = pa.table(
+            {
+                "host": pc.binary_join_element_wise("m1.", src, ".test", ""),
+                "text": text,
+            }
+        ).filter(pa.array(dnp % 5 <= 2))
+        cdn = pa.table(
+            {
+                "host": pa.array(
+                    ["cdn.test"] * batch.num_rows, pa.string()
+                ),
+                "text": text,
+            }
+        ).filter(pa.array(dnp % 10 == 0))
+        return pa.concat_tables([main, mirror, cdn])
+
+    return mirror_host_pairs(
+        docs.map_batches(fanout, batch_format="pyarrow"), num=1, den=2
+    ).sort(["host_a", "host_b"])
+
+
 def q_host_budget_allocation(sf_dir: str):
     """Per-host crawl-budget apportionment: split a global budget of
     1000 fetch slots across hosts proportional to demand (article count
@@ -11366,6 +11416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "url_templates": q_url_templates,
         "redirect_chains": q_redirect_chains,
+        "mirror_hosts": q_mirror_hosts,
         "host_budget_allocation": q_host_budget_allocation,
         "crawl_records": q_crawl_records,
         "records_partitioned_sink": q_records_partitioned_sink,
@@ -12868,6 +12919,35 @@ SELECT s.src AS url,
 FROM srcs s
 LEFT JOIN final f ON f.src = s.src
 ORDER BY url
+""",
+        # mirror hosts: the twin rebuilds the deterministic host fanout
+        # and joins on RAW TEXT (the same equality relation the Ray
+        # side's 64-bit content digest stands in for); integer overlap
+        # predicate, no float threshold
+        "mirror_hosts": """
+WITH hd AS (
+  SELECT DISTINCT host, text FROM (
+    SELECT source || '.test' AS host, text FROM documents
+    UNION ALL
+    SELECT 'm1.' || source || '.test' AS host, text
+    FROM documents WHERE doc_id % 5 <= 2
+    UNION ALL
+    SELECT 'cdn.test' AS host, text FROM documents WHERE doc_id % 10 = 0
+  )
+),
+n AS (SELECT host, count(*) AS n FROM hd GROUP BY host),
+i AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM hd a JOIN hd b ON a.text = b.text AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT host_a, host_b, CAST(shared AS BIGINT) AS shared,
+       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b
+FROM i
+JOIN n na ON na.host = host_a
+JOIN n nb ON nb.host = host_b
+WHERE 2 * shared >= least(na.n, nb.n)
+ORDER BY host_a, host_b
 """,
         "host_budget_allocation": """
 WITH d AS (
