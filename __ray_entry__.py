@@ -607,6 +607,111 @@ def q_mirror_hosts(sf_dir: str):
     ).sort(["host_a", "host_b"])
 
 
+_PSL_RULES = [
+    "test",
+    "co.test",
+    "org.test",
+    "*.cdn.test",
+    "!static.cdn.test",
+]
+
+
+def q_registrable_domains(sf_dir: str):
+    """Registrable-domain (eTLD+1) extraction under a public-suffix
+    rule set — the politeness/seen-set partitioning key of a real
+    frontier ("a.b.example.co.uk shares example.co.uk's budget").  The
+    host fanout exercises every PSL rule kind: exact TLD, multi-label
+    exact, wildcard (consumes one label), and exception (prevails).
+    General algorithm in ``functions/psl.suffix_and_registrable`` —
+    O(max_rule_labels) vector passes, rule sets broadcast as data; the
+    SQL twin hand-specializes the SAME fixed rule set."""
+    from cex_crawler_ray.functions.canonical import url_hash64_arrow
+    from cex_crawler_ray.functions.psl import (
+        parse_rules,
+        suffix_and_registrable,
+    )
+    from cex_crawler_ray.stages.dedup import _coarse_group_apply
+
+    parsed = parse_rules(_PSL_RULES)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def fanout(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        src = batch["source"].combine_chunks().cast(pa.string())
+        dnp = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = dnp % 5
+        parts = [
+            pa.table(
+                {"host": pc.binary_join_element_wise(src, ".test", "")}
+            ).filter(pa.array(m == 0)),
+            pa.table(
+                {
+                    "host": pc.binary_join_element_wise(
+                        "www.", src, ".co.test", ""
+                    )
+                }
+            ).filter(pa.array(m == 1)),
+            pa.table(
+                {
+                    "host": pc.binary_join_element_wise(
+                        "a.b.", src, ".org.test", ""
+                    )
+                }
+            ).filter(pa.array(m == 2)),
+            pa.table(
+                {
+                    "host": pc.binary_join_element_wise(
+                        src, ".edge.cdn.test", ""
+                    )
+                }
+            ).filter(pa.array(m == 3)),
+            pa.table(
+                {
+                    "host": pa.array(
+                        ["x.static.cdn.test"] * batch.num_rows, pa.string()
+                    )
+                }
+            ).filter(pa.array(m == 4)),
+        ]
+        tbl = pa.concat_tables(parts)
+        return tbl.append_column(
+            "key",
+            pa.array(
+                url_hash64_arrow(tbl["host"]).astype(np.int64), pa.int64()
+            ),
+        )
+
+    def dedupe(tbl: "pa.Table") -> "pa.Table":
+        df = tbl.select(["host"]).to_pandas().drop_duplicates()
+        return pa.table(
+            {"host": pa.array(df["host"].to_numpy(object), pa.string())}
+        )
+
+    hosts = _coarse_group_apply(
+        docs.map_batches(fanout, batch_format="pyarrow"),
+        "key",
+        dedupe,
+        num_parts=32,
+    )
+
+    def match(batch: "pa.Table") -> "pa.Table":
+        suffix, reg = suffix_and_registrable(
+            batch["host"].combine_chunks(), parsed
+        )
+        return pa.table(
+            {
+                "host": batch["host"],
+                "public_suffix": suffix,
+                "registrable": reg,
+            }
+        )
+
+    return hosts.map_batches(match, batch_format="pyarrow").sort("host")
+
+
 def q_host_budget_allocation(sf_dir: str):
     """Per-host crawl-budget apportionment: split a global budget of
     1000 fetch slots across hosts proportional to demand (article count
@@ -11417,6 +11522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_templates": q_url_templates,
         "redirect_chains": q_redirect_chains,
         "mirror_hosts": q_mirror_hosts,
+        "registrable_domains": q_registrable_domains,
         "host_budget_allocation": q_host_budget_allocation,
         "crawl_records": q_crawl_records,
         "records_partitioned_sink": q_records_partitioned_sink,
@@ -12948,6 +13054,43 @@ JOIN n na ON na.host = host_a
 JOIN n nb ON nb.host = host_b
 WHERE 2 * shared >= least(na.n, nb.n)
 ORDER BY host_a, host_b
+""",
+        # registrable domains: the twin hand-specializes the fixed PSL
+        # rule set (exception > wildcard > longest exact > default),
+        # extracting suffix/registrable with anchored regexes
+        "registrable_domains": """
+WITH hosts AS (
+  SELECT DISTINCT CASE doc_id % 5
+    WHEN 0 THEN source || '.test'
+    WHEN 1 THEN 'www.' || source || '.co.test'
+    WHEN 2 THEN 'a.b.' || source || '.org.test'
+    WHEN 3 THEN source || '.edge.cdn.test'
+    ELSE 'x.static.cdn.test'
+  END AS host
+  FROM documents
+),
+cls AS (
+  SELECT host,
+    CASE
+      WHEN host = 'static.cdn.test' OR host LIKE '%.static.cdn.test'
+        THEN regexp_extract(host, '([^.]+[.][^.]+)$', 1)
+      WHEN host LIKE '%.cdn.test'
+        THEN regexp_extract(host, '([^.]+[.]cdn[.]test)$', 1)
+      WHEN host LIKE '%.co.test' THEN 'co.test'
+      WHEN host LIKE '%.org.test' THEN 'org.test'
+      WHEN host LIKE '%.test' THEN 'test'
+      ELSE regexp_extract(host, '([^.]+)$', 1)
+    END AS public_suffix
+  FROM hosts
+)
+SELECT host, public_suffix,
+  CASE WHEN host = public_suffix THEN ''
+       ELSE regexp_extract(
+         host,
+         '([^.]+[.]' || replace(public_suffix, '.', '[.]') || ')$', 1)
+  END AS registrable
+FROM cls
+ORDER BY host
 """,
         "host_budget_allocation": """
 WITH d AS (
