@@ -712,6 +712,73 @@ def q_registrable_domains(sf_dir: str):
     return hosts.map_batches(match, batch_format="pyarrow").sort("host")
 
 
+def q_charset_sniff(sf_dir: str):
+    """Charset sniffing + transcoding roundtrip (WHATWG precedence:
+    BOM > in-document <meta charset> > UTF-8 default — the detection
+    Common Crawl runs per page and records as
+    WARC-Identified-Content-Charset).  The store is simulated with a
+    deterministic encode rule over documents: doc_id%4 = 0 -> UTF-8
+    with a meta declaration, 1 -> UTF-16LE with BOM, 2 -> UTF-16BE
+    with BOM, 3 -> UTF-16LE with NO BOM and no meta (the adversarial
+    row: the sniffer correctly falls back to UTF-8 and the roundtrip
+    must FAIL).  The Ray side encodes, sniffs blind, decodes, and
+    compares against the expected string; the twin predicts charset
+    and roundtrip verdict from the rule alone — a wrong sniff or a
+    wrong transcode flips ``text_ok``.  See
+    ``functions/charset.decode_batch``."""
+    from cex_crawler_ray.functions.charset import decode_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def encode(batch: "pa.Table") -> "pa.Table":
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        payloads, expect = [], []
+        for d, t in zip(ids, texts):
+            m = d % 4
+            if m == 0:
+                s = '<meta charset="utf-8">' + t
+                payloads.append(s.encode("utf-8"))
+            elif m == 1:
+                s = t
+                payloads.append(b"\xff\xfe" + s.encode("utf-16-le"))
+            elif m == 2:
+                s = t
+                payloads.append(b"\xfe\xff" + s.encode("utf-16-be"))
+            else:
+                s = t
+                payloads.append(s.encode("utf-16-le"))  # no BOM, no meta
+            expect.append(s)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "html": pa.array(payloads, pa.binary()),
+                "expect": pa.array(expect, pa.string()),
+            }
+        )
+
+    def verdict(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        dec = decode_batch(batch, payload_col="html")
+        ok = pc.equal(dec["text_u8"], dec["expect"])
+        return pa.table(
+            {
+                "doc_id": dec["doc_id"],
+                "charset": dec["charset"],
+                "text_ok": ok,
+            }
+        )
+
+    return (
+        docs.map_batches(encode, batch_format="pyarrow")
+        .map_batches(verdict, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def q_host_budget_allocation(sf_dir: str):
     """Per-host crawl-budget apportionment: split a global budget of
     1000 fetch slots across hosts proportional to demand (article count
@@ -11671,6 +11738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_chains": q_redirect_chains,
         "mirror_hosts": q_mirror_hosts,
         "registrable_domains": q_registrable_domains,
+        "charset_sniff": q_charset_sniff,
         "host_budget_allocation": q_host_budget_allocation,
         "crawl_records": q_crawl_records,
         "records_partitioned_sink": q_records_partitioned_sink,
@@ -13240,6 +13308,20 @@ SELECT host, public_suffix,
   END AS registrable
 FROM cls
 ORDER BY host
+""",
+        # charset sniff: the twin predicts charset + roundtrip verdict
+        # purely from the encode rule; the Ray side must actually
+        # sniff and transcode to agree
+        "charset_sniff": """
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'utf-8'
+    WHEN 1 THEN 'utf-16-le'
+    WHEN 2 THEN 'utf-16-be'
+    ELSE 'utf-8' END AS charset,
+  (doc_id % 4) <> 3 AS text_ok
+FROM documents
+ORDER BY doc_id
 """,
         "host_budget_allocation": """
 WITH d AS (
