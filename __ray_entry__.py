@@ -10280,6 +10280,143 @@ def q_warc_gz_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_warc_revisit(sf_dir: str):
+    """WARC ``revisit`` records — the IIPC identical-payload-digest
+    dedup profile web archives use so recrawls never re-store
+    unchanged pages (the storage-level analog of the reference's
+    file-existence skip in `deepseek_analyzer.py`'s save path).  Two
+    synthetic snapshots of every document (the second changed only for
+    ``doc_id % 3 == 0``) run through ``revisit_plan`` (global
+    first-capture per payload digest on SLIM rows; payloads never move
+    on the broadcast path), serialize via ``write_warc_deduped`` (.gz
+    per-record members; revisits store ZERO payload bytes + a
+    WARC-Refers-To-Target-URI/Date pointer), and read back through the
+    full-schema parser.  The aggregate checks the record-type split,
+    that revisit rows stored no payload, the per-type distinct-digest
+    counts, and how many revisits point back at their OWN url (docs
+    with corpus-duplicate texts refer to the lowest-doc_id capture
+    instead — the SQL twin reproduces that with first_value over the
+    digest partition)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.sources.warc import (
+        read_warc,
+        revisit_plan,
+        write_warc_deduped,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="cex_warc_rv_")
+    try:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def to_captures(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_pylist()
+            texts = batch["text"].to_pylist()
+            base = np.datetime64("2024-03-01T00:00:00")
+            day2 = np.datetime64("2024-03-11T00:00:00")
+            urls, tss, payloads = [], [], []
+            for i, t in zip(ids, texts):
+                u = f"https://rv.test/doc/{i}"
+                urls.append(u)
+                tss.append((base + np.timedelta64(int(i), "s")).item())
+                payloads.append(t.encode("utf-8"))
+                urls.append(u)
+                tss.append((day2 + np.timedelta64(int(i), "s")).item())
+                payloads.append(
+                    (t + " v2" if i % 3 == 0 else t).encode("utf-8")
+                )
+            n = len(urls)
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": pa.array(tss, pa.timestamp("us")),
+                    "lang": pa.array(["en"] * n, pa.string()),
+                    "html": pa.array(payloads, pa.binary()),
+                }
+            )
+
+        captures = docs.map_batches(to_captures, batch_format="pyarrow")
+        planned = revisit_plan(captures)
+        write_warc_deduped(planned, out_dir, compress="gzip")
+        back = read_warc(out_dir, full=True)
+
+        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = df.copy()
+            df["nb"] = [len(p) for p in df["payload"]]
+            df["self_ref"] = (
+                (df["warc_type"] == "revisit")
+                & (df["refers_url"] == df["url"])
+            ).astype("int64")
+            return df.groupby(
+                ["warc_type", "payload_digest"], as_index=False
+            ).agg(
+                n=("nb", "size"),
+                stored=("nb", "sum"),
+                self_ref=("self_ref", "sum"),
+            )
+
+        per_digest = (
+            back.map_batches(partial, batch_format="pandas")
+            .groupby(["warc_type", "payload_digest"])
+            .sum(["n", "stored", "self_ref"])
+            .to_pandas()
+        )
+        agg = per_digest.groupby("warc_type", as_index=False).agg(
+            n_records=("sum(n)", "sum"),
+            stored_bytes=("sum(stored)", "sum"),
+            n_digests=("payload_digest", "size"),
+            n_self_refers=("sum(self_ref)", "sum"),
+        )
+        for c in ("n_records", "stored_bytes", "n_digests", "n_self_refers"):
+            agg[c] = agg[c].astype("int64")
+        return (
+            agg.sort_values("warc_type", kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+_WARC_REVISIT_SQL = """
+WITH caps AS (
+  SELECT 'https://rv.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         TIMESTAMP '2024-03-01 00:00:00' + to_seconds(doc_id) AS ts,
+         text AS body
+  FROM documents
+  UNION ALL
+  SELECT 'https://rv.test/doc/' || CAST(doc_id AS VARCHAR),
+         TIMESTAMP '2024-03-11 00:00:00' + to_seconds(doc_id),
+         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END
+  FROM documents
+), d AS (
+  SELECT url, ts, body, sha256(body) AS digest,
+         row_number() OVER (
+           PARTITION BY sha256(body) ORDER BY ts, url
+         ) AS rn,
+         first_value(url) OVER (
+           PARTITION BY sha256(body) ORDER BY ts, url
+         ) AS first_url
+  FROM caps
+)
+SELECT CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS warc_type,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(CASE WHEN rn = 1
+                     THEN octet_length(encode(body)) ELSE 0 END)
+            AS BIGINT) AS stored_bytes,
+       CAST(count(DISTINCT digest) AS BIGINT) AS n_digests,
+       CAST(sum(CASE WHEN rn > 1 AND first_url = url
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_self_refers
+FROM d
+GROUP BY 1
+ORDER BY warc_type
+"""
+
+
 def q_wds_roundtrip(sf_dir: str):
     """WebDataset tar-shard container in the correctness gate: the
     documents table packs into worker-written .tar shards (one sample
@@ -11855,6 +11992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": q_warc_roundtrip,
         "wet_roundtrip": q_wet_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
+        "warc_revisit": q_warc_revisit,
         "wds_roundtrip": q_wds_roundtrip,
         "wat_outlinks": q_wat_outlinks,
         "cdx_index": q_cdx_index,
@@ -13739,6 +13877,7 @@ GROUP BY 1, 2
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wet_roundtrip": _WARC_ROUNDTRIP_SQL,
         "warc_gz_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "warc_revisit": _WARC_REVISIT_SQL,
         "wds_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wat_outlinks": """
 SELECT source || '.test' AS host,

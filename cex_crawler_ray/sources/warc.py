@@ -80,6 +80,9 @@ def _format_record(
     lang: str,
     payload: bytes,
     record_type: str = "response",
+    payload_digest: str | None = None,
+    refers_uri: str | None = None,
+    refers_date: str | None = None,
 ) -> bytes:
     rid = hashlib.md5(
         (url + "|" + ts_iso).encode("utf-8")
@@ -100,6 +103,32 @@ def _format_record(
             b"WARC-Refers-To: <urn:md5:" + rid.encode("ascii") + b">"
             + _CRLF
         )
+    if payload_digest:
+        # CC convention: responses AND revisits carry the payload
+        # digest so index builds / dedup never re-hash stored bytes.
+        head += (
+            b"WARC-Payload-Digest: sha256:"
+            + payload_digest.encode("ascii") + _CRLF
+        )
+    if record_type == "revisit":
+        # The IIPC identical-payload-digest profile: a later capture
+        # whose payload digest already exists in the archive stores NO
+        # payload, only a pointer at the first capture.
+        head += (
+            b"WARC-Profile: "
+            b"http://netpreserve.org/warc/1.0/revisit/"
+            b"identical-payload-digest" + _CRLF
+        )
+        if refers_uri:
+            head += (
+                b"WARC-Refers-To-Target-URI: "
+                + refers_uri.encode("utf-8") + _CRLF
+            )
+        if refers_date:
+            head += (
+                b"WARC-Refers-To-Date: "
+                + refers_date.encode("ascii") + _CRLF
+            )
     head += (
         b"WARC-Identified-Content-Language: "
         + lang.encode("utf-8") + _CRLF
@@ -127,6 +156,10 @@ class _WarcDatasink(Datasink):
         payload_col,
         record_type: str = "response",
         compress: str | None = None,
+        type_col: str | None = None,
+        digest_col: str | None = None,
+        refers_url_col: str | None = None,
+        refers_ts_col: str | None = None,
     ):
         self.out_dir = out_dir
         self.cols = (url_col, ts_col, lang_col, payload_col)
@@ -134,6 +167,12 @@ class _WarcDatasink(Datasink):
         if compress not in (None, "gzip"):
             raise ValueError(f"unsupported compress={compress!r}")
         self.compress = compress
+        # revisit-dedup mode: record type / digest / refers-to come
+        # from per-row columns instead of one sink-wide constant
+        self.type_col = type_col
+        self.digest_col = digest_col
+        self.refers_url_col = refers_url_col
+        self.refers_ts_col = refers_ts_col
 
     def on_write_start(self) -> None:
         os.makedirs(self.out_dir, exist_ok=True)
@@ -152,13 +191,45 @@ class _WarcDatasink(Datasink):
             ts = batch[ts_col].to_pylist()
             langs = batch[lang_col].to_pylist()
             payloads = batch[payload_col].to_pylist()
+            n = batch.num_rows
+            types = (
+                batch[self.type_col].to_pylist()
+                if self.type_col
+                else [self.record_type] * n
+            )
+            digests = (
+                batch[self.digest_col].to_pylist()
+                if self.digest_col
+                else [None] * n
+            )
+            r_urls = (
+                batch[self.refers_url_col].to_pylist()
+                if self.refers_url_col
+                else [None] * n
+            )
+            r_ts = (
+                batch[self.refers_ts_col].to_pylist()
+                if self.refers_ts_col
+                else [None] * n
+            )
             buf = bytearray()
-            for u, t, lg, p in zip(urls, ts, langs, payloads):
+            for u, t, lg, p, rt, dg, ru, rd in zip(
+                urls, ts, langs, payloads, types, digests, r_urls, r_ts
+            ):
                 if isinstance(p, str):
                     p = p.encode("utf-8")
                 iso = t.strftime("%Y-%m-%dT%H:%M:%SZ")
+                if rt == "revisit":
+                    p = b""  # revisit stores NO payload, only headers
                 rec = _format_record(
-                    u, iso, lg or "", p or b"", self.record_type
+                    u,
+                    iso,
+                    lg or "",
+                    p or b"",
+                    rt,
+                    payload_digest=dg or None,
+                    refers_uri=ru or None,
+                    refers_date=rd or None,
                 )
                 # CC wire format: one gzip member PER RECORD so any
                 # single record is range-fetchable + inflatable alone
@@ -271,6 +342,7 @@ def parse_warc_bytes(data: bytes) -> dict:
     inside payloads."""
     urls, tss, langs, payloads = [], [], [], []
     types, refers = [], []
+    digests, r_urls, r_ts = [], [], []
     pos, n = 0, len(data)
     while pos < n:
         head_end = data.find(_CRLF + _CRLF, pos)
@@ -290,6 +362,10 @@ def parse_warc_bytes(data: bytes) -> dict:
         payloads.append(payload)
         types.append(fields.get("warc-type", ""))
         refers.append(fields.get("warc-refers-to", ""))
+        dg = fields.get("warc-payload-digest", "")
+        digests.append(dg.partition(":")[2] if ":" in dg else dg)
+        r_urls.append(fields.get("warc-refers-to-target-uri", ""))
+        r_ts.append(fields.get("warc-refers-to-date", ""))
         pos = body_start + clen + 4  # skip payload + record separator
     return {
         "url": urls,
@@ -298,17 +374,26 @@ def parse_warc_bytes(data: bytes) -> dict:
         "payload": payloads,
         "warc_type": types,
         "refers_to": refers,
+        "payload_digest": digests,
+        "refers_url": r_urls,
+        "refers_ts": r_ts,
     }
 
 
-def read_warc(path_or_dir: str):
-    """Streaming WARC read: one task per shard file."""
+def read_warc(path_or_dir: str, full: bool = False):
+    """Streaming WARC read: one task per shard file.  ``full=True``
+    adds the revisit-dedup columns (warc_type, payload_digest,
+    refers_url, refers_ts) next to the base (url, warc_ts, lang,
+    payload) schema."""
     import ray
 
     files = ray.data.read_binary_files(path_or_dir)
+    extra = ("warc_type", "payload_digest", "refers_url", "refers_ts")
 
     def parse(batch: pa.Table) -> pa.Table:
         out = {"url": [], "warc_ts": [], "lang": [], "payload": []}
+        if full:
+            out.update({k: [] for k in extra})
         for data in batch["bytes"].to_pylist():
             if data[:2] == _GZ_MAGIC:
                 # .warc.gz: concatenated per-record members — inflate
@@ -317,17 +402,307 @@ def read_warc(path_or_dir: str):
             rec = parse_warc_bytes(data)
             for k in out:
                 out[k].extend(rec[k])
+        cols = {
+            "url": pa.array(out["url"], pa.string()),
+            "warc_ts": pa.compute.strptime(
+                pa.array(out["warc_ts"], pa.string()),
+                format="%Y-%m-%dT%H:%M:%SZ",
+                unit="us",
+            ),
+            "lang": pa.array(out["lang"], pa.string()),
+            "payload": pa.array(out["payload"], pa.binary()),
+        }
+        if full:
+            for k in extra:
+                cols[k] = pa.array(out[k], pa.string())
+        return pa.table(cols)
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- revisit dedup
+# The IIPC "identical-payload-digest" revisit profile is how web
+# archives (Common Crawl's crawler, Heritrix, wayback writers) avoid
+# re-storing unchanged pages across recrawls: the FIRST capture of a
+# payload digest is written as a full ``response`` record; every later
+# capture with the same digest becomes a payload-less ``revisit``
+# record whose WARC-Refers-To-Target-URI / WARC-Refers-To-Date point
+# at that first capture.  Reference parity: the reference engine's
+# file-existence skip (`deepseek_analyzer.py` save path) is the
+# single-process analog of this storage-level dedup.
+
+REVISIT_BROADCAST_MAX_DIGESTS = 2_000_000
+
+
+def revisit_plan(
+    pages,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    broadcast_max_digests: int = REVISIT_BROADCAST_MAX_DIGESTS,
+):
+    """Classify each capture as ``response`` (first capture of its
+    payload digest, globally, by (ts, url) order) or ``revisit``.
+
+    Scale shape: the first-capture decision runs on SLIM rows only —
+    (digest, ts|url sortkey, 1) partials are pre-combined per batch,
+    one small groupby finds each digest's first capture and its
+    multiplicity, and digests that never repeat are dropped before the
+    decision map.  Below ``broadcast_max_digests`` duplicated digests
+    the firsts map broadcasts via ``ray.put`` and payloads NEVER move;
+    above it, one digest-hash co-partition joins pages with their
+    firsts row (payloads move once — the same bytes the sink is about
+    to serialize anyway).  Returns the input with four added columns:
+    payload_digest, warc_type, refers_url, refers_ts.
+    """
+    import ray
+
+    from cex_crawler_ray.stages.dedup import (
+        _coarse_group_apply,
+        _hash64,
+    )
+
+    def add_digest(batch: pa.Table) -> pa.Table:
+        payloads = batch[payload_col].to_pylist()
+        dg = [
+            hashlib.sha256(
+                p if isinstance(p, bytes) else (p or "").encode("utf-8")
+            ).hexdigest()
+            for p in payloads
+        ]
+        return batch.append_column(
+            "payload_digest", pa.array(dg, pa.string())
+        )
+
+    withd = pages.map_batches(add_digest, batch_format="pyarrow")
+    # two consumers (slim aggregate + final decision map): pin the
+    # digested dataset so upstream work does not re-execute
+    withd = withd.materialize()
+
+    def slim_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        iso = [
+            t.strftime("%Y-%m-%dT%H:%M:%SZ")
+            for t in batch[ts_col].to_pylist()
+        ]
+        df = pd.DataFrame(
+            {
+                "payload_digest": batch["payload_digest"].to_pylist(),
+                "sortkey": [
+                    i + "|" + u
+                    for i, u in zip(iso, batch[url_col].to_pylist())
+                ],
+            }
+        )
+        g = df.groupby("payload_digest", as_index=False).agg(
+            first_key=("sortkey", "min"), n=("sortkey", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Min, Sum
+
+    firsts = (
+        withd.map_batches(slim_partial, batch_format="pyarrow")
+        .groupby("payload_digest")
+        .aggregate(Min("first_key"), Sum("n"))
+        .filter(lambda r: r["sum(n)"] >= 2)
+    )
+    firsts = firsts.materialize()
+    n_dup = firsts.count()
+
+    def _decide(dg_list, key_list, lookup):
+        types, r_url, r_ts = [], [], []
+        for dg, key in zip(dg_list, key_list):
+            first = lookup(dg)
+            if first is None or first == key:
+                types.append("response")
+                r_url.append("")
+                r_ts.append("")
+            else:
+                iso, _, u = first.partition("|")
+                types.append("revisit")
+                r_url.append(u)
+                r_ts.append(iso)
+        return types, r_url, r_ts
+
+    if n_dup <= broadcast_max_digests:
+        ftbl = pa.concat_tables(
+            ray.get(firsts.to_arrow_refs()), promote_options="default"
+        )
+        dmap_ref = ray.put(
+            dict(
+                zip(
+                    ftbl.column("payload_digest").to_pylist(),
+                    ftbl.column("min(first_key)").to_pylist(),
+                )
+            )
+        )
+
+        def mark(batch: pa.Table) -> pa.Table:
+            dmap = ray.get(dmap_ref)
+            iso = [
+                t.strftime("%Y-%m-%dT%H:%M:%SZ")
+                for t in batch[ts_col].to_pylist()
+            ]
+            keys = [
+                i + "|" + u
+                for i, u in zip(iso, batch[url_col].to_pylist())
+            ]
+            types, r_url, r_ts = _decide(
+                batch["payload_digest"].to_pylist(), keys, dmap.get
+            )
+            return (
+                batch.append_column(
+                    "warc_type", pa.array(types, pa.string())
+                )
+                .append_column("refers_url", pa.array(r_url, pa.string()))
+                .append_column("refers_ts", pa.array(r_ts, pa.string()))
+            )
+
+        return withd.map_batches(mark, batch_format="pyarrow")
+
+    # co-partition path: tag both streams with a digest hash, pad each
+    # side to the union schema (the shuffle needs one schema), shuffle
+    # ONCE, merge per partition (pages carry payloads — the bytes the
+    # sink serializes next, so this is the last exchange they ride)
+    pschema = withd.schema().base_schema
+    page_cols = list(pschema.names)
+    union_cols = page_cols + ["_first_key", "_kh", "_side"]
+
+    def tag_pages(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = batch.append_column(
+            "_first_key", pa.nulls(n, type=pa.string())
+        )
+        batch = batch.append_column(
+            "_kh",
+            pa.array(
+                [
+                    _hash64(d)
+                    for d in batch["payload_digest"].to_pylist()
+                ],
+                pa.uint64(),
+            ),
+        )
+        batch = batch.append_column(
+            "_side", pa.array([0] * n, pa.int64())
+        )
+        return batch.select(union_cols)
+
+    def tag_firsts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for name in page_cols:
+            if name == "payload_digest":
+                cols[name] = batch["payload_digest"]
+            else:
+                cols[name] = pa.nulls(n, type=pschema.field(name).type)
+        cols["_first_key"] = batch["min(first_key)"]
+        cols["_kh"] = pa.array(
+            [_hash64(d) for d in batch["payload_digest"].to_pylist()],
+            pa.uint64(),
+        )
+        cols["_side"] = pa.array([1] * n, pa.int64())
+        return pa.table({c: cols[c] for c in union_cols})
+
+    pages_t = withd.map_batches(tag_pages, batch_format="pyarrow")
+    firsts_t = firsts.map_batches(tag_firsts, batch_format="pyarrow")
+    both = pages_t.union(firsts_t)
+
+    def merge(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        pg = df[df["_side"] == 0]
+        fr = df[df["_side"] == 1]
+        fmap = dict(zip(fr["payload_digest"], fr["_first_key"]))
+        iso = [
+            t.strftime("%Y-%m-%dT%H:%M:%SZ") for t in pg[ts_col]
+        ]
+        keys = [i + "|" + u for i, u in zip(iso, pg[url_col])]
+        types, r_url, r_ts = _decide(
+            list(pg["payload_digest"]), keys, fmap.get
+        )
+        out = pa.Table.from_pandas(pg[page_cols], preserve_index=False)
+        out = out.cast(pschema)
+        return (
+            out.append_column("warc_type", pa.array(types, pa.string()))
+            .append_column("refers_url", pa.array(r_url, pa.string()))
+            .append_column("refers_ts", pa.array(r_ts, pa.string()))
+        )
+
+    return _coarse_group_apply(both, "_kh", merge, num_parts=64)
+
+
+def write_warc_deduped(
+    ds,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    lang_col: str = "lang",
+    payload_col: str = "html",
+    compress: str | None = None,
+) -> None:
+    """Serialize a ``revisit_plan`` output: response rows store their
+    payload, revisit rows store headers only (identical-payload-digest
+    profile), both carry WARC-Payload-Digest."""
+    ds.write_datasink(
+        _WarcDatasink(
+            out_dir,
+            url_col,
+            ts_col,
+            lang_col,
+            payload_col,
+            compress=compress,
+            type_col="warc_type",
+            digest_col="payload_digest",
+            refers_url_col="refers_url",
+            refers_ts_col="refers_ts",
+        )
+    )
+
+
+def resolve_revisits(full_ds):
+    """Re-hydrate a revisit-deduped archive: every record comes back
+    with its payload — revisit rows receive the payload of the response
+    record sharing their digest.  ONE digest-hash co-partition
+    co-locates each revisit with its original (response payloads move
+    once; revisit rows are slim).  Input is ``read_warc(dir,
+    full=True)`` output; returns (url, warc_ts, lang, payload)."""
+    from cex_crawler_ray.stages.dedup import (
+        _coarse_group_apply,
+        _hash64,
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        kh = pa.array(
+            [_hash64(d) for d in batch["payload_digest"].to_pylist()],
+            pa.uint64(),
+        )
+        return batch.append_column("_kh", kh)
+
+    tagged = full_ds.map_batches(tag, batch_format="pyarrow")
+
+    def hydrate(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        resp = df[df["warc_type"] != "revisit"]
+        pmap = dict(zip(resp["payload_digest"], resp["payload"]))
+        payloads = [
+            pmap.get(d, b"") if t == "revisit" else p
+            for d, t, p in zip(
+                df["payload_digest"], df["warc_type"], df["payload"]
+            )
+        ]
         return pa.table(
             {
-                "url": pa.array(out["url"], pa.string()),
-                "warc_ts": pa.compute.strptime(
-                    pa.array(out["warc_ts"], pa.string()),
-                    format="%Y-%m-%dT%H:%M:%SZ",
-                    unit="us",
+                "url": pa.array(df["url"].to_numpy(object), pa.string()),
+                "warc_ts": pa.Array.from_pandas(
+                    df["warc_ts"], type=pa.timestamp("us")
                 ),
-                "lang": pa.array(out["lang"], pa.string()),
-                "payload": pa.array(out["payload"], pa.binary()),
+                "lang": pa.array(
+                    df["lang"].to_numpy(object), pa.string()
+                ),
+                "payload": pa.array(payloads, pa.binary()),
             }
         )
 
-    return files.map_batches(parse, batch_format="pyarrow")
+    return _coarse_group_apply(tagged, "_kh", hydrate, num_parts=64)
