@@ -10417,6 +10417,222 @@ ORDER BY warc_type
 """
 
 
+def _dust_captures(sf_dir: str):
+    """Synthetic DUST evidence from the documents table: per doc a
+    base url plus a ``sessionid`` variant (content always identical —
+    tracking noise) and a ``ref`` variant whose content differs only
+    on hosts h2..h4 (``doc_id % 5 >= 2``) — so ``ref`` is a valid
+    rewrite rule on h0/h1 and a violation elsewhere, exercising the
+    per-HOST scope of DUST rules."""
+    import hashlib as _h
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_caps(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        urls, digs = [], []
+        for i, t in zip(ids, texts):
+            h = i % 5
+            base = f"https://h{h}.dust.test/p/{i}?id={i}"
+            d = _h.sha256(t.encode("utf-8")).hexdigest()
+            d_alt = _h.sha256(
+                ((t + " alt") if h >= 2 else t).encode("utf-8")
+            ).hexdigest()
+            urls += [base, base + f"&sessionid=s{i}", base + "&ref=home"]
+            digs += [d, d, d_alt]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "payload_digest": pa.array(digs, pa.string()),
+            }
+        )
+
+    return docs.map_batches(to_caps, batch_format="pyarrow")
+
+
+def q_dust_rules(sf_dir: str):
+    """DUST parameter-irrelevance rule mining (Bar-Yossef et al.
+    WWW'07): candidate urls with one query param stripped join the
+    capture set in ONE url-hash co-partition; a (host, param) rule
+    survives only with zero digest violations and support >= 2.
+    Expected shape on the synthetic evidence: ``sessionid`` ruled on
+    every host, ``ref`` only on h0/h1, ``id`` nowhere (its stripped
+    candidate was never captured)."""
+    from cex_crawler_ray.stages.dust import mine_param_rules
+
+    rules = mine_param_rules(_dust_captures(sf_dir), min_support=2)
+    return (
+        rules.to_pandas()
+        .sort_values(["host", "param"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+_DUST_CAPS_CTE = """
+WITH docs AS (
+  SELECT doc_id, text, doc_id % 5 AS h FROM documents
+), caps AS (
+  SELECT 'https://h' || CAST(h AS VARCHAR) || '.dust.test/p/'
+           || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR)
+           AS url,
+         sha256(text) AS digest, h
+  FROM docs
+  UNION ALL
+  SELECT 'https://h' || CAST(h AS VARCHAR) || '.dust.test/p/'
+           || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR)
+           || '&sessionid=s' || CAST(doc_id AS VARCHAR),
+         sha256(text), h
+  FROM docs
+  UNION ALL
+  SELECT 'https://h' || CAST(h AS VARCHAR) || '.dust.test/p/'
+           || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR)
+           || '&ref=home',
+         sha256(CASE WHEN h >= 2 THEN text || ' alt' ELSE text END), h
+  FROM docs
+)
+"""
+
+_DUST_RULES_SQL = _DUST_CAPS_CTE + """
+, cands AS (
+  SELECT 'h' || CAST(h AS VARCHAR) || '.dust.test' AS host,
+         p.param AS param,
+         digest AS src_digest,
+         regexp_replace(
+           regexp_replace(url,
+             '([?&])' || p.param || '=[^&]*&', '\\1'),
+           '[?&]' || p.param || '=[^&]*$', '') AS tgt_url
+  FROM caps, (VALUES ('id'), ('sessionid'), ('ref')) p(param)
+  WHERE regexp_matches(url, '[?&]' || p.param || '=')
+), joined AS (
+  SELECT c.host, c.param,
+         CASE WHEN c.src_digest = t.digest THEN 1 ELSE 0 END AS same
+  FROM cands c
+  JOIN (SELECT DISTINCT url, digest FROM caps) t
+    ON c.tgt_url = t.url
+)
+SELECT host, param, CAST(sum(same) AS BIGINT) AS support
+FROM joined
+GROUP BY host, param
+HAVING sum(1 - same) = 0 AND sum(same) >= 2
+ORDER BY host, param
+"""
+
+
+def q_dust_canonical(sf_dir: str):
+    """Apply the mined DUST rules as frontier normalization: ruled
+    params strip from every captured url (broadcast rule map, zero
+    shuffle) and the frontier collapses — per host, distinct canonical
+    urls and how many captures changed.  h0/h1 (both rules) collapse
+    3 variants -> 1; h2..h4 (sessionid only) collapse 3 -> 2."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dust import apply_rules, mine_param_rules
+
+    caps = _dust_captures(sf_dir).materialize()
+    rules = mine_param_rules(caps, min_support=2)
+
+    def tag_orig(batch: pa.Table) -> pa.Table:
+        return batch.append_column("orig_url", batch["url"])
+
+    canon = apply_rules(
+        caps.map_batches(tag_orig, batch_format="pyarrow"), rules
+    )
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["host"] = [
+            u.split("://", 1)[-1].split("/", 1)[0].split(".", 1)[0]
+            for u in df["url"]
+        ]
+        df["changed"] = (df["url"] != df["orig_url"]).astype("int64")
+        return df.groupby(["host", "url"], as_index=False).agg(
+            n=("changed", "size"), changed=("changed", "sum")
+        )
+
+    per_url = (
+        canon.map_batches(partial, batch_format="pandas")
+        .groupby(["host", "url"])
+        .sum(["n", "changed"])
+        .to_pandas()
+    )
+    agg = per_url.groupby("host", as_index=False).agg(
+        n_canonical=("url", "size"),
+        n_captures=("sum(n)", "sum"),
+        n_changed=("sum(changed)", "sum"),
+    )
+    for c in ("n_canonical", "n_captures", "n_changed"):
+        agg[c] = agg[c].astype("int64")
+    return (
+        agg.sort_values("host", kind="mergesort").reset_index(drop=True)
+    )
+
+
+_DUST_CANONICAL_SQL = _DUST_CAPS_CTE + """
+, cands AS (
+  SELECT 'h' || CAST(h AS VARCHAR) AS host, p.param AS param,
+         digest AS src_digest,
+         regexp_replace(
+           regexp_replace(url,
+             '([?&])' || p.param || '=[^&]*&', '\\1'),
+           '[?&]' || p.param || '=[^&]*$', '') AS tgt_url
+  FROM caps, (VALUES ('id'), ('sessionid'), ('ref')) p(param)
+  WHERE regexp_matches(url, '[?&]' || p.param || '=')
+), rules AS (
+  SELECT host, param
+  FROM (
+    SELECT c.host, c.param,
+           CASE WHEN c.src_digest = t.digest THEN 1 ELSE 0 END AS same
+    FROM cands c
+    JOIN (SELECT DISTINCT url, digest FROM caps) t
+      ON c.tgt_url = t.url
+  )
+  GROUP BY host, param
+  HAVING sum(1 - same) = 0 AND sum(same) >= 2
+), canon AS (
+  SELECT 'h' || CAST(h AS VARCHAR) AS host, url AS orig,
+         regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(url,
+               CASE WHEN EXISTS (SELECT 1 FROM rules r
+                                 WHERE r.host = 'h' || CAST(caps.h AS VARCHAR)
+                                   AND r.param = 'sessionid')
+                    THEN '([?&])sessionid=[^&]*&' ELSE '$^' END, '\\1'),
+               CASE WHEN EXISTS (SELECT 1 FROM rules r
+                                 WHERE r.host = 'h' || CAST(caps.h AS VARCHAR)
+                                   AND r.param = 'sessionid')
+                    THEN '[?&]sessionid=[^&]*$' ELSE '$^' END, ''),
+             CASE WHEN EXISTS (SELECT 1 FROM rules r
+                               WHERE r.host = 'h' || CAST(caps.h AS VARCHAR)
+                                 AND r.param = 'ref')
+                  THEN '([?&])ref=[^&]*&' ELSE '$^' END, '\\1'),
+             CASE WHEN EXISTS (SELECT 1 FROM rules r
+                               WHERE r.host = 'h' || CAST(caps.h AS VARCHAR)
+                                 AND r.param = 'ref')
+                  THEN '[?&]ref=[^&]*$' ELSE '$^' END, ''),
+           CASE WHEN EXISTS (SELECT 1 FROM rules r
+                             WHERE r.host = 'h' || CAST(caps.h AS VARCHAR)
+                               AND r.param = 'id')
+                THEN '([?&])id=[^&]*&' ELSE '$^' END, '\\1'),
+           CASE WHEN EXISTS (SELECT 1 FROM rules r
+                             WHERE r.host = 'h' || CAST(caps.h AS VARCHAR)
+                               AND r.param = 'id')
+                THEN '[?&]id=[^&]*$' ELSE '$^' END, '') AS url
+  FROM caps
+)
+SELECT host,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_canonical,
+       CAST(count(*) AS BIGINT) AS n_captures,
+       CAST(sum(CASE WHEN url <> orig THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed
+FROM canon
+GROUP BY host
+ORDER BY host
+"""
+
+
 def q_wds_roundtrip(sf_dir: str):
     """WebDataset tar-shard container in the correctness gate: the
     documents table packs into worker-written .tar shards (one sample
@@ -11993,6 +12209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wet_roundtrip": q_wet_roundtrip,
         "warc_gz_roundtrip": q_warc_gz_roundtrip,
         "warc_revisit": q_warc_revisit,
+        "dust_rules": q_dust_rules,
+        "dust_canonical": q_dust_canonical,
         "wds_roundtrip": q_wds_roundtrip,
         "wat_outlinks": q_wat_outlinks,
         "cdx_index": q_cdx_index,
@@ -13878,6 +14096,8 @@ GROUP BY 1, 2
         "wet_roundtrip": _WARC_ROUNDTRIP_SQL,
         "warc_gz_roundtrip": _WARC_ROUNDTRIP_SQL,
         "warc_revisit": _WARC_REVISIT_SQL,
+        "dust_rules": _DUST_RULES_SQL,
+        "dust_canonical": _DUST_CANONICAL_SQL,
         "wds_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wat_outlinks": """
 SELECT source || '.test' AS host,
