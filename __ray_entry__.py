@@ -10633,6 +10633,122 @@ ORDER BY host
 """
 
 
+def q_soft404(sf_dir: str):
+    """Soft-404 detection: 200-status pages whose CONTENT is an error
+    page must be caught before they poison the corpus (thousands of
+    identical "not found" bodies wreck dedup and quality stats) or
+    teach the frontier dead links.  Synthetic fetch results exercise
+    every branch — bad <title>, not-found phrases, stub bodies, a
+    hard-404 status that must NOT be re-flagged — through the pure
+    Arrow kernel (lowercase -> regex title extract -> substring match
+    -> length test, zero shuffle).  Returns per (host, reason)
+    counts."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.soft404 import classify_soft404
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        hosts, statuses, htmls = [], [], []
+        for i, t in zip(ids, texts):
+            hosts.append(f"s{i % 4}.soft.test")
+            statuses.append(404 if i % 17 == 0 else 200)
+            if i % 11 == 0:
+                htmls.append(
+                    "<html><title>404 Not Found</title><body>The page"
+                    " you requested was not found on this server."
+                    "</body></html>"
+                )
+            elif i % 13 == 0:
+                htmls.append(
+                    "<html><title>Info</title><body>Sorry, this page"
+                    " does not exist anymore. Try the homepage for"
+                    " more information and links.</body></html>"
+                )
+            elif i % 7 == 0:
+                htmls.append("<html><body>hi</body></html>")
+            else:
+                htmls.append(
+                    f"<html><title>Doc {i}</title><body>{t}"
+                    "</body></html>"
+                )
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "status": pa.array(statuses, pa.int64()),
+                "html": pa.array(htmls, pa.string()),
+            }
+        )
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    flagged = classify_soft404(pages)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby(
+            ["host", "soft404_reason"], as_index=False
+        ).agg(n=("html", "size"))
+
+    agg = (
+        flagged.map_batches(partial, batch_format="pandas")
+        .groupby(["host", "soft404_reason"])
+        .sum(["n"])
+        .to_pandas()
+    )
+    agg["n"] = agg["sum(n)"].astype("int64")
+    agg = agg.rename(columns={"soft404_reason": "reason"})
+    return (
+        agg[["host", "reason", "n"]]
+        .sort_values(["host", "reason"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+_SOFT404_SQL = """
+WITH p AS (
+  SELECT 's' || CAST(doc_id % 4 AS VARCHAR) || '.soft.test' AS host,
+         CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+         CASE
+           WHEN doc_id % 11 = 0 THEN
+             '<html><title>404 Not Found</title><body>The page you'
+             || ' requested was not found on this server.</body></html>'
+           WHEN doc_id % 13 = 0 THEN
+             '<html><title>Info</title><body>Sorry, this page does not'
+             || ' exist anymore. Try the homepage for more information'
+             || ' and links.</body></html>'
+           WHEN doc_id % 7 = 0 THEN '<html><body>hi</body></html>'
+           ELSE '<html><title>Doc ' || CAST(doc_id AS VARCHAR)
+                || '</title><body>' || text || '</body></html>'
+         END AS html
+  FROM documents
+), c AS (
+  SELECT host,
+    CASE
+      WHEN status = 200 AND regexp_matches(
+             regexp_extract(lower(html), '<title>([^<]*)</title>', 1),
+             '(404|not found|error)')
+        THEN 'title_404'
+      WHEN status = 200 AND (
+             lower(html) LIKE '%page not found%'
+             OR lower(html) LIKE '%page does not exist%'
+             OR lower(html) LIKE '%no longer available%')
+        THEN 'phrase'
+      WHEN status = 200 AND length(lower(html)) < 64 THEN 'tiny'
+      ELSE ''
+    END AS reason
+  FROM p
+)
+SELECT host, reason, CAST(count(*) AS BIGINT) AS n
+FROM c
+GROUP BY host, reason
+ORDER BY host, reason
+"""
+
+
 def q_wds_roundtrip(sf_dir: str):
     """WebDataset tar-shard container in the correctness gate: the
     documents table packs into worker-written .tar shards (one sample
@@ -12211,6 +12327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_revisit": q_warc_revisit,
         "dust_rules": q_dust_rules,
         "dust_canonical": q_dust_canonical,
+        "soft404": q_soft404,
         "wds_roundtrip": q_wds_roundtrip,
         "wat_outlinks": q_wat_outlinks,
         "cdx_index": q_cdx_index,
@@ -14098,6 +14215,7 @@ GROUP BY 1, 2
         "warc_revisit": _WARC_REVISIT_SQL,
         "dust_rules": _DUST_RULES_SQL,
         "dust_canonical": _DUST_CANONICAL_SQL,
+        "soft404": _SOFT404_SQL,
         "wds_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wat_outlinks": """
 SELECT source || '.test' AS host,
