@@ -10749,6 +10749,53 @@ ORDER BY host, reason
 """
 
 
+def q_page_opic(sf_dir: str):
+    """OPIC page importance (Abiteboul, Preda & Cobena WWW'03) — the
+    online importance signal DESIGNED for crawl frontier
+    prioritization: cash flows along outlinks each round, history
+    accumulates holdings, dangling pages pay the virtual node which
+    redistributes to everyone.  The deterministic page graph (two
+    modular outlinks per doc; every ``doc_id % 5 == 4`` page dangling)
+    exercises the virtual-node path; the SQL twin is the same
+    unrolled-CTE integer OPIC, exact to the bit."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.window import opic_scores
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    n_docs = docs.count()
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        s = ids[ids % 5 != 4]
+        d1 = (s + 1) % n_docs
+        d2 = (3 * s) % n_docs
+        m1 = d1 != s
+        m2 = (d2 != s) & (d2 != d1)
+        return pa.table(
+            {
+                "src": pa.array(
+                    np.concatenate([s[m1], s[m2]]), pa.int64()
+                ),
+                "dst": pa.array(
+                    np.concatenate([d1[m1], d2[m2]]), pa.int64()
+                ),
+            }
+        )
+
+    edges = docs.map_batches(to_edges, batch_format="pyarrow")
+    out = opic_scores(edges).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["opic_rank"] = out["opic_rank"].astype("int64")
+    return out.sort_values("node", kind="mergesort").reset_index(
+        drop=True
+    )
+
+
 def q_wds_roundtrip(sf_dir: str):
     """WebDataset tar-shard container in the correctness gate: the
     documents table packs into worker-written .tar shards (one sample
@@ -12328,6 +12375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dust_rules": q_dust_rules,
         "dust_canonical": q_dust_canonical,
         "soft404": q_soft404,
+        "page_opic": q_page_opic,
         "wds_roundtrip": q_wds_roundtrip,
         "wat_outlinks": q_wat_outlinks,
         "cdx_index": q_cdx_index,
@@ -12842,6 +12890,71 @@ r{k} AS (
         )
     parts.append(
         f"\nSELECT node, CAST(r AS BIGINT) AS pr_rank FROM r{iters}\n"
+    )
+    return "".join(parts)
+
+
+_PAGE_EDGES_CTE = """nn_docs AS (SELECT count(*) AS n_docs FROM documents),
+cand AS (
+  SELECT doc_id AS src, (doc_id + 1) % n_docs AS dst
+  FROM documents, nn_docs WHERE doc_id % 5 <> 4
+  UNION
+  SELECT doc_id, (3 * doc_id) % n_docs
+  FROM documents, nn_docs WHERE doc_id % 5 <> 4
+),
+edges AS (SELECT DISTINCT src, dst FROM cand WHERE src <> dst)"""
+
+
+def _opic_sql(
+    iters: int = 5, scale: int = 10**12, edges_cte: str = _PAGE_EDGES_CTE
+) -> str:
+    """Unrolled-CTE DuckDB OPIC (Abiteboul et al. WWW'03), bit-identical
+    to ``cex_crawler_ray.stages.window.opic_scores``: int64 cash/history
+    state, exact floor divisions, dangling cash pooled at the virtual
+    node (one scalar CTE per round) and redistributed ``g // n`` to all
+    nodes.  ``edges_cte`` must define an ``edges(src, dst)`` relation of
+    DISTINCT directed edges without self-loops."""
+    parts = [
+        f"""
+WITH {edges_cte},
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+s0 AS (
+  SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS c,
+         CAST(0 AS BIGINT) AS h
+  FROM nodes
+)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+g{k} AS (
+  SELECT CAST(COALESCE(SUM(p.c), 0) AS BIGINT) AS g
+  FROM s{k - 1} p LEFT JOIN deg ON p.node = deg.src
+  WHERE deg.src IS NULL
+),
+s{k} AS (
+  SELECT prev.node,
+         CAST(COALESCE(inc.c, 0)
+              + (SELECT g FROM g{k}) // (SELECT n FROM nn)
+              AS BIGINT) AS c,
+         CAST(prev.h + prev.c AS BIGINT) AS h
+  FROM s{k - 1} prev
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.c // deg.d) AS BIGINT) AS c
+    FROM edges e
+    JOIN s{k - 1} p ON e.src = p.node
+    JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+  ) inc ON prev.node = inc.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(h + c AS BIGINT) AS opic_rank
+FROM s{iters} ORDER BY node
+"""
     )
     return "".join(parts)
 
@@ -14216,6 +14329,7 @@ GROUP BY 1, 2
         "dust_rules": _DUST_RULES_SQL,
         "dust_canonical": _DUST_CANONICAL_SQL,
         "soft404": _SOFT404_SQL,
+        "page_opic": _opic_sql(),
         "wds_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wat_outlinks": """
 SELECT source || '.test' AS host,

@@ -470,6 +470,319 @@ def pagerank(
     return ranks
 
 
+def _opic_driver(
+    src: np.ndarray, dst: np.ndarray, iters: int, scale: int
+) -> pa.Table:
+    """Vectorized driver OPIC (Abiteboul, Preda & Cobena, WWW'03
+    "Adaptive On-Line Page Importance Computation") in the
+    batch-synchronous formulation: every node holds CASH, each round
+    distributes it equally to its outlinks (floor division — exact
+    int64, bit-reproducible like ``pagerank``), dangling nodes pay
+    their cash to the paper's VIRTUAL node, whose balance redistributes
+    equally to all nodes the next round; HISTORY accumulates the cash
+    each node held.  Importance estimate = history + current cash."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    cash = np.full(n, scale // n, dtype=np.int64)
+    hist = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        g = int(cash[deg == 0].sum())  # dangling pay the virtual node
+        new = np.zeros(n, dtype=np.int64)
+        np.add.at(new, di, cash[si] // deg[si])
+        new += g // n  # virtual node redistributes to everyone
+        hist += cash
+        cash = new
+    return pa.table(
+        {
+            "node": pa.array(nodes.astype(np.int64), pa.int64()),
+            "opic_rank": pa.array(hist + cash, pa.int64()),
+        }
+    )
+
+
+def opic_scores(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    scale: int = PR_SCALE,
+    num_parts: int = 64,
+    driver_max_edges: int | None = None,
+) -> "ray.data.Dataset":
+    """OPIC importance over a distinct directed edge Dataset — the
+    page-importance signal DESIGNED for crawl frontier prioritization
+    (unlike PageRank it needs no converged global solve; the crawler
+    reads a page's current history+cash when scheduling it).  Returns
+    (node, opic_rank) int64 rows, one per node in any edge.
+
+    Distributed shape mirrors ``pagerank``: a static (src, dst,
+    outdeg) edge table joins the iterated state once per round; the
+    state carries (cash, hist, dangling) and the virtual-node balance
+    is the one driver-bound scalar per round (an exact int sum).  All
+    arithmetic is int64 floor division, so any partition count
+    reproduces the driver kernel bit for bit."""
+    if driver_max_edges is None:
+        driver_max_edges = PR_DRIVER_MAX_EDGES
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "opic_rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    if n_edges <= driver_max_edges:
+        tbl = pa.concat_tables(
+            ray.get(edges.to_arrow_refs()), promote_options="default"
+        )
+        return ray.data.from_arrow(
+            _opic_driver(
+                tbl[src_col].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                tbl[dst_col].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+                iters,
+                scale,
+            )
+        )
+
+    # ---- distributed path
+    def to_sd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch[src_col].combine_chunks().cast(pa.int64()),
+                "dst": batch[dst_col].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    e = edges.map_batches(to_sd, batch_format="pyarrow")
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    batch["src"].to_numpy(zero_copy_only=False),
+                    batch["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        ).astype(np.int64)
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    def node_merge(g: pa.Table) -> pa.Table:
+        u = np.unique(g["node"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    nodes_ds = _coarse_group_apply(
+        e.map_batches(node_partial, batch_format="pyarrow"),
+        "node",
+        node_merge,
+        num_parts,
+    ).materialize()
+    n = nodes_ds.count()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            batch["src"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "node": pa.array(u.astype(np.int64), pa.int64()),
+                "deg": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def deg_merge(g: pa.Table) -> pa.Table:
+        t = g.group_by("node").aggregate([("deg", "sum")])
+        return pa.table(
+            {
+                "node": t["node"].combine_chunks().cast(pa.int64()),
+                "deg": t["deg_sum"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    deg_ds = _coarse_group_apply(
+        e.map_batches(deg_partial, batch_format="pyarrow"),
+        "node",
+        deg_merge,
+        num_parts,
+    ).materialize()
+    e_deg = hash_join(
+        e, deg_ds, left_key="src", right_key="node", num_parts=num_parts
+    ).materialize()
+
+    # dangling flag: nodes minus deg-bearing nodes (one slim join)
+    def dang_mark(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        have = set(df.loc[df["deg"].notna(), "node"])
+        out = df[df["is_node"] == 1][["node"]].copy()
+        out["dangling"] = [
+            0 if v in have else 1 for v in out["node"]
+        ]
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema(
+                [("node", pa.int64()), ("dangling", pa.int64())]
+            )
+        )
+
+    nd = nodes_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "deg": pa.nulls(b.num_rows, type=pa.int64()),
+                "is_node": pa.array([1] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    dg = deg_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "deg": b["deg"],
+                "is_node": pa.array([0] * b.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    dang_ds = _coarse_group_apply(
+        nd.union(dg), "node", dang_mark, num_parts
+    )
+
+    init_cash = scale // n
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        nrow = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["node"],
+                "cash": pa.array(
+                    np.full(nrow, init_cash, dtype=np.int64), pa.int64()
+                ),
+                "hist": pa.array(
+                    np.zeros(nrow, dtype=np.int64), pa.int64()
+                ),
+                "dangling": batch["dangling"],
+            }
+        )
+
+    state = dang_ds.map_batches(
+        init_state, batch_format="pyarrow"
+    ).materialize()
+
+    def sum_state(g: pa.Table) -> pa.Table:
+        t = g.group_by("node").aggregate(
+            [("c", "sum"), ("hcarry", "sum"), ("dang", "sum")]
+        )
+        return pa.table(
+            {
+                "node": t["node"].combine_chunks().cast(pa.int64()),
+                "c": t["c_sum"].combine_chunks().cast(pa.int64()),
+                "hcarry": t["hcarry_sum"]
+                .combine_chunks()
+                .cast(pa.int64()),
+                "dang": t["dang_sum"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    def dang_cash_partial(b: pa.Table) -> pa.Table:
+        s = pc.sum(pc.multiply(b["cash"], b["dangling"])).as_py()
+        return pa.table({"s": pa.array([int(s or 0)], pa.int64())})
+
+    for _ in range(iters):
+        g_prev = state.map_batches(
+            dang_cash_partial, batch_format="pyarrow"
+        ).sum("s")
+        g_share = (int(g_prev) if g_prev is not None else 0) // n
+
+        carry = state.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "c": pa.array(
+                        np.zeros(b.num_rows, dtype=np.int64), pa.int64()
+                    ),
+                    "hcarry": pc.add(b["hist"], b["cash"]).cast(
+                        pa.int64()
+                    ),
+                    "dang": b["dangling"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            e_deg,
+            state,
+            left_key="src",
+            right_key="node",
+            num_parts=num_parts,
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            c = batch["cash"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            d = batch["deg"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            nrow = batch.num_rows
+            return pa.table(
+                {
+                    "node": batch["dst"]
+                    .combine_chunks()
+                    .cast(pa.int64()),
+                    "c": pa.array(c // d, pa.int64()),
+                    "hcarry": pa.array(
+                        np.zeros(nrow, dtype=np.int64), pa.int64()
+                    ),
+                    "dang": pa.array(
+                        np.zeros(nrow, dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        msgs = joined.map_batches(contrib, batch_format="pyarrow")
+        summed = _coarse_group_apply(
+            carry.union(msgs), "node", sum_state, num_parts
+        )
+
+        def next_state(b: pa.Table, _g=g_share) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "cash": pc.add(
+                        b["c"], pa.scalar(_g, pa.int64())
+                    ).cast(pa.int64()),
+                    "hist": b["hcarry"],
+                    "dangling": b["dang"],
+                }
+            )
+
+        state = summed.map_batches(
+            next_state, batch_format="pyarrow"
+        ).materialize()
+
+    return state.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "opic_rank": pc.add(b["hist"], b["cash"]).cast(
+                    pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _salsa_driver(
     src: np.ndarray, dst: np.ndarray, iters: int, scale: int
 ) -> pa.Table:
