@@ -10796,6 +10796,99 @@ def q_page_opic(sf_dir: str):
     )
 
 
+def q_nfc_normalize(sf_dir: str):
+    """Unicode NFC normalization — the ingest pass that keeps
+    identical strings in identical dedup buckets regardless of how the
+    origin CMS encoded them.  Four deterministic variants exercise the
+    kernel: decomposed combining sequences (every 'e' + U+0301), a
+    compatibility codepoint (U+212B ANGSTROM SIGN -> U+00C5), an
+    ALREADY-normalized precomposed prefix (quick-check fast path must
+    not rewrite), and raw text.  The SQL twin is DuckDB's own
+    ``nfc_normalize`` — two independent UAX#15 implementations must
+    agree on every count and codepoint length."""
+    import pandas as pd
+
+    from cex_crawler_ray.functions.unicode_norm import normalize_texts
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        variants, raw = [], []
+        for i, t in zip(ids, texts):
+            v = i % 4
+            variants.append(v)
+            if v == 0:
+                raw.append(t.replace("e", "e\u0301"))
+            elif v == 1:
+                raw.append(t + "\u212b")
+            elif v == 2:
+                raw.append("caf\u00e9 " + t)
+            else:
+                raw.append(t)
+        norm, changed = normalize_texts(raw)
+        df = pd.DataFrame(
+            {
+                "variant": variants,
+                "changed": [int(c) for c in changed],
+                "before": [len(t) for t in raw],
+                "after": [len(t) for t in norm],
+            }
+        )
+        g = df.groupby("variant", as_index=False).agg(
+            n_docs=("changed", "size"),
+            n_changed=("changed", "sum"),
+            chars_before=("before", "sum"),
+            chars_after=("after", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("variant")
+        .sum(["n_docs", "n_changed", "chars_before", "chars_after"])
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "variant": agg["variant"].astype("int64"),
+            "n_docs": agg["sum(n_docs)"].astype("int64"),
+            "n_changed": agg["sum(n_changed)"].astype("int64"),
+            "chars_before": agg["sum(chars_before)"].astype("int64"),
+            "chars_after": agg["sum(chars_after)"].astype("int64"),
+        }
+    )
+    return out.sort_values("variant", kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+_NFC_NORMALIZE_SQL = """
+WITH v AS (
+  SELECT doc_id % 4 AS variant,
+         CASE doc_id % 4
+           WHEN 0 THEN replace(text, 'e', 'e' || chr(769))
+           WHEN 1 THEN text || chr(8491)
+           WHEN 2 THEN 'caf' || chr(233) || ' ' || text
+           ELSE text
+         END AS t
+  FROM documents
+)
+SELECT variant,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed,
+       CAST(sum(length(t)) AS BIGINT) AS chars_before,
+       CAST(sum(length(nfc_normalize(t))) AS BIGINT) AS chars_after
+FROM v
+GROUP BY variant
+ORDER BY variant
+"""
+
+
 def q_wds_roundtrip(sf_dir: str):
     """WebDataset tar-shard container in the correctness gate: the
     documents table packs into worker-written .tar shards (one sample
@@ -12376,6 +12469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dust_canonical": q_dust_canonical,
         "soft404": q_soft404,
         "page_opic": q_page_opic,
+        "nfc_normalize": q_nfc_normalize,
         "wds_roundtrip": q_wds_roundtrip,
         "wat_outlinks": q_wat_outlinks,
         "cdx_index": q_cdx_index,
@@ -14330,6 +14424,7 @@ GROUP BY 1, 2
         "dust_canonical": _DUST_CANONICAL_SQL,
         "soft404": _SOFT404_SQL,
         "page_opic": _opic_sql(),
+        "nfc_normalize": _NFC_NORMALIZE_SQL,
         "wds_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wat_outlinks": """
 SELECT source || '.test' AS host,
