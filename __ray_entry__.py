@@ -10889,6 +10889,135 @@ ORDER BY variant
 """
 
 
+def q_c4_filter(sf_dir: str):
+    """C4 cleaning filters (Raffel et al. 2020 §2.2) over synthetic
+    pages assembled from the documents table: every page carries one
+    long valid line, a too-short line, a javascript line, an
+    unpunctuated line and a second valid line; ``doc_id % 3 == 0``
+    pages gain the third valid line the >=3-kept-lines rule needs;
+    ``% 6 == 0`` pages a lorem-ipsum line and ``% 7 == 0`` pages a
+    curly-brace code line (page bans that override an otherwise-kept
+    page).  Per-lang aggregate of pages in/kept, kept lines, and
+    cleaned-text characters; the SQL twin rebuilds the identical line
+    set with UNION ALL and applies the same rules in CASE form."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.c4_filter import c4_clean
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        pages = []
+        for i, t in zip(ids, texts):
+            lines = [
+                t + " end.",
+                "short line.",
+                "enable javascript now please thanks.",
+                "no terminal punctuation here at all",
+                "second valid line with plenty words here.",
+            ]
+            if i % 3 == 0:
+                lines.append("another good line with enough words too.")
+            if i % 6 == 0:
+                lines.append(
+                    "lorem ipsum dolor sit amet consectetur adipiscing."
+                )
+            if i % 7 == 0:
+                lines.append("var config = { key: value };")
+            pages.append("\n".join(lines))
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "text": pa.array(pages, pa.string()),
+            }
+        )
+
+    cleaned = c4_clean(docs.map_batches(to_pages, batch_format="pyarrow"))
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["kept"] = df["c4_kept"].astype("int64")
+        df["clean_chars"] = [len(t) for t in df["c4_text"]]
+        return df.groupby("lang", as_index=False).agg(
+            n_pages=("kept", "size"),
+            n_kept=("kept", "sum"),
+            n_lines_kept=("c4_lines_kept", "sum"),
+            clean_chars=("clean_chars", "sum"),
+        )
+
+    agg = (
+        cleaned.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .sum(["n_pages", "n_kept", "n_lines_kept", "clean_chars"])
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "lang": agg["lang"],
+            "n_pages": agg["sum(n_pages)"].astype("int64"),
+            "n_kept": agg["sum(n_kept)"].astype("int64"),
+            "n_lines_kept": agg["sum(n_lines_kept)"].astype("int64"),
+            "clean_chars": agg["sum(clean_chars)"].astype("int64"),
+        }
+    )
+    return out.sort_values("lang", kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+_C4_FILTER_SQL = """
+WITH lines AS (
+  SELECT doc_id, lang, text || ' end.' AS l FROM documents
+  UNION ALL SELECT doc_id, lang, 'short line.' FROM documents
+  UNION ALL SELECT doc_id, lang,
+    'enable javascript now please thanks.' FROM documents
+  UNION ALL SELECT doc_id, lang,
+    'no terminal punctuation here at all' FROM documents
+  UNION ALL SELECT doc_id, lang,
+    'second valid line with plenty words here.' FROM documents
+  UNION ALL SELECT doc_id, lang,
+    'another good line with enough words too.' FROM documents
+    WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id, lang,
+    'lorem ipsum dolor sit amet consectetur adipiscing.'
+    FROM documents WHERE doc_id % 6 = 0
+  UNION ALL SELECT doc_id, lang,
+    'var config = { key: value };' FROM documents WHERE doc_id % 7 = 0
+), flags AS (
+  SELECT doc_id, lang, l,
+    CASE WHEN (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
+               OR l LIKE '%"')
+          AND len(string_split(l, ' ')) >= 5
+          AND lower(l) NOT LIKE '%javascript%'
+         THEN 1 ELSE 0 END AS keep_line,
+    CASE WHEN l LIKE '%{%' OR lower(l) LIKE '%lorem ipsum%'
+         THEN 1 ELSE 0 END AS ban
+  FROM lines
+), pages AS (
+  SELECT doc_id, lang, sum(keep_line) AS n_keep, max(ban) AS banned,
+         sum(CASE WHEN keep_line = 1 THEN length(l) ELSE 0 END)
+           AS keep_chars
+  FROM flags GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN banned = 0 AND n_keep >= 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN banned = 0 AND n_keep >= 3
+                     THEN n_keep ELSE 0 END) AS BIGINT) AS n_lines_kept,
+       CAST(sum(CASE WHEN banned = 0 AND n_keep >= 3
+                     THEN keep_chars + n_keep - 1 ELSE 0 END)
+            AS BIGINT) AS clean_chars
+FROM pages
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_wds_roundtrip(sf_dir: str):
     """WebDataset tar-shard container in the correctness gate: the
     documents table packs into worker-written .tar shards (one sample
@@ -12470,6 +12599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft404": q_soft404,
         "page_opic": q_page_opic,
         "nfc_normalize": q_nfc_normalize,
+        "c4_filter": q_c4_filter,
         "wds_roundtrip": q_wds_roundtrip,
         "wat_outlinks": q_wat_outlinks,
         "cdx_index": q_cdx_index,
@@ -14425,6 +14555,7 @@ GROUP BY 1, 2
         "soft404": _SOFT404_SQL,
         "page_opic": _opic_sql(),
         "nfc_normalize": _NFC_NORMALIZE_SQL,
+        "c4_filter": _C4_FILTER_SQL,
         "wds_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wat_outlinks": """
 SELECT source || '.test' AS host,
