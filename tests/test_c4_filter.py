@@ -32,10 +32,11 @@ def test_terminal_punctuation_variants():
         line = "five words are here now" + p
         kept, clean, nk, _ = clean_page("\n".join([line, GOOD, GOOD2]))
         assert nk == 3, p
-    kept, _, nk, _ = clean_page(
-        "\n".join(["five words are here now;", GOOD, GOOD2])
+    # semicolon is not terminal: the line drops, 3 keepers remain
+    kept, clean, nk, _ = clean_page(
+        "\n".join(["five words are here now;", GOOD, GOOD2, GOOD3])
     )
-    assert nk == 2  # semicolon is not terminal
+    assert kept and nk == 3 and "now;" not in clean
 
 
 def test_page_bans_override():
