@@ -11018,6 +11018,168 @@ ORDER BY lang
 """
 
 
+def q_crawl_incremental_revisit(sf_dir: str):
+    """Cross-crawl incremental dedup — the actual Common Crawl recrawl
+    architecture: crawl 1 archives every page and builds its CDXJ
+    index; crawl 2 consults ONLY that index's ~100-byte digest rows
+    (``prior_from_cdxj`` — old payloads never re-read) and stores
+    unchanged pages as payload-less ``revisit`` records pointing at
+    the crawl-1 capture.  Changed pages (``doc_id % 3 == 0`` gets
+    ' v2') are the only full responses crawl 2 writes.  The SQL twin
+    ranks the UNION of both snapshots per digest and restricts to
+    crawl-2 rows — type split, stored bytes, distinct digests and
+    how many revisits point into the prior crawl all must match."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from cex_crawler_ray.sources.cdx import build_cdxj
+    from cex_crawler_ray.sources.warc import (
+        prior_from_cdxj,
+        read_warc,
+        revisit_plan,
+        write_warc,
+        write_warc_deduped,
+    )
+
+    import os as _os
+
+    root = tempfile.mkdtemp(prefix="cex_incrv_")
+    dir1, cdx1, dir2 = (
+        _os.path.join(root, "crawl1"),
+        _os.path.join(root, "cdx1"),
+        _os.path.join(root, "crawl2"),
+    )
+    try:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def snapshot(base_iso: str, change: bool):
+            base = np.datetime64(base_iso)
+
+            def to_caps(batch: pa.Table) -> pa.Table:
+                ids = batch["doc_id"].to_pylist()
+                texts = batch["text"].to_pylist()
+                urls, tss, payloads = [], [], []
+                for i, t in zip(ids, texts):
+                    urls.append(f"https://incr.test/doc/{i}")
+                    tss.append(
+                        (base + np.timedelta64(int(i), "s")).item()
+                    )
+                    body = (
+                        t + " v2" if (change and i % 3 == 0) else t
+                    )
+                    payloads.append(body.encode("utf-8"))
+                n = len(urls)
+                return pa.table(
+                    {
+                        "url": pa.array(urls, pa.string()),
+                        "warc_ts": pa.array(tss, pa.timestamp("us")),
+                        "lang": pa.array(["en"] * n, pa.string()),
+                        "html": pa.array(payloads, pa.binary()),
+                    }
+                )
+
+            return docs.map_batches(to_caps, batch_format="pyarrow")
+
+        # crawl 1: full archive + index
+        write_warc(
+            snapshot("2024-03-01T00:00:00", change=False),
+            dir1,
+            compress="gzip",
+        )
+        build_cdxj(dir1, cdx1)
+
+        # crawl 2: consult the prior index, write only what changed
+        planned = revisit_plan(
+            snapshot("2024-03-11T00:00:00", change=True),
+            prior=prior_from_cdxj(cdx1),
+        )
+        write_warc_deduped(planned, dir2, compress="gzip")
+        back = read_warc(dir2, full=True)
+
+        def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+            df = df.copy()
+            df["nb"] = [len(p) for p in df["payload"]]
+            df["prior_ref"] = (
+                (df["warc_type"] == "revisit")
+                & (df["refers_ts"] < "2024-03-11")
+                & (df["refers_ts"] != "")
+            ).astype("int64")
+            return df.groupby(
+                ["warc_type", "payload_digest"], as_index=False
+            ).agg(
+                n=("nb", "size"),
+                stored=("nb", "sum"),
+                prior_ref=("prior_ref", "sum"),
+            )
+
+        per_digest = (
+            back.map_batches(partial, batch_format="pandas")
+            .groupby(["warc_type", "payload_digest"])
+            .sum(["n", "stored", "prior_ref"])
+            .to_pandas()
+        )
+        agg = per_digest.groupby("warc_type", as_index=False).agg(
+            n_records=("sum(n)", "sum"),
+            stored_bytes=("sum(stored)", "sum"),
+            n_digests=("payload_digest", "size"),
+            n_refers_prior=("sum(prior_ref)", "sum"),
+        )
+        for c in (
+            "n_records",
+            "stored_bytes",
+            "n_digests",
+            "n_refers_prior",
+        ):
+            agg[c] = agg[c].astype("int64")
+        return (
+            agg.sort_values("warc_type", kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_INCR_REVISIT_SQL = """
+WITH caps AS (
+  SELECT 'https://incr.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         TIMESTAMP '2024-03-01 00:00:00' + to_seconds(doc_id) AS ts,
+         text AS body, 1 AS crawl
+  FROM documents
+  UNION ALL
+  SELECT 'https://incr.test/doc/' || CAST(doc_id AS VARCHAR),
+         TIMESTAMP '2024-03-11 00:00:00' + to_seconds(doc_id),
+         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END, 2
+  FROM documents
+), d AS (
+  SELECT url, ts, body, crawl, sha256(body) AS digest,
+         row_number() OVER (
+           PARTITION BY sha256(body) ORDER BY ts, url
+         ) AS rn,
+         first_value(ts) OVER (
+           PARTITION BY sha256(body) ORDER BY ts, url
+         ) AS first_ts
+  FROM caps
+)
+SELECT CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS warc_type,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(CASE WHEN rn = 1
+                     THEN octet_length(encode(body)) ELSE 0 END)
+            AS BIGINT) AS stored_bytes,
+       CAST(count(DISTINCT digest) AS BIGINT) AS n_digests,
+       CAST(sum(CASE WHEN rn > 1
+                     AND first_ts < TIMESTAMP '2024-03-11 00:00:00'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_refers_prior
+FROM d
+WHERE crawl = 2
+GROUP BY 1
+ORDER BY warc_type
+"""
+
+
 def q_wds_roundtrip(sf_dir: str):
     """WebDataset tar-shard container in the correctness gate: the
     documents table packs into worker-written .tar shards (one sample
@@ -12600,6 +12762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_opic": q_page_opic,
         "nfc_normalize": q_nfc_normalize,
         "c4_filter": q_c4_filter,
+        "crawl_incremental_revisit": q_crawl_incremental_revisit,
         "wds_roundtrip": q_wds_roundtrip,
         "wat_outlinks": q_wat_outlinks,
         "cdx_index": q_cdx_index,
@@ -14556,6 +14719,7 @@ GROUP BY 1, 2
         "page_opic": _opic_sql(),
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "c4_filter": _C4_FILTER_SQL,
+        "crawl_incremental_revisit": _INCR_REVISIT_SQL,
         "wds_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wat_outlinks": """
 SELECT source || '.test' AS host,

@@ -434,15 +434,50 @@ def read_warc(path_or_dir: str, full: bool = False):
 REVISIT_BROADCAST_MAX_DIGESTS = 2_000_000
 
 
+def prior_from_cdxj(cdx_dir: str):
+    """Adapt a previous crawl's CDXJ index into ``revisit_plan``'s
+    ``prior`` shape — (payload_digest, url, ts_iso) rows.  This is the
+    cross-crawl dedup consultation Common Crawl actually performs:
+    the new crawl never re-reads old payloads, only the ~100-byte
+    index rows."""
+    from cex_crawler_ray.sources.cdx import read_cdxj
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        ts14 = batch["ts"].to_pylist()
+        iso = [
+            f"{t[:4]}-{t[4:6]}-{t[6:8]}T{t[8:10]}:{t[10:12]}:{t[12:14]}Z"
+            for t in ts14
+        ]
+        return pa.table(
+            {
+                "payload_digest": batch["digest"],
+                "url": batch["url"],
+                "ts_iso": pa.array(iso, pa.string()),
+            }
+        )
+
+    return read_cdxj(cdx_dir).map_batches(adapt, batch_format="pyarrow")
+
+
 def revisit_plan(
     pages,
     url_col: str = "url",
     ts_col: str = "warc_ts",
     payload_col: str = "html",
     broadcast_max_digests: int = REVISIT_BROADCAST_MAX_DIGESTS,
+    prior=None,
 ):
     """Classify each capture as ``response`` (first capture of its
     payload digest, globally, by (ts, url) order) or ``revisit``.
+
+    ``prior`` (optional) is a Dataset of already-archived captures —
+    (payload_digest, url, ts_iso) rows, e.g. ``prior_from_cdxj`` over
+    the previous crawl's index.  Its rows join the first-capture
+    decision as slim partials: a new capture whose digest is already
+    stored becomes a revisit POINTING AT THE PRIOR CRAWL's record (no
+    response is written this crawl — the payload already lives in the
+    older archive), which is exactly Common Crawl's cross-crawl dedup
+    contract.
 
     Scale shape: the first-capture decision runs on SLIM rows only —
     (digest, ts|url sortkey, 1) partials are pre-combined per batch,
@@ -502,8 +537,37 @@ def revisit_plan(
 
     from ray.data.aggregate import Min, Sum
 
+    slim = withd.map_batches(slim_partial, batch_format="pyarrow")
+    if prior is not None:
+
+        def prior_partial(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame(
+                {
+                    "payload_digest": batch[
+                        "payload_digest"
+                    ].to_pylist(),
+                    "sortkey": [
+                        i + "|" + u
+                        for i, u in zip(
+                            batch["ts_iso"].to_pylist(),
+                            batch["url"].to_pylist(),
+                        )
+                    ],
+                }
+            )
+            g = df.groupby("payload_digest", as_index=False).agg(
+                first_key=("sortkey", "min"), n=("sortkey", "size")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        slim = slim.union(
+            prior.map_batches(prior_partial, batch_format="pyarrow")
+        )
+
     firsts = (
-        withd.map_batches(slim_partial, batch_format="pyarrow")
+        slim
         .groupby("payload_digest")
         .aggregate(Min("first_key"), Sum("n"))
         .filter(lambda r: r["sum(n)"] >= 2)

@@ -110,6 +110,57 @@ def test_revisit_profile_header_on_wire(ray_session, tmp_path):
     assert b"WARC-Refers-To-Date: " in raw
 
 
+def test_prior_index_cross_crawl_dedup(ray_session, tmp_path):
+    from cex_crawler_ray.sources.cdx import build_cdxj
+    from cex_crawler_ray.sources.warc import prior_from_cdxj, write_warc
+
+    base1 = dt.datetime(2024, 3, 1)
+    base2 = dt.datetime(2024, 3, 11)
+
+    def snap(base, change):
+        rows = []
+        for i in range(12):
+            body = b"body-%d" % i
+            if change and i % 3 == 0:
+                body += b" v2"
+            rows.append(
+                (f"https://ic.test/d/{i}", base + dt.timedelta(seconds=i), body)
+            )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([r[0] for r in rows], pa.string()),
+                    "warc_ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                    "lang": pa.array(["en"] * len(rows), pa.string()),
+                    "html": pa.array([r[2] for r in rows], pa.binary()),
+                }
+            )
+        )
+
+    dir1 = str(tmp_path / "c1")
+    cdx1 = str(tmp_path / "x1")
+    dir2 = str(tmp_path / "c2")
+    write_warc(snap(base1, False), dir1, compress="gzip")
+    build_cdxj(dir1, cdx1)
+
+    planned = revisit_plan(snap(base2, True), prior=prior_from_cdxj(cdx1))
+    write_warc_deduped(planned, dir2, compress="gzip")
+    back = read_warc(dir2, full=True).to_pandas()
+    assert len(back) == 12
+    rv = back[back["warc_type"] == "revisit"]
+    resp = back[back["warc_type"] == "response"]
+    # unchanged pages (i % 3 != 0 -> 8 of 12) dedup against crawl 1
+    assert len(rv) == 8 and len(resp) == 4
+    # every revisit points INTO crawl 1 (same url, the older ts)
+    assert (rv["refers_url"] == rv["url"]).all()
+    assert (rv["refers_ts"].str.startswith("2024-03-01")).all()
+    # crawl 2 stored only the changed payloads
+    assert (resp["payload"].map(len) > 0).all()
+    assert (rv["payload"].map(len) == 0).all()
+
+
 def test_resolve_revisits_rehydrates_corpus(ray_session, tmp_path):
     out = str(tmp_path / "resolve")
     tbl = _captures()
