@@ -11180,6 +11180,154 @@ ORDER BY warc_type
 """
 
 
+def q_span_dedup(sf_dir: str):
+    """C4's three-sentence-span dedup (Raffel et al. 2020 §2.2 — the
+    dedup half the ``c4_filter`` query doesn't cover): any 3-sentence
+    window occurring more than once corpus-wide is removed except at
+    its first (doc_id, sentence-index) occurrence.  Synthetic pages
+    share a 3-sentence middle block per ``doc_id % 5`` class between
+    unique opener/closer sentences, so exactly one doc per class keeps
+    all 5 sentences and every later classmate keeps only 2.  Per-lang
+    aggregate; the SQL twin builds the sentence/window relations with
+    self-joins and a row_number keep-first."""
+    import pandas as pd
+
+    from cex_crawler_ray.stages.dedup import span_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = []
+        for i in ids:
+            c = i % 5
+            texts.append(
+                ". ".join(
+                    [
+                        f"opener {i}",
+                        f"shared alpha {c}",
+                        f"shared beta {c}",
+                        f"shared gamma {c}",
+                        f"closer {i}",
+                    ]
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    out = span_dedup(pages)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        df["affected"] = (df["n_removed"] > 0).astype("int64")
+        df["clean_chars"] = [len(t) for t in df["clean_text"]]
+        return df.groupby("lang", as_index=False).agg(
+            n_docs=("affected", "size"),
+            docs_affected=("affected", "sum"),
+            n_sentences=("n_sentences", "sum"),
+            n_removed=("n_removed", "sum"),
+            clean_chars=("clean_chars", "sum"),
+        )
+
+    agg = (
+        out.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .sum(
+            [
+                "n_docs",
+                "docs_affected",
+                "n_sentences",
+                "n_removed",
+                "clean_chars",
+            ]
+        )
+        .to_pandas()
+    )
+    res = pd.DataFrame(
+        {
+            "lang": agg["lang"],
+            "n_docs": agg["sum(n_docs)"].astype("int64"),
+            "docs_affected": agg["sum(docs_affected)"].astype("int64"),
+            "n_sentences": agg["sum(n_sentences)"].astype("int64"),
+            "n_removed": agg["sum(n_removed)"].astype("int64"),
+            "clean_chars": agg["sum(clean_chars)"].astype("int64"),
+        }
+    )
+    return res.sort_values("lang", kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+_SPAN_DEDUP_SQL = """
+WITH pages AS (
+  SELECT doc_id, lang,
+         'opener ' || CAST(doc_id AS VARCHAR)
+         || '. shared alpha ' || CAST(doc_id % 5 AS VARCHAR)
+         || '. shared beta ' || CAST(doc_id % 5 AS VARCHAR)
+         || '. shared gamma ' || CAST(doc_id % 5 AS VARCHAR)
+         || '. closer ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+), sents AS (
+  SELECT doc_id, lang,
+         unnest(
+           list_filter(string_split(text, '. '), x -> x <> '')
+         ) AS sent,
+         CAST(generate_subscripts(
+           list_filter(string_split(text, '. '), x -> x <> ''), 1
+         ) - 1 AS BIGINT) AS sidx
+  FROM pages
+), spans AS (
+  SELECT a.doc_id, a.sidx,
+         a.sent || '. ' || b.sent || '. ' || c.sent AS spantext
+  FROM sents a
+  JOIN sents b ON b.doc_id = a.doc_id AND b.sidx = a.sidx + 1
+  JOIN sents c ON c.doc_id = a.doc_id AND c.sidx = a.sidx + 2
+), ranked AS (
+  SELECT doc_id, sidx,
+         row_number() OVER (
+           PARTITION BY spantext ORDER BY doc_id, sidx
+         ) AS rn
+  FROM spans
+), removed AS (
+  SELECT DISTINCT doc_id, sidx + o.k AS ridx
+  FROM ranked, (VALUES (0), (1), (2)) o(k)
+  WHERE rn > 1
+), per_doc AS (
+  SELECT s.doc_id, min(s.lang) AS lang,
+         count(*) AS n_sent,
+         sum(CASE WHEN r.ridx IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_removed,
+         sum(CASE WHEN r.ridx IS NULL THEN length(s.sent) ELSE 0 END)
+           AS kept_chars,
+         sum(CASE WHEN r.ridx IS NULL THEN 1 ELSE 0 END) AS n_kept
+  FROM sents s
+  LEFT JOIN removed r
+    ON r.doc_id = s.doc_id AND r.ridx = s.sidx
+  GROUP BY s.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_affected,
+       CAST(sum(n_sent) AS BIGINT) AS n_sentences,
+       CAST(sum(n_removed) AS BIGINT) AS n_removed,
+       CAST(sum(kept_chars
+                + CASE WHEN n_kept > 0 THEN 2 * (n_kept - 1)
+                       ELSE 0 END) AS BIGINT) AS clean_chars
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_wds_roundtrip(sf_dir: str):
     """WebDataset tar-shard container in the correctness gate: the
     documents table packs into worker-written .tar shards (one sample
@@ -12763,6 +12911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_normalize": q_nfc_normalize,
         "c4_filter": q_c4_filter,
         "crawl_incremental_revisit": q_crawl_incremental_revisit,
+        "span_dedup": q_span_dedup,
         "wds_roundtrip": q_wds_roundtrip,
         "wat_outlinks": q_wat_outlinks,
         "cdx_index": q_cdx_index,
@@ -14720,6 +14869,7 @@ GROUP BY 1, 2
         "nfc_normalize": _NFC_NORMALIZE_SQL,
         "c4_filter": _C4_FILTER_SQL,
         "crawl_incremental_revisit": _INCR_REVISIT_SQL,
+        "span_dedup": _SPAN_DEDUP_SQL,
         "wds_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wat_outlinks": """
 SELECT source || '.test' AS host,

@@ -1184,3 +1184,157 @@ def paragraph_dedup_counts(
     paras = ds.map_batches(to_paras, batch_format="pyarrow")
     partials = _coarse_group_apply(paras, "phash", keep_first)
     return partials.groupby(id_col).sum(["n_paras", "n_kept"])
+
+
+def span_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 3,
+    sep: str = ". ",
+) -> "ray.data.Dataset":
+    """C4's OTHER dedup (Raffel et al. 2020 §2.2): remove any
+    ``span``-sentence window that occurs more than once corpus-wide,
+    keeping the first occurrence (first = min (doc_id, sentence
+    index)).  Unlike ``paragraph_dedup_counts`` (whole-unit dedup) a
+    repeated WINDOW marks all of its sentences for removal in every
+    later document, so shared runs vanish even when no single
+    paragraph repeats exactly.
+
+    Scale shape — two slim exchanges, text moves once:
+    1. (span_hash64, doc_id, sidx) rows co-partition by hash; a
+       vectorized keep-first per partition emits REMOVAL markers
+       (doc_id, sentence index) only for non-first occurrences
+       (the digest-only dedup stance of CCNet/C4 themselves).
+    2. markers co-partition with the documents by ``id_col``; the
+       rebuild drops marked sentences and re-joins the survivors.
+
+    Returns (id_col, clean_text, n_sentences, n_kept, n_removed) —
+    documents with fewer than ``span`` sentences pass through
+    untouched.
+    """
+    import pandas as pd
+
+    ds = ds.materialize()  # consumed by span scan AND rebuild
+
+    def to_spans(batch: pa.Table) -> pa.Table:
+        ids, sidxs, hashes = [], [], []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            sents = [s for s in (t or "").split(sep) if s]
+            for k in range(len(sents) - span + 1):
+                ids.append(i)
+                sidxs.append(k)
+                hashes.append(_hash64(sep.join(sents[k : k + span])))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "sidx": pa.array(sidxs, pa.int64()),
+                "shash": pa.array(hashes, pa.uint64()),
+            }
+        )
+
+    def removal_markers(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        order = np.lexsort(
+            (df["sidx"].to_numpy(), df[id_col].to_numpy())
+        )
+        odf = pd.DataFrame(
+            {
+                "shash": df["shash"].to_numpy()[order],
+                id_col: df[id_col].to_numpy()[order],
+                "sidx": df["sidx"].to_numpy()[order],
+            }
+        )
+        dup = odf["shash"].duplicated().to_numpy()
+        d = odf[dup]
+        if len(d) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "ridx": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.repeat(d[id_col].to_numpy(), span)
+        ridx = (
+            np.repeat(d["sidx"].to_numpy(), span)
+            + np.tile(np.arange(span), len(d))
+        )
+        out = pd.DataFrame({id_col: ids, "ridx": ridx}).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema([(id_col, pa.int64()), ("ridx", pa.int64())])
+        )
+
+    markers = _coarse_group_apply(
+        ds.map_batches(to_spans, batch_format="pyarrow"),
+        "shash",
+        removal_markers,
+    )
+
+    # doc-side co-partition: pad both streams to one schema
+    doc_schema = ds.schema().base_schema
+    doc_cols = list(doc_schema.names)
+    union_cols = doc_cols + ["ridx", "_side"]
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        batch = batch.append_column(
+            "ridx", pa.nulls(n, type=pa.int64())
+        )
+        return batch.append_column(
+            "_side", pa.array([0] * n, pa.int64())
+        ).select(union_cols)
+
+    def tag_markers(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for name in doc_cols:
+            if name == id_col:
+                cols[name] = batch[id_col]
+            else:
+                cols[name] = pa.nulls(
+                    n, type=doc_schema.field(name).type
+                )
+        cols["ridx"] = batch["ridx"]
+        cols["_side"] = pa.array([1] * n, pa.int64())
+        return pa.table({c: cols[c] for c in union_cols})
+
+    both = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        markers.map_batches(tag_markers, batch_format="pyarrow")
+    )
+
+    carry_cols = [c for c in doc_cols if c not in (id_col, text_col)]
+
+    def rebuild(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        docs = df[df["_side"] == 0]
+        rm = df[df["_side"] == 1]
+        rm_map: dict = {}
+        for i, r in zip(rm[id_col], rm["ridx"]):
+            rm_map.setdefault(i, set()).add(int(r))
+        out_text, n_sent, n_kept, n_rm = [], [], [], []
+        for i, t in zip(docs[id_col], docs[text_col]):
+            sents = [s for s in (t or "").split(sep) if s]
+            bad = rm_map.get(i, ())
+            kept = [s for k, s in enumerate(sents) if k not in bad]
+            out_text.append(sep.join(kept))
+            n_sent.append(len(sents))
+            n_kept.append(len(kept))
+            n_rm.append(len(sents) - len(kept))
+        cols = {
+            id_col: pa.Array.from_pandas(
+                docs[id_col], type=pa.int64()
+            )
+        }
+        for c in carry_cols:  # lang etc. ride through the rebuild
+            cols[c] = pa.Array.from_pandas(
+                docs[c], type=doc_schema.field(c).type
+            )
+        cols["clean_text"] = pa.array(out_text, pa.string())
+        cols["n_sentences"] = pa.array(n_sent, pa.int64())
+        cols["n_kept"] = pa.array(n_kept, pa.int64())
+        cols["n_removed"] = pa.array(n_rm, pa.int64())
+        return pa.table(cols)
+
+    return _coarse_group_apply(both, id_col, rebuild)
