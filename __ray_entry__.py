@@ -11328,6 +11328,72 @@ ORDER BY lang
 """
 
 
+def q_politeness_audit(sf_dir: str):
+    """Politeness compliance audit: per-host fetch-gap verification
+    over a synthetic fetch log (prime-scrambled epoch seconds, 9 hosts,
+    per-host crawl-delay requirements) — did the scheduler honor every
+    host's delay?  One slim host-hash co-partition, vectorized
+    sort+diff per host; the SQL twin is a lag window.  Counts depend
+    only on the sorted ts multiset, so tie order can't desync."""
+    import pandas as pd
+
+    from cex_crawler_ray.state.politeness import audit_fetch_gaps
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def to_log(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        h = ids % 9
+        return pa.table(
+            {
+                "host": pa.array(
+                    [f"h{int(x)}.aud.test" for x in h], pa.string()
+                ),
+                "ts_s": pa.array((ids * 7919) % 100000, pa.int64()),
+                "required_delay_s": pa.array(
+                    5 + (h % 3) * 5, pa.int64()
+                ),
+            }
+        )
+
+    log = docs.map_batches(to_log, batch_format="pyarrow")
+    out = audit_fetch_gaps(log).to_pandas()
+    for c in ("n_fetches", "min_gap_s", "n_violations",
+              "required_delay_s"):
+        out[c] = out[c].astype("Int64" if c == "min_gap_s" else "int64")
+    return out.sort_values("host", kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+_POLITENESS_AUDIT_SQL = """
+WITH log AS (
+  SELECT 'h' || CAST(doc_id % 9 AS VARCHAR) || '.aud.test' AS host,
+         (doc_id * 7919) % 100000 AS ts_s,
+         5 + ((doc_id % 9) % 3) * 5 AS req
+  FROM documents
+), g AS (
+  SELECT host, req,
+         ts_s - lag(ts_s) OVER (PARTITION BY host ORDER BY ts_s)
+           AS gap
+  FROM log
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(min(gap) AS BIGINT) AS min_gap_s,
+       CAST(sum(CASE WHEN gap < req THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(min(req) AS BIGINT) AS required_delay_s
+FROM g
+GROUP BY host
+ORDER BY host
+"""
+
+
 def q_wds_roundtrip(sf_dir: str):
     """WebDataset tar-shard container in the correctness gate: the
     documents table packs into worker-written .tar shards (one sample
@@ -12912,6 +12978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_filter": q_c4_filter,
         "crawl_incremental_revisit": q_crawl_incremental_revisit,
         "span_dedup": q_span_dedup,
+        "politeness_audit": q_politeness_audit,
         "wds_roundtrip": q_wds_roundtrip,
         "wat_outlinks": q_wat_outlinks,
         "cdx_index": q_cdx_index,
@@ -14870,6 +14937,7 @@ GROUP BY 1, 2
         "c4_filter": _C4_FILTER_SQL,
         "crawl_incremental_revisit": _INCR_REVISIT_SQL,
         "span_dedup": _SPAN_DEDUP_SQL,
+        "politeness_audit": _POLITENESS_AUDIT_SQL,
         "wds_roundtrip": _WARC_ROUNDTRIP_SQL,
         "wat_outlinks": """
 SELECT source || '.test' AS host,

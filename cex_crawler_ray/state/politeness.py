@@ -242,3 +242,75 @@ class AdaptiveDelay:
         base = robots.crawl_delay_ms.get(host, robots.default_delay_ms)
         eff = base * self.mult.get(host, 1.0)
         return max(1, int(round_ms // max(1.0, eff)))
+
+
+def audit_fetch_gaps(
+    log_ds,
+    host_col: str = "host",
+    ts_col: str = "ts_s",
+    delay_col: str = "required_delay_s",
+    num_parts: int = 64,
+):
+    """Politeness COMPLIANCE audit over a fetch log — the operational
+    check a crawl runs after the fact: did the scheduler actually honor
+    each host's crawl-delay?  (The reference engine sleeps inline,
+    `exchange/base_scraper.py` 2-5 s loops, and never verifies; at
+    fleet scale verification is how you catch a mis-sharded host.)
+
+    Input rows: (host, fetch epoch-seconds, required delay seconds —
+    constant per host).  ONE host-hash co-partition moves slim
+    (host, ts, delay) rows; inside each partition the per-host gap
+    sequence is a vectorized sort + diff.  Returns per host:
+    n_fetches, min_gap_s (null when the host fetched once),
+    n_violations (gaps strictly under the required delay),
+    required_delay_s.  Gap multiset depends only on the sorted ts
+    sequence, so any tie order reproduces the same counts.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from cex_crawler_ray.stages.dedup import (
+        _coarse_group_apply,
+        _hash64,
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        kh = pa.array(
+            [_hash64(h) for h in batch[host_col].to_pylist()],
+            pa.uint64(),
+        )
+        return batch.select(
+            [host_col, ts_col, delay_col]
+        ).append_column("_kh", kh)
+
+    def audit(part: pa.Table) -> pa.Table:
+        df = part.to_pandas().sort_values(
+            [host_col, ts_col], kind="mergesort"
+        )
+        hosts, n_f, min_g, n_v, req = [], [], [], [], []
+        for h, g in df.groupby(host_col, sort=True):
+            ts = g[ts_col].to_numpy(np.int64)
+            gaps = np.diff(ts)
+            d = int(g[delay_col].iloc[0])
+            hosts.append(h)
+            n_f.append(len(ts))
+            min_g.append(int(gaps.min()) if len(gaps) else None)
+            n_v.append(int((gaps < d).sum()))
+            req.append(d)
+        return pa.table(
+            {
+                host_col: pa.array(hosts, pa.string()),
+                "n_fetches": pa.array(n_f, pa.int64()),
+                "min_gap_s": pa.array(min_g, pa.int64()),
+                "n_violations": pa.array(n_v, pa.int64()),
+                delay_col: pa.array(req, pa.int64()),
+            }
+        )
+
+    return _coarse_group_apply(
+        log_ds.map_batches(tag, batch_format="pyarrow"),
+        "_kh",
+        audit,
+        num_parts=num_parts,
+    )
