@@ -391,8 +391,19 @@ def bench_queries(sf_dir: str) -> dict:
         "market_share",
         "crawl_sitemap_status",
         "gini_mean_difference",
+        # round-4 session-2 crawl/webtext family
+        "warc_revisit",
+        "crawl_incremental_revisit",
+        "dust_rules",
+        "soft404",
+        "page_opic",
+        "span_dedup",
+        "c4_filter",
+        "politeness_audit",
     ]
     extended = [
+        "dust_canonical",
+        "nfc_normalize",
         "wet_roundtrip",
         "wat_outlinks",
         "cdx_index",
