@@ -10913,6 +10913,10 @@ def q_c4_filter(sf_dir: str):
         texts = batch["text"].to_pylist()
         pages = []
         for i, t in zip(ids, texts):
+            # Embedded newlines would desync the Ray line split from
+            # the SQL twin's single-line model — flatten them (the
+            # twin mirrors with replace(text, chr(10), ' ')).
+            t = (t or "").replace("\n", " ")
             lines = [
                 t + " end.",
                 "short line.",
@@ -10971,7 +10975,8 @@ def q_c4_filter(sf_dir: str):
 
 _C4_FILTER_SQL = """
 WITH lines AS (
-  SELECT doc_id, lang, text || ' end.' AS l FROM documents
+  SELECT doc_id, lang, replace(text, chr(10), ' ') || ' end.' AS l
+  FROM documents
   UNION ALL SELECT doc_id, lang, 'short line.' FROM documents
   UNION ALL SELECT doc_id, lang,
     'enable javascript now please thanks.' FROM documents

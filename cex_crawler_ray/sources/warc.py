@@ -731,7 +731,15 @@ def resolve_revisits(full_ds):
     record sharing their digest.  ONE digest-hash co-partition
     co-locates each revisit with its original (response payloads move
     once; revisit rows are slim).  Input is ``read_warc(dir,
-    full=True)`` output; returns (url, warc_ts, lang, payload)."""
+    full=True)`` output; returns (url, warc_ts, lang, payload,
+    missing_referent).
+
+    A revisit whose digest has NO response row in the input (e.g. a
+    crawl-2-only archive produced with ``revisit_plan(prior=...)``
+    whose referents live in the prior crawl's archive) is flagged
+    ``missing_referent=True`` with an empty payload — never a silent
+    empty-bytes substitution; callers union the prior archive in or
+    route flagged rows to it."""
     from cex_crawler_ray.stages.dedup import (
         _coarse_group_apply,
         _hash64,
@@ -750,12 +758,19 @@ def resolve_revisits(full_ds):
         df = part.to_pandas()
         resp = df[df["warc_type"] != "revisit"]
         pmap = dict(zip(resp["payload_digest"], resp["payload"]))
-        payloads = [
-            pmap.get(d, b"") if t == "revisit" else p
-            for d, t, p in zip(
-                df["payload_digest"], df["warc_type"], df["payload"]
-            )
-        ]
+        payloads, missing = [], []
+        for d, t, p in zip(
+            df["payload_digest"], df["warc_type"], df["payload"]
+        ):
+            if t != "revisit":
+                payloads.append(p)
+                missing.append(False)
+            elif d in pmap:
+                payloads.append(pmap[d])
+                missing.append(False)
+            else:
+                payloads.append(b"")
+                missing.append(True)
         return pa.table(
             {
                 "url": pa.array(df["url"].to_numpy(object), pa.string()),
@@ -766,6 +781,7 @@ def resolve_revisits(full_ds):
                     df["lang"].to_numpy(object), pa.string()
                 ),
                 "payload": pa.array(payloads, pa.binary()),
+                "missing_referent": pa.array(missing, pa.bool_()),
             }
         )
 

@@ -7,9 +7,15 @@ Rules implemented (the deterministic, SQL-twinnable core):
 * LINE keep: ends in terminal punctuation (``. ! ? "``), has at least
   ``min_words`` whitespace-split tokens, and does not mention
   ``javascript`` (case-insensitive).
-* PAGE drop: any line containing ``{`` (leaked code) or the phrase
-  ``lorem ipsum`` bans the whole page.
+* PAGE drop: any line containing a ``PAGE_BANS`` token (``{`` for
+  leaked code, the phrase ``lorem ipsum``) bans the whole page.
 * PAGE keep: at least ``min_kept_lines`` surviving lines.
+
+Thresholds are C4-STYLE, not the paper's exact values: Raffel et al.
+keep lines with >=3 words and pages with >=5 sentences; the defaults
+here (``MIN_WORDS=5``, ``MIN_KEPT_LINES=3``) are this engine's
+conformance constants — pass ``min_words=3, min_kept_lines=5`` for
+paper-faithful filtering.
 
 The kernel is a per-batch pure function over the text column — one
 pass per line, zero shuffle; the corpus never moves.  Word counting
@@ -40,7 +46,9 @@ def clean_page(
     banned = False
     for l in lines:
         low = l.lower()
-        if "{" in l or "lorem ipsum" in low:
+        # PAGE_BANS tokens are matched case-insensitively; caseless
+        # tokens like "{" are unaffected by the lowering.
+        if any(b in low for b in PAGE_BANS):
             banned = True
         if (
             l.endswith(TERMINAL)

@@ -44,19 +44,29 @@ def _host_of(url: str) -> str:
 
 
 def _split_query(url: str):
-    base, sep, query = url.partition("?")
+    """Split into (base, params, fragment).  The fragment (with its
+    leading ``#``) is partitioned off FIRST so it never rides inside
+    the last param's value — stripping a param must not delete the
+    fragment or desync mined evidence keys from their targets."""
+    head, fsep, frag = url.partition("#")
+    frag = fsep + frag if fsep else ""
+    base, sep, query = head.partition("?")
     if not sep or not query:
-        return base, []
-    return base, query.split("&")
+        return base, [], frag
+    return base, query.split("&"), frag
+
+
+def _join_query(base: str, params: list, frag: str) -> str:
+    return (base + "?" + "&".join(params) if params else base) + frag
 
 
 def strip_param(url: str, name: str) -> str:
     """Remove every ``name=...`` pair from the url's query string,
-    preserving the order of the remaining params (mirrors the SQL
-    twin's two-step regexp strip)."""
-    base, params = _split_query(url)
+    preserving the order of the remaining params and any ``#fragment``
+    (mirrors the SQL twin's two-step regexp strip)."""
+    base, params, frag = _split_query(url)
     kept = [p for p in params if p.partition("=")[0] != name]
-    return base + "?" + "&".join(kept) if kept else base
+    return _join_query(base, kept, frag)
 
 
 def mine_param_rules(
@@ -78,7 +88,7 @@ def mine_param_rules(
         host_l, param_l, tgt_l, dig_l = [], [], [], []
         for u, d in zip(urls, digs):
             h = _host_of(u)
-            _, params = _split_query(u)
+            _, params, _ = _split_query(u)
             seen = set()
             for p in params:
                 name = p.partition("=")[0]
@@ -197,12 +207,12 @@ def apply_rules(ds, rules, url_col: str = "url"):
             if not ruled:
                 out.append(u)
                 continue
-            base, params = _split_query(u)
+            base, params, frag = _split_query(u)
             kept = [
                 p for p in params
                 if p.partition("=")[0] not in ruled
             ]
-            out.append(base + "?" + "&".join(kept) if kept else base)
+            out.append(_join_query(base, kept, frag))
         idx = batch.column_names.index(url_col)
         return batch.set_column(
             idx, url_col, pa.array(out, pa.string())

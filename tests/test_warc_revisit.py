@@ -171,3 +171,53 @@ def test_resolve_revisits_rehydrates_corpus(ray_session, tmp_path):
     a = sorted(zip(orig["url"], orig["warc_ts"], orig["html"]))
     b = sorted(zip(res["url"], res["warc_ts"], res["payload"]))
     assert a == b
+    # a self-contained archive has every referent in-archive
+    assert not res["missing_referent"].any()
+
+
+def test_resolve_revisits_flags_missing_referent(ray_session, tmp_path):
+    """A crawl-2-only archive (revisit_plan against a prior index)
+    holds revisits whose response referents live in crawl 1 — those
+    rows must come back FLAGGED, never as silent empty payloads."""
+    from cex_crawler_ray.sources.cdx import build_cdxj
+    from cex_crawler_ray.sources.warc import prior_from_cdxj, write_warc
+
+    def snap(base, change):
+        rows = []
+        for i in range(12):
+            body = b"mbody-%d" % i
+            if change and i % 3 == 0:
+                body += b" v2"
+            rows.append(
+                (f"https://mr.test/d/{i}", base + dt.timedelta(seconds=i), body)
+            )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([r[0] for r in rows], pa.string()),
+                    "warc_ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                    "lang": pa.array(["en"] * len(rows), pa.string()),
+                    "html": pa.array([r[2] for r in rows], pa.binary()),
+                }
+            )
+        )
+
+    dir1 = str(tmp_path / "m1")
+    cdx1 = str(tmp_path / "mx1")
+    dir2 = str(tmp_path / "m2")
+    write_warc(snap(dt.datetime(2024, 3, 1), False), dir1)
+    build_cdxj(dir1, cdx1)
+    planned = revisit_plan(
+        snap(dt.datetime(2024, 3, 11), True), prior=prior_from_cdxj(cdx1)
+    )
+    write_warc_deduped(planned, dir2)
+    res = resolve_revisits(read_warc(dir2, full=True)).to_pandas()
+    flagged = res[res["missing_referent"]]
+    # every prior-crawl revisit is flagged with an empty payload...
+    assert len(flagged) > 0
+    assert (flagged["payload"].map(len) == 0).all()
+    # ...and every unflagged row carries a real payload
+    ok = res[~res["missing_referent"]]
+    assert (ok["payload"].map(len) > 0).all()
