@@ -315,6 +315,53 @@ def bench_crawl_dist(sf_dir: str) -> dict:
     return best or {"pages": 0, "sec": 0.0, "pages_per_sec": 0.0}
 
 
+def bench_rank_hosts(n_hosts: int = 1_000_000) -> dict:
+    """rank_hosts at >=10^6 distinct hosts: edges synthesized INSIDE
+    workers (2 edges/host, deterministic), PageRank over the host
+    graph, ranks returned as the hash-keyed HostRanks arrays.  Reports
+    wall, driver RSS delta and bytes/host of the returned structure —
+    the evidence that host ranking no longer builds a driver host-name
+    dict (VERDICT r4 item 2)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from cex_crawler_ray.pipelines.crawl import rank_hosts
+
+    def gen(batch) -> "pa.Table":
+        ids = batch["id"].to_numpy()
+        src = ids % n_hosts
+        dst = (ids * 2654435761) % n_hosts
+        fmt = np.char.add(
+            np.char.add("h", src.astype("U9")), ".test"
+        )
+        fmt2 = np.char.add(
+            np.char.add("h", dst.astype("U9")), ".test"
+        )
+        return pa.table(
+            {
+                "src_host": pa.array(fmt, pa.string()),
+                "dst_host": pa.array(fmt2, pa.string()),
+            }
+        )
+
+    edges = ray.data.range(
+        2 * n_hosts, override_num_blocks=64
+    ).map_batches(gen, batch_format="pyarrow")
+    rss0 = _rss_mb()
+    t0 = time.perf_counter()
+    hr = rank_hosts(edges)
+    dt = time.perf_counter() - t0
+    nb = hr.hashes.nbytes + hr.ranks.nbytes
+    return {
+        "sec": round(dt, 3),
+        "hosts": len(hr),
+        "hosts_per_sec": round(len(hr) / dt, 1),
+        "driver_rss_delta_mb": round(_rss_mb() - rss0, 1),
+        "bytes_per_host": round(nb / max(len(hr), 1), 1),
+    }
+
+
 def bench_queries(sf_dir: str) -> dict:
     import __ray_entry__ as entry_mod
 
@@ -518,6 +565,12 @@ def run_bench() -> dict:
         if want("crawl")
         else {"pages": 0, "sec": 0.0, "pages_per_sec": 0.0}
     )
+    ranks = (
+        bench_rank_hosts()
+        if want("rank_hosts")
+        else {"sec": 0.0, "hosts": 0, "driver_rss_delta_mb": 0.0,
+              "bytes_per_host": 0.0}
+    )
     queries = bench_queries(sf_dir) if want("queries") else {}
 
     # the dist-crawl child creates its OWN local Ray instance (fresh
@@ -559,6 +612,7 @@ def run_bench() -> dict:
         "crawl_e2e_sec": round(crawl["sec"], 3),
         "crawl_dist_pages_per_sec": round(crawl_dist["pages_per_sec"], 1),
         "crawl_dist_sec": round(crawl_dist["sec"], 3),
+        "rank_hosts_1m": ranks,
         "replicate": REPLICATE,
     }
     if ray.is_initialized():

@@ -281,31 +281,89 @@ def _schedule_driver(tbl: pa.Table, budgets: dict, default_tokens: int) -> pa.Ta
     ).append_column("scheduled", pa.array(scheduled))
 
 
+class HostRanks:
+    """Bounded host-rank lookup for round caps: two parallel numpy
+    arrays (sorted ``url_hash64(host)`` u64, i64 rank) — 16 bytes/host
+    vs ~100+ bytes/entry for a Python host-name dict, and shareable
+    across tasks via one ``ray.put`` without host-name strings ever
+    collecting on the driver.  At the 10^10-URL design point (~10^7-8
+    hosts) that is a few hundred MB of arrays instead of GBs of dict.
+    Lookups are a vectorized ``searchsorted``; unknown hosts rank 0.
+    Hashes are masked to 62 bits (PageRank node-id space); a cross-host
+    collision merely shares a rank — harmless for cap ordering."""
+
+    __slots__ = ("hashes", "ranks")
+    _MASK = np.uint64((1 << 62) - 1)
+
+    def __init__(self, hashes: np.ndarray, ranks: np.ndarray):
+        order = np.argsort(hashes)
+        self.hashes = np.ascontiguousarray(hashes[order])
+        self.ranks = np.ascontiguousarray(ranks[order])
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "HostRanks":
+        if not d:
+            return cls(np.zeros(0, np.uint64), np.zeros(0, np.int64))
+        h = url_hash64_arrow(pa.array(list(d), pa.string())) & cls._MASK
+        r = np.fromiter(d.values(), np.int64, len(d))
+        return cls(h, r)
+
+    def lookup(self, hosts) -> np.ndarray:
+        """pyarrow string column (or list) -> i64 rank array."""
+        if isinstance(hosts, list):
+            hosts = pa.array(hosts, pa.string())
+        n = len(hosts)
+        if n == 0 or len(self.hashes) == 0:
+            return np.zeros(n, np.int64)
+        h = url_hash64_arrow(hosts) & self._MASK
+        pos = np.minimum(
+            np.searchsorted(self.hashes, h), len(self.hashes) - 1
+        )
+        hit = self.hashes[pos] == h
+        out = np.zeros(n, np.int64)
+        out[hit] = self.ranks[pos[hit]]
+        return out
+
+    def get(self, host: str, default: int = 0) -> int:
+        r = int(self.lookup([host])[0])
+        return r if r != 0 else default
+
+    def __len__(self) -> int:
+        return len(self.hashes)
+
+
+def _rank_array(host_ranks, hosts) -> np.ndarray:
+    """Ranks for a host column: vectorized via ``HostRanks.lookup``;
+    plain dicts (tests / hand-rolled configs) keep the small path."""
+    if isinstance(host_ranks, HostRanks):
+        return host_ranks.lookup(hosts)
+    hl = hosts if isinstance(hosts, list) else hosts.to_pylist()
+    return np.asarray(
+        [int(host_ranks.get(h, 0)) for h in hl], dtype=np.int64
+    )
+
+
 def rank_hosts(
     edges_ds, src_col: str = "src_host", dst_col: str = "dst_host"
-) -> dict:
+) -> HostRanks:
     """Host centrality scores for ``CrawlConfig.host_ranks``: fixed-
     point PageRank (``stages/window.pagerank``) over a host-level link
-    graph.  Hosts are hashed to int64 node ids inside the workers; the
-    name map is the DISTINCT host set (small by construction — hosts,
-    not urls), collected via per-batch dedup partials.  Returns
-    {host: pr_rank} with higher = more central."""
-    from ..stages.dedup import _hash64
+    graph.  Hosts hash to 62-bit node ids with the vectorized
+    ``url_hash64_arrow`` kernel inside the workers; the PageRank output
+    (node, pr_rank) IS the rank table — host-name strings never
+    collect on the driver.  Returns a ``HostRanks`` (higher = more
+    central) consumed by ``_apply_round_cap`` / ``_cap_quotas``."""
     from ..stages.window import pagerank
 
-    mask = (1 << 62) - 1
+    mask = HostRanks._MASK
 
     def to_ids(batch: pa.Table) -> pa.Table:
-        s = batch[src_col].to_pylist()
-        d = batch[dst_col].to_pylist()
+        s = (url_hash64_arrow(batch[src_col]) & mask).astype(np.int64)
+        d = (url_hash64_arrow(batch[dst_col]) & mask).astype(np.int64)
         return pa.table(
             {
-                "src": pa.array(
-                    [_hash64(x) & mask for x in s], pa.int64()
-                ),
-                "dst": pa.array(
-                    [_hash64(x) & mask for x in d], pa.int64()
-                ),
+                "src": pa.array(s, pa.int64()),
+                "dst": pa.array(d, pa.int64()),
             }
         )
 
@@ -313,26 +371,13 @@ def rank_hosts(
     pr_tbl = pa.concat_tables(
         ray.get(pagerank(ids).to_arrow_refs()), promote_options="default"
     )
-    rank_by_node = dict(
-        zip(pr_tbl["node"].to_pylist(), pr_tbl["pr_rank"].to_pylist())
+    nodes = (
+        pr_tbl["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
     )
-
-    def distinct_hosts(batch: pa.Table) -> pa.Table:
-        names = sorted(
-            set(batch[src_col].to_pylist())
-            | set(batch[dst_col].to_pylist())
-        )
-        return pa.table({"host": pa.array(names, pa.string())})
-
-    out: dict = {}
-    for row in edges_ds.map_batches(
-        distinct_hosts, batch_format="pyarrow"
-    ).take_all():
-        h = row["host"]
-        node = _hash64(h) & mask
-        if node in rank_by_node:
-            out[h] = int(rank_by_node[node])
-    return out
+    ranks = (
+        pr_tbl["pr_rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    return HostRanks(nodes, ranks)
 
 
 def _apply_round_cap(
@@ -345,10 +390,7 @@ def _apply_round_cap(
     idx = np.flatnonzero(sched)
     if len(idx) <= cap:
         return sched_tbl
-    hosts = sched_tbl["host"].to_pylist()
-    neg_rank = np.asarray(
-        [-int(host_ranks.get(hosts[i], 0)) for i in idx], dtype=np.int64
-    )
+    neg_rank = -_rank_array(host_ranks, sched_tbl["host"])[idx]
     prio = sched_tbl["priority"].to_numpy(zero_copy_only=False)[idx]
     ts = (
         sched_tbl["discovered_ts"]
@@ -723,9 +765,7 @@ def _cap_quotas(meta: pa.Table, host_ranks: dict, cap: int):
     if n <= cap:
         return None
     hosts = meta["host"].to_pylist()
-    neg_rank = np.asarray(
-        [-int(host_ranks.get(h, 0)) for h in hosts], dtype=np.int64
-    )
+    neg_rank = -_rank_array(host_ranks, meta["host"])
     prio = meta["priority"].to_numpy(zero_copy_only=False).astype(np.int64)
     ts = meta["discovered_ts"].to_numpy(zero_copy_only=False).astype(
         np.int64

@@ -93,8 +93,56 @@ def test_rank_hosts_from_edges(ray_session):
         )
     )
     ranks = rank_hosts(edges)
-    assert set(ranks) == {"a.test", "b.test", "c.test", "d.test", "hub.test"}
-    assert ranks["hub.test"] == max(ranks.values())
+    # hash-keyed HostRanks: all 5 hosts present, hub the most central
+    assert len(ranks) == 5
+    vals = {
+        h: ranks.get(h)
+        for h in ("a.test", "b.test", "c.test", "d.test", "hub.test")
+    }
+    assert vals["hub.test"] == int(ranks.ranks.max())
+    # unknown hosts rank 0 / default
+    assert ranks.get("nope.test") == 0
+    assert ranks.get("nope.test", -1) == -1
+
+
+def test_host_ranks_vectorized_lookup_matches_dict():
+    from cex_crawler_ray.pipelines.crawl import HostRanks, _rank_array
+
+    d = {f"h{i}.test": i + 1 for i in range(1000)}
+    hr = HostRanks.from_dict(d)
+    hosts = [f"h{i}.test" for i in range(0, 2000, 7)]  # half misses
+    got = hr.lookup(hosts)
+    want = _rank_array(d, hosts)
+    assert (got == want).all()
+
+
+def test_cap_accepts_host_ranks_object():
+    from cex_crawler_ray.pipelines.crawl import (
+        HostRanks,
+        _apply_round_cap,
+        _cap_quotas,
+    )
+
+    tbl = _sched_tbl(
+        [
+            ("a1", "a", 1, 0, 10, True),
+            ("a2", "a", 2, 0, 11, True),
+            ("b1", "b", 3, 0, 1, True),
+            ("b2", "b", 4, 0, 2, True),
+        ]
+    )
+    hr = HostRanks.from_dict({"b": 100, "a": 1})
+    out = _apply_round_cap(tbl, hr, cap=2)
+    kept = [
+        u
+        for u, s in zip(out["url"].to_pylist(), out["scheduled"].to_pylist())
+        if s
+    ]
+    assert kept == ["b1", "b2"]
+    quotas = _cap_quotas(
+        tbl.drop_columns(["fetch_slot", "scheduled"]), hr, cap=2
+    )
+    assert quotas == {"b": 2}
 
 
 def test_capped_crawl_defers_not_drops(ray_session, tmp_path):
