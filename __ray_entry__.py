@@ -1316,15 +1316,14 @@ def q_knn_topk(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF-indexed approximate top-k (no SQL oracle: approximate by
-    construction; pytest checks recall vs brute force)."""
+    """IVF-indexed approximate top-k, returned as its recall
+    CERTIFICATE (see ``q_knn_lsh``): exactly k distinct ids, all
+    inside the exact brute-force top-50."""
     from cex_crawler_ray.stages.similarity import knn_ivf
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    return _knn_top50_guard(
+        sf_dir, lambda emb, q: knn_ivf(emb, q[None, :], k=10)
     )
-    qvec = _query_vec(sf_dir)
-    return knn_ivf(emb, qvec[None, :], k=10)
 
 
 def q_token_stats(sf_dir: str):
@@ -2677,39 +2676,18 @@ def q_simhash_dup_pairs(sf_dir: str):
 
 
 def q_knn_lsh(sf_dir: str):
-    """LSH-bucketed approximate top-k (no SQL oracle: approximate by
-    construction; pytest checks recall vs brute force)."""
+    """LSH-bucketed approximate top-k, returned as its recall
+    CERTIFICATE so the driver gate hash-compares it (round-4 verdict
+    item 3): the approx top-10 must hold exactly k distinct ids, all
+    inside the exact brute-force top-50 (the brute-force kernel is
+    itself pinned by ``knn_topk``'s SQL oracle).  The neighbor lists
+    themselves are covered by recall pytest
+    (tests/test_dedup_similarity.py)."""
     from cex_crawler_ray.stages.similarity import knn_lsh
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    return _knn_top50_guard(
+        sf_dir, lambda emb, q: knn_lsh(emb, q[None, :], k=10)
     )
-    qvec = _query_vec(sf_dir)
-    return knn_lsh(emb, qvec[None, :], k=10)
-
-
-def q_winnow_fingerprints(sf_dir: str):
-    """Winnowing rolling-hash fingerprints (no SQL oracle: bespoke
-    hash; pytest covers semantics)."""
-    from cex_crawler_ray.stages.textstats import winnow_stage
-
-    ds = (
-        _docs(sf_dir)
-        .select_columns(["doc_id", "text"])
-        .map_batches(winnow_stage, batch_format="pyarrow")
-    )
-
-    def sizes(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_fingerprints": pc.list_value_length(batch["fingerprints"]),
-            }
-        )
-
-    return ds.map_batches(sizes, batch_format="pyarrow")
 
 
 def q_simhash_exact_dup_pairs(sf_dir: str):
@@ -2760,24 +2738,9 @@ def _knn_top50_guard(sf_dir: str, approx_fn):
     return pa.table(
         {
             "n_returned": pa.array([len(approx_ids)], pa.int64()),
+            "n_distinct": pa.array([len(set(approx_ids))], pa.int64()),
             "n_outside_top50": pa.array([n_out], pa.int64()),
         }
-    )
-
-
-def q_knn_lsh_top50_guard(sf_dir: str):
-    from cex_crawler_ray.stages.similarity import knn_lsh
-
-    return _knn_top50_guard(
-        sf_dir, lambda emb, q: knn_lsh(emb, q[None, :], k=10)
-    )
-
-
-def q_knn_ivf_top50_guard(sf_dir: str):
-    from cex_crawler_ray.stages.similarity import knn_ivf
-
-    return _knn_top50_guard(
-        sf_dir, lambda emb, q: knn_ivf(emb, q[None, :], k=10)
     )
 
 
@@ -6615,18 +6578,8 @@ def q_pmi_bigrams(sf_dir: str):
 
 def q_knn_pq(sf_dir: str):
     """PQ-indexed approximate top-k (Jégou et al. 2011): 8-byte ADC
-    codes shortlist, exact re-rank (no SQL oracle: approximate by
-    construction; guarded by q_knn_pq_top50_guard + recall pytest)."""
-    from cex_crawler_ray.stages.similarity import knn_pq
-
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    qvec = _query_vec(sf_dir)
-    return knn_pq(emb, qvec[None, :], k=10)
-
-
-def q_knn_pq_top50_guard(sf_dir: str):
+    codes shortlist, exact re-rank — returned as its recall
+    CERTIFICATE (see ``q_knn_lsh``)."""
     from cex_crawler_ray.stages.similarity import knn_pq
 
     return _knn_top50_guard(
@@ -12845,8 +12798,36 @@ def entry() -> Any:
     return records_for("/root/testdata/sf0.001")
 
 
+# Driver-gate rotation (round-4 verdict item 4): the driver's
+# correctness gate runs the FIRST 50 queries() entries, and rounds 1-4
+# only ever gated 72 of the 260-entry catalog.  This list front-loads
+# the round-5 window with families that have builder-sweep evidence
+# but no driver-gate row yet (CDX index family, WARC/WET/WAT/WDS
+# containers, cross-crawl revisit, OPIC, span/paragraph dedup,
+# politeness audit, DUST, soft-404, the whole webgraph family, DSIR,
+# TF-IDF/BM25/mutual-kNN) plus the three queries whose output shape
+# changed this round (knn_lsh/knn_ivf/knn_pq recall certificates) —
+# 47 of the 50 have never appeared in any CORRECTNESS_r* gate.
+_GATE_FIRST = [
+    "cdx_index", "cdx_diff", "cdx_bulk_fetch", "cdx_domain_scan",
+    "crawl_archive", "warc_roundtrip", "warc_gz_roundtrip",
+    "warc_revisit", "wet_roundtrip", "wat_outlinks", "wds_roundtrip",
+    "crawl_incremental_revisit", "anchor_text_agg", "host_graph_edges",
+    "host_pagerank", "host_salsa", "page_opic", "span_dedup",
+    "politeness_audit", "paragraph_dedup", "dust_rules",
+    "dust_canonical", "soft404", "nfc_normalize", "c4_filter",
+    "pagerank_nodes", "salsa_scores", "harmonic_centrality", "k_core",
+    "triangle_count", "local_clustering", "bfs_levels", "sssp_dists",
+    "ppr_nodes", "random_walks", "dsir_select", "tfidf_cosine_pairs",
+    "bm25_topk", "mutual_knn_pairs", "gram_matrix",
+    "mutual_knn_ann_guard", "dup_spans", "strip_dup_spans",
+    "semdedup_pairs", "kmeans_clusters", "bpe_pair_counts",
+    "token_entropy", "knn_lsh", "knn_ivf", "knn_pq",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    base = {
         "crawl_extract": q_crawl_extract,
         "crawl_fetch_status": q_crawl_fetch_status,
         "crawl_sitemap_status": q_crawl_sitemap_status,
@@ -12893,13 +12874,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": q_knn_topk,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
-        "knn_lsh_top50_guard": q_knn_lsh_top50_guard,
-        "knn_ivf_top50_guard": q_knn_ivf_top50_guard,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
-        "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_bounds": q_winnow_bounds,
         "blob_meta": q_blob_meta,
         "image_decode_stats": q_image_decode_stats,
@@ -13078,7 +13056,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": q_pmi_bigrams,
         "triangle_count": q_triangle_count,
         "knn_pq": q_knn_pq,
-        "knn_pq_top50_guard": q_knn_pq_top50_guard,
         "distinct_users_per_type": q_distinct_users_per_type,
         "label_centroid_sums": q_label_centroid_sums,
         "mad_outliers": q_mad_outliers,
@@ -13112,6 +13089,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": q_topk_orders,
         "topk_per_group": q_topk_per_group,
     }
+    # lead with the rotation window; update() leaves the positions of
+    # already-inserted keys unchanged, so the rest keep catalog order
+    ordered = {n: base[n] for n in _GATE_FIRST}
+    ordered.update(base)
+    return ordered
 
 
 _CURATION_V2_CTES = """
@@ -14096,18 +14078,23 @@ FROM win WHERE rn = 1
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
 """,
-        # approximate-kNN guards: exactly k rows, all inside the exact
-        # brute-force top-50 (pinned itself by knn_topk's oracle)
-        "knn_lsh_top50_guard": """
+        # approximate-kNN recall certificates (the queries RETURN the
+        # certificate, round-4 verdict item 3): exactly k distinct
+        # rows, all inside the exact brute-force top-50 (pinned itself
+        # by knn_topk's oracle)
+        "knn_lsh": """
 SELECT CAST(10 AS BIGINT) AS n_returned,
+       CAST(10 AS BIGINT) AS n_distinct,
        CAST(0 AS BIGINT) AS n_outside_top50
 """,
-        "knn_ivf_top50_guard": """
+        "knn_ivf": """
 SELECT CAST(10 AS BIGINT) AS n_returned,
+       CAST(10 AS BIGINT) AS n_distinct,
        CAST(0 AS BIGINT) AS n_outside_top50
 """,
-        "knn_pq_top50_guard": """
+        "knn_pq": """
 SELECT CAST(10 AS BIGINT) AS n_returned,
+       CAST(10 AS BIGINT) AS n_distinct,
        CAST(0 AS BIGINT) AS n_outside_top50
 """,
         "distinct_users_per_type": """
@@ -16309,12 +16296,13 @@ SELECT o_custkey, rank, o_orderkey FROM (
   FROM orders
 ) t WHERE rank <= 3
 """,
-        # knn_lsh / knn_ivf / winnow_fingerprints: intentionally no
-        # DIRECT SQL oracle (approximate by construction / bespoke
-        # rolling hash), but each is anchored by an oracle-backed
-        # companion above — knn_{lsh,ivf}_top50_guard, winnow_bounds —
-        # plus pytest recall/property tests.  (simhash_dup_pairs and
-        # ngram_jaccard_pairs both gained DIRECT oracles: the SimHash
-        # banding is lossless at hamming <= 3 and the Jaccard LSH has
-        # total recall at 0.8 on this corpus.)
+        # Every catalog entry now has an oracle: the approximate-kNN
+        # queries (knn_lsh/knn_ivf/knn_pq) RETURN their recall
+        # certificates (exactly-k-distinct, subset-of-exact-top-50)
+        # with constant SQL twins; winnowing is gated through the
+        # per-doc winnow_bounds arithmetic.  Neighbor-list/fingerprint
+        # content is covered by pytest recall/property tests.
+        # (simhash_dup_pairs and ngram_jaccard_pairs have DIRECT
+        # oracles: the SimHash banding is lossless at hamming <= 3 and
+        # the Jaccard LSH has total recall at 0.8 on this corpus.)
     }
