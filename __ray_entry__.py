@@ -2393,6 +2393,41 @@ def q_dup_spans(sf_dir: str):
     return dup_spans(_dedup_corpus(sf_dir), k=8)
 
 
+_BPA = " ".join(f"bpa{i}" for i in range(60))
+_BPB = " ".join(f"bpb{i}" for i in range(55))
+
+
+def q_exact_substr_dedup(sf_dir: str):
+    """ExactSubstr dedup at Lee et al. 2022's >=50-token fidelity over
+    a corpus with PLANTED long repeats: doc_id % 7 == 0 documents gain
+    a shared 60-token boilerplate tail, % 5 == 0 a second 55-token
+    tail (% 35 docs carry both, whose concatenation repeats as one
+    115-token block among them).  Output is every maximal repeated
+    span after its first occurrence with its exact token length; the
+    SQL twin rebuilds the identical corpus and replays the keep-first
+    + island-merge semantics on unnested 50-grams."""
+    from cex_crawler_ray.stages.substr_dedup import exact_substr_spans
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out = []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            t2 = t or ""
+            if i % 7 == 0:
+                t2 += " " + _BPA
+            if i % 5 == 0:
+                t2 += " " + _BPB
+            out.append(t2)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    corpus = docs.map_batches(plant, batch_format="pyarrow")
+    return exact_substr_spans(corpus, min_len=50)
+
+
 def q_strip_dup_spans(sf_dir: str):
     """The full Lee-et-al substring-dedup rewrite: drop every
     non-first duplicated 8-token span from each doc's token stream.
@@ -12821,7 +12856,7 @@ _GATE_FIRST = [
     "ppr_nodes", "random_walks", "dsir_select", "tfidf_cosine_pairs",
     "bm25_topk", "mutual_knn_pairs", "gram_matrix",
     "mutual_knn_ann_guard", "dup_spans", "strip_dup_spans",
-    "semdedup_pairs", "kmeans_clusters", "bpe_pair_counts",
+    "semdedup_pairs", "kmeans_clusters", "exact_substr_dedup",
     "token_entropy", "knn_lsh", "knn_ivf", "knn_pq",
 ]
 
@@ -13077,6 +13112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_rates": q_resample_rates,
         "temperature_sample": q_temperature_sample,
         "dup_spans": q_dup_spans,
+        "exact_substr_dedup": q_exact_substr_dedup,
         "strip_dup_spans": q_strip_dup_spans,
         "lead_user": q_lead_user,
         "pagerank_nodes": q_pagerank_nodes,
@@ -16054,6 +16090,59 @@ SELECT d.doc_id, d.lang
 FROM documents d JOIN r ON d.lang = r.lang
 WHERE CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) * 1000000
       < r.rate_ppm * 4294967296
+""",
+        "exact_substr_dedup": """
+WITH corpus AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' ' || array_to_string(
+              list_transform(range(0, 60),
+                             i -> 'bpa' || CAST(i AS VARCHAR)), ' ')
+            ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' ' || array_to_string(
+              list_transform(range(0, 55),
+                             i -> 'bpb' || CAST(i AS VARCHAR)), ' ')
+            ELSE '' END AS text
+  FROM documents
+),
+lists AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                        x -> lower(x)) AS l
+  FROM corpus
+),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(list_slice(l, i, i + 49), ' ') AS g
+  FROM lists, LATERAL unnest(range(1, len(l) - 48)) AS t(i)
+  WHERE len(l) >= 50
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM w
+  ) WHERE rn > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NULL
+                   OR pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) > 50
+              THEN 1 ELSE 0 END AS brk
+  FROM marked
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS gid
+  FROM isl
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 49 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 49 - MIN(pos) + 1 AS BIGINT) AS span_len
+FROM grp GROUP BY doc_id, gid
 """,
         "dup_spans": """
 WITH corpus AS (

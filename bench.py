@@ -447,6 +447,10 @@ def bench_queries(sf_dir: str) -> dict:
         "span_dedup",
         "c4_filter",
         "politeness_audit",
+        # round-5 additions
+        "exact_substr_dedup",
+        "knn_lsh",
+        "knn_ivf",
     ]
     extended = [
         "dust_canonical",

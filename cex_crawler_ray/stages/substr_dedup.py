@@ -375,3 +375,56 @@ def strip_dup_spans(
         )
 
     return _coarse_group_apply(unioned, "doc_id", apply, num_parts)
+
+
+def exact_substr_spans(
+    ds: "ray.data.Dataset",
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int = 64,
+    carry: str = "hash",
+) -> "ray.data.Dataset":
+    """ExactSubstr dedup at the paper's parameterization (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    §4.1: remove every repeated substring of >= 50 tokens, keeping the
+    first occurrence).
+
+    Suffix-array fidelity without a suffix array: suffix ``i`` of a
+    document belongs to the SUFFIX GROUP keyed by the rolling hash of
+    its first ``min_len`` tokens, so the windowed exchange of
+    ``duplicated_window_starts`` IS a hashed-prefix suffix partition —
+    two suffixes land in one partition iff their min_len-prefixes are
+    equal, exactly the property the SA construction sorts for.  A
+    substring of length L >= min_len repeats iff each of its
+    L - min_len + 1 prefix windows repeats, so the merged keep-first
+    islands equal the SA formulation's maximal removal spans — same
+    output, but streaming (one content-keyed all-to-all sized by
+    corpus tokens; the SA build is an O(n log n) global sort that
+    cannot stream).
+
+    Returns (doc_id, span_start, span_end, span_len): 1-based
+    inclusive token spans of every maximal >= min_len-token repeat
+    occurrence after the first, with its exact length.
+    """
+    spans = dup_spans(
+        ds,
+        k=min_len,
+        text_col=text_col,
+        id_col=id_col,
+        num_parts=num_parts,
+        carry=carry,
+    )
+
+    def with_len(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "span_len",
+            pc.add(
+                pc.subtract(batch["span_end"], batch["span_start"]),
+                pa.scalar(1, pa.int64()),
+            ),
+        )
+
+    return spans.map_batches(with_len, batch_format="pyarrow")
