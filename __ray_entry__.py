@@ -1432,6 +1432,52 @@ def q_image_decode_stats(sf_dir: str):
     )
 
 
+def q_jpeg_decode_stats(sf_dir: str):
+    """REAL baseline-JPEG decode (from-scratch T.81 Huffman + IDCT,
+    functions/codecs.py): each doc synthesizes a constant-value image
+    (gray for even doc_id; RGB through 4:2:0 chroma subsampling for
+    odd), encodes it at quality=100 — where every IJG-scaled quant
+    entry clips to 1, so a constant image's DC roundtrips EXACTLY and
+    all ACs are zero — and the decoder recovers width/height/mean in
+    closed form (mean == doc_id % 256)."""
+    from cex_crawler_ray.functions.codecs import decode_image, encode_jpeg
+    from cex_crawler_ray.stages.multimodal import BlobFeatureStage
+
+    def to_jpeg(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            w = 8 + i % 16
+            h = 8 + (i // 16) % 16
+            v = i % 256
+            if i % 2 == 0:
+                px = np.full((h, w), v, dtype=np.uint8)
+                payloads.append(encode_jpeg(px, quality=100))
+            else:
+                px = np.full((h, w, 3), v, dtype=np.uint8)
+                payloads.append(
+                    encode_jpeg(px, quality=100, subsampling="420")
+                )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    stage = BlobFeatureStage(decode=decode_image)  # REAL JPEG decode
+    return (
+        _docs(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(to_jpeg, batch_format="pyarrow")
+        .map_batches(stage.__call__, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(["doc_id", "width", "height", "mean_value"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_png_decode_stats(sf_dir: str):
     """REAL PNG decode (stdlib zlib inflate + numpy scanline
     unfiltering, functions/codecs.py): each doc synthesizes a
@@ -12917,6 +12963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blob_meta": q_blob_meta,
         "image_decode_stats": q_image_decode_stats,
         "png_decode_stats": q_png_decode_stats,
+        "jpeg_decode_stats": q_jpeg_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
         "video_frame_sample": q_video_frame_sample,
         "approx_distinct_users": q_approx_distinct_users,
@@ -14625,6 +14672,22 @@ SELECT doc_id,
        CAST(9 + length(CAST(width AS VARCHAR))
               + length(CAST(height AS VARCHAR))
               + width * height * 3 AS BIGINT) AS n_bytes,
+       CAST(width AS INT)  AS width,
+       CAST(height AS INT) AS height,
+       CAST(v AS DOUBLE) / 255.0 AS mean_value
+FROM dims
+""",
+        # JPEG constant image at quality=100: every IJG-scaled quant
+        # entry clips to 1, so DC roundtrips exactly and mean == v
+        "jpeg_decode_stats": """
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 16                 AS width,
+         8 + (doc_id // 16) % 16         AS height,
+         doc_id % 256                    AS v
+  FROM documents
+)
+SELECT doc_id,
        CAST(width AS INT)  AS width,
        CAST(height AS INT) AS height,
        CAST(v AS DOUBLE) / 255.0 AS mean_value

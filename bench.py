@@ -449,6 +449,7 @@ def bench_queries(sf_dir: str) -> dict:
         "politeness_audit",
         # round-5 additions
         "exact_substr_dedup",
+        "jpeg_decode_stats",
         "knn_lsh",
         "knn_ivf",
     ]

@@ -23,11 +23,12 @@ import pyarrow as pa
 
 def real_decode_image(payload: bytes):
     """Real decoder for the library-free public formats (PPM/PGM/BMP
-    in pure numpy, PNG via stdlib zlib + numpy unfiltering —
-    ``functions/codecs.py``).  JPEG/GIF/WEBP still need an image
-    library not present in this container — ``decode_image`` raises
-    ValueError for those; inject a decode= callable into
-    BlobFeatureStage to handle them."""
+    in pure numpy, PNG via stdlib zlib + numpy unfiltering, baseline
+    sequential JPEG via the from-scratch T.81 decoder —
+    ``functions/codecs.py``).  GIF/WEBP and progressive JPEG still
+    need an image library not present in this container —
+    ``decode_image`` raises ValueError for those; inject a decode=
+    callable into BlobFeatureStage to handle them."""
     from ..functions.codecs import decode_image
 
     return decode_image(payload)
@@ -279,9 +280,9 @@ class PhashStage:
 
     The fixed-point DCT basis is built ONCE per actor in ``__init__``
     (the codec-load analog); ``__call__`` hashes a batch.  Default
-    pixel source sniffs PNM/BMP/PNG (``codecs.image_pixels``); inject
-    ``pixels_fn`` for formats needing an external codec (JPEG via a
-    real PIL decode outside this container).
+    pixel source sniffs PNM/BMP/PNG/baseline-JPEG
+    (``codecs.image_pixels``); inject ``pixels_fn`` for formats
+    needing an external codec (GIF/WEBP, progressive JPEG).
     """
 
     def __init__(

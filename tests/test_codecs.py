@@ -74,8 +74,11 @@ def test_bmp_decode_row_padding():
 
 
 def test_decode_image_rejects_compressed():
-    with pytest.raises(ValueError, match="JPEG"):
+    # JPEG now decodes for real — a garbage body must still raise
+    with pytest.raises(ValueError):
         codecs.decode_image(b"\xff\xd8\xff\xe0rest")
+    with pytest.raises(ValueError, match="GIF"):
+        codecs.decode_image(b"GIF89a....")
     with pytest.raises(ValueError):
         real_decode_image(b"\x89PNG\r\n")
 
@@ -413,3 +416,135 @@ def test_phash_stage_sniffs_png():
     out = PhashStage()(t)
     hashes = out["phash"].to_pylist()
     assert hashes[0] == hashes[1]
+
+
+# ------------------------------------------------------------------- JPEG
+
+
+def _gradient_px(h, w, c=3):
+    yy, xx = np.mgrid[0:h, 0:w]
+    if c == 1:
+        return (((yy * 3 + xx * 2) // 4) % 256).astype(np.uint8)[
+            :, :, None
+        ]
+    return np.stack(
+        [
+            ((yy * 3 + 10) // 2) % 256,
+            ((xx * 2 + 100) // 2) % 256,
+            (((xx + yy) * 2) // 2) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_constant_q100_roundtrips_exactly():
+    for v in (0, 17, 128, 200, 255):
+        px = np.full((19, 21), v, dtype=np.uint8)
+        dec = codecs.jpeg_pixels(codecs.encode_jpeg(px, quality=100))
+        assert dec.shape == (19, 21, 1)
+        assert (dec == v).all()
+        rgb = np.full((19, 21, 3), v, dtype=np.uint8)
+        dec = codecs.jpeg_pixels(
+            codecs.encode_jpeg(rgb, quality=100, subsampling="420")
+        )
+        assert dec.shape == (19, 21, 3)
+        assert (dec == v).all()
+
+
+def test_jpeg_smooth_gradient_near_lossless():
+    px = _gradient_px(41, 53)
+    for sub in ("444", "420"):
+        dec = codecs.jpeg_pixels(
+            codecs.encode_jpeg(px, quality=95, subsampling=sub)
+        )
+        err = np.abs(dec.astype(int) - px.astype(int))
+        assert err.max() <= 6, (sub, err.max())
+
+
+def test_jpeg_restart_intervals():
+    px = _gradient_px(48, 64)
+    plain = codecs.jpeg_pixels(codecs.encode_jpeg(px, quality=95))
+    with_rst = codecs.jpeg_pixels(
+        codecs.encode_jpeg(px, quality=95, restart_interval=3)
+    )
+    assert (plain == with_rst).all()
+    # 420 with restarts too
+    r420 = codecs.jpeg_pixels(
+        codecs.encode_jpeg(
+            px, quality=95, subsampling="420", restart_interval=2
+        )
+    )
+    assert r420.shape == px.shape
+
+
+def test_jpeg_decode_image_contract():
+    px = np.full((16, 24, 3), 99, dtype=np.uint8)
+    meta = codecs.decode_image(codecs.encode_jpeg(px, quality=100))
+    assert meta["width"] == 24 and meta["height"] == 16
+    assert meta["channels"] == 3
+    assert abs(meta["mean_value"] - 99 / 255.0) < 1e-12
+
+
+def test_jpeg_rejects_progressive():
+    # splice a progressive SOF2 marker into an otherwise valid stream
+    enc = bytearray(
+        codecs.encode_jpeg(np.zeros((8, 8), np.uint8), quality=90)
+    )
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        codecs.jpeg_pixels(bytes(enc))
+
+
+def test_phash_jpeg_identical_on_structured_images():
+    # images whose DCT coefficients sit away from the median survive a
+    # q100 roundtrip with an IDENTICAL pHash (smooth gradients are the
+    # known-pathological case: many near-median coefficients, so a +-2
+    # pixel wobble flips bits — by design of median-split hashing)
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    blocks = np.kron(
+        rng.integers(0, 2, (4, 4)), np.ones((8, 8))
+    ) * 255
+    blocks = np.stack([blocks] * 3, axis=-1).astype(np.uint8)
+    for px in (noise, blocks):
+        h_raw = codecs.phash64(px)
+        h_jpg = codecs.phash64(
+            codecs.jpeg_pixels(codecs.encode_jpeg(px, quality=100))
+        )
+        assert h_raw == h_jpg
+
+
+def test_phash_stage_on_jpeg_payloads(ray_session):
+    from cex_crawler_ray.stages.multimodal import PhashStage
+
+    px_a = _gradient_px(32, 32)
+    px_b = 255 - px_a
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array(
+                [
+                    codecs.encode_jpeg(px_a, quality=100),
+                    codecs.encode_jpeg(px_b, quality=100),
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    import ray
+
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(
+            PhashStage(),
+            concurrency=1,
+            batch_size=2,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert len(out) == 2
+    # inverted image flips most DCT signs: hashes must differ
+    assert out["phash"].iloc[0] != out["phash"].iloc[1]
