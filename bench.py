@@ -315,6 +315,133 @@ def bench_crawl_dist(sf_dir: str) -> dict:
     return best or {"pages": 0, "sec": 0.0, "pages_per_sec": 0.0}
 
 
+def _multinode_child(sf_dir: str) -> None:
+    """Child-process body for the multi-node simulation: a 3-node
+    virtual Ray cluster (``ray.cluster_utils.Cluster``) with
+    CONSTRAINED per-node object stores, running the distributed-
+    frontier crawl and the MinHash LSH dedup across nodes — the
+    sandbox's closest analog to the north_rule's fixed-size multi-node
+    cluster (real shuffles cross raylet boundaries; tight stores
+    exercise object spilling).  Prints one JSON line with throughput,
+    a fetched-set digest (for the equal-results pytest) and the
+    cluster-wide spill counter."""
+    import hashlib
+    import importlib
+    import re as _re
+    import shutil
+    import tempfile
+
+    os.environ.pop("RAY_ADDRESS", None)
+    import ray
+    from ray.cluster_utils import Cluster
+
+    store_mb = int(os.environ.get("GRAFT_MULTINODE_STORE_MB", "256"))
+    n_nodes = int(os.environ.get("GRAFT_MULTINODE_NODES", "3"))
+    cpus = max(2, _num_cpus() // n_nodes)
+    cluster = Cluster(
+        initialize_head=True,
+        head_node_args={
+            "num_cpus": cpus,
+            "object_store_memory": store_mb * 1024 * 1024,
+        },
+    )
+    for _ in range(n_nodes - 1):
+        cluster.add_node(
+            num_cpus=cpus, object_store_memory=store_mb * 1024 * 1024
+        )
+    ray.init(address=cluster.address, include_dashboard=False)
+    alive = len([n for n in ray.nodes() if n["Alive"]])
+
+    from cex_crawler_ray.pipelines.flagship import run_flagship_crawl
+
+    ckpt = tempfile.mkdtemp(prefix="bench_mn_ckpt_")
+    report = {
+        "nodes": alive,
+        "cpus_per_node": cpus,
+        "store_mb_per_node": store_mb,
+    }
+    try:
+        t0 = time.perf_counter()
+        run = run_flagship_crawl(
+            sf_dir,
+            checkpoint_dir=ckpt,
+            max_rounds=12,
+            driver_schedule_max_rows=0,
+        )
+        dt = time.perf_counter() - t0
+        ft = run.fetched_table()
+        urls = sorted(ft["url"].to_pylist())
+        report["crawl"] = {
+            "pages": ft.num_rows,
+            "sec": round(dt, 3),
+            "pages_per_sec": round(ft.num_rows / dt, 1),
+            "fetched_md5": hashlib.md5(
+                "\n".join(urls).encode()
+            ).hexdigest(),
+        }
+        entry_mod = importlib.import_module("__ray_entry__")
+        qs = entry_mod.queries()
+        t0 = time.perf_counter()
+        pairs = qs["minhash_dup_pairs"](sf_dir)
+        if hasattr(pairs, "to_pandas"):
+            pairs = pairs.to_pandas()
+        report["minhash"] = {
+            "pairs": len(pairs),
+            "sec": round(time.perf_counter() - t0, 3),
+        }
+        # spill counter: the raylets log cumulative "Spilled N MiB, K
+        # objects" lines into the session's log dir (no grpc in this
+        # container, so the memory_summary API is unavailable)
+        try:
+            import glob as _glob
+
+            sess = ray._private.worker._global_node.get_session_dir_path()
+            spilled = 0
+            for f in _glob.glob(os.path.join(sess, "logs", "raylet*")):
+                try:
+                    for line in open(f, errors="ignore"):
+                        m = _re.search(r"Spilled (\d+) MiB", line)
+                        if m:
+                            spilled = max(spilled, int(m.group(1)))
+                except OSError:
+                    pass
+            report["spilled_mb"] = spilled
+        except Exception:
+            report["spilled_mb"] = None
+        print(json.dumps(report))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        ray.shutdown()
+        cluster.shutdown()
+
+
+def run_multinode() -> None:
+    """``bench.py --multinode``: the 3-virtual-node simulation at
+    GRAFT_SF_DIR scale, in a fresh child process (the virtual cluster
+    must own the Ray session)."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--multinode-child",
+            sf_dir,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=3000,
+        env=dict(os.environ),
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(proc.stderr[-2000:] + "\n")
+        sys.exit(1)
+    out = json.loads(lines[-1])
+    out["metric"] = "multinode_sim"
+    out["sf_dir"] = sf_dir
+    print(json.dumps(out))
+
+
 def bench_rank_hosts(n_hosts: int = 1_000_000) -> dict:
     """rank_hosts at >=10^6 distinct hosts: edges synthesized INSIDE
     workers (2 edges/host, deterministic), PageRank over the host
@@ -964,6 +1091,10 @@ def _run_bench_with_retry(attempts: int = 2) -> None:
 if __name__ == "__main__":
     if "--crawl-dist-child" in sys.argv:
         _crawl_dist_child(sys.argv[sys.argv.index("--crawl-dist-child") + 1])
+    elif "--multinode-child" in sys.argv:
+        _multinode_child(sys.argv[sys.argv.index("--multinode-child") + 1])
+    elif "--multinode" in sys.argv:
+        run_multinode()
     elif "--scaling" in sys.argv:
         run_scaling()
     elif "--stress" in sys.argv:
