@@ -106,6 +106,12 @@ class CrawlConfig:
     # with losers worker-written to the deferred dir.
     round_fetch_cap: int | None = None
     host_ranks: dict = field(default_factory=dict)
+    # Profile-aware link discovery: callable(url, doc) -> [(href,
+    # title), ...] replacing the generic ``links_from_page`` scan —
+    # the hook real-site profile packs use to map list-API items to
+    # announcement urls by their id/url rules
+    # (``profiles.real_exchanges.real_links_fn``).  None -> generic.
+    links_fn: object | None = None
 
 
 # A url matching this is PROVABLY a fixed point of ``canonicalize``:
@@ -957,10 +963,12 @@ class DiscoverStage:
         max_depth: int = 8,
         max_url_len: int = 2048,
         seg_repeat_max: int = 2,
+        links_fn=None,
     ):
         self.max_depth = max_depth
         self.max_url_len = max_url_len
         self.seg_repeat_max = seg_repeat_max
+        self.links_fn = links_fn
 
     def _trapped(self, url: str) -> bool:
         if len(url) > self.max_url_len:
@@ -1002,7 +1010,12 @@ class DiscoverStage:
                 join_base = _urljoin(url, b)
             else:
                 join_base = url
-            for href, text in links_from_page(doc):
+            pairs = (
+                self.links_fn(url, doc)
+                if self.links_fn is not None
+                else links_from_page(doc)
+            )
+            for href, text in pairs:
                 if not href or href.startswith(("javascript:", "mailto:", "#")):
                     continue
                 # strip fragment AND query before the extension check:
@@ -1081,9 +1094,10 @@ class ProcessStage:
         round_no: int,
         max_depth: int,
         title_filters: dict | None = None,
+        links_fn=None,
     ):
         self.extract = extract
-        self.discover = DiscoverStage(max_depth)
+        self.discover = DiscoverStage(max_depth, links_fn=links_fn)
         self.round_no = round_no
         self.title_filters = title_filters or {}
 
@@ -1693,6 +1707,7 @@ def run_crawl(
                     round_no=k + 1,
                     max_depth=cfg.max_depth,
                     title_filters=cfg.title_filters,
+                    links_fn=cfg.links_fn,
                 ),
                 batch_format="pyarrow",
             )

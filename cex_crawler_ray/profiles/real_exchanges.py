@@ -507,3 +507,92 @@ def real_extract_profiles() -> dict[str, ExtractProfile]:
             else:  # json_api / list_payload: hub pages only
                 out[h] = ExtractProfile(variant="a", exchange=p.name)
     return out
+
+
+def _dicts_with_key(obj, key: str, depth: int = 0):
+    """Recursively collect dicts carrying ``key`` AND a title — the
+    announcement list items inside an arbitrarily-nested API payload
+    (the reference hardcodes each site's path, e.g.
+    ``data.catalogs[0].articles``; walking finds the same items
+    without the path data)."""
+    out = []
+    if depth > 8:
+        return out
+    if isinstance(obj, dict):
+        if key in obj and "title" in obj:
+            out.append(obj)
+        else:
+            for v in obj.values():
+                out.extend(_dicts_with_key(v, key, depth + 1))
+    elif isinstance(obj, list):
+        for v in obj:
+            out.extend(_dicts_with_key(v, key, depth + 1))
+    return out
+
+
+def real_links_fn():
+    """Profile-aware frontier discovery for ``CrawlConfig.links_fn``:
+    on hosts with a registered profile and a JSON-shaped list payload
+    (``<pre>``-wrapped, ``__NEXT_DATA__``, or a raw JSON body), map
+    each list item to its announcement url by the profile's id/url
+    rules — binance ``code`` -> detail template
+    (``exchange/binance.py:235,277``), bybit relative ``url`` ->
+    ``zh-MY`` prefix (``exchange/bybit.py:116``), okx ``slug`` ->
+    help path (``exchange/okx.py:126``), and so on.  HTML hubs and
+    unprofiled hosts fall through to the generic
+    ``links_from_page`` scan."""
+    import json as _json
+
+    from cex_crawler_ray.functions.html_text import (
+        get_json_from_pre,
+        get_next_data,
+        links_from_page,
+    )
+
+    by_host = {h: p for p in REAL_EXCHANGES.values() for h in p.hosts}
+
+    def _host_of(url: str) -> str:
+        rest = url.split("://", 1)[-1]
+        return rest.split("/", 1)[0].split(":", 1)[0].lower()
+
+    def fn(url: str, doc: str):
+        p = by_host.get(_host_of(url))
+        if p is None:
+            return links_from_page(doc)
+        payload = None
+        if "<pre" in doc:
+            payload = get_json_from_pre(doc)
+        elif "__NEXT_DATA__" in doc:
+            payload = get_next_data(doc)
+        else:
+            head = doc.lstrip()[:1]
+            if head in ("{", "["):
+                try:
+                    payload = _json.loads(doc)
+                except ValueError:
+                    payload = None
+        if not isinstance(payload, (dict, list)):
+            return links_from_page(doc)
+        out = []
+        if p.id_rule == "md5_rel_url":
+            # bybit: items carry a RELATIVE url (bybit.py:115-121)
+            for item in _dicts_with_key(payload, "url"):
+                rel = item.get("url")
+                if isinstance(rel, str) and rel and not rel.startswith(
+                    "http"
+                ):
+                    out.append(
+                        (p.url_prefix + rel, str(item.get("title", "")))
+                    )
+        else:
+            key = (p.id_field or "id").split(".")[0]
+            if p.name == "okx":
+                key = "slug"  # url derives from slug, okx.py:126
+            for item in _dicts_with_key(payload, key):
+                aid = article_id(p, item=item)
+                ru = record_url(p, aid, item)
+                if aid and ru:
+                    out.append((ru, str(item.get("title", ""))))
+        return out if out else links_from_page(doc)
+
+    return fn
