@@ -184,7 +184,7 @@ def test_profile_discovery_reaches_all_details(real_run):
 
 
 def test_profile_extraction_through_crawl(real_run):
-    ft = real_run.fetched_table().to_pandas()
+    ft = real_run.extracted_table().to_pandas()
     by_url = dict(zip(ft["url"], ft["text"]))
     binance = REAL_EXCHANGES["binance"]
     # binance: whole-page variant A
