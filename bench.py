@@ -997,7 +997,15 @@ def run_stress() -> None:
     # cdx_index: the full WARC-write -> shard-scan -> SURT -> global
     # index sort -> CDXJ-write chain at 10x — rows and wall must scale
     # linearly (index rows ~ pages; one ~100-byte-row sort)
-    for name in ("minhash_dup_pairs", "tfidf_cosine_pairs", "cdx_index"):
+    # exact_substr_dedup: the >=50-token suffix-group exchange at 10x
+    # tokens — span rows and wall must scale linearly (every replica
+    # carries the same planted boilerplate tails, spans ~ docs)
+    for name in (
+        "minhash_dup_pairs",
+        "tfidf_cosine_pairs",
+        "cdx_index",
+        "exact_substr_dedup",
+    ):
         base = run_query(name, base_sf)
         big = run_query(name, stress_dir)
         report[name] = {

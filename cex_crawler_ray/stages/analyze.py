@@ -73,6 +73,34 @@ def records_from_extracted(extracted_ds):
     return extracted_ds.map_batches(analyze_batch, batch_format="pyarrow")
 
 
+# The reference's LLM request contract (deepseek_analyzer.py:27-102),
+# re-derived as data so a production client reproduces the call
+# without this repo shipping a network dependency: one chat
+# completion per announcement, deterministic-ish decoding, a JSON-only
+# reply in the fallback analyzer's schema (validate_and_clean accepts
+# exactly this shape, so LLM and fallback outputs are interchangeable
+# downstream).
+LLM_REQUEST_PARAMS = {
+    "temperature": 0.1,  # deepseek_analyzer.py:88
+    "max_tokens": 1000,  # deepseek_analyzer.py:89
+}
+
+
+def llm_prompt_for(text: str, max_chars: int = 4000) -> str:
+    """Prompt builder for a production client: ask for strict JSON in
+    the analyzer schema.  Semantics per the reference's zh prompt
+    (announcement -> listings/delistings with symbol, action
+    上架/下架, type 现货/合约, time), re-expressed; the reply feeds
+    ``fix_json_response`` -> ``validate_and_clean`` unchanged."""
+    return (
+        "分析以下交易所公告，找出上架(listing)和下架(delisting)的"
+        "交易对。只返回JSON，格式：{\"listings\": [{\"symbol\": ..., "
+        "\"action\": \"上架\", \"type\": \"现货\"或\"合约\", "
+        "\"time\": ...}], \"delistings\": [...]}。公告内容：\n"
+        + text[:max_chars]
+    )
+
+
 class LLMAnalyzerStage:
     """Actor-pool analyzer: the reference's LLM path
     (``deepseek_analyzer.py:64-102``: chat completion, temperature 0.1,

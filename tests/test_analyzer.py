@@ -89,3 +89,40 @@ def test_fix_json_response():
         "listings": [],
         "delistings": [],
     }
+
+
+def test_llm_prompt_contract_roundtrip():
+    """A production client that answers llm_prompt_for with strict
+    JSON in the analyzer schema flows through fix_json_response +
+    validate_and_clean exactly like the fallback output."""
+    import json
+
+    from cex_crawler_ray.functions.analyzer import (
+        fix_json_response,
+        validate_and_clean,
+    )
+    from cex_crawler_ray.stages.analyze import (
+        LLM_REQUEST_PARAMS,
+        llm_prompt_for,
+    )
+
+    assert LLM_REQUEST_PARAMS == {"temperature": 0.1, "max_tokens": 1000}
+    prompt = llm_prompt_for("Binance will list FOO/USDT. " * 500)
+    assert "listings" in prompt and "delistings" in prompt
+    assert len(prompt) < 4200  # announcement text is truncated
+
+    reply = (
+        "模型输出：" +
+        json.dumps(
+            {
+                "listings": [
+                    {"symbol": "FOO/USDT", "action": "上架",
+                     "type": "现货", "time": "2024-03-01"}
+                ]
+            },
+            ensure_ascii=False,
+        )
+    )
+    parsed = validate_and_clean(fix_json_response(reply))
+    assert parsed["listings"][0]["symbol"] == "FOO/USDT"
+    assert parsed["delistings"] == []
