@@ -426,21 +426,42 @@ def q_crawl_per_host_counts(sf_dir: str):
     """T5-adjacent crawl accounting: fetched pages per host from the
     (shared) flagship run — the per-host slice of the fetch set the
     SQL crawl model recomputes (articles surviving robots + M12 title
-    filters, plus each host's hub)."""
+    filters, plus each host's hub).  Shape-consistent with every other
+    aggregate in this file: vectorized Arrow host extraction + partial
+    counts inside ``map_batches``, one small Dataset groupby — the
+    fetched table never collects as Python rows."""
     import pandas as pd
+    import pyarrow.compute as pc
 
     t = _flagship_run(sf_dir).fetched_table()
-    urls = t["url"].to_pylist()
-    hosts = [u.split("://", 1)[1].split("/", 1)[0] for u in urls]
-    g = (
-        pd.DataFrame({"host": hosts})
-        .groupby("host", as_index=False)
-        .size()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts = pc.replace_substring_regex(
+            batch["url"], r"^[a-z]+://([^/]+).*$", r"\1"
+        )
+        g = (
+            pa.table({"host": hosts})
+            .group_by("host")
+            .aggregate([("host", "count")])
+        )
+        return pa.table(
+            {
+                "host": g["host"],
+                "n": g["host_count"].cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.from_arrow(t.select(["url"]))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .sum("n")
+        .to_pandas()
     )
     return pd.DataFrame(
         {
-            "host": g["host"],
-            "n_fetched": g["size"].astype("int64"),
+            "host": agg["host"],
+            "n_fetched": agg["sum(n)"].astype("int64"),
         }
     ).sort_values("host", kind="mergesort").reset_index(drop=True)
 
