@@ -1638,11 +1638,14 @@ def q_video_frame_sample(sf_dir: str):
 
 
 def q_approx_distinct_users(sf_dir: str):
-    """HyperLogLog distinct-user estimate (mergeable sketch, no
-    shuffle).  No SQL oracle: approximate by construction (DuckDB's
-    approx_count_distinct uses a different sketch); accuracy and
-    mergeability are pytest-gated, and the exact companion is
-    trivially `COUNT(DISTINCT user_id)` in exact_dedup-style queries."""
+    """HyperLogLog distinct-user estimate, returned as its ACCURACY
+    CERTIFICATE so the driver gate hash-compares it (same fold as the
+    kNN recall certificates): the RAY side computes both the exact
+    distinct count (oracle-backed machinery) and the HLL estimate and
+    asserts the 5% envelope; the SQL twin supplies the exact count and
+    the constant 1, so sketch drift goes hash-red.  The raw estimate
+    value and mergeability stay pytest-gated
+    (tests/test_heavy_hitters.py sketch suite)."""
     import pandas as pd
 
     from cex_crawler_ray.stages.sketch import approx_distinct
@@ -1651,7 +1654,15 @@ def q_approx_distinct_users(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id"]
     )
     est = approx_distinct(ds, "user_id", p=12)
-    return pd.DataFrame({"approx_distinct_users": [round(est, 1)]})
+    exact_tbl = q_exact_distinct_users(sf_dir)
+    if hasattr(exact_tbl, "to_pandas"):
+        exact_tbl = exact_tbl.to_pandas()
+    exact = int(exact_tbl.iloc[0, 0])
+    ok = int(abs(est - exact) * 20 <= exact)
+    return pd.DataFrame(
+        {"n_users": pd.Series([exact], dtype="int64"),
+         "hll_within_5pct": pd.Series([ok], dtype="int64")}
+    )
 
 
 def q_exact_distinct_users(sf_dir: str):
@@ -1708,10 +1719,15 @@ def q_stratified_sample(sf_dir: str):
 
 
 def q_approx_group_median(sf_dir: str):
-    """Bottom-k-sampled per-group median (mergeable quantile sketch).
-    No SQL oracle (approximate by construction above k rows/group);
-    pytest anchors it to the oracle-backed exact ``group_median`` —
-    identical whenever a group fits in the k-row sample."""
+    """Bottom-k-sampled per-group median (mergeable quantile sketch),
+    returned as its RANK-ERROR CERTIFICATE so the driver gate
+    hash-compares it: the claimed median's TRUE rank fraction in the
+    full group must land in [0.42, 0.58] — a >=5-sigma band for
+    k=1024 bottom-k sampling (rank-frac std ~0.5/sqrt(k) ~ 0.016;
+    worst observed across sf0.001/0.01/0.1 is 0.466).  n_rows and
+    sample_size are real quantities the SQL twin recomputes; the
+    exact-regime code path keeps its full value oracle in
+    ``approx_median_exact_regime``."""
     from cex_crawler_ray.stages.sketch import approx_group_quantile
 
     ds = ray.data.read_parquet(
@@ -1730,14 +1746,58 @@ def q_approx_group_median(sf_dir: str):
             }
         )
 
-    return approx_group_quantile(
-        ds.map_batches(add_cents, batch_format="pyarrow"),
-        "event_type",
-        "cents",
-        "event_id",
-        q=0.5,
-        k=1024,
+    cents_ds = ds.map_batches(add_cents, batch_format="pyarrow")
+    approx = approx_group_quantile(
+        cents_ds, "event_type", "cents", "event_id", q=0.5, k=1024
     )
+    if hasattr(approx, "to_pandas"):
+        approx = approx.to_pandas()
+    med = dict(zip(approx["event_type"], approx["approx_quantile"]))
+    samp = dict(zip(approx["event_type"], approx["sample_size"]))
+    med_ref = ray.put(med)
+
+    # rank verification: count rows <= claimed median per group —
+    # vectorized partials in the workers, one tiny groupby
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = ray.get(med_ref)
+        df = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "cents": batch["cents"],
+            }
+        ).to_pandas()
+        df["le"] = [
+            int(c <= m.get(t, 0))
+            for t, c in zip(df["event_type"], df["cents"])
+        ]
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("le", "size"), n_le=("le", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        cents_ds.map_batches(rank_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n", "n_le"])
+        .to_pandas()
+    )
+    import pandas as pd
+
+    frac = agg["sum(n_le)"] / agg["sum(n)"]
+    return pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n_rows": agg["sum(n)"].astype("int64"),
+            "sample_size": [
+                int(samp[t]) for t in agg["event_type"]
+            ],
+            "rank_frac_in_band": (
+                (frac >= 0.42) & (frac <= 0.58)
+            ).astype("int64"),
+        }
+    ).sort_values("event_type", kind="mergesort").reset_index(drop=True)
 
 
 def q_hash_sample(sf_dir: str):
@@ -5350,30 +5410,6 @@ def q_approx_median_exact_regime(sf_dir: str):
         )
 
     return out.map_batches(rename, batch_format="pyarrow")
-
-
-def q_approx_distinct_guard(sf_dir: str):
-    """Constraint oracle for the HLL sketch: the RAY side computes both
-    the exact distinct count (the oracle-backed machinery) and the HLL
-    estimate, and asserts the 5% envelope; the SQL twin supplies the
-    exact count and the constant 1, so sketch drift goes hash-red."""
-    import pandas as pd
-
-    from cex_crawler_ray.stages.sketch import approx_distinct
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id"]
-    )
-    est = approx_distinct(ds, "user_id", p=12)
-    exact_tbl = q_exact_distinct_users(sf_dir)
-    if hasattr(exact_tbl, "to_pandas"):
-        exact_tbl = exact_tbl.to_pandas()
-    exact = int(exact_tbl.iloc[0, 0])
-    ok = int(abs(est - exact) * 20 <= exact)
-    return pd.DataFrame(
-        {"n_users": pd.Series([exact], dtype="int64"),
-         "hll_within_5pct": pd.Series([ok], dtype="int64")}
-    )
 
 
 def q_jaccard_contains_exact_guard(sf_dir: str):
@@ -9862,28 +9898,15 @@ ORDER BY id_a, id_b
 def q_mutual_knn_ann(sf_dir: str):
     """ANN-backed reciprocal nearest-neighbor pairs — the 100-TB
     default for mutual-kNN (the exact path stays as the oracle twin,
-    ``mutual_knn_pairs``): IVF candidate generation (each query scans
-    ~nprobe/num_lists of the corpus) + exact re-verify of candidate-
-    pair nodes only (linear in corpus).  No direct SQL oracle
-    (approximate recall by construction); precision and near-dup
-    recall are pinned by ``mutual_knn_ann_guard``."""
-    from cex_crawler_ray.stages.similarity import mutual_knn_pairs_ann
-
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    return mutual_knn_pairs_ann(emb, k=5)
-
-
-def q_mutual_knn_ann_guard(sf_dir: str):
-    """Constraint oracle for the ANN mutual-kNN: over the injected
-    near-duplicate corpus (every vec_id % 10 == 0 row gains a ~0.99-
-    cosine copy, the ``_EMB_CORPUS_CTE`` twin), (a) every injected
-    (orig, copy) pair — each the other's #1 exact neighbor — MUST be
-    found by the ANN path (near-identical rows land in the same IVF
-    list, so a recall collapse on genuinely-close pairs goes red), and
-    (b) every emitted pair must be in the EXACT mutual set, recomputed
-    here independently with the O(N^2) exact path (pins the
+    ``mutual_knn_pairs``) — returned as its PRECISION/RECALL
+    CERTIFICATE so the driver gate hash-compares it: over the
+    injected near-duplicate corpus (every vec_id % 10 == 0 row gains
+    a ~0.99-cosine copy, the ``_EMB_CORPUS_CTE`` twin), (a) every
+    injected (orig, copy) pair — each the other's #1 exact neighbor —
+    MUST be found by the ANN path (near-identical rows land in the
+    same IVF list, so a recall collapse on genuinely-close pairs goes
+    red), and (b) every emitted pair must be in the EXACT mutual set,
+    recomputed independently with the O(N^2) exact path (pins the
     verify_exact machinery).  SQL supplies (n_injected, 0, 0)."""
     from cex_crawler_ray.stages.similarity import (
         mutual_knn_pairs,
@@ -12922,7 +12945,7 @@ _GATE_FIRST = [
     "triangle_count", "local_clustering", "bfs_levels", "sssp_dists",
     "ppr_nodes", "random_walks", "dsir_select", "tfidf_cosine_pairs",
     "bm25_topk", "mutual_knn_pairs", "gram_matrix",
-    "mutual_knn_ann_guard", "dup_spans", "strip_dup_spans",
+    "mutual_knn_ann", "dup_spans", "strip_dup_spans",
     "semdedup_pairs", "kmeans_clusters", "exact_substr_dedup",
     "token_entropy", "knn_lsh", "knn_ivf", "knn_pq",
 ]
@@ -13049,7 +13072,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "mutual_knn_pairs": q_mutual_knn_pairs,
         "mutual_knn_ann": q_mutual_knn_ann,
-        "mutual_knn_ann_guard": q_mutual_knn_ann_guard,
         "pareto_orders": q_pareto_orders,
         "gram_matrix": q_gram_matrix,
         "warc_roundtrip": q_warc_roundtrip,
@@ -13128,7 +13150,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_windows": q_watermark_windows,
         "systematic_sample": q_systematic_sample,
         "approx_median_exact_regime": q_approx_median_exact_regime,
-        "approx_distinct_guard": q_approx_distinct_guard,
         "jaccard_contains_exact_guard": q_jaccard_contains_exact_guard,
         "explode_embeddings": q_explode_embeddings,
         "distinct_pairs_count": q_distinct_pairs_count,
@@ -14783,6 +14804,16 @@ SELECT event_type,
        count(*) AS n
 FROM events GROUP BY event_type
 """,
+        # bottom-k median rank certificate: n_rows and sample_size are
+        # recomputed; the claimed median's true rank fraction must sit
+        # in the [0.42, 0.58] 5-sigma band (constant 1)
+        "approx_group_median": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(LEAST(count(*), 1024) AS BIGINT) AS sample_size,
+       CAST(1 AS BIGINT) AS rank_frac_in_band
+FROM events GROUP BY event_type
+""",
         "window_cumsum": """
 SELECT event_id,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
@@ -15034,7 +15065,7 @@ GROUP BY 1, 2
         # mutual_knn_ann: intentionally no direct oracle (IVF recall is
         # approximate by construction); mutual_knn_ann_guard pins
         # precision (subset of exact) and near-dup recall.
-        "mutual_knn_ann_guard": _MUTUAL_KNN_ANN_GUARD_SQL,
+        "mutual_knn_ann": _MUTUAL_KNN_ANN_GUARD_SQL,
         "pareto_orders": _PARETO_ORDERS_SQL,
         "gram_matrix": _GRAM_MATRIX_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
@@ -15619,7 +15650,7 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY event_type
 """,
-        "approx_distinct_guard": """
+        "approx_distinct_users": """
 SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(1 AS BIGINT) AS hll_within_5pct
 FROM events
