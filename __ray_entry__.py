@@ -2661,7 +2661,7 @@ def q_hyperball_ball_guard(sf_dir: str):
     this query emits each node's EXACT ball (SQL-checkable) plus an
     ``ok`` flag asserting the estimate lands within 12% of it.  A
     drifting estimator flips ``ok`` and the hash gate goes red — the
-    same guard pattern as ``knn_lsh_top50_guard``.  The two per-node
+    same certificate pattern as the ``knn_lsh`` fold.  The two per-node
     tables merge driver-side (node-bounded, the final result)."""
     import pandas as pd
 
@@ -15062,9 +15062,9 @@ GROUP BY 1, 2
         "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
         "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
         "mutual_knn_pairs": _MUTUAL_KNN_SQL,
-        # mutual_knn_ann: intentionally no direct oracle (IVF recall is
-        # approximate by construction); mutual_knn_ann_guard pins
-        # precision (subset of exact) and near-dup recall.
+        # mutual_knn_ann RETURNS its certificate (IVF recall is
+        # approximate by construction, so the gated output is the
+        # precision/near-dup-recall verdict, not the pair list).
         "mutual_knn_ann": _MUTUAL_KNN_ANN_GUARD_SQL,
         "pareto_orders": _PARETO_ORDERS_SQL,
         "gram_matrix": _GRAM_MATRIX_SQL,

@@ -161,6 +161,64 @@ def test_fallback_analyzer_runs_clean_over_golden_contents():
             assert e["type"] in ("现货", "合约")
 
 
+@needs_goldens
+def test_discovery_reproduces_golden_urls_from_list_items():
+    """Feed real_links_fn synthetic list payloads whose items carry the
+    GOLDEN corpus's ids/slugs — the profile-driven item→url mapping
+    must reproduce every golden announcement url exactly (site-id
+    exchanges + okx slugs + bybit relative urls)."""
+    from cex_crawler_ray.profiles.real_exchanges import real_links_fn
+
+    fn = real_links_fn()
+    by_ex: dict = {}
+    for path in _golden_files():
+        recs = _load(path)
+        if not recs:
+            continue
+        ex = path.split("/")[-2]
+        fid = path.split("/")[-1].rsplit(".", 1)[0].split("_", 1)[1]
+        by_ex.setdefault(ex, []).append((fid, recs[0]["url"]))
+
+    def nest(dotted, value, title):
+        parts = dotted.split(".")
+        item = {parts[-1]: value, "title": title}
+        # the id field's LAST component lives beside title (bitget's
+        # simpleResult nests the id one level down)
+        if len(parts) > 1:
+            inner = {parts[-1]: value}
+            item = {parts[0]: inner, "title": title}
+        return item
+
+    n_checked = 0
+    for ex, entries in by_ex.items():
+        prof = REAL_EXCHANGES[ex]
+        host_url = prof.base_url + "/x"
+        if prof.id_rule == "site" and prof.record_url_template:
+            items = [nest(prof.id_field or "id", fid, "t") for fid, _ in entries]
+            doc = json.dumps({"data": {"list": items}})
+            got = dict(fn(host_url, doc))
+            want = {url: "t" for _, url in entries}
+            assert got == want, ex
+            n_checked += len(entries)
+        elif ex == "okx":
+            # url derives from the slug; goldens pin the prefix
+            slugs = [url.split("/help/", 1)[1] for _, url in entries]
+            items = [{"id": f, "slug": s, "title": "t"}
+                     for (f, _), s in zip(entries, slugs)]
+            doc = json.dumps({"data": items})
+            got = {u for u, _ in fn("https://www.okx.com/x", doc)}
+            assert got == {url for _, url in entries}
+            n_checked += len(entries)
+        elif ex == "bybit":
+            rels = [url[len(prof.url_prefix):] for _, url in entries]
+            items = [{"url": r, "title": "t"} for r in rels]
+            doc = json.dumps({"result": {"hits": items}})
+            got = {u for u, _ in fn("https://announcements.bybit.com/x", doc)}
+            assert got == {url for _, url in entries}
+            n_checked += len(entries)
+    assert n_checked > 300
+
+
 def test_timestamp_encodings():
     b = REAL_EXCHANGES["binance"]   # epoch ms, binance.py:238-239
     g = REAL_EXCHANGES["gate"]      # epoch s, gate.py:80-81
