@@ -64,28 +64,37 @@ def test_approx_distinct_on_dataset(ray_session, sf_small):
 
 
 def test_hll_anchored_to_exact_companion_query(ray_session, sf_small):
-    """The driver-facing HLL row is tied to the ORACLE-BACKED exact
-    count (queries()['exact_distinct_users']) within 5% relative error
-    — so the sketch's accuracy is re-checked against a SQL-verified
-    number every round."""
+    """The driver-facing HLL row RETURNS its accuracy certificate
+    (round-5 fold): the oracle-recomputed exact count plus the
+    within-5% verdict, both hash-compared by the gate.  The raw
+    estimate itself is re-checked here against the library sketch."""
+    import ray as _ray
+
     import __ray_entry__ as m
+    from cex_crawler_ray.stages.sketch import approx_distinct
 
     exact = int(
         m.queries()["exact_distinct_users"](sf_small)["n_users"].iloc[0]
     )
-    est = float(
-        m.queries()["approx_distinct_users"](sf_small)[
-            "approx_distinct_users"
-        ].iloc[0]
+    cert = m.queries()["approx_distinct_users"](sf_small)
+    assert int(cert["n_users"].iloc[0]) == exact > 0
+    assert int(cert["hll_within_5pct"].iloc[0]) == 1
+    ds = _ray.data.read_parquet(
+        f"{sf_small}/events.parquet", columns=["user_id"]
     )
-    assert exact > 0
+    est = approx_distinct(ds, "user_id", p=12)
     assert abs(est - exact) / exact < 0.05
 
 
 def test_bottom_k_quantile_exact_when_small(ray_session, sf_tiny):
     """Groups with <= k rows sample everything -> exact agreement with
-    the oracle-backed exact group median."""
+    the oracle-backed exact group median (library path), and the
+    driver-facing certificate row (round-5 fold) reports every group's
+    rank fraction in-band with sample_size == n_rows."""
+    import ray as _ray
+
     import __ray_entry__ as m
+    from cex_crawler_ray.stages.sketch import approx_group_quantile
 
     exact = (
         m.queries()["group_median"](sf_tiny)
@@ -93,8 +102,30 @@ def test_bottom_k_quantile_exact_when_small(ray_session, sf_tiny):
         .set_index("event_type")["median_cents"]
         .to_dict()
     )
+    ds = _ray.data.read_parquet(
+        f"{sf_tiny}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def add_cents(batch):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "cents": pa.array(
+                    [int(round(v * 100)) for v in batch["value"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
     approx = (
-        m.queries()["approx_group_median"](sf_tiny)
+        approx_group_quantile(
+            ds.map_batches(add_cents, batch_format="pyarrow"),
+            "event_type", "cents", "event_id", q=0.5, k=1024,
+        )
         .to_pandas()
         .set_index("event_type")
     )
@@ -102,6 +133,15 @@ def test_bottom_k_quantile_exact_when_small(ray_session, sf_tiny):
     for g, row in approx.iterrows():
         assert row["approx_quantile"] == exact[g], g
         assert row["sample_size"] <= 1024
+
+    cert = (
+        m.queries()["approx_group_median"](sf_tiny)
+        .set_index("event_type")
+    )
+    assert set(cert.index) == set(exact)
+    assert (cert["rank_frac_in_band"] == 1).all()
+    # sf_tiny groups fit in the sample entirely
+    assert (cert["sample_size"] == cert["n_rows"]).all()
 
 
 def test_bottom_k_quantile_merge_and_accuracy(ray_session):
