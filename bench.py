@@ -415,6 +415,92 @@ def _multinode_child(sf_dir: str) -> None:
         cluster.shutdown()
 
 
+def _multinode_scale_child(sf_dir: str, n_nodes: int, cpus: int) -> None:
+    """Child body for the NODE-count scaling criterion: a virtual
+    cluster of ``n_nodes`` raylets x ``cpus`` cpus runs the headline
+    fetch+extract and frontier-admission jobs.  With the same per-node
+    shape at N and 4N nodes this is the sandbox's closest analog to
+    the north_rule's 'N and 4N cluster sizes' — unlike the num_cpus
+    pair, blocks genuinely cross raylet boundaries at 4N."""
+    os.environ.pop("RAY_ADDRESS", None)
+    import ray
+    from ray.cluster_utils import Cluster
+
+    store_mb = int(os.environ.get("GRAFT_MULTINODE_STORE_MB", "512"))
+    cluster = Cluster(
+        initialize_head=True,
+        head_node_args={
+            "num_cpus": cpus,
+            "object_store_memory": store_mb * 1024 * 1024,
+        },
+    )
+    for _ in range(n_nodes - 1):
+        cluster.add_node(
+            num_cpus=cpus, object_store_memory=store_mb * 1024 * 1024
+        )
+    ray.init(address=cluster.address, include_dashboard=False)
+    try:
+        fe = bench_fetch_extract(sf_dir)
+        fr = bench_frontier(sf_dir)
+        print(
+            json.dumps(
+                {
+                    "nodes": len([n for n in ray.nodes() if n["Alive"]]),
+                    "cpus_per_node": cpus,
+                    "pages_per_sec": round(fe["pages_per_sec"], 1),
+                    "urls_per_sec": round(fr["urls_per_sec"], 1),
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+        cluster.shutdown()
+
+
+def run_multinode_scaling() -> None:
+    """``bench.py --multinode-scaling``: the same headline jobs on a
+    1-node and a 4-node virtual cluster (identical per-node shape) in
+    fresh children; prints throughput at both node counts plus the
+    N→4N node-scaling efficiency."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("GRAFT_MULTINODE_NODE_CPUS", "6"))
+    out = {}
+    for n in (1, 4):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--multinode-scale-child",
+                sf_dir,
+                str(n),
+                str(cpus),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=3000,
+            env=dict(os.environ),
+        )
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            sys.stderr.write(proc.stderr[-2000:] + "\n")
+            sys.exit(1)
+        out[n] = json.loads(lines[-1])
+    eff = out[4]["pages_per_sec"] / (4 * out[1]["pages_per_sec"])
+    eff_fr = out[4]["urls_per_sec"] / (4 * out[1]["urls_per_sec"])
+    print(
+        json.dumps(
+            {
+                "metric": "node_scaling_efficiency_1_to_4_nodes",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "frontier_admission_efficiency": round(eff_fr, 3),
+                "cpus_per_node": cpus,
+                "detail": out,
+            }
+        )
+    )
+
+
 def run_multinode() -> None:
     """``bench.py --multinode``: the 3-virtual-node simulation at
     GRAFT_SF_DIR scale, in a fresh child process (the virtual cluster
@@ -1101,6 +1187,13 @@ if __name__ == "__main__":
         _crawl_dist_child(sys.argv[sys.argv.index("--crawl-dist-child") + 1])
     elif "--multinode-child" in sys.argv:
         _multinode_child(sys.argv[sys.argv.index("--multinode-child") + 1])
+    elif "--multinode-scale-child" in sys.argv:
+        i = sys.argv.index("--multinode-scale-child")
+        _multinode_scale_child(
+            sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3])
+        )
+    elif "--multinode-scaling" in sys.argv:
+        run_multinode_scaling()
     elif "--multinode" in sys.argv:
         run_multinode()
     elif "--scaling" in sys.argv:
