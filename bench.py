@@ -3,8 +3,12 @@
 
 Usage:
     python bench.py                # one JSON line on stdout
-    python bench.py --scaling      # same job at 8 and 32 CPUs (fresh
+    python bench.py --scaling      # same job at 6 and 24 CPUs (fresh
                                    # processes), prints both + efficiency
+    python bench.py --multinode    # 3-virtual-raylet cluster: dist crawl
+                                   # + LSH dedup, spill counters
+    python bench.py --multinode-scaling  # 1 vs 4 NODES + efficiency
+    python bench.py --stress       # 10x corpus, driver-RSS flatness
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
