@@ -482,7 +482,9 @@ def run_multinode_scaling() -> None:
             capture_output=True,
             text=True,
             timeout=3000,
-            env=dict(os.environ),
+            # resource-proportional knobs (seen shards = cpus // 2)
+            # must track the CLUSTER size, as on a real deployment
+            env=dict(os.environ, RAY_GRAFT_CPUS=str(n * cpus)),
         )
         lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         if not lines:
