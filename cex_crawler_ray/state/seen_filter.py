@@ -364,8 +364,16 @@ class SeenFilterPool:
         cuckoo_buckets: int = 1 << 18,
     ):
         self.num_shards = num_shards
+        # SPREAD placement: zero-resource actors default to the
+        # caller's node, which on a multi-node cluster piles every
+        # shard onto the head raylet — all admission RPCs from the
+        # other raylets then serialize through one node (measured:
+        # 0.624 admission node-scaling at 1→4 raylets).  Spreading
+        # the shards balances RPC service across nodes so aggregate
+        # admission bandwidth scales with the cluster; on a single
+        # node SPREAD is a no-op.
         self.shards = [
-            SeenShard.remote(
+            SeenShard.options(scheduling_strategy="SPREAD").remote(
                 mode=mode,
                 bloom_bits=bloom_bits,
                 cuckoo_buckets=cuckoo_buckets,
