@@ -9863,6 +9863,110 @@ LIMIT 20
 """
 
 
+def q_bpe_train_merges(sf_dir: str):
+    """Full BPE tokenizer TRAINING (Sennrich et al. 2016): the ordered
+    merge-rule table learned by ``stages/textstats.bpe_train`` — the
+    corpus collapses once to a (word, n) vocabulary (per-batch counts,
+    one word groupby), then every merge step iterates over the
+    vocab-sized Dataset only: per-batch adjacent-pair partials, a tiny
+    pair groupby, a driver argmax (count desc, pair lexicographic),
+    and a per-batch greedy left-to-right rewrite.  The corpus is read
+    exactly once; at 100 TB each of the K steps touches only the
+    distinct-word table."""
+    from cex_crawler_ray.stages.textstats import bpe_train
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    merges = bpe_train(docs, text_col="text", n_merges=6)
+    return pa.table(
+        {
+            "step": pa.array(
+                range(1, len(merges) + 1), pa.int64()
+            ),
+            "left_sym": pa.array([m[0] for m in merges], pa.string()),
+            "right_sym": pa.array([m[1] for m in merges], pa.string()),
+        }
+    )
+
+
+def _bpe_train_sql(n_merges: int = 6) -> str:
+    """Unrolled-CTE DuckDB BPE trainer, exactly the Sennrich et al.
+    greedy algorithm ``stages/textstats.bpe_train`` runs: per step,
+    weighted adjacent-pair counts over the current symbol sequences,
+    argmax with (count DESC, left, right) tie-break, then a greedy
+    LEFT-TO-RIGHT non-overlapping merge application.  Greedy
+    left-to-right equals: take every match position, group CONSECUTIVE
+    positions into islands (overlap exists only for left==right runs),
+    keep even offsets within each island — the islands trick makes the
+    sequential scan expressible with two window functions.  Every
+    per-step CTE is MATERIALIZED: each level references the previous
+    one three times, so un-materialized CTE inlining would re-evaluate
+    the chain 3^K times."""
+    parts = [
+        """
+WITH wc AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+v0 AS MATERIALIZED (
+  SELECT word, n, string_split(word, '') AS syms FROM wc
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f""",
+p{k} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT n, syms, unnest(range(1, len(syms))) AS i FROM v{p})
+  GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+  SELECT l, r, l || r AS m FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+),
+mt{k} AS MATERIALIZED (
+  SELECT x.word, x.i
+  FROM (SELECT word, syms, unnest(range(1, len(syms))) AS i FROM v{p}) x,
+       b{k}
+  WHERE x.syms[x.i] = b{k}.l AND x.syms[x.i+1] = b{k}.r
+),
+tk{k} AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i, i - min(i) OVER (PARTITION BY word, grp) AS off
+    FROM (
+      SELECT word, i,
+             i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+      FROM mt{k}
+    )
+  ) WHERE off % 2 = 0
+),
+v{k} AS MATERIALIZED (
+  SELECT x.word, any_value(x.n) AS n,
+         list(CASE WHEN t.i IS NOT NULL THEN (SELECT m FROM b{k})
+                   ELSE x.sym END ORDER BY x.p) AS syms
+  FROM (
+    SELECT word, n, unnest(range(1, len(syms)+1)) AS p,
+           unnest(syms) AS sym
+    FROM v{p}
+  ) x
+  LEFT JOIN tk{k} t ON t.word = x.word AND t.i = x.p
+  LEFT JOIN tk{k} s ON s.word = x.word AND s.i = x.p - 1
+  WHERE s.i IS NULL
+  GROUP BY x.word
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, l AS left_sym,"
+        f" r AS right_sym FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{union}\n) ORDER BY step\n")
+    return "".join(parts)
+
+
 def q_mutual_knn_pairs(sf_dir: str):
     """Reciprocal nearest-neighbor pairs over the embeddings table:
     see ``stages/similarity.mutual_knn_pairs`` — exact self-kNN top-5
@@ -12948,6 +13052,7 @@ _GATE_FIRST = [
     "mutual_knn_ann", "dup_spans", "strip_dup_spans",
     "semdedup_pairs", "kmeans_clusters", "exact_substr_dedup",
     "token_entropy", "knn_lsh", "knn_ivf", "knn_pq",
+    "bpe_train_merges",
 ]
 
 
@@ -13070,6 +13175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_customers": q_idle_customers,
         "waiting_suppliers": q_waiting_suppliers,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_train_merges": q_bpe_train_merges,
         "mutual_knn_pairs": q_mutual_knn_pairs,
         "mutual_knn_ann": q_mutual_knn_ann,
         "pareto_orders": q_pareto_orders,
@@ -15061,6 +15167,7 @@ GROUP BY 1, 2
         "idle_customers": _IDLE_CUSTOMERS_SQL,
         "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
         "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
+        "bpe_train_merges": _bpe_train_sql(6),
         "mutual_knn_pairs": _MUTUAL_KNN_SQL,
         # mutual_knn_ann RETURNS its certificate (IVF recall is
         # approximate by construction, so the gated output is the
