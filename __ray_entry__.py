@@ -2593,6 +2593,71 @@ def q_pagerank_nodes(sf_dir: str):
     return pagerank(_event_edges(sf_dir))
 
 
+def q_lpa_communities(sf_dir: str):
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over the symmetrized session-handoff graph — 4 rounds,
+    every node adopts the most frequent neighbor label (smallest on
+    ties).  All-integer state + exact tie-break = bit-reproducible at
+    any partition count, so an unrolled SQL twin hash-matches exactly
+    (the ``pagerank_nodes`` trick without fixed-point arithmetic).
+    See ``stages/graph.label_propagation``: per round one co-partition
+    hash join of the static symmetric edge list against the node-sized
+    label table + a dst-partitioned argmax merge; only the label table
+    materializes between rounds."""
+    from cex_crawler_ray.stages.graph import label_propagation
+
+    return label_propagation(_event_edges(sf_dir), iters=4)
+
+
+def _lpa_sql(iters: int = 4, edges_cte: str | None = None) -> str:
+    """Unrolled-CTE DuckDB synchronous LPA, bit-identical to
+    ``stages/graph.label_propagation``: per round, neighbor-label
+    counts over the symmetrized edge relation joined to the previous
+    round's labels, then a per-node (count DESC, label ASC) argmax."""
+    if edges_cte is None:
+        # defined later in the module; resolved at call time
+        edges_cte = _EVENT_EDGES_CTE
+    parts = [
+        f"""
+WITH {edges_cte},
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst, src FROM edges WHERE src <> dst
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS community FROM sym
+)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+m{k} AS MATERIALIZED (
+  SELECT s.dst AS node, p.community AS community,
+         CAST(count(*) AS BIGINT) AS c
+  FROM sym s JOIN l{k - 1} p ON s.src = p.node
+  GROUP BY 1, 2
+),
+l{k} AS MATERIALIZED (
+  SELECT node, community FROM (
+    SELECT node, community,
+           row_number() OVER (
+             PARTITION BY node ORDER BY c DESC, community
+           ) AS rn
+    FROM m{k}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(community AS BIGINT) AS community
+FROM l{iters} ORDER BY node
+"""
+    )
+    return "".join(parts)
+
+
 def _event_edges(sf_dir: str) -> "ray.data.Dataset":
     """Distinct directed session-handoff edges (user -> next user, no
     self-loops) — the shared input of ``pagerank_nodes`` /
@@ -13176,6 +13241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": q_waiting_suppliers,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train_merges": q_bpe_train_merges,
+        "lpa_communities": q_lpa_communities,
         "mutual_knn_pairs": q_mutual_knn_pairs,
         "mutual_knn_ann": q_mutual_knn_ann,
         "pareto_orders": q_pareto_orders,
@@ -15168,6 +15234,7 @@ GROUP BY 1, 2
         "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
         "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
         "bpe_train_merges": _bpe_train_sql(6),
+        "lpa_communities": _lpa_sql(4),
         "mutual_knn_pairs": _MUTUAL_KNN_SQL,
         # mutual_knn_ann RETURNS its certificate (IVF recall is
         # approximate by construction, so the gated output is the

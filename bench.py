@@ -671,6 +671,8 @@ def bench_queries(sf_dir: str) -> dict:
         "jpeg_decode_stats",
         "knn_lsh",
         "knn_ivf",
+        "bpe_train_merges",
+        "lpa_communities",
     ]
     extended = [
         "dust_canonical",

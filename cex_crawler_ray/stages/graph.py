@@ -2156,3 +2156,218 @@ def k_core(
             )
         )
     return out
+
+
+def _lpa_pick(
+    d: np.ndarray, lab: np.ndarray, c: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dst argmax over (dst, label, count) rows: highest count,
+    smallest label on ties — vectorized (lexsort + first-of-run)."""
+    o = np.lexsort((lab, -c, d))
+    d2 = d[o]
+    first = np.ones(len(d2), dtype=bool)
+    first[1:] = d2[1:] != d2[:-1]
+    sel = o[first]
+    return d[sel], lab[sel]
+
+
+def _lpa_count_runs(
+    d: np.ndarray, lab: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Collapse (dst, label) message rows to (dst, label, count)."""
+    o = np.lexsort((lab, d))
+    ds_, ls_ = d[o], lab[o]
+    new_run = np.ones(len(ds_), dtype=bool)
+    new_run[1:] = (ds_[1:] != ds_[:-1]) | (ls_[1:] != ls_[:-1])
+    starts = np.nonzero(new_run)[0]
+    counts = np.diff(np.append(starts, len(ds_))).astype(np.int64)
+    return ds_[starts], ls_[starts], counts
+
+
+def _lpa_driver(src: np.ndarray, dst: np.ndarray, iters: int) -> pa.Table:
+    """Driver-sized synchronous LPA over DISTINCT SYMMETRIC edges."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    sidx = np.searchsorted(nodes, src)
+    didx = np.searchsorted(nodes, dst)
+    labels = nodes.astype(np.int64).copy()
+    for _ in range(iters):
+        rd, rl, rc = _lpa_count_runs(didx, labels[sidx])
+        pd_, pl = _lpa_pick(rd, rl, rc)
+        new_labels = labels.copy()
+        new_labels[pd_] = pl
+        labels = new_labels
+    return pa.table(
+        {
+            "node": pa.array(nodes.astype(np.int64), pa.int64()),
+            "community": pa.array(labels, pa.int64()),
+        }
+    )
+
+
+LPA_DRIVER_MAX_EDGES = 2_000_000
+
+
+def label_propagation(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 4,
+    num_parts: int = 64,
+    driver_max_edges: int | None = None,
+) -> "ray.data.Dataset":
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) with a DETERMINISTIC update: every node simultaneously
+    adopts the most frequent label among its neighbors' previous-round
+    labels, smallest label on ties, for a FIXED number of rounds —
+    integer labels and an exact tie-break make the result
+    bit-reproducible at any partition count (the ``pagerank`` trick,
+    without needing fixed-point arithmetic: everything is already an
+    int64 count).
+
+    Input is a directed edge Dataset; the graph is symmetrized and
+    pair-deduplicated internally, so each neighbor votes exactly once
+    per round.  Distributed shape per round: one co-partition hash
+    join of the static symmetric edge list against the node-sized
+    label table, per-batch (dst, label, n) partials, and one
+    dst-partitioned merge that computes the per-node argmax — the
+    corpus-scale edge list is joined, never collected; only the label
+    table (one row per node) materializes between rounds.  Small
+    graphs short-circuit to a vectorized driver kernel (same results,
+    pinned by tests).
+    """
+    if driver_max_edges is None:
+        driver_max_edges = LPA_DRIVER_MAX_EDGES
+    edges = edges.materialize()
+    n_edges = edges.count()
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "community": pa.array([], pa.int64()),
+        }
+    )
+    if n_edges == 0:
+        return ray.data.from_arrow(empty)
+    if n_edges <= driver_max_edges:
+        tbl = pa.concat_tables(
+            ray.get(edges.to_arrow_refs()), promote_options="default"
+        )
+        a = tbl[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        sym = np.unique(
+            np.stack(
+                [np.concatenate([a, b]), np.concatenate([b, a])], axis=1
+            ),
+            axis=0,
+        )
+        return ray.data.from_arrow(
+            _lpa_driver(sym[:, 0], sym[:, 1], iters)
+        )
+
+    # ---- distributed path ----
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch[src_col].combine_chunks().cast(pa.int64())
+        b = batch[dst_col].combine_chunks().cast(pa.int64())
+        keep = pc.not_equal(a, b)
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+
+    def pair_unique(g: pa.Table) -> pa.Table:
+        # all rows of one src hash-part are co-located: pair dedup
+        m = np.unique(
+            np.stack(
+                [
+                    g["src"].to_numpy(zero_copy_only=False),
+                    g["dst"].to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {
+                "src": pa.array(m[:, 0].astype(np.int64), pa.int64()),
+                "dst": pa.array(m[:, 1].astype(np.int64), pa.int64()),
+            }
+        )
+
+    e = _coarse_group_apply(
+        edges.map_batches(symmetrize, batch_format="pyarrow"),
+        "src",
+        pair_unique,
+        num_parts,
+    ).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["src"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "node": pa.array(u.astype(np.int64), pa.int64()),
+                "community": pa.array(u.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def label_merge(g: pa.Table) -> pa.Table:
+        u = np.unique(g["node"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "node": pa.array(u.astype(np.int64), pa.int64()),
+                "community": pa.array(u.astype(np.int64), pa.int64()),
+            }
+        )
+
+    labels = _coarse_group_apply(
+        e.map_batches(init_labels, batch_format="pyarrow"),
+        "node",
+        label_merge,
+        num_parts,
+    ).materialize()
+
+    def msg_partial(batch: pa.Table) -> pa.Table:
+        d = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = (
+            batch["community"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        rd, rl, rc = _lpa_count_runs(d, lab)
+        return pa.table(
+            {
+                "dst": pa.array(rd.astype(np.int64), pa.int64()),
+                "community": pa.array(rl, pa.int64()),
+                "c": pa.array(rc, pa.int64()),
+            }
+        )
+
+    def pick_merge(g: pa.Table) -> pa.Table:
+        t = g.group_by(["dst", "community"]).aggregate([("c", "sum")])
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["community"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pd_, pl = _lpa_pick(d, lab, c)
+        return pa.table(
+            {
+                "node": pa.array(pd_, pa.int64()),
+                "community": pa.array(pl, pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        joined = hash_join(
+            e,
+            labels,
+            left_key="src",
+            right_key="node",
+            num_parts=num_parts,
+        )
+        labels = _coarse_group_apply(
+            joined.map_batches(msg_partial, batch_format="pyarrow"),
+            "dst",
+            pick_merge,
+            num_parts,
+        ).materialize()
+    return labels
