@@ -2816,6 +2816,165 @@ def q_dsir_select(sf_dir: str):
     return dsir_scores(docs, keep_top=100)
 
 
+_PERC_MARKER = " highqualitysignal highqualitysignal"
+
+
+def _quality_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """Labeled corpus for the perceptron queries: every doc_id % 4 == 0
+    row gains a two-token quality marker and label +1, the rest -1 —
+    fully vectorized, mirrored by the ``corpus`` CTE in
+    ``_perceptron_sql``."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        did = (
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        pos = (did % 4) == 0
+        suffix = pa.array(
+            np.where(pos, _PERC_MARKER, ""), pa.string()
+        )
+        text = batch["text"].combine_chunks()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pc.binary_join_element_wise(text, suffix, ""),
+                "y": pa.array(
+                    np.where(pos, 1, -1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(inject, batch_format="pyarrow")
+
+
+def q_perceptron_weights(sf_dir: str):
+    """Distributed integer perceptron TRAINING (batched Rosenblatt
+    rule, McDonald et al. 2010 shape) — the quality-classifier stage of
+    a web-text pipeline, trained to exact integer fidelity: weights are
+    int64 sums of hashed-token-count features over misclassified docs,
+    so the learned vector is bit-reproducible at any partition count
+    and the unrolled SQL twin hash-matches it.  Per iteration: (w, b)
+    broadcasts, each batch folds its misclassified docs into one
+    65-row gradient partial via a single matmul, partials driver-merge
+    (``stages/classifier.perceptron_train``).  The corpus never
+    shuffles."""
+    from cex_crawler_ray.stages.classifier import perceptron_train
+
+    w = perceptron_train(
+        _quality_corpus(sf_dir), n_buckets=64, iters=3
+    )
+    return pa.Table.from_pandas(w, preserve_index=False)
+
+
+def q_perceptron_scores(sf_dir: str):
+    """Apply the trained perceptron to the corpus: one broadcast +
+    one matmul per batch, streaming (doc_id, act, pred) out — the
+    quality-filter scoring pass (``stages/classifier.perceptron_scores``)."""
+    from cex_crawler_ray.stages.classifier import (
+        perceptron_scores,
+        perceptron_train,
+    )
+
+    corpus = _quality_corpus(sf_dir)
+    w = perceptron_train(corpus, n_buckets=64, iters=3)
+    return perceptron_scores(corpus, w)
+
+
+def _perceptron_sql(
+    iters: int = 3, n_buckets: int = 64, final: str = "weights"
+) -> str:
+    """Unrolled-CTE DuckDB twin of ``stages/classifier.perceptron_train``
+    (and, with ``final='scores'``, of ``perceptron_scores``): per
+    iteration, per-doc activations via a feats x weights join, the
+    misclassified set (y * act <= 0), and the exact integer weight
+    update summed over it.  Bucketing is the repo-wide md5 convention
+    (see ``dsir_select``)."""
+    parts = [
+        f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0
+                 THEN '{_PERC_MARKER}' ELSE '' END AS text,
+         CASE WHEN doc_id % 4 = 0 THEN CAST(1 AS BIGINT)
+              ELSE CAST(-1 AS BIGINT) END AS y
+  FROM documents
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, y,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+           % {n_buckets} AS bkt,
+         CAST(count(*) AS BIGINT) AS x
+  FROM (
+    SELECT doc_id, y, unnest(regexp_extract_all(text, '\\S+')) AS tok
+    FROM corpus
+  ) GROUP BY 1, 2, 3
+),
+w0 AS MATERIALIZED (
+  SELECT CAST(unnest(range(0, {n_buckets})) AS BIGINT) AS bkt,
+         CAST(0 AS BIGINT) AS w
+  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f""",
+act{k} AS MATERIALIZED (
+  SELECT c.doc_id, c.y,
+         CAST(COALESCE(s.dot, 0)
+              + (SELECT w FROM w{p} WHERE bkt = -1) AS BIGINT) AS act
+  FROM corpus c LEFT JOIN (
+    SELECT f.doc_id, SUM(p.w * f.x) AS dot
+    FROM feats f JOIN w{p} p ON f.bkt = p.bkt
+    GROUP BY f.doc_id
+  ) s ON c.doc_id = s.doc_id
+),
+mis{k} AS MATERIALIZED (
+  SELECT doc_id, y FROM act{k} WHERE y * act <= 0
+),
+w{k} AS MATERIALIZED (
+  SELECT p.bkt, CAST(p.w + COALESCE(u.g, 0) AS BIGINT) AS w
+  FROM w{p} p LEFT JOIN (
+    SELECT f.bkt AS bkt, CAST(SUM(m.y * f.x) AS BIGINT) AS g
+    FROM mis{k} m JOIN feats f ON m.doc_id = f.doc_id
+    GROUP BY f.bkt
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT),
+           CAST(COALESCE(SUM(y), 0) AS BIGINT) FROM mis{k}
+  ) u ON p.bkt = u.bkt
+)"""
+        )
+    if final == "weights":
+        parts.append(
+            f"\nSELECT bkt, w FROM w{iters} ORDER BY bkt\n"
+        )
+    else:
+        parts.append(
+            f""",
+actF AS (
+  SELECT c.doc_id,
+         CAST(COALESCE(s.dot, 0)
+              + (SELECT w FROM w{iters} WHERE bkt = -1)
+              AS BIGINT) AS act
+  FROM corpus c LEFT JOIN (
+    SELECT f.doc_id, SUM(p.w * f.x) AS dot
+    FROM feats f JOIN w{iters} p ON f.bkt = p.bkt
+    GROUP BY f.doc_id
+  ) s ON c.doc_id = s.doc_id
+)
+SELECT doc_id, act,
+       CAST(CASE WHEN act > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+FROM actF ORDER BY doc_id
+"""
+        )
+    return "".join(parts)
+
+
 _TIERS = [
     (0, 1_000, "micro"),
     (1_000, 5_000, "small"),
@@ -13242,6 +13401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train_merges": q_bpe_train_merges,
         "lpa_communities": q_lpa_communities,
+        "perceptron_weights": q_perceptron_weights,
+        "perceptron_scores": q_perceptron_scores,
         "mutual_knn_pairs": q_mutual_knn_pairs,
         "mutual_knn_ann": q_mutual_knn_ann,
         "pareto_orders": q_pareto_orders,
@@ -15235,6 +15396,8 @@ GROUP BY 1, 2
         "bpe_pair_counts": _BPE_PAIR_COUNTS_SQL,
         "bpe_train_merges": _bpe_train_sql(6),
         "lpa_communities": _lpa_sql(4),
+        "perceptron_weights": _perceptron_sql(3, final="weights"),
+        "perceptron_scores": _perceptron_sql(3, final="scores"),
         "mutual_knn_pairs": _MUTUAL_KNN_SQL,
         # mutual_knn_ann RETURNS its certificate (IVF recall is
         # approximate by construction, so the gated output is the

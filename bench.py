@@ -673,6 +673,7 @@ def bench_queries(sf_dir: str) -> dict:
         "knn_ivf",
         "bpe_train_merges",
         "lpa_communities",
+        "perceptron_weights",
     ]
     extended = [
         "dust_canonical",
