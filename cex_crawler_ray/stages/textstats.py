@@ -603,16 +603,20 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 10):
                 }
             )
 
-        pairs = (
-            vocab.map_batches(pair_partial, batch_format="pandas")
-            .groupby(["left", "right"])
-            .sum("cnt")
-            .to_pandas()
+        # pair-alphabet-bounded integer partials with a driver-bound
+        # argmax: merge on the driver (driver_merge_sum) instead of
+        # paying a shuffle round per merge step
+        from .dedup import driver_merge_sum
+
+        pairs = driver_merge_sum(
+            vocab.map_batches(pair_partial, batch_format="pandas"),
+            ["left", "right"],
+            ["cnt"],
         )
         if len(pairs) == 0:
             break
         pairs = pairs.sort_values(
-            ["sum(cnt)", "left", "right"],
+            ["cnt", "left", "right"],
             ascending=[False, True, True],
             kind="mergesort",
         )
