@@ -13269,14 +13269,15 @@ _GATE_FIRST = [
     "host_pagerank", "host_salsa", "page_opic", "span_dedup",
     "politeness_audit", "paragraph_dedup", "dust_rules",
     "dust_canonical", "soft404", "nfc_normalize", "c4_filter",
-    "pagerank_nodes", "salsa_scores", "harmonic_centrality", "k_core",
+    "pagerank_nodes", "salsa_scores",
     "triangle_count", "local_clustering", "bfs_levels", "sssp_dists",
-    "ppr_nodes", "random_walks", "dsir_select", "tfidf_cosine_pairs",
+    "ppr_nodes", "dsir_select", "tfidf_cosine_pairs",
     "bm25_topk", "mutual_knn_pairs", "gram_matrix",
     "mutual_knn_ann", "dup_spans", "strip_dup_spans",
     "semdedup_pairs", "kmeans_clusters", "exact_substr_dedup",
-    "token_entropy", "knn_lsh", "knn_ivf", "knn_pq",
-    "bpe_train_merges",
+    "knn_lsh", "knn_ivf", "knn_pq",
+    "bpe_train_merges", "lpa_communities",
+    "perceptron_weights", "perceptron_scores",
 ]
 
 
