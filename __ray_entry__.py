@@ -2975,6 +2975,78 @@ FROM actF ORDER BY doc_id
     return "".join(parts)
 
 
+def q_stupid_backoff(sf_dir: str):
+    """Stupid Backoff trigram LM scoring (Brants et al. 2007 — the
+    backoff scheme designed for DISTRIBUTED web-scale LM estimation):
+    train trigram/bigram/unigram counts on the English subset, score
+    every document with the 0.4-backoff chain in fixed-point integer
+    arithmetic.  See ``stages/tfidf.stupid_backoff_scores``: combiner
+    count tables (never broadcast — trigram types are corpus-sized),
+    five exact string-key co-partition attaches, one integer score
+    kernel, one doc-keyed sum; bit-reproducible at any partition
+    count, which is what the SQL twin hash-checks."""
+    from cex_crawler_ray.stages.tfidf import stupid_backoff_scores
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return stupid_backoff_scores(docs)
+
+
+_STUPID_BACKOFF_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_transform(regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                        x -> lower(x)) AS l
+  FROM documents
+),
+pos AS MATERIALIZED (
+  SELECT doc_id, lang,
+         l[t.i] AS u, l[t.i + 1] AS v, l[t.i + 2] AS w
+  FROM toks, LATERAL unnest(range(1, len(l) - 1)) AS t(i)
+),
+c3 AS MATERIALIZED (
+  SELECT u, v, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pos WHERE lang = 'en' GROUP BY 1, 2, 3
+),
+c2 AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT l[t.i] AS a, l[t.i + 1] AS b
+    FROM toks, LATERAL unnest(range(1, len(l))) AS t(i)
+    WHERE lang = 'en'
+  ) GROUP BY 1, 2
+),
+c1 AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT unnest(l) AS w FROM toks WHERE lang = 'en'
+  ) GROUP BY 1
+),
+nn AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM c1),
+sc AS (
+  SELECT p.doc_id,
+    CASE
+      WHEN COALESCE(t3.c, 0) > 0
+        THEN (1000000 * t3.c) // p2.c
+      WHEN COALESCE(b2.c, 0) > 0
+        THEN (2 * ((1000000 * b2.c) // v1.c)) // 5
+      WHEN COALESCE(w1.c, 0) > 0
+        THEN (2 * ((2 * ((1000000 * w1.c)
+                         // (SELECT n FROM nn))) // 5)) // 5
+      ELSE 0
+    END AS s
+  FROM pos p
+  LEFT JOIN c3 t3 ON t3.u = p.u AND t3.v = p.v AND t3.w = p.w
+  LEFT JOIN c2 p2 ON p2.a = p.u AND p2.b = p.v
+  LEFT JOIN c2 b2 ON b2.a = p.v AND b2.b = p.w
+  LEFT JOIN c1 v1 ON v1.w = p.v
+  LEFT JOIN c1 w1 ON w1.w = p.w
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(s) AS BIGINT) AS sb_score
+FROM sc GROUP BY doc_id
+"""
+
+
 _TIERS = [
     (0, 1_000, "micro"),
     (1_000, 5_000, "small"),
@@ -13404,6 +13476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_communities": q_lpa_communities,
         "perceptron_weights": q_perceptron_weights,
         "perceptron_scores": q_perceptron_scores,
+        "stupid_backoff": q_stupid_backoff,
         "mutual_knn_pairs": q_mutual_knn_pairs,
         "mutual_knn_ann": q_mutual_knn_ann,
         "pareto_orders": q_pareto_orders,
@@ -15399,6 +15472,7 @@ GROUP BY 1, 2
         "lpa_communities": _lpa_sql(4),
         "perceptron_weights": _perceptron_sql(3, final="weights"),
         "perceptron_scores": _perceptron_sql(3, final="scores"),
+        "stupid_backoff": _STUPID_BACKOFF_SQL,
         "mutual_knn_pairs": _MUTUAL_KNN_SQL,
         # mutual_knn_ann RETURNS its certificate (IVF recall is
         # approximate by construction, so the gated output is the

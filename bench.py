@@ -674,6 +674,7 @@ def bench_queries(sf_dir: str) -> dict:
         "bpe_train_merges",
         "lpa_communities",
         "perceptron_weights",
+        "stupid_backoff",
     ]
     extended = [
         "dust_canonical",

@@ -1074,3 +1074,383 @@ def bm25_topk(
             "score_e4": pa.array(sc[order], pa.int64()),
         }
     )
+
+
+def _attach_count(
+    rows: "ray.data.Dataset",
+    counts: "ray.data.Dataset",
+    key_col: str,
+    out_col: str,
+    carry: list,
+    num_parts: int = 64,
+):
+    """Attach a corpus count column to ``rows`` by EXACT string key via
+    the union + hash co-partition trick (the ``bigram_logprob_scores``
+    join shape, parameterized): both sides ship to the partition of
+    ``_hash64(key)``, and inside each partition a dict keyed by the
+    ACTUAL string resolves the count — hash collisions cannot corrupt
+    the join, the count table is never broadcast, and no driver dict
+    exists.  ``carry`` is the [(name, pa_type)] row columns to keep
+    (must include ``key_col``); keys absent from ``counts`` get 0."""
+    from .dedup import _coarse_group_apply, _hash64
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        cols = {
+            "__kh": pa.array([_hash64(k) for k in keys], pa.uint64())
+        }
+        for name, _typ in carry:
+            cols[name] = batch[name]
+        cols["__c"] = pa.nulls(len(keys), pa.int64())
+        cols["__doc"] = pa.array([True] * len(keys), pa.bool_())
+        return pa.table(cols)
+
+    def count_side(batch: pa.Table) -> pa.Table:
+        keys = batch["gram"].to_pylist()
+        n = len(keys)
+        cols = {
+            "__kh": pa.array([_hash64(k) for k in keys], pa.uint64())
+        }
+        for name, typ in carry:
+            if name == key_col:
+                cols[name] = batch["gram"]
+            else:
+                cols[name] = pa.nulls(n, typ)
+        cols["__c"] = (
+            batch["n_occurrences"].combine_chunks().cast(pa.int64())
+        )
+        cols["__doc"] = pa.array([False] * n, pa.bool_())
+        return pa.table(cols)
+
+    def attach(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        is_doc = df["__doc"].astype(bool)
+        cmap = dict(
+            zip(df.loc[~is_doc, key_col], df.loc[~is_doc, "__c"])
+        )
+        h = df.loc[is_doc]
+        cols = {}
+        for name, typ in carry:
+            cols[name] = pa.array(h[name].tolist(), typ)
+        cols[out_col] = pa.array(
+            [int(cmap.get(k, 0)) for k in h[key_col]], pa.int64()
+        )
+        return pa.table(cols)
+
+    u = rows.map_batches(doc_side, batch_format="pyarrow").union(
+        counts.map_batches(count_side, batch_format="pyarrow")
+    )
+    return _coarse_group_apply(u, "__kh", attach, num_parts)
+
+
+def stupid_backoff_scores(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_col: str = "lang",
+    train_value: str = "en",
+    scale: int = 10**6,
+    num_parts: int = 64,
+    broadcast_max_vocab: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Stupid Backoff trigram LM scoring (Brants et al., EMNLP 2007
+    "Large Language Models in Machine Translation") — the backoff
+    scheme DESIGNED for distributed web-scale LM estimation: no
+    discounting, no normalization, just relative frequencies with a
+    fixed 0.4 backoff factor, because those are the statistics a
+    MapReduce/Ray-style counting pipeline can produce exactly.
+
+    The model is trained on the ``train_col == train_value`` subset
+    (so scored docs genuinely exercise the backoff chain on unseen
+    n-grams) and every doc is scored:
+
+        S(w | u, v) = c3(uvw) / c2(uv)            if c3(uvw) > 0
+                      0.4 * S(w | v)              otherwise
+        S(w | v)    = c2(vw) / c1(v)              if c2(vw) > 0
+                      0.4 * S(w)                  otherwise
+        S(w)        = c1(w) / N                   (0 if unseen)
+
+    Fixed-point integers end to end — each ratio is
+    ``(scale * num) // den`` and the 0.4 factors are ``(2 * s) // 5``
+    — so scores are bit-reproducible at any partition count and an
+    exact SQL twin hash-matches (the ``pagerank``/``dsir`` trick).
+
+    Scale shape follows the PAPER's sharding: higher-order n-grams are
+    co-sharded with their denominators by shared word prefix —
+    c3(u v w) ships to the shard of hash(u + ' ' + v), where c2(u v)
+    also lives, so the trigram ratio resolves in ONE co-partition
+    round; the backoff bigram attaches in a second round keyed by
+    (v, w); and the unigram table is REPLICATED (Brants et al. keep
+    unigrams on every shard) — driver-merged and broadcast while its
+    vocabulary fits ``broadcast_max_vocab``, with an exact co-partition
+    fallback above that.  Two all-to-all rounds over the doc rows
+    instead of five; each round's output is materialized so the
+    chained shuffles never re-execute upstream lineage.  Count dicts
+    resolve by the ACTUAL gram string inside each partition, so hash
+    collisions cannot corrupt a lookup.  Returns
+    ``(doc_id, n_trigrams, sb_score)``; docs with < 3 tokens have no
+    trigram positions and are absent.
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import _coarse_group_apply, _hash64
+
+    ds = ds.materialize()
+
+    def only_train(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch[train_col], train_value)
+        )
+
+    train = ds.map_batches(only_train, batch_format="pyarrow")
+    c3 = ngram_counts(train, n=3, min_count=1, text_col=text_col)
+    c2 = ngram_counts(
+        train, n=2, min_count=1, text_col=text_col
+    ).materialize()
+    c1 = ngram_counts(train, n=1, min_count=1, text_col=text_col)
+
+    # unigram replication (the paper's design): driver-merge while the
+    # vocabulary is driver-sized, exact co-partition fallback above
+    c1_tbl = pa.concat_tables(
+        ray.get(c1.to_arrow_refs()), promote_options="default"
+    )
+    broadcast_uni = c1_tbl.num_rows <= broadcast_max_vocab
+    if broadcast_uni:
+        uni = dict(
+            zip(
+                c1_tbl["gram"].to_pylist(),
+                c1_tbl["n_occurrences"].to_pylist(),
+            )
+        )
+        n_total = int(sum(uni.values()))
+        uni_ref = ray.put(uni)
+    else:  # pragma: no cover - exercised via explicit small threshold
+        c1 = ray.data.from_arrow(c1_tbl)
+        n_total = int(
+            pa.compute.sum(c1_tbl["n_occurrences"]).as_py() or 0
+        )
+
+    def doc_tris(batch: pa.Table) -> pa.Table:
+        ids: list = []
+        g3: list = []
+        g2p: list = []
+        g2b: list = []
+        wv: list = []
+        ww: list = []
+        ms: list = []
+        for did, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            toks = [w.lower() for w in _WORD_RE.findall(t)]
+            c: Counter = Counter(
+                zip(toks[:-2], toks[1:-1], toks[2:])
+            )
+            for (u, v, w), m in c.items():
+                ids.append(did)
+                g3.append(u + " " + v + " " + w)
+                g2p.append(u + " " + v)
+                g2b.append(v + " " + w)
+                wv.append(v)
+                ww.append(w)
+                ms.append(m)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "g3": pa.array(g3, pa.string()),
+                "g2p": pa.array(g2p, pa.string()),
+                "g2b": pa.array(g2b, pa.string()),
+                "wv": pa.array(wv, pa.string()),
+                "ww": pa.array(ww, pa.string()),
+                "m": pa.array(ms, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(doc_tris, batch_format="pyarrow")
+
+    # ---- round 1 (paper sharding): shard by (u, v); c3 ships to the
+    # shard of its FIRST TWO words, where its denominator c2(u v)
+    # already lives — both attach in one co-partition
+    def doc_side1(batch: pa.Table) -> pa.Table:
+        keys = batch["g2p"].to_pylist()
+        return pa.table(
+            {
+                "__kh": pa.array(
+                    [_hash64(k) for k in keys], pa.uint64()
+                ),
+                id_col: batch[id_col],
+                "g3": batch["g3"],
+                "g2p": batch["g2p"],
+                "g2b": batch["g2b"],
+                "wv": batch["wv"],
+                "ww": batch["ww"],
+                "m": batch["m"],
+                "__c": pa.nulls(len(keys), pa.int64()),
+                "__kind": pa.array([0] * len(keys), pa.int8()),
+            }
+        )
+
+    def count3_side(batch: pa.Table) -> pa.Table:
+        grams = batch["gram"].to_pylist()
+        n = len(grams)
+        prefixes = [g.rsplit(" ", 1)[0] for g in grams]
+        return pa.table(
+            {
+                "__kh": pa.array(
+                    [_hash64(k) for k in prefixes], pa.uint64()
+                ),
+                id_col: pa.nulls(n, pa.int64()),
+                "g3": batch["gram"],
+                "g2p": pa.nulls(n, pa.string()),
+                "g2b": pa.nulls(n, pa.string()),
+                "wv": pa.nulls(n, pa.string()),
+                "ww": pa.nulls(n, pa.string()),
+                "m": pa.nulls(n, pa.int64()),
+                "__c": batch["n_occurrences"]
+                .combine_chunks()
+                .cast(pa.int64()),
+                "__kind": pa.array([3] * n, pa.int8()),
+            }
+        )
+
+    def count2_side(batch: pa.Table) -> pa.Table:
+        grams = batch["gram"].to_pylist()
+        n = len(grams)
+        return pa.table(
+            {
+                "__kh": pa.array(
+                    [_hash64(k) for k in grams], pa.uint64()
+                ),
+                id_col: pa.nulls(n, pa.int64()),
+                "g3": pa.nulls(n, pa.string()),
+                "g2p": batch["gram"],
+                "g2b": pa.nulls(n, pa.string()),
+                "wv": pa.nulls(n, pa.string()),
+                "ww": pa.nulls(n, pa.string()),
+                "m": pa.nulls(n, pa.int64()),
+                "__c": batch["n_occurrences"]
+                .combine_chunks()
+                .cast(pa.int64()),
+                "__kind": pa.array([2] * n, pa.int8()),
+            }
+        )
+
+    def attach1(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        kind = df["__kind"].to_numpy()
+        m3 = dict(
+            zip(df.loc[kind == 3, "g3"], df.loc[kind == 3, "__c"])
+        )
+        m2 = dict(
+            zip(df.loc[kind == 2, "g2p"], df.loc[kind == 2, "__c"])
+        )
+        h = df.loc[kind == 0]
+        return pa.table(
+            {
+                id_col: pa.array(h[id_col].tolist(), pa.int64()),
+                "g2b": pa.array(h["g2b"].tolist(), pa.string()),
+                "wv": pa.array(h["wv"].tolist(), pa.string()),
+                "ww": pa.array(h["ww"].tolist(), pa.string()),
+                "m": pa.array(h["m"].tolist(), pa.int64()),
+                "c3": pa.array(
+                    [int(m3.get(g, 0)) for g in h["g3"]], pa.int64()
+                ),
+                "c2p": pa.array(
+                    [int(m2.get(g, 0)) for g in h["g2p"]], pa.int64()
+                ),
+            }
+        )
+
+    u1 = (
+        rows.map_batches(doc_side1, batch_format="pyarrow")
+        .union(c3.map_batches(count3_side, batch_format="pyarrow"))
+        .union(c2.map_batches(count2_side, batch_format="pyarrow"))
+    )
+    rows = _coarse_group_apply(
+        u1, "__kh", attach1, num_parts
+    ).materialize()
+
+    # ---- round 2: backoff bigram c2(v w) by its own gram key
+    S, I = pa.string(), pa.int64()
+    carry = [
+        (id_col, I), ("g2b", S), ("wv", S), ("ww", S), ("m", I),
+        ("c3", I), ("c2p", I),
+    ]
+    rows = _attach_count(
+        rows, c2, "g2b", "c2b", carry, num_parts
+    ).materialize()
+    if not broadcast_uni:  # pragma: no cover - fallback path
+        carry = [c for c in carry if c[0] != "g2b"] + [("c2b", I)]
+        rows = _attach_count(
+            rows, c1, "wv", "c1v", carry, num_parts
+        ).materialize()
+        carry = [c for c in carry if c[0] != "wv"] + [("c1v", I)]
+        rows = _attach_count(
+            rows, c1, "ww", "c1w", carry, num_parts
+        ).materialize()
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        m = batch["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c3_ = batch["c3"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2p = batch["c2p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2b = batch["c2b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if broadcast_uni:
+            u = ray.get(uni_ref)
+            c1v = np.fromiter(
+                (u.get(t, 0) for t in batch["wv"].to_pylist()),
+                np.int64,
+                batch.num_rows,
+            )
+            c1w = np.fromiter(
+                (u.get(t, 0) for t in batch["ww"].to_pylist()),
+                np.int64,
+                batch.num_rows,
+            )
+        else:  # pragma: no cover - fallback path
+            c1v = (
+                batch["c1v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            c1w = (
+                batch["c1w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        s3 = (scale * c3_) // np.maximum(c2p, 1)
+        s2 = (2 * ((scale * c2b) // np.maximum(c1v, 1))) // 5
+        s1 = (2 * ((2 * ((scale * c1w) // max(n_total, 1))) // 5)) // 5
+        s = np.where(
+            c3_ > 0, s3, np.where(c2b > 0, s2, np.where(c1w > 0, s1, 0))
+        ).astype(np.int64)
+        did = (
+            batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        # in-batch pre-sum per doc (integer, order-free)
+        uq, inv = np.unique(did, return_inverse=True)
+        sb = np.zeros(len(uq), dtype=np.int64)
+        nt = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(sb, inv, m * s)
+        np.add.at(nt, inv, m)
+        return pa.table(
+            {
+                id_col: pa.array(uq, pa.int64()),
+                "sb_score": pa.array(sb, pa.int64()),
+                "n_trigrams": pa.array(nt, pa.int64()),
+            }
+        )
+
+    merged = (
+        rows.map_batches(score_partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .sum(["sb_score", "n_trigrams"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.rename_columns([id_col, "sb_score", "n_trigrams"])
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks().cast(pa.int64()),
+                "n_trigrams": t["n_trigrams"]
+                .combine_chunks()
+                .cast(pa.int64()),
+                "sb_score": t["sb_score"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
