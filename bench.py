@@ -1096,11 +1096,15 @@ def run_stress() -> None:
     # exact_substr_dedup: the >=50-token suffix-group exchange at 10x
     # tokens — span rows and wall must scale linearly (every replica
     # carries the same planted boilerplate tails, spans ~ docs)
+    # stupid_backoff: trigram counts + two co-partition attach rounds
+    # at 10x tokens — replicas share no tokens, so count tables and
+    # doc rows both scale linearly and wall must follow
     for name in (
         "minhash_dup_pairs",
         "tfidf_cosine_pairs",
         "cdx_index",
         "exact_substr_dedup",
+        "stupid_backoff",
     ):
         base = run_query(name, base_sf)
         big = run_query(name, stress_dir)

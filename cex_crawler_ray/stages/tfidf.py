@@ -1184,8 +1184,9 @@ def stupid_backoff_scores(
     unigrams on every shard) — driver-merged and broadcast while its
     vocabulary fits ``broadcast_max_vocab``, with an exact co-partition
     fallback above that.  Two all-to-all rounds over the doc rows
-    instead of five; each round's output is materialized so the
-    chained shuffles never re-execute upstream lineage.  Count dicts
+    instead of five, chained in ONE streaming plan (Ray pipelines a
+    short all-to-all chain fine; it was the five-round chain that
+    re-executed lineage) — nothing corpus-sized is pinned.  Count dicts
     resolve by the ACTUAL gram string inside each partition, so hash
     collisions cannot corrupt a lookup.  Returns
     ``(doc_id, n_trigrams, sb_score)``; docs with < 3 tokens have no
@@ -1231,12 +1232,11 @@ def stupid_backoff_scores(
         )
 
     def doc_tris(batch: pa.Table) -> pa.Table:
+        # ONE string column (the full trigram) rides the exchanges;
+        # every other gram is a substring derived where needed, so the
+        # two all-to-all rounds ship ~60% fewer bytes per row
         ids: list = []
         g3: list = []
-        g2p: list = []
-        g2b: list = []
-        wv: list = []
-        ww: list = []
         ms: list = []
         for did, t in zip(
             batch[id_col].to_pylist(), batch[text_col].to_pylist()
@@ -1248,19 +1248,11 @@ def stupid_backoff_scores(
             for (u, v, w), m in c.items():
                 ids.append(did)
                 g3.append(u + " " + v + " " + w)
-                g2p.append(u + " " + v)
-                g2b.append(v + " " + w)
-                wv.append(v)
-                ww.append(w)
                 ms.append(m)
         return pa.table(
             {
                 id_col: pa.array(ids, pa.int64()),
                 "g3": pa.array(g3, pa.string()),
-                "g2p": pa.array(g2p, pa.string()),
-                "g2b": pa.array(g2b, pa.string()),
-                "wv": pa.array(wv, pa.string()),
-                "ww": pa.array(ww, pa.string()),
                 "m": pa.array(ms, pa.int64()),
             }
         )
@@ -1269,9 +1261,10 @@ def stupid_backoff_scores(
 
     # ---- round 1 (paper sharding): shard by (u, v); c3 ships to the
     # shard of its FIRST TWO words, where its denominator c2(u v)
-    # already lives — both attach in one co-partition
+    # already lives - both attach in one co-partition
     def doc_side1(batch: pa.Table) -> pa.Table:
-        keys = batch["g2p"].to_pylist()
+        g3s = batch["g3"].to_pylist()
+        keys = [g.rsplit(" ", 1)[0] for g in g3s]
         return pa.table(
             {
                 "__kh": pa.array(
@@ -1279,10 +1272,6 @@ def stupid_backoff_scores(
                 ),
                 id_col: batch[id_col],
                 "g3": batch["g3"],
-                "g2p": batch["g2p"],
-                "g2b": batch["g2b"],
-                "wv": batch["wv"],
-                "ww": batch["ww"],
                 "m": batch["m"],
                 "__c": pa.nulls(len(keys), pa.int64()),
                 "__kind": pa.array([0] * len(keys), pa.int8()),
@@ -1300,10 +1289,6 @@ def stupid_backoff_scores(
                 ),
                 id_col: pa.nulls(n, pa.int64()),
                 "g3": batch["gram"],
-                "g2p": pa.nulls(n, pa.string()),
-                "g2b": pa.nulls(n, pa.string()),
-                "wv": pa.nulls(n, pa.string()),
-                "ww": pa.nulls(n, pa.string()),
                 "m": pa.nulls(n, pa.int64()),
                 "__c": batch["n_occurrences"]
                 .combine_chunks()
@@ -1321,11 +1306,7 @@ def stupid_backoff_scores(
                     [_hash64(k) for k in grams], pa.uint64()
                 ),
                 id_col: pa.nulls(n, pa.int64()),
-                "g3": pa.nulls(n, pa.string()),
-                "g2p": batch["gram"],
-                "g2b": pa.nulls(n, pa.string()),
-                "wv": pa.nulls(n, pa.string()),
-                "ww": pa.nulls(n, pa.string()),
+                "g3": batch["gram"],
                 "m": pa.nulls(n, pa.int64()),
                 "__c": batch["n_occurrences"]
                 .combine_chunks()
@@ -1341,21 +1322,27 @@ def stupid_backoff_scores(
             zip(df.loc[kind == 3, "g3"], df.loc[kind == 3, "__c"])
         )
         m2 = dict(
-            zip(df.loc[kind == 2, "g2p"], df.loc[kind == 2, "__c"])
+            zip(df.loc[kind == 2, "g3"], df.loc[kind == 2, "__c"])
         )
         h = df.loc[kind == 0]
+        g3s = h["g3"].tolist()
         return pa.table(
             {
                 id_col: pa.array(h[id_col].tolist(), pa.int64()),
-                "g2b": pa.array(h["g2b"].tolist(), pa.string()),
-                "wv": pa.array(h["wv"].tolist(), pa.string()),
-                "ww": pa.array(h["ww"].tolist(), pa.string()),
+                # the backoff bigram (v w) is g3 minus its first word
+                "g2b": pa.array(
+                    [g.split(" ", 1)[1] for g in g3s], pa.string()
+                ),
                 "m": pa.array(h["m"].tolist(), pa.int64()),
                 "c3": pa.array(
-                    [int(m3.get(g, 0)) for g in h["g3"]], pa.int64()
+                    [int(m3.get(g, 0)) for g in g3s], pa.int64()
                 ),
                 "c2p": pa.array(
-                    [int(m2.get(g, 0)) for g in h["g2p"]], pa.int64()
+                    [
+                        int(m2.get(g.rsplit(" ", 1)[0], 0))
+                        for g in g3s
+                    ],
+                    pa.int64(),
                 ),
             }
         )
@@ -1365,21 +1352,32 @@ def stupid_backoff_scores(
         .union(c3.map_batches(count3_side, batch_format="pyarrow"))
         .union(c2.map_batches(count2_side, batch_format="pyarrow"))
     )
-    rows = _coarse_group_apply(
-        u1, "__kh", attach1, num_parts
-    ).materialize()
+    # round 1's output is NOT materialized: round 2's exchange
+    # consumes it in the same streaming plan (one plan = two chained
+    # all-to-alls, which Ray pipelines fine; it was chaining FIVE that
+    # re-executed lineage), and skipping the pin halves the shuffle
+    # output the driver retains
+    rows = _coarse_group_apply(u1, "__kh", attach1, num_parts)
 
     # ---- round 2: backoff bigram c2(v w) by its own gram key
     S, I = pa.string(), pa.int64()
     carry = [
-        (id_col, I), ("g2b", S), ("wv", S), ("ww", S), ("m", I),
-        ("c3", I), ("c2p", I),
+        (id_col, I), ("g2b", S), ("m", I), ("c3", I), ("c2p", I),
     ]
-    rows = _attach_count(
-        rows, c2, "g2b", "c2b", carry, num_parts
-    ).materialize()
+    rows = _attach_count(rows, c2, "g2b", "c2b", carry, num_parts)
     if not broadcast_uni:  # pragma: no cover - fallback path
-        carry = [c for c in carry if c[0] != "g2b"] + [("c2b", I)]
+        # unigram keys (v, w) derive from the backoff bigram
+        def add_uni_keys(batch: pa.Table) -> pa.Table:
+            g2bs = batch["g2b"].to_pylist()
+            vs, ws = zip(*(g.split(" ", 1) for g in g2bs)) if g2bs else ((), ())
+            return batch.append_column(
+                "wv", pa.array(list(vs), pa.string())
+            ).append_column("ww", pa.array(list(ws), pa.string()))
+
+        rows = rows.map_batches(add_uni_keys, batch_format="pyarrow")
+        carry = [c for c in carry if c[0] != "g2b"] + [
+            ("c2b", I), ("wv", S), ("ww", S),
+        ]
         rows = _attach_count(
             rows, c1, "wv", "c1v", carry, num_parts
         ).materialize()
@@ -1395,13 +1393,14 @@ def stupid_backoff_scores(
         c2b = batch["c2b"].to_numpy(zero_copy_only=False).astype(np.int64)
         if broadcast_uni:
             u = ray.get(uni_ref)
+            g2bs = batch["g2b"].to_pylist()
             c1v = np.fromiter(
-                (u.get(t, 0) for t in batch["wv"].to_pylist()),
+                (u.get(g.split(" ", 1)[0], 0) for g in g2bs),
                 np.int64,
                 batch.num_rows,
             )
             c1w = np.fromiter(
-                (u.get(t, 0) for t in batch["ww"].to_pylist()),
+                (u.get(g.split(" ", 1)[1], 0) for g in g2bs),
                 np.int64,
                 batch.num_rows,
             )
