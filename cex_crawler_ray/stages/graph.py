@@ -2040,6 +2040,26 @@ def hyperball_harmonic(
 
 
 # ------------------------------------------------------------- k-core
+def drop_empty_blocks(ds: "ray.data.Dataset"):
+    """Rebuild a MATERIALIZED Dataset from only its non-empty blocks.
+
+    Ray's shuffle operators occasionally emit zero-row blocks with an
+    EMPTY schema, and ``map_batches`` passes such blocks through
+    WITHOUT invoking the UDF — one degenerate block then poisons a
+    downstream concat/`to_pandas` with a schema mismatch.  Zero-row
+    blocks are always safe to drop; this is metadata-only (no block is
+    fetched).  Returns ``None`` when every block is empty — callers
+    substitute their explicit empty-schema table."""
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs:
+        return None
+    return ray.data.from_arrow_refs(refs)
+
+
 def k_core(
     edges: "ray.data.Dataset",
     k: int = 3,
@@ -2147,7 +2167,11 @@ def k_core(
             und = semi_anti_join(und, alive, dst, "node").materialize()
 
     out = degrees(und).materialize()
-    if out.count() == 0:
+    # scrub zero-row blocks: the peel loop's shuffles can emit
+    # schema-less empties that poison downstream concat (flaky,
+    # partition-count-dependent; see drop_empty_blocks)
+    out = drop_empty_blocks(out)
+    if out is None or out.count() == 0:
         # a fully peeled graph yields zero blocks — return an explicit
         # empty table so consumers still see the (node, deg) schema
         return ray.data.from_arrow(

@@ -113,3 +113,22 @@ def test_lpa_empty_and_self_loops(ray_session):
         _to_ds([(1, 1), (2, 3)]), iters=2
     ).to_pandas()
     assert set(got["node"]) == {2, 3}
+
+
+def test_drop_empty_blocks_scrubs_schemaless(ray_session):
+    """A zero-row schema-less block from a shuffle must not poison
+    downstream concat: drop_empty_blocks removes it metadata-only."""
+    import ray
+
+    from cex_crawler_ray.stages.graph import drop_empty_blocks
+
+    empty = pa.table({})
+    real = pa.table({"node": pa.array([1, 2], pa.int64())})
+    ds = ray.data.from_arrow_refs(
+        [ray.put(empty), ray.put(real)]
+    ).materialize()
+    clean = drop_empty_blocks(ds)
+    df = clean.to_pandas()
+    assert list(df.columns) == ["node"] and len(df) == 2
+    all_empty = ray.data.from_arrow_refs([ray.put(empty)]).materialize()
+    assert drop_empty_blocks(all_empty) is None
