@@ -2394,4 +2394,9 @@ def label_propagation(
             pick_merge,
             num_parts,
         ).materialize()
+    # same scrub as k_core: the per-round shuffles can emit
+    # schema-less zero-row blocks that poison downstream concat
+    labels = drop_empty_blocks(labels)
+    if labels is None:
+        return ray.data.from_arrow(empty)
     return labels
