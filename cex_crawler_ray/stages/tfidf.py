@@ -263,6 +263,71 @@ def ngram_counts(
     return merged.map_batches(prune, batch_format="pyarrow")
 
 
+def ngram_counts_multi(
+    ds: "ray.data.Dataset",
+    ns: tuple = (1, 2, 3),
+    text_col: str = "text",
+) -> dict:
+    """Corpus n-gram counts for SEVERAL orders in ONE tokenize pass and
+    ONE shuffle: each batch tokenizes once and emits tagged
+    (order, gram, n) partials; a single (order, gram) groupby merges
+    them, and the result splits per order by a vectorized filter.
+    Equivalent to one ``ngram_counts(min_count=1)`` per order at a
+    third of the corpus passes — the shape a Brants-style distributed
+    LM count job uses (count all orders while the tokens are hot)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cs = {n: Counter() for n in ns}
+        for t in batch[text_col].to_pylist():
+            toks = [w.lower() for w in _WORD_RE.findall(t)]
+            for n in ns:
+                c = cs[n]
+                for i in range(len(toks) - n + 1):
+                    c[" ".join(toks[i : i + n])] += 1
+        orders: list = []
+        grams: list = []
+        counts: list = []
+        for n in ns:
+            c = cs[n]
+            orders.extend([n] * len(c))
+            grams.extend(c.keys())
+            counts.extend(c.values())
+        return pa.table(
+            {
+                "order": pa.array(orders, pa.int64()),
+                "gram": pa.array(grams, pa.string()),
+                "n_occurrences": pa.array(counts, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["order", "gram"])
+        .sum("n_occurrences")
+        .materialize()
+    )
+
+    def split(order: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.rename_columns(["order", "gram", "n_occurrences"])
+            out = t.filter(pc.equal(t["order"], order))
+            return pa.table(
+                {
+                    "gram": out["gram"],
+                    "n_occurrences": out["n_occurrences"]
+                    .combine_chunks()
+                    .cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    return {
+        n: merged.map_batches(split(n), batch_format="pyarrow")
+        for n in ns
+    }
+
+
 def pmi_bigrams(
     ds: "ray.data.Dataset",
     min_count: int = 5,
@@ -1204,11 +1269,10 @@ def stupid_backoff_scores(
         )
 
     train = ds.map_batches(only_train, batch_format="pyarrow")
-    c3 = ngram_counts(train, n=3, min_count=1, text_col=text_col)
-    c2 = ngram_counts(
-        train, n=2, min_count=1, text_col=text_col
-    ).materialize()
-    c1 = ngram_counts(train, n=1, min_count=1, text_col=text_col)
+    # one tokenize pass + one shuffle for all three orders (the train
+    # corpus was previously re-tokenized once per order)
+    counts = ngram_counts_multi(train, ns=(1, 2, 3), text_col=text_col)
+    c1, c2, c3 = counts[1], counts[2], counts[3]
 
     # unigram replication (the paper's design): driver-merge while the
     # vocabulary is driver-sized, exact co-partition fallback above
