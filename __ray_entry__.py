@@ -2975,6 +2975,55 @@ FROM actF ORDER BY doc_id
     return "".join(parts)
 
 
+def q_postings_vbyte(sf_dir: str):
+    """Variable-byte posting-list compression stats (Scholer et al.
+    SIGIR'02; Manning et al. IIR ch.5) — d-gap the sorted per-token
+    doc ids and count 7-bit varint bytes vs the raw 8-byte-per-id
+    cost, the storage lever a web-scale inverted index budgets by.
+    See ``stages/tfidf.postings_vbyte``: one co-partition exchange of
+    distinct (token, doc_id) pairs, vectorized d-gaps + searchsorted
+    byte counts, and every list ROUND-TRIPS through the real encoder
+    before its size is reported."""
+    from cex_crawler_ray.stages.tfidf import postings_vbyte
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return postings_vbyte(docs)
+
+
+_POSTINGS_VBYTE_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, w AS token FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+    FROM documents
+  )
+),
+d AS (
+  SELECT token,
+         COALESCE(
+           doc_id - lag(doc_id) OVER (
+             PARTITION BY token ORDER BY doc_id
+           ),
+           doc_id
+         ) AS gap
+  FROM toks
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+       CAST(SUM(
+         CASE WHEN gap < 128 THEN 1
+              WHEN gap < 16384 THEN 2
+              WHEN gap < 2097152 THEN 3
+              WHEN gap < 268435456 THEN 4
+              ELSE 5 END
+       ) AS BIGINT) AS vbyte_bytes
+FROM d GROUP BY token
+"""
+
+
 def q_stupid_backoff(sf_dir: str):
     """Stupid Backoff trigram LM scoring (Brants et al. 2007 — the
     backoff scheme designed for DISTRIBUTED web-scale LM estimation):
@@ -13477,6 +13526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perceptron_weights": q_perceptron_weights,
         "perceptron_scores": q_perceptron_scores,
         "stupid_backoff": q_stupid_backoff,
+        "postings_vbyte": q_postings_vbyte,
         "mutual_knn_pairs": q_mutual_knn_pairs,
         "mutual_knn_ann": q_mutual_knn_ann,
         "pareto_orders": q_pareto_orders,
@@ -15473,6 +15523,7 @@ GROUP BY 1, 2
         "perceptron_weights": _perceptron_sql(3, final="weights"),
         "perceptron_scores": _perceptron_sql(3, final="scores"),
         "stupid_backoff": _STUPID_BACKOFF_SQL,
+        "postings_vbyte": _POSTINGS_VBYTE_SQL,
         "mutual_knn_pairs": _MUTUAL_KNN_SQL,
         # mutual_knn_ann RETURNS its certificate (IVF recall is
         # approximate by construction, so the gated output is the

@@ -675,6 +675,7 @@ def bench_queries(sf_dir: str) -> dict:
         "lpa_communities",
         "perceptron_weights",
         "stupid_backoff",
+        "postings_vbyte",
     ]
     extended = [
         "dust_canonical",

@@ -1517,3 +1517,142 @@ def stupid_backoff_scores(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+_VBYTE_THRESHOLDS = np.array(
+    [1 << 7, 1 << 14, 1 << 21, 1 << 28], dtype=np.int64
+)
+
+
+def _vbyte_encode(gaps: np.ndarray) -> bytes:
+    """Actual variable-byte encoding (7 data bits per byte, high bit
+    marks the LAST byte of each value — the classic inverted-index
+    layout, e.g. Scholer et al. SIGIR'02)."""
+    out = bytearray()
+    for v in gaps.tolist():
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v == 0:
+                out.append(b | 0x80)
+                break
+            out.append(b)
+    return bytes(out)
+
+
+def _vbyte_decode(buf: bytes) -> np.ndarray:
+    vals = []
+    cur = 0
+    shift = 0
+    for b in buf:
+        if b & 0x80:
+            vals.append(cur | ((b & 0x7F) << shift))
+            cur = 0
+            shift = 0
+        else:
+            cur |= b << shift
+            shift += 7
+    return np.array(vals, dtype=np.int64)
+
+
+def postings_vbyte(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Variable-byte posting-list compression stats — the standard
+    index-size lever of a web-scale inverted index (d-gap the sorted
+    doc ids, then 7-bits-per-byte varints; Scholer et al. SIGIR'02,
+    Manning et al. IIR ch.5).  Per token this returns
+    ``(token, n_docs, raw_bytes, vbyte_bytes)`` where ``raw_bytes``
+    is the uncompressed 8-byte-per-id cost — the ratio is what an
+    index-tiering policy budgets storage by.
+
+    Shape: the shuffle carries per-doc DISTINCT (token, doc_id)
+    pairs co-partitioned by a stable token hash (the
+    ``inverted_index`` exchange); each partition d-gaps its sorted
+    posting lists VECTORIZED and — the honesty check — actually
+    round-trips every list through the real encoder
+    (encode → decode → exact id equality) before reporting sizes, so
+    the size table cannot drift from a working codec.  Byte counts
+    are computed with a vectorized ``searchsorted`` over the varint
+    thresholds; the encode/decode pass is the per-list Python loop a
+    real codec would do in C, bounded per partition by its token
+    slice, never corpus-global.
+    """
+    import zlib
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_tok, out_id = [], []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            for tok in _doc_tokens(t):
+                out_tok.append(tok)
+                out_id.append(ids[i])
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "_part": pa.array(
+                    [
+                        zlib.crc32(tok.encode("utf-8")) % num_parts
+                        for tok in out_tok
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def compress(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (
+            tbl.select(["token", "doc_id"])
+            .to_pandas()
+            .sort_values(["token", "doc_id"], kind="mergesort")
+        )
+        toks = df["token"].to_numpy()
+        ids = df["doc_id"].to_numpy(np.int64)
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = toks[1:] != toks[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(df))
+        # gaps: first element is the doc id itself, then deltas
+        gaps = ids.copy()
+        gaps[1:] -= ids[:-1]
+        gaps[starts] = ids[starts]
+        nbytes = (
+            np.searchsorted(
+                _VBYTE_THRESHOLDS, gaps, side="right"
+            )
+            + 1
+        )
+        out_tok, out_n, out_raw, out_vb = [], [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            g = gaps[s:e]
+            buf = _vbyte_encode(g)
+            dec = _vbyte_decode(buf)
+            assert len(buf) == int(nbytes[s:e].sum())
+            assert (np.cumsum(dec) == ids[s:e]).all(), toks[s]
+            out_tok.append(toks[s])
+            out_n.append(e - s)
+            out_raw.append(8 * (e - s))
+            out_vb.append(len(buf))
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                "n_docs": pa.array(out_n, pa.int64()),
+                "raw_bytes": pa.array(out_raw, pa.int64()),
+                "vbyte_bytes": pa.array(out_vb, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: compress(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )

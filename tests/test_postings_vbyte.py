@@ -1,0 +1,92 @@
+"""Variable-byte posting compression: codec roundtrip across all byte
+widths, hand-computed sizes, and partition invariance.  Catalog oracle
+parity runs in the whole-catalog sweep."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cex_crawler_ray.stages.tfidf import _vbyte_decode, _vbyte_encode
+
+
+@pytest.mark.parametrize(
+    "v,nbytes",
+    [
+        (0, 1),
+        (127, 1),
+        (128, 2),
+        (16383, 2),
+        (16384, 3),
+        (2097151, 3),
+        (2097152, 4),
+        (268435455, 4),
+        (268435456, 5),
+        (2**34, 5),
+    ],
+)
+def test_vbyte_widths(v, nbytes):
+    buf = _vbyte_encode(np.array([v], dtype=np.int64))
+    assert len(buf) == nbytes
+    assert _vbyte_decode(buf).tolist() == [v]
+
+
+def test_vbyte_roundtrip_random():
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 2**33, 500).astype(np.int64)
+    assert (_vbyte_decode(_vbyte_encode(vals)) == vals).all()
+
+
+def test_postings_vbyte_hand_case(ray_session):
+    import ray
+
+    from cex_crawler_ray.stages.tfidf import postings_vbyte
+
+    # token "a" in docs 0, 5, 200 -> gaps (0, 5, 195) -> 1+1+2 bytes
+    docs = ["a", "b", "", "", "", "a b", *[""] * 194, "a"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    )
+    got = (
+        postings_vbyte(ds)
+        .to_pandas()
+        .set_index("token")
+        .sort_index()
+    )
+    assert got.loc["a", "n_docs"] == 3
+    assert got.loc["a", "raw_bytes"] == 24
+    assert got.loc["a", "vbyte_bytes"] == 1 + 1 + 2
+    assert got.loc["b", "n_docs"] == 2
+    assert got.loc["b", "vbyte_bytes"] == 1 + 1
+
+
+def test_postings_vbyte_partition_invariant(ray_session):
+    import ray
+
+    from cex_crawler_ray.stages.tfidf import postings_vbyte
+
+    rng = np.random.RandomState(3)
+    vocab = [f"t{i}" for i in range(25)]
+    docs = [
+        " ".join(vocab[j] for j in rng.randint(0, 25, 10))
+        for _ in range(80)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    canon = lambda d: d.sort_values("token").reset_index(drop=True)
+    a = canon(postings_vbyte(ray.data.from_arrow(tbl)).to_pandas())
+    b = canon(
+        postings_vbyte(
+            ray.data.from_arrow(tbl).repartition(13), num_parts=8
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
