@@ -8725,6 +8725,26 @@ def q_bm25_topk(sf_dir: str):
     )
 
 
+def q_bm25_maxscore(sf_dir: str):
+    """BM25 top-10 with MaxScore pruning (Turtle & Flood 1995) — the
+    dynamic-pruning scale path for ranked retrieval: per-term
+    fixed-point score upper bounds, a threshold from the docs matching
+    the highest-impact term, and a vectorized bound-skip of every doc
+    that provably cannot enter the top-k.  Output is EXACTLY the
+    exhaustive ``bm25_topk`` ranking (pruning is a pure optimization),
+    so the SAME SQL twin gates it — the hash match IS the proof the
+    skip condition is sound.  See
+    ``stages/tfidf.bm25_topk_maxscore``."""
+    from cex_crawler_ray.stages.tfidf import bm25_topk_maxscore
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_topk_maxscore(
+        ds, ["spark", "hash", "window", "stream"], topk=10
+    )
+
+
 _BM25_TOPK_SQL = """
 WITH tok AS (
   SELECT doc_id,
@@ -13527,6 +13547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perceptron_scores": q_perceptron_scores,
         "stupid_backoff": q_stupid_backoff,
         "postings_vbyte": q_postings_vbyte,
+        "bm25_maxscore": q_bm25_maxscore,
         "mutual_knn_pairs": q_mutual_knn_pairs,
         "mutual_knn_ann": q_mutual_knn_ann,
         "pareto_orders": q_pareto_orders,
@@ -15524,6 +15545,7 @@ GROUP BY 1, 2
         "perceptron_scores": _perceptron_sql(3, final="scores"),
         "stupid_backoff": _STUPID_BACKOFF_SQL,
         "postings_vbyte": _POSTINGS_VBYTE_SQL,
+        "bm25_maxscore": _BM25_TOPK_SQL,
         "mutual_knn_pairs": _MUTUAL_KNN_SQL,
         # mutual_knn_ann RETURNS its certificate (IVF recall is
         # approximate by construction, so the gated output is the

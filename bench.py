@@ -676,6 +676,7 @@ def bench_queries(sf_dir: str) -> dict:
         "perceptron_weights",
         "stupid_backoff",
         "postings_vbyte",
+        "bm25_maxscore",
     ]
     extended = [
         "dust_canonical",

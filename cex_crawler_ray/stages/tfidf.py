@@ -1656,3 +1656,166 @@ def postings_vbyte(
             batch_format="pyarrow",
         )
     )
+
+
+def bm25_topk_maxscore(
+    ds: "ray.data.Dataset",
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    topk: int = 10,
+) -> pa.Table:
+    """BM25 top-k with MaxScore pruning (Turtle & Flood 1995), batch
+    form — EXACTLY the ``bm25_topk`` result (same fixed-point scores,
+    same (score DESC, id ASC) tie-break; the SQL oracle is shared),
+    but most documents are never scored:
+
+    1. per-term score UPPER BOUNDS: the BM25 term score is strictly
+       below ``idf_j * (k1 + 1)`` for any tf/dl, so
+       ``UB_j = round_e4(idf_j * 2.2)`` dominates every realized
+       1e-4-fixed-point term score;
+    2. phase 1 scores only the docs containing the single highest-UB
+       term and takes the k-th best as the threshold theta — a valid
+       lower bound on the final k-th score;
+    3. phase 2 computes each remaining doc's bound
+       ``sum of UB_j over its matched terms`` vectorized and SKIPS
+       every doc with bound < theta — by construction such a doc
+       cannot enter the top-k (ties at theta are kept: an equal score
+       can still win on the id tie-break);
+    4. survivors are scored exactly and merged with phase 1.
+
+    Pruning is a pure optimization: correctness never depends on how
+    good theta is.  Scale shape matches ``bm25_topk`` (query
+    broadcast, corpus never shuffles, block-local partial top-k);
+    the skip test is two vectorized comparisons per block.
+    """
+    from collections import Counter as _Counter
+
+    m = len(query_terms)
+    q_index = {t: j for j, t in enumerate(query_terms)}
+
+    def compact(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        n = len(ids)
+        dl = np.zeros(n, np.int64)
+        tf = np.zeros((n, m), np.int64)
+        for i, t in enumerate(texts):
+            toks = _WORD_RE.findall(t)
+            dl[i] = len(toks)
+            c = _Counter(w.lower() for w in toks)
+            for term, j in q_index.items():
+                tf[i, j] = c.get(term, 0)
+        cols = {
+            id_col: pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "dl": pa.array(dl, pa.int64()),
+        }
+        for j in range(m):
+            cols[f"tf_{j}"] = pa.array(tf[:, j], pa.int64())
+            cols[f"nz_{j}"] = pa.array(
+                (tf[:, j] > 0).astype(np.int64), pa.int64()
+            )
+        return pa.table(cols)
+
+    stats_ds = ds.map_batches(compact, batch_format="pyarrow").materialize()
+    n_docs = stats_ds.count()
+    sums = stats_ds.sum(["dl"] + [f"nz_{j}" for j in range(m)])
+    avgdl = float(sums["sum(dl)"]) / float(n_docs)
+    df = np.array(
+        [int(sums[f"sum(nz_{j})"]) for j in range(m)], np.int64
+    )
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    # e4 upper bound per term: tf*2.2/(tf+den) < 2.2 for any tf, den>0
+    ub = np.floor(idf * 2.2 * 10000.0 + 0.5).astype(np.int64)
+    j_top = int(np.argmax(ub))
+
+    def exact_scores(batch: pa.Table, mask: np.ndarray):
+        """(ids, scores) of masked rows, exact bm25_topk arithmetic."""
+        dl = batch["dl"].to_numpy(zero_copy_only=False)[mask]
+        total = np.zeros(int(mask.sum()), np.int64)
+        den_base = 1.2 * (0.25 + 0.75 * dl / avgdl)
+        for j in range(m):
+            tf_j = batch[f"tf_{j}"].to_numpy(zero_copy_only=False)[mask]
+            s = idf[j] * (tf_j * 2.2) / (tf_j + den_base) * 10000.0
+            e4 = np.floor(s + 0.5).astype(np.int64)
+            total += np.where(tf_j > 0, e4, 0)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[mask]
+        keep = total > 0
+        return ids[keep], total[keep]
+
+    def topk_table(ids, sc, k):
+        order = np.lexsort((ids, -sc))[:k]
+        return ids[order], sc[order]
+
+    # ---- phase 1: exact scores of docs matching the top-UB term
+    def phase1(batch: pa.Table) -> pa.Table:
+        mask = (
+            batch[f"tf_{j_top}"].to_numpy(zero_copy_only=False) > 0
+        )
+        ids, sc = exact_scores(batch, mask)
+        if len(ids) > topk:
+            ids, sc = topk_table(ids, sc, topk)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "score_e4": pa.array(sc, pa.int64()),
+            }
+        )
+
+    p1 = pa.concat_tables(
+        ray.get(
+            stats_ds.map_batches(phase1, batch_format="pyarrow")
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    ids1 = p1[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    sc1 = p1["score_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids1, sc1 = topk_table(ids1, sc1, topk)
+    theta = int(sc1[topk - 1]) if len(sc1) >= topk else 0
+
+    # ---- phase 2: bound-skip everything else
+    def phase2(batch: pa.Table, _theta=theta) -> pa.Table:
+        nz = np.stack(
+            [
+                batch[f"tf_{j}"].to_numpy(zero_copy_only=False) > 0
+                for j in range(m)
+            ],
+            axis=1,
+        )
+        bound = nz @ ub
+        # docs already scored in phase 1 are excluded; a bound BELOW
+        # theta cannot reach the top-k (equal bounds stay: an equal
+        # final score can still win the id tie-break)
+        mask = (~nz[:, j_top]) & (bound >= _theta) & (bound > 0)
+        ids, sc = exact_scores(batch, mask)
+        if len(ids) > topk:
+            ids, sc = topk_table(ids, sc, topk)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "score_e4": pa.array(sc, pa.int64()),
+            }
+        )
+
+    p2 = pa.concat_tables(
+        ray.get(
+            stats_ds.map_batches(phase2, batch_format="pyarrow")
+            .to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    ids2 = p2[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    sc2 = p2["score_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = np.concatenate([ids1, ids2])
+    sc = np.concatenate([sc1, sc2])
+    ids, sc = topk_table(ids, sc, topk)
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(1, len(ids) + 1, dtype=np.int64), pa.int64()
+            ),
+            id_col: pa.array(ids, pa.int64()),
+            "score_e4": pa.array(sc, pa.int64()),
+        }
+    )
