@@ -3024,6 +3024,50 @@ FROM d GROUP BY token
 """
 
 
+def q_postings_gamma(sf_dir: str):
+    """Elias-gamma posting-list compression stats (Elias 1975; Witten/
+    Moffat/Bell, Managing Gigabytes) — the bit-level sibling of
+    ``postings_vbyte``: gaps encode as unary-length-prefixed binary of
+    ``gap + 1``, so frequent tokens (small gaps) compress below one
+    byte per posting.  Every list round-trips through the real
+    bit-packing codec before its size is reported
+    (``stages/tfidf.postings_gamma``)."""
+    from cex_crawler_ray.stages.tfidf import postings_gamma
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return postings_gamma(docs)
+
+
+_POSTINGS_GAMMA_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, w AS token FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+    FROM documents
+  )
+),
+d AS (
+  SELECT token,
+         COALESCE(
+           doc_id - lag(doc_id) OVER (
+             PARTITION BY token ORDER BY doc_id
+           ),
+           doc_id
+         ) AS gap
+  FROM toks
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(2 * (length(bin(gap + 1)) - 1) + 1) AS BIGINT)
+         AS gamma_bits,
+       CAST((SUM(2 * (length(bin(gap + 1)) - 1) + 1) + 7) // 8
+         AS BIGINT) AS gamma_bytes
+FROM d GROUP BY token
+"""
+
+
 def q_stupid_backoff(sf_dir: str):
     """Stupid Backoff trigram LM scoring (Brants et al. 2007 — the
     backoff scheme designed for DISTRIBUTED web-scale LM estimation):
@@ -13548,6 +13592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stupid_backoff": q_stupid_backoff,
         "postings_vbyte": q_postings_vbyte,
         "bm25_maxscore": q_bm25_maxscore,
+        "postings_gamma": q_postings_gamma,
         "mutual_knn_pairs": q_mutual_knn_pairs,
         "mutual_knn_ann": q_mutual_knn_ann,
         "pareto_orders": q_pareto_orders,
@@ -15546,6 +15591,7 @@ GROUP BY 1, 2
         "stupid_backoff": _STUPID_BACKOFF_SQL,
         "postings_vbyte": _POSTINGS_VBYTE_SQL,
         "bm25_maxscore": _BM25_TOPK_SQL,
+        "postings_gamma": _POSTINGS_GAMMA_SQL,
         "mutual_knn_pairs": _MUTUAL_KNN_SQL,
         # mutual_knn_ann RETURNS its certificate (IVF recall is
         # approximate by construction, so the gated output is the

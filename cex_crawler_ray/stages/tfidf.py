@@ -1819,3 +1819,133 @@ def bm25_topk_maxscore(
             "score_e4": pa.array(sc, pa.int64()),
         }
     )
+
+
+_POW2 = (np.int64(1) << np.arange(63, dtype=np.int64)).astype(np.int64)
+
+
+def _gamma_encode(gaps: np.ndarray) -> tuple:
+    """Elias gamma (Elias 1975) over d-gaps: each value encodes as
+    x = gap + 1 -> floor(log2 x) zero bits, then x's binary digits.
+    Returns (packed bytes, total bit count)."""
+    bits = []
+    for v in gaps.tolist():
+        x = v + 1
+        n = x.bit_length() - 1
+        bits.extend([0] * n)
+        for i in range(n, -1, -1):
+            bits.append((x >> i) & 1)
+    out = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            out[i >> 3] |= 0x80 >> (i & 7)
+    return bytes(out), len(bits)
+
+
+def _gamma_decode(buf: bytes, count: int) -> np.ndarray:
+    vals = []
+    pos = 0
+    total = len(buf) * 8
+
+    def bit(i):
+        return (buf[i >> 3] >> (7 - (i & 7))) & 1
+
+    while len(vals) < count and pos < total:
+        n = 0
+        while bit(pos) == 0:
+            n += 1
+            pos += 1
+        x = 0
+        for _ in range(n + 1):
+            x = (x << 1) | bit(pos)
+            pos += 1
+        vals.append(x - 1)
+    return np.array(vals, dtype=np.int64)
+
+
+def postings_gamma(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Elias-gamma posting-list compression stats — the bit-level
+    sibling of ``postings_vbyte`` (Elias 1975; Witten/Moffat/Bell,
+    Managing Gigabytes): d-gap the sorted doc ids, encode ``gap + 1``
+    as unary-length-prefixed binary.  Gamma beats vbyte on small gaps
+    (frequent tokens) at the cost of bit addressing.  Returns
+    ``(token, n_docs, gamma_bits, gamma_bytes)``; same exchange shape
+    as ``postings_vbyte`` and the same honesty bar — every list
+    round-trips through the real bit-packing codec before its size is
+    reported.  Bit counts are vectorized
+    (``2 * floor(log2(gap + 1)) + 1`` via an exact power-of-two
+    ``searchsorted``)."""
+    import zlib
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_tok, out_id = [], []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            for tok in _doc_tokens(t):
+                out_tok.append(tok)
+                out_id.append(ids[i])
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "_part": pa.array(
+                    [
+                        zlib.crc32(tok.encode("utf-8")) % num_parts
+                        for tok in out_tok
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def compress(tbl: pa.Table) -> pa.Table:
+        df = (
+            tbl.select(["token", "doc_id"])
+            .to_pandas()
+            .sort_values(["token", "doc_id"], kind="mergesort")
+        )
+        toks = df["token"].to_numpy()
+        ids = df["doc_id"].to_numpy(np.int64)
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = toks[1:] != toks[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(df))
+        gaps = ids.copy()
+        gaps[1:] -= ids[:-1]
+        gaps[starts] = ids[starts]
+        # bits = 2*floor(log2(gap+1)) + 1, exact integer log2
+        lg = np.searchsorted(_POW2, gaps + 1, side="right") - 1
+        nbits = 2 * lg + 1
+        out_tok, out_n, out_bits, out_bytes = [], [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            g = gaps[s:e]
+            buf, total_bits = _gamma_encode(g)
+            dec = _gamma_decode(buf, e - s)
+            assert total_bits == int(nbits[s:e].sum())
+            assert (np.cumsum(dec) == ids[s:e]).all(), toks[s]
+            out_tok.append(toks[s])
+            out_n.append(e - s)
+            out_bits.append(total_bits)
+            out_bytes.append(len(buf))
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                "n_docs": pa.array(out_n, pa.int64()),
+                "gamma_bits": pa.array(out_bits, pa.int64()),
+                "gamma_bytes": pa.array(out_bytes, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: compress(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )

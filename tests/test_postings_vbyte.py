@@ -90,3 +90,47 @@ def test_postings_vbyte_partition_invariant(ray_session):
         ).to_pandas()
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize(
+    "v,bits",
+    [(0, 1), (1, 3), (2, 3), (3, 5), (6, 5), (7, 7), (126, 13), (127, 15)],
+)
+def test_gamma_widths(v, bits):
+    from cex_crawler_ray.stages.tfidf import _gamma_decode, _gamma_encode
+
+    buf, nbits = _gamma_encode(np.array([v], dtype=np.int64))
+    assert nbits == bits
+    assert _gamma_decode(buf, 1).tolist() == [v]
+
+
+def test_gamma_roundtrip_random():
+    from cex_crawler_ray.stages.tfidf import _gamma_decode, _gamma_encode
+
+    rng = np.random.RandomState(17)
+    vals = rng.randint(0, 2**30, 300).astype(np.int64)
+    buf, nbits = _gamma_encode(vals)
+    assert len(buf) == (nbits + 7) // 8
+    assert (_gamma_decode(buf, len(vals)) == vals).all()
+
+
+def test_postings_gamma_hand_case(ray_session):
+    import ray
+
+    from cex_crawler_ray.stages.tfidf import postings_gamma
+
+    # token "a" in docs 0, 5, 200: gaps (0, 5, 195) -> x = (1, 6, 196)
+    # -> bits (1, 5, 15) = 21 bits -> 3 bytes
+    docs = ["a", "b", "", "", "", "a b", *[""] * 194, "a"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    )
+    got = postings_gamma(ds).to_pandas().set_index("token").sort_index()
+    assert got.loc["a", "n_docs"] == 3
+    assert got.loc["a", "gamma_bits"] == 1 + 5 + 15
+    assert got.loc["a", "gamma_bytes"] == 3
