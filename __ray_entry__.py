@@ -3068,6 +3068,60 @@ FROM d GROUP BY token
 """
 
 
+def q_dict_front_code(sf_dir: str):
+    """Front-coded term-dictionary stats (Managing Gigabytes ch.4) —
+    the vocabulary-side companion of the posting codecs: 4-term blocks
+    store the first term whole, the rest as (lcp byte, suffix), with
+    restart points aligned to the first-character bucket so the layout
+    is embarrassingly parallel (one co-partition exchange).  Every
+    term is reconstructed from its stored chain before sizes are
+    reported (``stages/tfidf.dict_front_code``)."""
+    from cex_crawler_ray.stages.tfidf import dict_front_code
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return dict_front_code(docs, block=4)
+
+
+_DICT_FRONT_CODE_SQL = """
+WITH toks AS (
+  SELECT DISTINCT w AS token FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+    FROM documents
+  )
+),
+b AS (
+  SELECT token, substr(token, 1, 1) AS bucket,
+         row_number() OVER (
+           PARTITION BY substr(token, 1, 1) ORDER BY token
+         ) AS rn
+  FROM toks
+),
+p AS (
+  SELECT bucket, token, CAST((rn - 1) // 4 AS BIGINT) AS block_id,
+         lag(token) OVER (PARTITION BY bucket ORDER BY token) AS prev,
+         ((rn - 1) % 4) = 0 AS is_first
+  FROM b
+),
+c AS (
+  SELECT bucket, block_id,
+         CASE WHEN is_first THEN length(token)
+              ELSE 1 + length(token) - len(list_filter(
+                     range(1, least(length(prev), length(token)) + 1),
+                     i -> substr(prev, 1, CAST(i AS INT))
+                          = substr(token, 1, CAST(i AS INT))))
+         END AS fc,
+         length(token) AS raw
+  FROM p
+)
+SELECT bucket, block_id, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(raw) AS BIGINT) AS raw_bytes,
+       CAST(sum(fc) AS BIGINT) AS fc_bytes
+FROM c GROUP BY bucket, block_id
+"""
+
+
 def q_stupid_backoff(sf_dir: str):
     """Stupid Backoff trigram LM scoring (Brants et al. 2007 — the
     backoff scheme designed for DISTRIBUTED web-scale LM estimation):
@@ -13593,6 +13647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_vbyte": q_postings_vbyte,
         "bm25_maxscore": q_bm25_maxscore,
         "postings_gamma": q_postings_gamma,
+        "dict_front_code": q_dict_front_code,
         "mutual_knn_pairs": q_mutual_knn_pairs,
         "mutual_knn_ann": q_mutual_knn_ann,
         "pareto_orders": q_pareto_orders,
@@ -15592,6 +15647,7 @@ GROUP BY 1, 2
         "postings_vbyte": _POSTINGS_VBYTE_SQL,
         "bm25_maxscore": _BM25_TOPK_SQL,
         "postings_gamma": _POSTINGS_GAMMA_SQL,
+        "dict_front_code": _DICT_FRONT_CODE_SQL,
         "mutual_knn_pairs": _MUTUAL_KNN_SQL,
         # mutual_knn_ann RETURNS its certificate (IVF recall is
         # approximate by construction, so the gated output is the

@@ -1949,3 +1949,100 @@ def postings_gamma(
             batch_format="pyarrow",
         )
     )
+
+
+def dict_front_code(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    block: int = 4,
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Front-coded term dictionary stats (Witten/Moffat/Bell, Managing
+    Gigabytes ch.4) — the vocabulary-side companion of the posting
+    codecs: sorted terms share prefixes, so blocks of ``block`` terms
+    store the first term whole and every other as
+    ``(lcp_byte, suffix)``.  Restart points align to the term's
+    first-character bucket (exactly a real dictionary's block
+    restarts), which makes the layout embarrassingly parallel: ONE
+    co-partition exchange of per-batch-distinct tokens keyed by
+    bucket, then each bucket sorts, blocks, front-codes and — the
+    honesty bar — RECONSTRUCTS every term from its (lcp, suffix)
+    chain before sizes are reported.  Returns
+    ``(bucket, block_id, n_terms, raw_bytes, fc_bytes)``."""
+    import zlib
+
+    def toks(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for t in batch[text_col].to_pylist():
+            seen.update(_doc_tokens(t))
+        out = sorted(seen)
+        return pa.table(
+            {
+                "token": pa.array(out, pa.string()),
+                "_part": pa.array(
+                    [
+                        zlib.crc32(t[:1].encode("utf-8")) % num_parts
+                        for t in out
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def encode(tbl: pa.Table) -> pa.Table:
+        terms = sorted(set(tbl["token"].to_pylist()))
+        out = {
+            "bucket": [], "block_id": [], "n_terms": [],
+            "raw_bytes": [], "fc_bytes": [],
+        }
+        # group contiguous same-first-char runs (buckets)
+        i = 0
+        while i < len(terms):
+            b = terms[i][:1]
+            j = i
+            while j < len(terms) and terms[j][:1] == b:
+                j += 1
+            bucket_terms = terms[i:j]
+            for s in range(0, len(bucket_terms), block):
+                blk = bucket_terms[s : s + block]
+                raw = sum(len(t) for t in blk)
+                fc = len(blk[0])
+                rebuilt = [blk[0]]
+                prev = blk[0]
+                for t in blk[1:]:
+                    lcp = 0
+                    for a, c in zip(prev, t):
+                        if a != c:
+                            break
+                        lcp += 1
+                    suffix = t[lcp:]
+                    fc += 1 + len(suffix)
+                    # decode strictly from stored (lcp, suffix) + the
+                    # previously DECODED term
+                    rebuilt.append(rebuilt[-1][:lcp] + suffix)
+                    prev = t
+                assert rebuilt == blk, blk  # codec round-trip
+                out["bucket"].append(b)
+                out["block_id"].append(s // block)
+                out["n_terms"].append(len(blk))
+                out["raw_bytes"].append(raw)
+                out["fc_bytes"].append(fc)
+            i = j
+        return pa.table(
+            {
+                "bucket": pa.array(out["bucket"], pa.string()),
+                "block_id": pa.array(out["block_id"], pa.int64()),
+                "n_terms": pa.array(out["n_terms"], pa.int64()),
+                "raw_bytes": pa.array(out["raw_bytes"], pa.int64()),
+                "fc_bytes": pa.array(out["fc_bytes"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(toks, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: encode(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -134,3 +134,54 @@ def test_postings_gamma_hand_case(ray_session):
     assert got.loc["a", "n_docs"] == 3
     assert got.loc["a", "gamma_bits"] == 1 + 5 + 15
     assert got.loc["a", "gamma_bytes"] == 3
+
+
+def test_front_code_hand_case(ray_session):
+    import ray
+
+    from cex_crawler_ray.stages.tfidf import dict_front_code
+
+    # one bucket 's': ship, shipment, shipping, shop | stop  (block=4)
+    docs = ["ship shipment", "shipping shop stop"]
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(docs, pa.string())})
+    )
+    got = (
+        dict_front_code(ds, block=4)
+        .to_pandas()
+        .sort_values(["bucket", "block_id"])
+        .reset_index(drop=True)
+    )
+    b0 = got[(got["bucket"] == "s") & (got["block_id"] == 0)].iloc[0]
+    # ship(4) + (4,"ment")=5 + (4,"ping")=5 + (2,"op")=3 -> 17
+    assert b0["n_terms"] == 4
+    assert b0["raw_bytes"] == 4 + 8 + 8 + 4
+    assert b0["fc_bytes"] == 4 + 5 + 5 + 3
+    b1 = got[(got["bucket"] == "s") & (got["block_id"] == 1)].iloc[0]
+    assert b1["n_terms"] == 1 and b1["fc_bytes"] == 4
+
+
+def test_front_code_partition_invariant(ray_session):
+    import ray
+
+    from cex_crawler_ray.stages.tfidf import dict_front_code
+
+    rng = np.random.RandomState(13)
+    vocab = [f"pre{i:03d}fix" for i in range(60)] + [
+        f"q{i}" for i in range(17)
+    ]
+    docs = [
+        " ".join(vocab[j] for j in rng.randint(0, len(vocab), 12))
+        for _ in range(70)
+    ]
+    tbl = pa.table({"text": pa.array(docs, pa.string())})
+    canon = lambda d: d.sort_values(
+        ["bucket", "block_id"]
+    ).reset_index(drop=True)
+    a = canon(dict_front_code(ray.data.from_arrow(tbl)).to_pandas())
+    b = canon(
+        dict_front_code(
+            ray.data.from_arrow(tbl).repartition(11), num_parts=8
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
