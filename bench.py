@@ -677,6 +677,8 @@ def bench_queries(sf_dir: str) -> dict:
         "stupid_backoff",
         "postings_vbyte",
         "bm25_maxscore",
+        "postings_gamma",
+        "dict_front_code",
     ]
     extended = [
         "dust_canonical",
