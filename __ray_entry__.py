@@ -3068,6 +3068,66 @@ FROM d GROUP BY token
 """
 
 
+def q_consistent_hash_rebalance(sf_dir: str):
+    """Consistent-hash shard rebalance matrix (Karger et al. STOC'97)
+    — the state-migration certificate for growing the seen-filter /
+    frontier shard pool: with a 32-vnode md5 ring, 8 -> 9 shards moves
+    ~1/9 of the keys (the diagonal of the returned matrix holds ~8/9),
+    where `hash % N` would remap ~8/9 and force a near-total
+    migration.  See ``state/ring.py``: rings broadcast once, one
+    searchsorted per batch, shard-pair-bounded partials driver-merge."""
+    from cex_crawler_ray.state.ring import rebalance_matrix
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return pa.Table.from_pandas(
+        rebalance_matrix(docs, n_old=8, n_new=9, vnodes=32),
+        preserve_index=False,
+    )
+
+
+_CONSISTENT_HASH_SQL = """
+WITH ring_old AS (
+  SELECT CAST(('0x' || substr(md5(
+           CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 8))
+         AS BIGINT) AS pos, s
+  FROM (SELECT unnest(range(0, 8)) AS s),
+       (SELECT unnest(range(0, 32)) AS v)
+),
+ring_new AS (
+  SELECT CAST(('0x' || substr(md5(
+           CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 8))
+         AS BIGINT) AS pos, s
+  FROM (SELECT unnest(range(0, 9)) AS s),
+       (SELECT unnest(range(0, 32)) AS v)
+),
+keys AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         AS BIGINT) AS kh
+  FROM documents
+),
+asg AS (
+  SELECT k.doc_id,
+         COALESCE(
+           (SELECT s FROM ring_old r WHERE r.pos > k.kh
+            ORDER BY r.pos LIMIT 1),
+           (SELECT s FROM ring_old r ORDER BY r.pos LIMIT 1)
+         ) AS shard_old,
+         COALESCE(
+           (SELECT s FROM ring_new r WHERE r.pos > k.kh
+            ORDER BY r.pos LIMIT 1),
+           (SELECT s FROM ring_new r ORDER BY r.pos LIMIT 1)
+         ) AS shard_new
+  FROM keys k
+)
+SELECT shard_old, shard_new, CAST(count(*) AS BIGINT) AS n
+FROM asg GROUP BY shard_old, shard_new
+ORDER BY shard_old, shard_new
+"""
+
+
 def q_dict_front_code(sf_dir: str):
     """Front-coded term-dictionary stats (Managing Gigabytes ch.4) —
     the vocabulary-side companion of the posting codecs: 4-term blocks
@@ -13648,6 +13708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_maxscore": q_bm25_maxscore,
         "postings_gamma": q_postings_gamma,
         "dict_front_code": q_dict_front_code,
+        "consistent_hash_rebalance": q_consistent_hash_rebalance,
         "mutual_knn_pairs": q_mutual_knn_pairs,
         "mutual_knn_ann": q_mutual_knn_ann,
         "pareto_orders": q_pareto_orders,
@@ -15648,6 +15709,7 @@ GROUP BY 1, 2
         "bm25_maxscore": _BM25_TOPK_SQL,
         "postings_gamma": _POSTINGS_GAMMA_SQL,
         "dict_front_code": _DICT_FRONT_CODE_SQL,
+        "consistent_hash_rebalance": _CONSISTENT_HASH_SQL,
         "mutual_knn_pairs": _MUTUAL_KNN_SQL,
         # mutual_knn_ann RETURNS its certificate (IVF recall is
         # approximate by construction, so the gated output is the
